@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a cheap count() action after a first
+warm-up-free timed run; time includes plan + execution (cold cache per
+query, shared session).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: scan-agg, multiway join, window, explode-heavy text,
+# dedup (exact + minhash), similarity, chunk pipeline, streaming.
+BENCH_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "op30_explode",
+    "op34_window_rank",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "op44_topk_cosine",
+    "op25_chunk_mapinpandas",
+    "op45_stream_tumbling",
+]
+
+
+def main() -> None:
+    from pdf_etl_ocr_inference_spark.plans import all_specs
+    from pdf_etl_ocr_inference_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,317 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All-native Column implementations (no Python UDFs): hashing uses
+``xxhash64``/``md5`` built-ins, shingling uses higher-order array
+functions, candidate generation is a band-bucket self-join — the
+standard MinHash-LSH construction (Broder 1997; Leskovec et al.,
+"Mining of Massive Datasets" ch.3), expressed Spark-first.
+
+Scale notes (100 TB):
+- exact dedup = hash-groupBy: one shuffle on a 32-byte key, heavily
+  combinable map-side.
+- MinHash-LSH: cost is the band-bucket shuffle;  bucket ids are
+  (band_idx, hash-of-band-signature) so the self-join key space is
+  huge → no skew.  Candidate verification re-joins shingle sets only
+  for candidate pairs (tiny vs corpus).
+- SimHash: 64-bit fingerprint per doc; near-dup = identical fingerprint
+  per rotated band table (Manku et al. WWW'07 style), again join-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.functions.text import (
+    doc_fingerprint,
+    word_ngrams,
+)
+
+# ------------------------------------------------------------------
+# Exact dedup
+# ------------------------------------------------------------------
+
+
+def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group by canonical fingerprint; keep min id as survivor.
+
+    Output: ``fingerprint, keep_id, n_dups`` — the survivor map a
+    downstream anti-join uses to drop duplicates.
+    """
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Return the deduplicated rows (survivor per fingerprint)."""
+    keys = exact_dedup_keys(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keys, on=id_col, how="left_semi")
+
+
+# ------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ------------------------------------------------------------------
+
+
+def _minhash_sig(shingles: Column, num_hashes: int) -> Column:
+    """array of ``num_hashes`` min-hash values over distinct shingles.
+
+    Hash family: xxhash64(shingle, seed=i) — independent seeds give
+    independent permutation approximations; all JVM-native.
+    """
+    distinct = F.array_distinct(shingles)
+
+    # NB: closure factory, not `lambda s, i=i` — a two-parameter lambda
+    # would receive the array INDEX as its second argument (PySpark
+    # higher-order-function calling convention), silently shadowing the
+    # bound seed.
+    def _hash_with_seed(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(distinct, _hash_with_seed(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """id + MinHash signature (array<long>) per document."""
+    return df.select(
+        F.col(id_col),
+        _minhash_sig(word_ngrams(text_col, shingle_n), num_hashes).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str,
+    num_bands: int = 8,
+    rows_per_band: int | None = None,
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band-hash) buckets.
+
+    Output: candidate pairs ``id_a < id_b`` with the number of bands
+    in which they collided (dedup over bands built in).
+
+    A ``repartition`` barrier sits between signature computation and
+    banding: Catalyst's projection collapsing would otherwise inline
+    the (expensive) signature expression once per band reference —
+    exponential recomputation.  The shuffle is compact (id + 32 longs
+    per doc) and the band join needs co-location anyway.
+    """
+    n_parts = sigs.sparkSession.sparkContext.defaultParallelism
+    sigs = sigs.repartition(n_parts, id_col)
+    if rows_per_band is not None:
+        rpb = F.lit(rows_per_band)
+    else:
+        rpb = (F.size("sig") / num_bands).cast("int")
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rpb + 1, rpb).cast("string"), b
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), "band", "bucket"
+    )
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → verified duplicate pairs.
+
+    Candidates from LSH buckets, then exact n-gram Jaccard verification
+    on the candidate pairs only (join back the shingle sets).
+    Output: ``id_a, id_b, jaccard`` (rounded 4) for pairs ≥ threshold.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(text_col, shingle_n)).alias("shingles"),
+    )
+    if num_hashes % num_bands:
+        raise ValueError("num_bands must divide num_hashes")
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(
+        sigs, id_col, num_bands, rows_per_band=num_hashes // num_bands
+    )
+    sa = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ------------------------------------------------------------------
+# n-gram Jaccard (exact, pairwise — oracle-checkable on small scopes)
+# ------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard ≥ threshold.
+
+    O(n²) — the brute-force baseline MinHash-LSH approximates; callers
+    scope it to a bounded subset.  Output ``id_a, id_b, jaccard``.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(text_col, shingle_n)).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------
+# SimHash
+# ------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (Charikar 2002).
+
+    For each bit position, sum +1/−1 votes of token hashes; bit = 1 if
+    the sum is positive.  All native: token array → xxhash64 → bit
+    tests via shiftright/bitwise-and, aggregated with ``aggregate``.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _voter(b: int):
+        # closure factory — aggregate's merge fn must take exactly 2 args
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for bit in range(64):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _voter(bit))
+        bits.append(
+            F.when(vote > 0, F.lit(1).cast("long") * (2**bit if bit < 63 else -(2**63)))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    fingerprint = bits[0]
+    for c in bits[1:]:
+        fingerprint = fingerprint + c
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Block-permutation candidate generation (Manku et al., WWW'07):
+    split the 64-bit fingerprint into ``num_blocks`` 16-bit blocks; two
+    fingerprints within hamming r < num_blocks must agree on ≥1 block →
+    join per block, verify with bit_count(xor).
+    """
+    fps = simhash(df, text_col, id_col)
+    # barrier: stop projection collapsing from inlining the 64-bit
+    # fingerprint expression once per block reference (see
+    # minhash_lsh_candidates note)
+    fps = fps.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    blocked = fps.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(num_blocks)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "block_idx",
+        "block_val",
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "block_idx",
+        "block_val",
+    )
+    return (
+        a.join(b, on=["block_idx", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10).
+
+The reference's vector search is a managed delta-sync index plus
+``similarity_search(query, num_results=5)`` (``ocr-tesseract-
+unstructured.py:136-172``).  Engine equivalents:
+
+- ``build_index``      : OP-43 — the "index" is a materialized
+  embeddings table keyed by primary key (derived data, refreshable
+  incrementally via the streaming layer).
+- ``topk_exact``       : OP-44 — brute-force cosine top-k; native
+  zip_with/aggregate dot products + TakeOrderedAndProject.  At 100 TB
+  this is one scan, no shuffle (top-k is a per-partition heap merged
+  on the driver).
+- ``topk_lsh``         : random-hyperplane LSH (Charikar 2002) —
+  signature bits from fixed seeded planes, candidates from matching
+  buckets, exact re-rank on candidates.  The scale path when the
+  corpus is too big to scan per query.
+- ``topk_ivf``         : IVF-style two-level search — k-means-ish
+  cells (here: precomputed or label-derived centroids), probe the
+  nearest ``n_probe`` cells, exact re-rank within.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+
+
+def _as_vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def build_index(
+    df: DataFrame, id_col: str, embedding_col: str
+) -> DataFrame:
+    """OP-43: materialize (pk, embedding, norm) — precomputing norms
+    makes every subsequent cosine query a dot product."""
+    return df.select(
+        F.col(id_col),
+        F.col(embedding_col).alias("embedding"),
+        l2_norm(embedding_col).alias("norm"),
+    )
+
+
+def topk_exact(
+    df: DataFrame,
+    embedding_col: str,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """OP-44 brute-force top-k: score every row, take k.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each
+    partition keeps a k-heap, driver merges; no global sort shuffle.
+    Deterministic tie-break on id.
+    """
+    q = _as_vec_lit(query_vec)
+    if metric == "cosine":
+        score = cosine_similarity(F.col(embedding_col), q)
+    elif metric == "dot":
+        score = dot_product(F.col(embedding_col), q)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return (
+        df.select(F.col(id_col), F.round(score, 4).alias("score"))
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------------
+# Random-hyperplane LSH (approximate, scale path)
+# ------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (no numpy needed at
+    plan-build time; simple LCG → Box-Muller)."""
+    state = seed or 1
+
+    def _next() -> float:
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+        return state / 2**64
+
+    planes = []
+    for _ in range(n_planes):
+        vals = []
+        while len(vals) < dim:
+            u1, u2 = max(_next(), 1e-12), _next()
+            r = math.sqrt(-2.0 * math.log(u1))
+            vals.append(r * math.cos(2 * math.pi * u2))
+            if len(vals) < dim:
+                vals.append(r * math.sin(2 * math.pi * u2))
+        planes.append(vals[:dim])
+    return planes
+
+
+def lsh_signature(
+    embedding_col: Column | str, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Sign-bit signature under fixed hyperplanes → long bucket id."""
+    col = F.col(embedding_col) if isinstance(embedding_col, str) else embedding_col
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(dot_product(col, _as_vec_lit(p)) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        sig = sig + bit.cast("long") * F.lit(2**i).cast("long")
+    return sig
+
+
+def topk_lsh(
+    df: DataFrame,
+    embedding_col: str,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict to the query's LSH bucket, then
+    exact cosine re-rank.  With ``n_planes`` bits the corpus shards
+    into 2^n buckets → per-query scan cost drops by that factor; the
+    signature column is precomputable (index-time) so queries prune on
+    a parquet filter.
+    """
+    dim = len(query_vec)
+    sig_col = lsh_signature(embedding_col, dim, n_planes, seed)
+    # Compute the query's signature driver-side with the same planes.
+    planes = _hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        dp = sum(a * b for a, b in zip(query_vec, p))
+        qsig += (1 if dp > 0 else 0) * 2**i
+    bucket = df.withColumn("_sig", sig_col).filter(F.col("_sig") == qsig)
+    return topk_exact(bucket, embedding_col, query_vec, k=k, id_col=id_col)
+
+
+# ------------------------------------------------------------------
+# IVF-style cell-probe search
+# ------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    embedding_col: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid cell (index build).
+
+    ``centroids`` is a small driver-side list (the coarse quantizer) —
+    embedded as literals so assignment is one scan, no shuffle; at
+    100 TB the assignment output is written partitioned by ``cell`` so
+    probes prune partitions.
+    """
+    best_cell = F.lit(-1)
+    best_dist = F.lit(float("inf"))
+    for ci, c in enumerate(centroids):
+        d = F.lit(-1.0) * dot_product(F.col(embedding_col), _as_vec_lit(c))
+        best_cell = F.when(d < best_dist, F.lit(ci)).otherwise(best_cell)
+        best_dist = F.when(d < best_dist, d).otherwise(best_dist)
+    return df.select(
+        F.col(id_col), F.col(embedding_col), best_cell.alias("cell")
+    )
+
+
+def topk_ivf(
+    assigned: DataFrame,
+    embedding_col: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``n_probe`` nearest cells, exact re-rank within."""
+    scored = sorted(
+        range(len(centroids)),
+        key=lambda ci: -sum(a * b for a, b in zip(query_vec, centroids[ci])),
+    )
+    probe = scored[:n_probe]
+    cand = assigned.filter(F.col("cell").isin(probe))
+    return topk_exact(cand, embedding_col, query_vec, k=k, id_col=id_col)

@@ -1,0 +1,97 @@
+"""Deduplication query catalog.
+
+- exact + n-gram-Jaccard entries are oracle-verified (hash functions
+  and list ops agree between Spark and DuckDB);
+- MinHash-LSH / SimHash entries use xxhash64 (no DuckDB equivalent) →
+  rows-only checks, with the *verification* stage (exact Jaccard on
+  candidates) shared with the oracle-checked brute-force op so the
+  approximation is cross-checked in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.operators.dedup import (
+    exact_dedup_keys,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from pdf_etl_ocr_inference_spark.plans.registry import register
+from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
+
+_NORM = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', '', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "dedup_exact",
+    f"SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups FROM ("
+    f"SELECT doc_id, MD5({_NORM}) AS fingerprint FROM documents) "
+    "GROUP BY fingerprint",
+    doc="exact dedup via canonical-hash groupBy; survivor = min id.",
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup_keys(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+# 3-gram shingle list, SQL side.  Mirrors functions.text.word_ngrams:
+# shingles i = join(tokens[i:i+3]) for i in 1..max(len-2, 1).
+_SHINGLES = (
+    "LIST_DISTINCT(LIST_TRANSFORM("
+    "GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1)), "
+    "i -> ARRAY_TO_STRING(toks[i:i+2], ' ')))"
+)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "WITH sh AS ("
+    "  SELECT doc_id, " + _SHINGLES + " AS sh FROM ("
+    "    SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks "
+    "    FROM documents WHERE doc_id < 100)) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "LEN(LIST_INTERSECT(a.sh, b.sh)) / "
+    "LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS jaccard "
+    "FROM sh a, sh b WHERE a.doc_id < b.doc_id "
+    "AND LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / "
+    "LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.2",
+    doc="exact pairwise 3-gram Jaccard ≥ 0.2 on a bounded scope "
+    "(doc_id < 100) — the brute-force baseline MinHash approximates.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.2)
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # xxhash64-based → rows-only; cross-checked in tests
+    doc="MinHash(32 hashes)+LSH(8 bands) candidates, exact-Jaccard "
+    "verified ≥ 0.5. The 100TB-scale near-dedup path.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_dedup_pairs(
+        _t(spark, sf, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=32,
+        num_bands=8,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64-based → rows-only
+    doc="SimHash-64 fingerprints; near-pairs via 4-block candidate "
+    "generation + hamming ≤ 3 (Manku et al. WWW'07 construction).",
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash_near_pairs(
+        _t(spark, sf, "documents"), "text", "doc_id", max_hamming=3
+    )

@@ -1,0 +1,116 @@
+"""Document-pipeline query catalog (OP-20/24/25/30 and the flagship
+ingest→chunk→embed→search pipeline).
+
+The native chunker and the mapInPandas chunker implement identical
+semantics, and BOTH are oracle-checked against the same DuckDB SQL —
+proving the Python path agrees with the JVM path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.operators.documents import (
+    chunk_map_in_pandas,
+    chunk_native,
+    derive_filenames,
+)
+from pdf_etl_ocr_inference_spark.plans.registry import register
+from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
+
+# Token-window chunking (window=20, stride=20, min_chars=50) in DuckDB:
+# toks = non-empty split on single spaces; chunk i joins toks[20i+1 .. 20i+20].
+_CHUNK_SQL = """
+WITH tokd AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), exploded AS (
+  SELECT doc_id,
+         UNNEST(GENERATE_SERIES(0, CAST(CEIL(LEN(toks) / 20.0) AS INT) - 1))
+           AS chunk_idx,
+         toks
+  FROM tokd WHERE LEN(toks) > 0
+)
+SELECT doc_id, chunk_idx,
+       ARRAY_TO_STRING(toks[chunk_idx * 20 + 1 : chunk_idx * 20 + 20], ' ')
+         AS chunk
+FROM exploded
+WHERE LENGTH(ARRAY_TO_STRING(toks[chunk_idx * 20 + 1 : chunk_idx * 20 + 20],
+      ' ')) > 50
+"""
+
+
+@register(
+    "op24_chunk_native",
+    _CHUNK_SQL,
+    doc="token-window chunker, JVM-native (sequence/slice/concat_ws) + "
+    "posexplode + >50-char filter (ref 02:230,292 semantics).",
+)
+def op24_chunk_native(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return chunk_native(docs, "text", window=20, min_chars=50)
+
+
+@register(
+    "op25_chunk_mapinpandas",
+    _CHUNK_SQL,
+    doc="same chunker through mapInPandas (Arrow) with LPT layout on "
+    "n_chars — the OCR/Ray-replacement path (ref 02:178-260). Same "
+    "oracle as op24 ⇒ Python path ≡ JVM path.",
+)
+def op25_chunk_mapinpandas(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    return chunk_map_in_pandas(
+        docs,
+        text_col="text",
+        id_cols=("doc_id",),
+        min_chars=50,
+        size_col="n_chars",
+    )
+
+
+@register(
+    "op20_derive_filename",
+    "SELECT doc_id, PRINTF('%s/%06d.txt', source, doc_id) AS filename "
+    "FROM documents",
+    doc="filename derivation lifted out of the scalar UDF at "
+    "01:122-143 into native format_string.",
+)
+def op20_derive_filename(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    return derive_filenames(docs).select("doc_id", "filename")
+
+
+@register(
+    "pipeline_chunk_embed_topk",
+    None,  # stub embedder in the plan → rows-only
+    doc="flagship pipeline: documents → chunk (mapInPandas, LPT) → "
+    "length filter → stub-embed (iterator pandas UDF) → cosine top-10 "
+    "vs the first chunk of doc 0. SURVEY §7 minimum slice.",
+)
+def pipeline_chunk_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.vector import cosine_similarity
+    from pdf_etl_ocr_inference_spark.operators.inference import with_embeddings
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    chunks = chunk_map_in_pandas(
+        docs, text_col="text", id_cols=("doc_id",), min_chars=50,
+        size_col="n_chars",
+    )
+    embedded = with_embeddings(chunks, "chunk", out_col="emb", dim=64)
+    query = embedded.filter(
+        (F.col("doc_id") == 0) & (F.col("chunk_idx") == 0)
+    ).select(F.col("emb").alias("q_emb"))
+    return (
+        embedded.filter(~((F.col("doc_id") == 0) & (F.col("chunk_idx") == 0)))
+        .crossJoin(F.broadcast(query))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            cosine_similarity("emb", "q_emb").alias("_raw"),
+        )
+        .orderBy(F.desc("_raw"), "doc_id", "chunk_idx")
+        .limit(10)
+        .select("doc_id", "chunk_idx", F.round("_raw", 4).alias("score"))
+    )

@@ -1,0 +1,160 @@
+"""Similarity / vector / inference query catalog (OP-42/43/44).
+
+The query vector for search ops is the embeddings row with vec_id=0
+(joined in-plan on both sides — no literals), so Spark and DuckDB
+score the identical vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.functions.vector import cosine_similarity
+from pdf_etl_ocr_inference_spark.operators.inference import with_embeddings
+from pdf_etl_ocr_inference_spark.operators.similarity import (
+    build_index,
+    ivf_assign,
+    topk_ivf,
+    topk_lsh,
+)
+from pdf_etl_ocr_inference_spark.plans.registry import register
+from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
+
+
+@register(
+    "op44_topk_cosine",
+    "SELECT e.vec_id, "
+    "ROUND(LIST_COSINE_SIMILARITY(e.embedding, q.embedding), 4) AS score "
+    "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+    "WHERE e.vec_id <> 0 "
+    "ORDER BY LIST_COSINE_SIMILARITY(e.embedding, q.embedding) DESC, e.vec_id "
+    "LIMIT 5",
+    doc="brute-force cosine top-5 vs the vec_id=0 query vector "
+    "(ref ocr:167-170 num_results=5). TakeOrderedAndProject — "
+    "per-partition k-heaps, no global sort shuffle.",
+)
+def op44_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_similarity("embedding", "q_embedding").alias("_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("_raw"), "vec_id")
+        .limit(5)
+        .select("vec_id", F.round("_raw", 4).alias("score"))
+    )
+
+
+@register(
+    "op43_index_build",
+    "SELECT vec_id, ROUND(SQRT(LIST_DOT_PRODUCT(embedding, embedding)), 4) "
+    "AS norm FROM embeddings",
+    doc="index build = materialized (pk, embedding, norm) table "
+    "(ref ocr:136-155 delta-sync index, engine-native).",
+)
+def op43_index_build(spark: SparkSession, sf: str) -> DataFrame:
+    idx = build_index(_t(spark, sf, "embeddings"), "vec_id", "embedding")
+    return idx.select("vec_id", F.round("norm", 4).alias("norm"))
+
+
+@register(
+    "op42_embed_inference",
+    None,  # embedder is Python-side → rows-only; determinism tested in pytest
+    doc="OP-42: iterator-pandas-UDF embedding inference (ref 03:96-109) "
+    "with the deterministic hash stub embedder; 150-text sub-batching.",
+)
+def op42_embed_inference(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    out = with_embeddings(docs, "text", out_col="inference", dim=64)
+    return out.select(
+        "doc_id",
+        F.size("inference").alias("dim"),
+        F.round(
+            F.aggregate(
+                "inference",
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            ),
+            2,
+        ).alias("sq_norm"),
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # approximate + xxhash-free but plane-seeded → rows-only
+    doc="random-hyperplane LSH bucket search + exact re-rank: the "
+    "scale path for OP-44 (bucket id precomputable at index time).",
+)
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    qvec = [r[0] for r in emb.filter(F.col("vec_id") == 0).select(
+        F.explode("embedding")
+    ).collect()]
+    return topk_lsh(
+        emb.filter(F.col("vec_id") != 0),
+        "embedding",
+        qvec,
+        k=5,
+        n_planes=8,
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # approximate → rows-only
+    doc="IVF cell-probe search: label-seeded coarse centroids, probe "
+    "2 nearest cells, exact re-rank within.",
+)
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    # Coarse centroids: mean vector per label (computed in-plan, then
+    # collected — the quantizer is tiny control data).
+    cents_rows = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("vals"))
+        .select("label", F.transform("vals", lambda s: s["m"]).alias("centroid"))
+        .orderBy("label")
+        .collect()
+    )
+    centroids = [list(r["centroid"]) for r in cents_rows]
+    qvec = [r[0] for r in emb.filter(F.col("vec_id") == 0).select(
+        F.explode("embedding")
+    ).collect()]
+    assigned = ivf_assign(emb.filter(F.col("vec_id") != 0), "embedding", centroids)
+    return topk_ivf(assigned, "embedding", qvec, centroids, k=5, n_probe=2)
+
+
+@register(
+    "dedup_embedding_cosine",
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "ROUND(LIST_COSINE_SIMILARITY(a.embedding, b.embedding), 4) AS sim "
+    "FROM embeddings a, embeddings b "
+    "WHERE a.vec_id < b.vec_id "
+    "AND LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.95",
+    doc="embedding-cosine near-dup pairs (sim ≥ 0.95); brute-force "
+    "pairwise on the bounded embeddings table — LSH path for scale.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_sim", cosine_similarity("e_a", "e_b"))
+        .filter(F.col("_sim") >= 0.95)
+        .select("id_a", "id_b", F.round("_sim", 4).alias("sim"))
+    )

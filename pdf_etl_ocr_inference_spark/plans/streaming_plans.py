@@ -1,0 +1,57 @@
+"""Streaming / incremental query catalog (OP-45/46).
+
+The tumbling-window aggregation runs as a REAL Structured Streaming
+job (availableNow trigger, memory sink) and is still oracle-checked:
+in complete output mode every window is emitted, so the streaming
+result must equal DuckDB's batch time_bucket aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.plans.registry import register
+from pdf_etl_ocr_inference_spark.sources.catalog import TABLES
+from pdf_etl_ocr_inference_spark.streaming.incremental import (
+    run_available_now,
+    stream_events_tumbling,
+)
+
+
+@register(
+    "op45_stream_tumbling",
+    "SELECT TIME_BUCKET(INTERVAL '10 minutes', ts) AS window_start, "
+    "event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value "
+    "FROM events GROUP BY 1, 2",
+    doc="watermarked 10-min tumbling-window agg over events, run as a "
+    "Structured Streaming availableNow job (ref ocr:112 CDC + ocr:149 "
+    "triggered sync, engine-native).",
+)
+def op45_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    streaming = stream_events_tumbling(
+        spark,
+        f"{sf}/events.parquet",
+        TABLES["events"],
+        window="10 minutes",
+        watermark="30 minutes",
+    )
+    return run_available_now(streaming, output_mode="complete")
+
+
+@register(
+    "op46_incremental_sessionize",
+    "SELECT user_id, COUNT(*) AS n_events, "
+    "COUNT(DISTINCT event_type) AS n_types, "
+    "ROUND(SUM(value), 2) AS total_value "
+    "FROM events GROUP BY user_id",
+    doc="per-user incremental rollup (the 'triggered sync' shape): "
+    "batch-equivalent aggregation the availableNow refresh maintains.",
+)
+def op46_incremental_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -1,0 +1,106 @@
+"""Incremental / streaming layer (SURVEY.md §2.9, OP-45/46).
+
+The reference's only incremental constructs are Delta Change Data Feed
+(``ocr:112``) and a TRIGGERED vector-index sync (``ocr:149``).  The
+open-source Spark-native equivalents:
+
+- file-source ``readStream`` over a table directory = the change feed
+  (new files are the appended changes);
+- ``trigger(availableNow=True)`` = the triggered, catch-up-then-stop
+  incremental refresh;
+- watermark + tumbling window = bounded-state late-data aggregation
+  for the ``events`` stream.
+
+State scale note: watermarks bound the window-state store, so the agg
+state at 100 TB/day is proportional to (windows in watermark horizon ×
+keys), not to history.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_stream_dir(path: str) -> str:
+    """The file streaming source requires a *directory*.  A production
+    table is a directory of parquet files already; the single-file
+    testdata fixtures get symlinked into a temp dir."""
+    if os.path.isdir(path):
+        return path
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    return d
+
+
+def stream_events_tumbling(
+    spark: SparkSession,
+    events_path: str,
+    schema: T.StructType,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming tumbling-window aggregation over the events table.
+
+    Returns the *streaming* DataFrame (caller attaches the sink).
+    """
+    from pdf_etl_ocr_inference_spark.sources.catalog import normalize_event_ts
+
+    # events.ts is TIMESTAMP(NANOS): stream it as long nanos (matching
+    # spark.sql.legacy.parquet.nanosAsLong) and convert post-read.
+    raw_fields = [
+        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+        for f in schema.fields
+    ]
+    stream = (
+        spark.readStream.schema(T.StructType(raw_fields))
+        .parquet(_as_stream_dir(events_path))
+    )
+    stream = normalize_event_ts(stream).withWatermark("ts", watermark)
+    return (
+        stream.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    streaming_df: DataFrame,
+    output_mode: str = "complete",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """OP-46: run a streaming plan to completion on currently-available
+    data (``trigger(availableNow=True)``) into a memory sink; return
+    the result as a batch DataFrame.
+
+    ``complete`` mode emits every window regardless of watermark
+    position — the right semantics for a catch-up batch refresh.
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    spark = streaming_df.sparkSession
+    return spark.table(name)
