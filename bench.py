@@ -28,6 +28,10 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q18",
     "op30_explode",
     "op34_window_rank",
     "dedup_exact",

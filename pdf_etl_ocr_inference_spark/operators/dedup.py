@@ -61,29 +61,6 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ------------------------------------------------------------------
 
 
-def _minhash_sig(shingles: Column, num_hashes: int) -> Column:
-    """array of ``num_hashes`` min-hash values over distinct shingles.
-
-    Hash family: xxhash64(shingle, seed=i) — independent seeds give
-    independent permutation approximations; all JVM-native.
-    """
-    distinct = F.array_distinct(shingles)
-
-    # NB: closure factory, not `lambda s, i=i` — a two-parameter lambda
-    # would receive the array INDEX as its second argument (PySpark
-    # higher-order-function calling convention), silently shadowing the
-    # bound seed.
-    def _hash_with_seed(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    return F.array(
-        *[
-            F.array_min(F.transform(distinct, _hash_with_seed(i)))
-            for i in range(num_hashes)
-        ]
-    )
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -91,10 +68,38 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """id + MinHash signature (array<long>) per document."""
-    return df.select(
+    """id + MinHash signature (array<long>) per document.
+
+    Hash family: xxhash64(shingle, seed=i) — independent seeds give
+    independent permutation approximations; all JVM-native.
+
+    Formulation: explode distinct shingles → ``num_hashes`` seeded
+    min-aggregates → repack as array.  One shuffle keyed by doc id
+    with full map-side combine (partial mins), and every hash stays
+    inside whole-stage codegen.  The alternative — nested
+    ``array_min(transform(...))`` once per seed — builds a lambda
+    expression per hash that is interpreted per array element and
+    bloats codegen compile time by seconds per query.
+
+    Documents with zero shingles (shorter than ``shingle_n`` words)
+    drop out here, which is correct for dedup: they collide with
+    nothing.
+    """
+    exploded = df.select(
         F.col(id_col),
-        _minhash_sig(word_ngrams(text_col, shingle_n), num_hashes).alias("sig"),
+        F.explode(F.array_distinct(word_ngrams(text_col, shingle_n))).alias(
+            "_sh"
+        ),
+    )
+    per_doc = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -109,14 +114,10 @@ def minhash_lsh_candidates(
     Output: candidate pairs ``id_a < id_b`` with the number of bands
     in which they collided (dedup over bands built in).
 
-    A ``repartition`` barrier sits between signature computation and
-    banding: Catalyst's projection collapsing would otherwise inline
-    the (expensive) signature expression once per band reference —
-    exponential recomputation.  The shuffle is compact (id + 32 longs
-    per doc) and the band join needs co-location anyway.
+    No barrier needed: ``minhash_signatures`` ends in an aggregation,
+    so the band projections reference post-shuffle attributes rather
+    than re-inlining the signature expression per band.
     """
-    n_parts = sigs.sparkSession.sparkContext.defaultParallelism
-    sigs = sigs.repartition(n_parts, id_col)
     if rows_per_band is not None:
         rpb = F.lit(rows_per_band)
     else:
@@ -236,29 +237,40 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (Charikar 2002).
 
     For each bit position, sum +1/−1 votes of token hashes; bit = 1 if
-    the sum is positive.  All native: token array → xxhash64 → bit
-    tests via shiftright/bitwise-and, aggregated with ``aggregate``.
+    the sum is positive.  Formulation: explode tokens → one xxhash64
+    per token → 64 conditional-sum aggregates → recombine bits.  One
+    shuffle keyed by doc id with map-side partial sums, everything in
+    whole-stage codegen.  (64 ``F.aggregate`` lambdas over a token
+    array would each be interpreted per element — seconds of codegen
+    and a Python-free but JVM-interpreted hot path.)
+
+    Token frequency weights votes (tokens are not deduplicated),
+    matching the standard construction.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def _voter(b: int):
-        # closure factory — aggregate's merge fn must take exactly 2 args
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bits = []
-    for bit in range(64):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _voter(bit))
-        bits.append(
-            F.when(vote > 0, F.lit(1).cast("long") * (2**bit if bit < 63 else -(2**63)))
-            .otherwise(F.lit(0).cast("long"))
-        )
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("_t"))
+    h = F.xxhash64("_t")
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(64)
+        ]
+    )
+    bits = [
+        F.when(
+            F.col(f"_v{b}") > 0,
+            F.lit(2**b if b < 63 else -(2**63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
     fingerprint = bits[0]
     for c in bits[1:]:
         fingerprint = fingerprint + c
-    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -276,12 +288,6 @@ def simhash_near_pairs(
     join per block, verify with bit_count(xor).
     """
     fps = simhash(df, text_col, id_col)
-    # barrier: stop projection collapsing from inlining the 64-bit
-    # fingerprint expression once per block reference (see
-    # minhash_lsh_candidates note)
-    fps = fps.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, id_col
-    )
     blocked = fps.select(
         id_col,
         "simhash",

@@ -22,6 +22,7 @@ unstructured.py:136-172``).  Engine equivalents:
 
 from __future__ import annotations
 
+import itertools
 import math
 
 from pyspark.sql import Column, DataFrame
@@ -129,12 +130,20 @@ def topk_lsh(
     id_col: str = "vec_id",
     n_planes: int = 8,
     seed: int = 42,
+    hamming_radius: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: restrict to the query's LSH bucket, then
-    exact cosine re-rank.  With ``n_planes`` bits the corpus shards
-    into 2^n buckets → per-query scan cost drops by that factor; the
-    signature column is precomputable (index-time) so queries prune on
-    a parquet filter.
+    """Approximate top-k: restrict to LSH buckets near the query's
+    signature (multi-probe, Lv et al. 2007), then exact cosine
+    re-rank.  With ``n_planes`` bits the corpus shards into 2^n
+    buckets → per-query scan cost drops by that factor; the signature
+    column is precomputable (index-time) so queries prune on a
+    parquet/partition filter.
+
+    ``hamming_radius`` probes every bucket whose signature differs
+    from the query's in ≤ r bits (sum of C(n,i) buckets) — a
+    single-bucket probe on a sparse corpus frequently returns < k
+    candidates, while nearby buckets hold the near-misses that one
+    flipped sign bit sent elsewhere.
     """
     dim = len(query_vec)
     sig_col = lsh_signature(embedding_col, dim, n_planes, seed)
@@ -144,7 +153,12 @@ def topk_lsh(
     for i, p in enumerate(planes):
         dp = sum(a * b for a, b in zip(query_vec, p))
         qsig += (1 if dp > 0 else 0) * 2**i
-    bucket = df.withColumn("_sig", sig_col).filter(F.col("_sig") == qsig)
+    probes = [
+        qsig ^ sum(1 << b for b in flipped)
+        for r in range(hamming_radius + 1)
+        for flipped in itertools.combinations(range(n_planes), r)
+    ]
+    bucket = df.withColumn("_sig", sig_col).filter(F.col("_sig").isin(probes))
     return topk_exact(bucket, embedding_col, query_vec, k=k, id_col=id_col)
 
 

@@ -53,18 +53,19 @@ _SHINGLES = (
     "WITH sh AS ("
     "  SELECT doc_id, " + _SHINGLES + " AS sh FROM ("
     "    SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks "
-    "    FROM documents WHERE doc_id < 100)) "
+    "    FROM documents)) "
     "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
     "LEN(LIST_INTERSECT(a.sh, b.sh)) / "
     "LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS jaccard "
     "FROM sh a, sh b WHERE a.doc_id < b.doc_id "
     "AND LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / "
     "LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.2",
-    doc="exact pairwise 3-gram Jaccard ≥ 0.2 on a bounded scope "
-    "(doc_id < 100) — the brute-force baseline MinHash approximates.",
+    doc="exact pairwise 3-gram Jaccard ≥ 0.2 — the brute-force "
+    "baseline MinHash approximates; its pair set is the ground truth "
+    "the LSH path is checked against in tests.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    docs = _t(spark, sf, "documents")
     return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.2)
 
 

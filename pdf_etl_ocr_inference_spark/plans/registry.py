@@ -62,6 +62,7 @@ def _load_all_modules() -> None:
         similarity_plans,
         streaming_plans,
         text_plans,
+        tpch_plans,
     )
 
 

@@ -167,12 +167,17 @@ def op18_equijoin(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "op19_anti_join",
     "SELECT c_custkey FROM customer "
-    "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
-    doc="left-anti join — the dedup primitive (OP-19).",
+    "WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')",
+    doc="left-anti join — the dedup primitive (OP-19). Filtered to "
+    "URGENT orders so the result is non-empty on the synthetic data "
+    "(every customer has at least one order).",
 )
 def op19_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     customer = _t(spark, sf, "customer")
-    orders = _t(spark, sf, "orders")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return key_join(
         customer,
         orders.select(F.col("o_custkey").alias("c_custkey")),

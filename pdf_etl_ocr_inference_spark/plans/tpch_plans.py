@@ -1,0 +1,551 @@
+"""Adapted TPC-H query suite (benchmark surface beyond SURVEY §2).
+
+The driver's testdata is a *reduced* TPC-H star schema: no partsupp
+table, no l_commitdate/l_receiptdate/l_shipmode, no c_phone, and
+synthetic nation names (``NATION_0..24``) with real region names.
+Queries whose predicates depend on missing columns are adapted (noted
+per query); the join/agg shape — the part that matters for plan
+quality at scale — is preserved.
+
+Scale notes (100 TB target): every query here shuffles the fact
+tables at most once per join key, broadcasts all dimension tables
+(region/nation/supplier/customer-filtered), pushes every date/flag
+filter into the parquet scan, and rounds aggregates only at the
+final projection.  Q1/Q3/Q5 live in relational_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.plans.registry import register
+from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "tpch_q4",
+    "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-04-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem "
+    "  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+    "GROUP BY o_orderpriority",
+    doc="TPC-H Q4 order-priority checking, adapted: the late-delivery "
+    "EXISTS uses l_shipdate > o_orderdate (no l_commitdate in the "
+    "fixture). Left-semi join; orders side filtered before the join.",
+    tags=("bench",),
+)
+def tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-04-01"))
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > orders["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q6",
+    "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+    doc="TPC-H Q6 forecasting-revenue change — pure scan+filter+agg; "
+    "all three predicates must appear in PushedFilters.",
+    tags=("bench",),
+)
+def tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q7",
+    "SELECT supp_nation, cust_nation, l_year, "
+    "ROUND(SUM(volume), 2) AS revenue FROM ("
+    "  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "  EXTRACT(year FROM l_shipdate) AS l_year, "
+    "  l_extendedprice * (1 - l_discount) AS volume "
+    "  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+    "  JOIN orders ON o_orderkey = l_orderkey "
+    "  JOIN customer ON c_custkey = o_custkey "
+    "  JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+    "  JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+    "  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+    "  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' "
+    "      AND TIMESTAMP '1997-12-31') "
+    "GROUP BY supp_nation, cust_nation, l_year",
+    doc="TPC-H Q7 volume shipping between two nations (NATION_1/2 "
+    "stand in for FRANCE/GERMANY). Both nation dims broadcast; the "
+    "nation filters semi-reduce supplier and customer before the "
+    "fact joins.",
+    tags=("bench",),
+)
+def tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    nation = _t(spark, sf, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    supp = _t(spark, sf, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")
+    )
+    cust = _t(spark, sf, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+    )
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+    )
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            _rev().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q8",
+    "SELECT o_year, ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume "
+    "ELSE 0 END) / SUM(volume), 6) AS mkt_share FROM ("
+    "  SELECT EXTRACT(year FROM o_orderdate) AS o_year, "
+    "  l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation "
+    "  FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "  JOIN supplier ON s_suppkey = l_suppkey "
+    "  JOIN orders ON l_orderkey = o_orderkey "
+    "  JOIN customer ON o_custkey = c_custkey "
+    "  JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+    "  JOIN region ON n1.n_regionkey = r_regionkey "
+    "  JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+    "  WHERE r_name = 'ASIA' AND p_type = 'PROMO' "
+    "  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' "
+    "      AND TIMESTAMP '1997-12-31') "
+    "GROUP BY o_year",
+    doc="TPC-H Q8 national market share, adapted: p_type = 'PROMO' "
+    "(single-word types in fixture), NATION_5's share of ASIA-customer "
+    "PROMO volume. part/supplier/nation/region all broadcast.",
+    tags=("bench",),
+)
+def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    part = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    n1 = _t(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cust_dim = (
+        _t(spark, sf, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation")
+    )
+    supp = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select("s_suppkey", "nation")
+    )
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+    )
+    li = _t(spark, sf, "lineitem")
+    vol = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_dim, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _rev().alias("volume"),
+            "nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q9",
+    "SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit FROM ("
+    "  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year, "
+    "  l_extendedprice * (1 - l_discount) AS amount "
+    "  FROM part JOIN lineitem ON p_partkey = l_partkey "
+    "  JOIN supplier ON s_suppkey = l_suppkey "
+    "  JOIN orders ON o_orderkey = l_orderkey "
+    "  JOIN nation ON s_nationkey = n_nationkey "
+    "  WHERE p_type = 'STANDARD') "
+    "GROUP BY nation, o_year",
+    doc="TPC-H Q9 product-type profit, adapted: no partsupp table → "
+    "amount omits ps_supplycost*l_quantity; p_name LIKE → p_type "
+    "equality. Shape preserved: fact joins 3 broadcast dims, "
+    "group by nation × year.",
+    tags=("bench",),
+)
+def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    part = _t(spark, sf, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    nation = _t(spark, sf, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation")
+    )
+    supp = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "nation")
+    )
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _rev().alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q10",
+    "SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) "
+    "AS revenue, n_name FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-04-01' AND l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    doc="TPC-H Q10 returned-item reporting (adapted: fixture lacks "
+    "c_address/c_phone/c_comment). Top-20 via TakeOrderedAndProject.",
+    tags=("bench",),
+)
+def tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-04-01"))
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf, "nation")
+    cust = _t(spark, sf, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@register(
+    "tpch_q13",
+    "SELECT c_count, COUNT(*) AS custdist FROM ("
+    "  SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+    "  FROM customer LEFT JOIN orders "
+    "  ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW' "
+    "  GROUP BY c_custkey) "
+    "GROUP BY c_count",
+    doc="TPC-H Q13 customer order-count distribution, adapted: the "
+    "comment NOT LIKE filter becomes o_orderpriority <> '5-LOW'. "
+    "Left outer join keeps zero-order customers; double aggregation.",
+    tags=("bench",),
+)
+def tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q14",
+    "SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+    "/ SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-09-01' "
+    "AND l_shipdate < TIMESTAMP '1997-10-01'",
+    doc="TPC-H Q14 promotion effect (p_type = 'PROMO' exact match for "
+    "the fixture's single-word types). part broadcast into the "
+    "filtered lineitem scan; single global agg.",
+    tags=("bench",),
+)
+def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-09-01"))
+        & (F.col("l_shipdate") < _ts("1997-10-01"))
+    )
+    part = _t(spark, sf, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0)
+                )
+                / F.sum(_rev()),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q15",
+    "WITH revenue AS ("
+    "  SELECT l_suppkey AS supplier_no, "
+    "  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue "
+    "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "  AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue FROM supplier "
+    "JOIN revenue ON s_suppkey = supplier_no "
+    "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)",
+    doc="TPC-H Q15 top supplier. Spark side computes the quarter "
+    "revenue per supplier once and takes rank()=1 over a global "
+    "window on the (small) aggregated set — no self-join re-scan "
+    "of lineitem, unlike the textbook view formulation.",
+    tags=("bench",),
+)
+def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    rev = (
+        _t(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    )
+    top = rev.withColumn(
+        "rk", F.rank().over(Window.orderBy(F.desc("total_revenue")))
+    ).filter(F.col("rk") == 1)
+    supp = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17",
+    "SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_brand = 'Brand#12' AND l_quantity < ("
+    "  SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 "
+    "  WHERE l2.l_partkey = lineitem.l_partkey)",
+    doc="TPC-H Q17 small-quantity-order revenue, adapted: no "
+    "p_container → brand-only part filter. The correlated scalar "
+    "subquery becomes a per-part window average computed in one pass "
+    "(no second lineitem scan), semi-reduced by the broadcast part dim.",
+    tags=("bench",),
+)
+def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    part = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q18",
+    "SELECT c_name, c_custkey, o_orderkey, "
+    "STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice, "
+    "SUM(l_quantity) AS sum_qty "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE o_orderkey IN ("
+    "  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+    "  HAVING SUM(l_quantity) > 250) "
+    "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    doc="TPC-H Q18 large-volume customer. The HAVING subquery is one "
+    "groupBy over lineitem; its tiny survivor set broadcasts back as "
+    "a semi-join filter, so lineitem shuffles on l_orderkey once.",
+    tags=("bench",),
+)
+def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf, "orders").join(
+        F.broadcast(big.withColumnRenamed("l_orderkey", "o_orderkey")),
+        "o_orderkey",
+        "left_semi",
+    )
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(
+            F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "tpch_q19",
+    "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+    "       AND l_quantity BETWEEN 1 AND 11) "
+    "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+    "       AND l_quantity BETWEEN 10 AND 20) "
+    "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
+    "       AND l_quantity BETWEEN 20 AND 30)",
+    doc="TPC-H Q19 discounted revenue, adapted: no l_shipmode / "
+    "p_container → brand+size+quantity disjunction. The OR-of-ANDs "
+    "stays a single join predicate so Catalyst can derive the "
+    "IN-brands pushdown on the broadcast part side.",
+    tags=("bench",),
+)
+def tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    part = _t(spark, sf, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    li = _t(spark, sf, "lineitem")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+
+
+@register(
+    "tpch_q22",
+    "SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust, "
+    "ROUND(SUM(c_acctbal), 2) AS totacctbal FROM customer "
+    "WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13) "
+    "AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer "
+    "  WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)) "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "  AND o_orderpriority = '1-URGENT') "
+    "GROUP BY c_nationkey",
+    doc="TPC-H Q22 global sales opportunity, adapted: no c_phone → "
+    "c_nationkey stands in for the phone country code, and the "
+    "no-orders NOT EXISTS becomes no-URGENT-orders (every synthetic "
+    "customer has orders, which would make the result empty). "
+    "Scalar-avg broadcast + left-anti join against filtered orders.",
+    tags=("bench",),
+)
+def tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    cust = _t(spark, sf, "customer").filter(F.col("c_nationkey").isin(codes))
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
