@@ -26,6 +26,7 @@ from pdf_etl_ocr_inference_spark.functions.text import (
     doc_fingerprint,
     word_ngrams,
 )
+from pdf_etl_ocr_inference_spark.operators.layout import ensure_min_parallelism
 
 # ------------------------------------------------------------------
 # Exact dedup
@@ -39,7 +40,8 @@ def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     downstream anti-join uses to drop duplicates.
     """
     return (
-        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -85,7 +87,7 @@ def minhash_signatures(
     drop out here, which is correct for dedup: they collide with
     nothing.
     """
-    exploded = df.select(
+    exploded = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(text_col, shingle_n))).alias(
             "_sh"
@@ -162,7 +164,7 @@ def minhash_dedup_pairs(
     on the candidate pairs only (join back the shingle sets).
     Output: ``id_a, id_b, jaccard`` (rounded 4) for pairs ≥ threshold.
     """
-    shingled = df.select(
+    shingled = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.array_distinct(word_ngrams(text_col, shingle_n)).alias("shingles"),
     )
@@ -209,7 +211,7 @@ def ngram_jaccard_pairs(
     O(n²) — the brute-force baseline MinHash-LSH approximates; callers
     scope it to a bounded subset.  Output ``id_a, id_b, jaccard``.
     """
-    sh = df.select(
+    sh = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.array_distinct(word_ngrams(text_col, shingle_n)).alias("sh"),
     )
@@ -248,7 +250,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     matching the standard construction.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("_t"))
+    exploded = ensure_min_parallelism(df).select(
+        F.col(id_col), F.explode(toks).alias("_t")
+    )
     h = F.xxhash64("_t")
     votes = exploded.groupBy(id_col).agg(
         *[

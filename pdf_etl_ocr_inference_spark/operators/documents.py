@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pdf_etl_ocr_inference_spark.operators.layout import ensure_min_parallelism
+
 # ------------------------------------------------------------------
 # Deterministic token-window chunker (the test/testdata parse_fn)
 # ------------------------------------------------------------------
@@ -64,7 +66,8 @@ def chunk_native(
         lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
     )
     return (
-        df.withColumn("_chunks", chunks)
+        ensure_min_parallelism(df)
+        .withColumn("_chunks", chunks)
         .select(
             *[c for c in df.columns if c != text_col],
             F.posexplode("_chunks").alias("chunk_idx", "chunk"),
@@ -113,18 +116,25 @@ def chunk_map_in_pandas(
     if size_col is not None:
         n = num_partitions or work.sparkSession.sparkContext.defaultParallelism
         work = work.repartitionByRange(n, F.desc(size_col)).drop(size_col)
+    else:
+        work = ensure_min_parallelism(work, num_partitions)
 
     def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {f.name: [] for f in out_fields}
-            for rec in pdf.itertuples(index=False):
-                rec_d = rec._asdict()
-                for j, chunk in enumerate(fn(rec_d[text_col])):
-                    if len(chunk) > min_chars:
-                        for c in id_cols:
-                            rows[c].append(rec_d[c])
-                        rows["chunk_idx"].append(j)
-                        rows["chunk"].append(chunk)
+            id_arrays = {c: pdf[c].to_numpy() for c in id_cols}
+            for i, text in enumerate(pdf[text_col].to_numpy()):
+                kept = [
+                    (j, ch)
+                    for j, ch in enumerate(fn(text))
+                    if len(ch) > min_chars
+                ]
+                if not kept:
+                    continue
+                for c in id_cols:
+                    rows[c].extend([id_arrays[c][i]] * len(kept))
+                rows["chunk_idx"].extend(j for j, _ in kept)
+                rows["chunk"].extend(ch for _, ch in kept)
             yield pd.DataFrame(rows)
 
     return work.mapInPandas(_chunk, schema=out_schema)

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pdf_etl_ocr_inference_spark.operators.layout import ensure_min_parallelism
+
 EmbedFn = Callable[[list[str]], list[list[float]]]
 
 DEFAULT_BATCH_SIZE = 150  # ref 03:103
@@ -90,4 +92,4 @@ def with_embeddings(
 ) -> DataFrame:
     """OP-42: append an embedding column (ref ``03:131`` withColumn)."""
     udf = make_inference_udf(embed_fn, dim, batch_size)
-    return df.withColumn(out_col, udf(F.col(text_col)))
+    return ensure_min_parallelism(df).withColumn(out_col, udf(F.col(text_col)))

@@ -1,0 +1,39 @@
+"""Physical-layout helpers: partition-count guarantees for CPU-heavy
+operators.
+
+Spark sizes file-scan partitions by bytes (``spark.sql.files.
+maxPartitionBytes``), which is right for I/O-bound scans but wrong for
+CPU-bound per-row work: a 10 MB parquet file arrives as ONE partition,
+so shingling / hashing / Python inference over it runs as ONE task
+while 31 cores idle.  The reference hit the same mismatch between
+data-intensive and compute-intensive work and solved it with Ray
+(``01-download-pdfs.py:193-204`` discussion); the Spark-native answer
+is simply to guarantee a minimum partition count before the heavy
+stage.
+
+At 100 TB this is a no-op: the scan already has thousands of
+partitions, so ``ensure_min_parallelism`` adds no shuffle.  It only
+fires on narrow inputs, where the data being shuffled is small by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_parallelism(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Round-robin repartition iff the plan has fewer partitions than
+    ``min_partitions`` (default ``sc.defaultParallelism``).
+
+    Call immediately before CPU-heavy per-row work (shingling, sim/min
+    hashing, Python UDF inference).  The partition probe is driver-side
+    plan inspection — no job runs.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
