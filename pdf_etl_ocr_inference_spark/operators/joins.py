@@ -53,6 +53,87 @@ def zip_with_index(
     return df.withColumn(index_col, F.row_number().over(w))
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: for each left row, attach the latest right row with
+    ``right_ts <= left_ts`` (``<`` when ``strict``) for the same key.
+
+    Spark has no native as-of join; the naive formulation (range join +
+    per-left-row max) explodes quadratically per key.  This is the
+    union-scan construction instead: tag both sides, union on (key,
+    ts), and carry right values forward with ``last(ignorenulls)`` over
+    a key-partitioned time window — ONE shuffle on the key, linear in
+    rows, skew-bounded by the busiest key (same bound as any
+    partitioned window).
+
+    Ties: a right row at exactly ``left_ts`` is visible to the left row
+    unless ``strict`` (right sorts before left within a timestamp via
+    the side tag).
+
+    Output: all left columns + ``value_cols`` from the matched right
+    row (null when no prior right row exists).
+    """
+    lcols = left.columns
+    side_order = 1 if strict else 0  # strict: left sorts before same-ts right
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(side_order).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1 - side_order).alias("_side"),
+        F.lit(None).cast(
+            l_tagged.schema["_l"].dataType
+        ).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "_l",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
+            for c in value_cols
+        ],
+    )
+    out = carried.filter(F.col("_l").isNotNull()).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_rv_{c}").alias(c) for c in value_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    condition: Column,
+) -> DataFrame:
+    """Interval/range join: equi-join on ``key`` plus an arbitrary
+    range ``condition`` over the two sides' columns.
+
+    The equi-key keeps this a hash/sort-merge join (the range predicate
+    evaluates post-match), so cost is per-key pair count — callers
+    must supply a key selective enough to bound that; a pure theta join
+    (no key) would be a broadcast-nested-loop and is refused at 100 TB.
+    """
+    return left.join(right, (left[key] == right[key]) & condition)
+
+
 def positional_join(
     left: DataFrame,
     right: DataFrame,

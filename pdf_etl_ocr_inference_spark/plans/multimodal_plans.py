@@ -1,0 +1,104 @@
+"""Multimodal query catalog: binary media columns derived from the
+documents fixture (payload = utf-8 bytes standing in for an encoded
+image), exercising the blob+metadata layout, the mapInPandas decode
+boundary, native frame sampling, and feature extraction.
+
+Oracle notes: payload derivation is deterministic (ENCODE(text)), so
+metadata and the SQL-derivable parts of the fake decode are value-
+checked in DuckDB; the Python decode/feature stages are rows-only and
+property-tested in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.operators.multimodal import (
+    byte_histogram_features,
+    decode_media,
+    sample_frames,
+    with_media_column,
+)
+from pdf_etl_ocr_inference_spark.plans.registry import register
+from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
+
+
+@register(
+    "mm_media_metadata",
+    # DuckDB's md5 takes VARCHAR only; the fixture text is pure ASCII
+    # (verified octet_length == length at every SF), so md5(text) ==
+    # Spark's md5(encode(text,'utf-8')).
+    "SELECT doc_id AS media_id, 'image/fake' AS mime, "
+    "OCTET_LENGTH(ENCODE(text)) AS n_bytes, MD5(text) AS checksum "
+    "FROM documents",
+    doc="opaque binary media column + typed metadata struct; metadata "
+    "predicates prune without reading payload bytes (parquet column "
+    "pruning).",
+)
+def mm_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    media = with_media_column(_t(spark, sf, "documents"))
+    return media.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+@register(
+    "mm_decode_stub",
+    "SELECT doc_id AS media_id, "
+    "1 + (OCTET_LENGTH(ENCODE(text)) % 512) AS width, "
+    "OCTET_LENGTH(ENCODE(text)) AS n_bytes FROM documents",
+    doc="mapInPandas decode boundary with the deterministic fake "
+    "decoder (real codecs are an injection point, absent here — "
+    "SURVEY §7 hard-part-a pattern). The SQL-derivable outputs "
+    "(width, n_bytes) are oracle-checked; brightness/height are "
+    "pytest-checked.",
+)
+def mm_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
+    media = with_media_column(_t(spark, sf, "documents"))
+    return decode_media(media).select("media_id", "width", "n_bytes")
+
+
+@register(
+    "mm_byte_histogram",
+    None,  # numpy feature path → rows-only; distribution checked in pytest
+    doc="byte-histogram feature extraction (16-bin, L1-normalized) — "
+    "the image-embedding-shaped mapInPandas stage (id + array<float>).",
+)
+def mm_byte_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    media = with_media_column(_t(spark, sf, "documents"))
+    feats = byte_histogram_features(media)
+    return feats.select(
+        "media_id",
+        F.size("features").alias("n_bins"),
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0), lambda a, v: a + v.cast("double")
+            ),
+            2,
+        ).alias("l1_mass"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    # DuckDB can't slice BLOBs; ASCII fixture text makes character
+    # substring ≡ byte substring, so the oracle slices the VARCHAR.
+    "SELECT media_id, frame_idx, "
+    "MD5(SUBSTRING(payload, frame_idx * 256 + 1, 256)) AS frame_checksum "
+    "FROM ("
+    "  SELECT doc_id AS media_id, text AS payload, "
+    "  UNNEST(LIST_FILTER(GENERATE_SERIES(0, "
+    "    CAST(CEIL(LENGTH(text) / 256.0) AS INT) - 1), "
+    "    i -> i % 4 = 0)) AS frame_idx "
+    "  FROM documents)",
+    doc="native frame sampling over a 'video' blob: every 4th 256-byte "
+    "frame, one row per sampled frame with an md5 fingerprint — byte "
+    "slicing stays JVM-side (no Python).",
+)
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    media = with_media_column(_t(spark, sf, "documents"))
+    return sample_frames(media, frame_bytes=256, every_nth=4)

@@ -58,9 +58,12 @@ def _load_all_modules() -> None:
     from pdf_etl_ocr_inference_spark.plans import (  # noqa: F401
         dedup_plans,
         document_plans,
+        multimodal_plans,
+        pandas_plans,
         relational_plans,
         similarity_plans,
         streaming_plans,
+        temporal_plans,
         text_plans,
         tpch_plans,
     )

@@ -1,0 +1,132 @@
+"""Property tests for operators whose catalog entries are rows-only
+(Python/sketch/approx paths the DuckDB oracle can't mirror):
+
+- fake media decode: field semantics vs the payload bytes
+- byte-histogram features: L1-normalized, right bin count
+- as-of join: equals the naive per-row subquery on a sample
+- approx sketches: within tolerance of exact values
+- MinHash-LSH pairs ⊆ exact n-gram-Jaccard pairs (no false positives
+  after verification; recall bounded below on the fixture)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+)
+from pdf_etl_ocr_inference_spark.operators.joins import asof_join
+from pdf_etl_ocr_inference_spark.operators.multimodal import (
+    byte_histogram_features,
+    decode_media,
+    fake_decode,
+    with_media_column,
+)
+from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+
+from .conftest import SF0001
+
+
+def test_fake_decode_matches_payload_bytes(spark):
+    docs = load_table(spark, SF0001, "documents")
+    media = with_media_column(docs)
+    decoded = {r["media_id"]: r for r in decode_media(media).collect()}
+    sample = media.limit(20).collect()
+    assert sample
+    for row in sample:
+        payload = bytes(row["payload"])
+        expect = fake_decode(payload)
+        got = decoded[row["media_id"]]
+        assert got["width"] == expect["width"]
+        assert got["height"] == expect["height"]
+        assert got["n_bytes"] == len(payload)
+        assert abs(got["brightness"] - expect["brightness"]) < 1e-9
+
+
+def test_byte_histogram_normalized(spark):
+    docs = load_table(spark, SF0001, "documents")
+    feats = byte_histogram_features(with_media_column(docs)).collect()
+    assert feats
+    for row in feats:
+        assert len(row["features"]) == 16
+        assert abs(sum(row["features"]) - 1.0) < 1e-3
+
+
+def test_asof_join_equals_naive(spark):
+    events = load_table(spark, SF0001, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    got = {
+        r["event_id"]: r["click_value"]
+        for r in asof_join(
+            purchases,
+            clicks,
+            key="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            value_cols=["click_value"],
+        ).collect()
+    }
+    click_rows = clicks.collect()
+    for p in purchases.limit(50).collect():
+        cands = [
+            c
+            for c in click_rows
+            if c["user_id"] == p["user_id"] and c["ts"] <= p["ts"]
+        ]
+        expect = (
+            max(cands, key=lambda c: c["ts"])["click_value"] if cands else None
+        )
+        assert got[p["event_id"]] == expect
+
+
+def test_approx_sketches_within_tolerance(spark):
+    events = load_table(spark, SF0001, "events")
+    approx = (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_percentile("value", 0.5, 10000).alias("ap50"),
+        )
+        .collect()
+    )
+    exact = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", 0.5).alias("p50"),
+        )
+        .collect()
+    }
+    for row in approx:
+        e = exact[row["event_type"]]
+        assert abs(row["approx_users"] - e["users"]) <= 0.05 * e["users"] + 2
+        assert abs(row["ap50"] - e["p50"]) <= 0.05 * max(abs(e["p50"]), 1e-9) + 0.05
+
+
+def test_minhash_lsh_subset_of_exact(spark):
+    docs = load_table(spark, SF0001, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", shingle_n=3, threshold=0.5
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            docs, "text", "doc_id", jaccard_threshold=0.5
+        ).collect()
+    }
+    # verification stage guarantees no false positives
+    assert lsh <= exact
+    # on the fixture's near-dup pairs (jaccard >= 0.5) recall is high
+    if exact:
+        assert len(lsh) >= 0.8 * len(exact)

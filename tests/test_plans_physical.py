@@ -1,0 +1,72 @@
+"""Physical-plan hygiene tests: the plan properties that matter at
+100 TB, asserted on the actual optimized plans.
+
+- predicate pushdown reaches the parquet scan (PushedFilters)
+- column pruning reaches the scan (ReadSchema)
+- dimension joins are broadcast (no fact-side shuffle)
+- global top-k compiles to TakeOrderedAndProject (per-partition heaps),
+  not a total sort
+- the as-of join shuffles exactly once
+"""
+
+from __future__ import annotations
+
+from pdf_etl_ocr_inference_spark.plans import all_specs
+
+from .conftest import SF0001
+
+_SPECS = all_specs()
+
+
+def _explain(spark, df, mode: str = "formatted") -> str:
+    return spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_q6_filters_pushed(spark):
+    df = _SPECS["tpch_q6"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert "PushedFilters: [" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_projection_pruned_at_scan(spark):
+    df = _SPECS["op11_project"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "c_custkey" in read and "c_name" in read and "c_acctbal" in read
+    assert "c_nationkey" not in read and "c_mktsegment" not in read
+
+
+def test_dimension_join_broadcast(spark):
+    df = _SPECS["op18_equijoin"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert "BroadcastHashJoin" in plan
+    # the fact (customer) side must not exchange before the join
+    join_idx = plan.index("BroadcastHashJoin")
+    pre_join = plan[:join_idx]
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark):
+    df = _SPECS["op33_topk"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    df = _SPECS["op49_asof_join"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    # one Exchange for the union'd window partitioning; the filters/
+    # projections must not introduce more
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_tpch_q5_broadcasts_dims_once(spark):
+    df = _SPECS["tpch_q5"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert "BroadcastHashJoin" in plan
