@@ -1,0 +1,156 @@
+"""Source/sink query catalog (SURVEY §2.1: OP-01/03/04/07/08/09 and
+the scalar-UDF surface OP-20/21 as a genuine BatchEvalPython entry).
+
+Round-trip entries (CSV, partitioned parquet) exercise writer + reader
+together and oracle-check against the original table — proving the
+sink/source pair is lossless, not just that it runs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pdf_etl_ocr_inference_spark.plans.registry import register
+from pdf_etl_ocr_inference_spark.sources.catalog import TABLES
+from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
+from pdf_etl_ocr_inference_spark.sources.readers import (
+    from_rows,
+    read_binary_dir,
+    read_csv,
+)
+from pdf_etl_ocr_inference_spark.sources.writers import overwrite_parquet
+
+
+def _scratch(tag: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_scratch", tag)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+@register(
+    "op01_csv_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="CSV sink+scan round trip with explicit schema (OP-01; ref "
+    "01:64 read header-only all-string — reproduced only behind "
+    "read_csv(legacy_inference=True)). Oracle = the original table, "
+    "proving losslessness.",
+)
+def op01_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    path = _scratch("nation_csv")
+    nation = _t(spark, sf, "nation")
+    nation.write.mode("overwrite").option("header", True).csv(path)
+    return read_csv(spark, path, schema=TABLES["nation"])
+
+
+@register(
+    "op03_partitioned_write",
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "ROUND(SUM(o_totalprice), 2) AS total FROM orders GROUP BY 1",
+    doc="partitioned parquet overwrite + re-scan (OP-03; ref "
+    "saveAsTable at 01:180-182). Partitioning by the query key means "
+    "the re-scan prunes; at 100 TB a chunks table partitions by a "
+    "stable coarse key exactly like this.",
+)
+def op03_partitioned_write(spark: SparkSession, sf: str) -> DataFrame:
+    path = _scratch("orders_part")
+    orders = _t(spark, sf, "orders")
+    overwrite_parquet(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "op04_local_collection",
+    "SELECT v.r_name, r.r_regionkey FROM (VALUES ('ASIA'), ('EUROPE')) "
+    "v(r_name) JOIN region r USING (r_name)",
+    doc="local-collection source (OP-04; ref ocr:105 createDataFrame "
+    "from driver dicts) — small control data broadcast-joined against "
+    "a table.",
+)
+def op04_local_collection(spark: SparkSession, sf: str) -> DataFrame:
+    wanted = from_rows(
+        spark,
+        [("ASIA",), ("EUROPE",)],
+        T.StructType([T.StructField("r_name", T.StringType())]),
+    )
+    region = _t(spark, sf, "region")
+    return F.broadcast(wanted).join(region, "r_name").select(
+        "r_name", "r_regionkey"
+    )
+
+
+@register(
+    "op07_binaryfile_listing",
+    None,  # absolute paths are environment-specific → rows-only
+    doc="binaryFile source (OP-06/07 replacement for the driver-side "
+    "glob at ocr:55-61): distributed listing of *.parquet blobs with "
+    "length — the LPT size key without opening files. Content column "
+    "deliberately not projected (pruned scan).",
+)
+def op07_binaryfile_listing(spark: SparkSession, sf: str) -> DataFrame:
+    files = read_binary_dir(spark, sf, glob="*.parquet")
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+        F.col("length"),
+    ).orderBy("name")
+
+
+@register(
+    "op08_catalog_ddl",
+    None,  # catalog state is engine-local → rows-only
+    doc="DDL + catalog introspection (OP-08/09; ref CREATE "
+    "DATABASE/USE/SHOW TABLES at 01:12-14, 02:107-108): create a "
+    "database, save a managed table, list it back.",
+)
+def op08_catalog_ddl(spark: SparkSession, sf: str) -> DataFrame:
+    spark.sql("CREATE DATABASE IF NOT EXISTS engine_smoke")
+    spark.sql("DROP TABLE IF EXISTS engine_smoke.region_copy")
+    # a table dir left by a PREVIOUS session isn't in this session's
+    # in-memory catalog, so DROP TABLE won't clear it — remove the
+    # location too or the managed-table write refuses
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    leftover = os.path.join(
+        warehouse.removeprefix("file:"), "engine_smoke.db", "region_copy"
+    )
+    if os.path.exists(leftover):
+        import shutil
+
+        shutil.rmtree(leftover)
+    (
+        _t(spark, sf, "region")
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable("engine_smoke.region_copy")
+    )
+    tables = spark.sql("SHOW TABLES IN engine_smoke")
+    return tables.select("tableName").orderBy("tableName")
+
+
+@register(
+    "op21_scalar_udf",
+    "SELECT doc_id, TRY_CAST(REGEXP_EXTRACT(source, '([0-9]+)$', 1) "
+    "AS BIGINT) AS src_num FROM documents",
+    doc="scalar Python UDF, string→nullable long (OP-20/21 shape: ref "
+    "get_file_size at 01:145-160 returns null on failure). A genuine "
+    "BatchEvalPython stage — kept OUT of hot paths; the engine lifts "
+    "such logic to native expressions wherever possible (§2.11).",
+)
+def op21_scalar_udf(spark: SparkSession, sf: str) -> DataFrame:
+    import re
+
+    @F.udf(returnType=T.LongType())
+    def src_num(source):
+        m = re.search(r"(\d+)$", source or "")
+        return int(m.group(1)) if m else None
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", src_num("source").alias("src_num")
+    )

@@ -15,8 +15,11 @@ from pdf_etl_ocr_inference_spark.plans.registry import register
 from pdf_etl_ocr_inference_spark.sources.catalog import TABLES
 from pdf_etl_ocr_inference_spark.streaming.incremental import (
     run_available_now,
+    stream_events_raw,
+    stream_events_sliding,
     stream_events_tumbling,
 )
+from pdf_etl_ocr_inference_spark.streaming.stateful import user_running_totals
 
 
 @register(
@@ -37,6 +40,54 @@ def op45_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
         watermark="30 minutes",
     )
     return run_available_now(streaming, output_mode="complete")
+
+
+@register(
+    "op45b_stream_sliding",
+    "SELECT window_start, event_type, COUNT(*) AS n, "
+    "ROUND(SUM(value), 2) AS sum_value FROM ("
+    "  SELECT UNNEST([TIME_BUCKET(INTERVAL '10 minutes', ts), "
+    "    TIME_BUCKET(INTERVAL '10 minutes', ts) - INTERVAL '10 minutes']) "
+    "    AS window_start, event_type, value FROM events) "
+    "GROUP BY window_start, event_type",
+    doc="sliding-window (20min/10min) streaming agg, availableNow. "
+    "Oracle expands each event into its two overlapping windows — "
+    "exactly the expansion Spark's window() generator performs.",
+)
+def op45b_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    streaming = stream_events_sliding(
+        spark,
+        f"{sf}/events.parquet",
+        TABLES["events"],
+        window="20 minutes",
+        slide="10 minutes",
+    )
+    return run_available_now(streaming, output_mode="complete")
+
+
+@register(
+    "op55_stateful_running_totals",
+    "SELECT user_id, COUNT(*) AS n_events, "
+    "ROUND(SUM(value), 2) AS total_value FROM events GROUP BY user_id",
+    doc="custom stateful operator via applyInPandasWithState: per-user "
+    "running totals in GroupState. Under availableNow the caught-up "
+    "state equals the batch aggregation — which is what the oracle "
+    "verifies. O(1) state per key.",
+)
+def op55_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
+    stream = stream_events_raw(spark, f"{sf}/events.parquet", TABLES["events"])
+    totals = user_running_totals(stream)
+    out = run_available_now(totals, output_mode="update")
+    # one emitted row per (user, micro-batch); the LAST emission per
+    # user is the caught-up state.  With a single input file there is
+    # one batch, but don't rely on it — reduce to the final state.
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max("total_value"), 2).alias("total_value"),
+        )
+    )
 
 
 @register(

@@ -77,6 +77,56 @@ def stream_events_tumbling(
     )
 
 
+def stream_events_raw(
+    spark: SparkSession,
+    events_path: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """Streaming scan of the events fixture (ts normalized from nanos),
+    no aggregation attached — the building block for custom stateful
+    operators."""
+    from pdf_etl_ocr_inference_spark.sources.catalog import normalize_event_ts
+
+    raw_fields = [
+        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+        for f in schema.fields
+    ]
+    stream = (
+        spark.readStream.schema(T.StructType(raw_fields))
+        .parquet(_as_stream_dir(events_path))
+    )
+    return normalize_event_ts(stream)
+
+
+def stream_events_sliding(
+    spark: SparkSession,
+    events_path: str,
+    schema: T.StructType,
+    window: str = "20 minutes",
+    slide: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window streaming aggregation: each event lands in
+    window/slide overlapping windows (2 here).  State size is bounded
+    by (windows in watermark horizon × groups), not history."""
+    stream = stream_events_raw(spark, events_path, schema).withWatermark(
+        "ts", watermark
+    )
+    return (
+        stream.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def run_available_now(
     streaming_df: DataFrame,
     output_mode: str = "complete",
