@@ -61,6 +61,7 @@ def _load_all_modules() -> None:
         multimodal_plans,
         pandas_plans,
         relational_plans,
+        scale_plans,
         similarity_plans,
         source_plans,
         streaming_plans,

@@ -1,0 +1,171 @@
+"""Scale-pattern catalog: the shuffle-management techniques a 100 TB
+deployment leans on, each oracle-verified to produce identical results
+to its naive formulation.
+
+- salted aggregation: two-phase agg over a salted key defeats key skew
+  (one hot key no longer lands on one reducer).
+- bucketed co-located join: both sides pre-bucketed by the join key →
+  the join runs with ZERO exchange (asserted in plan tests).
+- connected-components clustering over near-dup pairs: the iterative
+  small-data step that turns pairwise dedup output into groups
+  (label propagation to the min id; DuckDB oracle uses a recursive
+  CTE over the same pair set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.plans.registry import register
+from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
+
+
+@register(
+    "op56_salted_agg",
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "ROUND(SUM(o_totalprice), 2) AS total FROM orders GROUP BY 1",
+    doc="skew-defeating two-phase aggregation: salt the (5-value, "
+    "hence skewed at scale) group key with 16 shards, partial-agg on "
+    "(key, salt), final-agg on key. Result provably identical to the "
+    "plain groupBy (the oracle). At 100 TB the partial agg spreads "
+    "each hot key over 16 reducers; the final agg moves only "
+    "16 rows/key.",
+)
+def op56_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders")
+    n_salt = 16
+    partial = (
+        orders.withColumn(
+            "_salt", (F.crc32(F.col("o_orderkey").cast("string")) % n_salt)
+        )
+        .groupBy("o_orderpriority", "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("o_totalprice").alias("_sum"),
+        )
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.sum("_n").alias("n"),
+        F.round(F.sum("_sum"), 2).alias("total"),
+    )
+
+
+@register(
+    "op57_bucketed_join",
+    "SELECT o.o_orderkey, o.o_totalprice, x.n_items FROM orders o JOIN ("
+    "  SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem "
+    "  GROUP BY l_orderkey) x ON o.o_orderkey = x.l_orderkey",
+    doc="bucketed co-located join: both sides written bucketed by the "
+    "join key (16 buckets), so the join needs no exchange on either "
+    "side — the pattern for repeatedly-joined 100 TB fact tables. "
+    "Plan test asserts zero Exchange under the join.",
+)
+def op57_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
+    spark.sql("CREATE DATABASE IF NOT EXISTS engine_buckets")
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    items = (
+        _t(spark, sf, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count("*").alias("n_items"))
+    )
+    from pdf_etl_ocr_inference_spark.sources.writers import drop_managed_table
+
+    for name, df in [("orders_b", orders), ("items_b", items)]:
+        drop_managed_table(spark, "engine_buckets", name)
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(16, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(f"engine_buckets.{name}")
+        )
+    ob = spark.table("engine_buckets.orders_b")
+    ib = spark.table("engine_buckets.items_b")
+    # force sort-merge (small fixtures would auto-broadcast, hiding
+    # the point): with both sides bucketed+sorted on the key, SMJ
+    # runs with zero exchange and zero sort
+    return ob.hint("merge").join(ib, "o_orderkey").select(
+        "o_orderkey", "o_totalprice", "n_items"
+    )
+
+
+@register(
+    "dedup_clusters",
+    "WITH RECURSIVE pairs AS ("
+    "  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ("
+    "    SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp FROM documents) a "
+    "  JOIN ("
+    "    SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp FROM documents) b "
+    "  ON a.fp = b.fp AND a.doc_id <> b.doc_id), "
+    "reach AS ("
+    "  SELECT doc_id, doc_id AS root FROM documents "
+    "  UNION "
+    "  SELECT p.id_a AS doc_id, r.root FROM pairs p "
+    "  JOIN reach r ON p.id_b = r.doc_id) "
+    "SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id",
+    doc="connected-components clustering over exact-duplicate pairs: "
+    "iterative min-label propagation (converges in O(log d) rounds, "
+    "d = component diameter; duplicate components are cliques → 1 "
+    "round). The step that turns pairwise dedup output into "
+    "keep/drop groups. Oracle = recursive CTE over the same pairs.",
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.text import doc_fingerprint
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        ensure_min_parallelism,
+    )
+
+    docs = _t(spark, sf, "documents")
+    fp = ensure_min_parallelism(docs).select(
+        "doc_id", doc_fingerprint("text").alias("fp")
+    )
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = a.join(b, "fp").filter(F.col("id_a") != F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    # undirected edges both ways + self-loops, then iterate
+    # label <- min(label of neighbors ∪ self) until fixpoint
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).localCheckpoint()
+    labels = docs.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    )
+    for _ in range(8):  # ≥ log2(diameter) rounds; cliques need 1
+        neighbor_min = (
+            edges.join(labels, edges["id_b"] == labels["doc_id"])
+            .groupBy("id_a")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels["doc_id"] == neighbor_min["id_a"], "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nmin"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()  # truncate the growing lineage
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster_id", "_old"),
+                            "doc_id")
+            .filter(F.col("cluster_id") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")

@@ -111,19 +111,10 @@ def op07_binaryfile_listing(spark: SparkSession, sf: str) -> DataFrame:
     "database, save a managed table, list it back.",
 )
 def op08_catalog_ddl(spark: SparkSession, sf: str) -> DataFrame:
-    spark.sql("CREATE DATABASE IF NOT EXISTS engine_smoke")
-    spark.sql("DROP TABLE IF EXISTS engine_smoke.region_copy")
-    # a table dir left by a PREVIOUS session isn't in this session's
-    # in-memory catalog, so DROP TABLE won't clear it — remove the
-    # location too or the managed-table write refuses
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    leftover = os.path.join(
-        warehouse.removeprefix("file:"), "engine_smoke.db", "region_copy"
-    )
-    if os.path.exists(leftover):
-        import shutil
+    from pdf_etl_ocr_inference_spark.sources.writers import drop_managed_table
 
-        shutil.rmtree(leftover)
+    spark.sql("CREATE DATABASE IF NOT EXISTS engine_smoke")
+    drop_managed_table(spark, "engine_smoke", "region_copy")
     (
         _t(spark, sf, "region")
         .write.mode("overwrite")

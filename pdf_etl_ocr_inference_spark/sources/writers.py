@@ -9,7 +9,26 @@ downstream readers prune).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def drop_managed_table(spark: SparkSession, db: str, name: str) -> None:
+    """DROP TABLE IF EXISTS plus removal of a stale table *location*.
+
+    A managed-table dir left by a previous session isn't in this
+    session's in-memory catalog, so DROP TABLE alone won't clear it
+    and a subsequent managed write refuses (LOCATION_ALREADY_EXISTS).
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    leftover = os.path.join(
+        warehouse.removeprefix("file:"), f"{db}.db", name
+    )
+    if os.path.exists(leftover):
+        shutil.rmtree(leftover)
 
 
 def overwrite_table(

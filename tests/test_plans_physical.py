@@ -66,6 +66,13 @@ def test_asof_join_single_shuffle(spark):
     assert plan.count("hashpartitioning(") == 1
 
 
+def test_bucketed_join_no_exchange(spark):
+    df = _SPECS["op57_bucketed_join"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert "SortMergeJoin" in plan
+    assert plan.count("hashpartitioning(") == 0
+
+
 def test_tpch_q5_broadcasts_dims_once(spark):
     df = _SPECS["tpch_q5"].fn(spark, SF0001)
     plan = _explain(spark, df)
