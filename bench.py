@@ -23,7 +23,8 @@ if REPO not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: scan-agg, multiway join, window, explode-heavy text,
-# dedup (exact + minhash), similarity, chunk pipeline, streaming.
+# dedup (exact + minhash + clustering), similarity, chunk pipeline,
+# temporal (as-of, sessionize), multimodal, streaming.
 BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
@@ -36,8 +37,12 @@ BENCH_QUERIES = [
     "op34_window_rank",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "op44_topk_cosine",
     "op25_chunk_mapinpandas",
+    "op49_asof_join",
+    "op51_sessionize",
+    "mm_frame_sample",
     "op45_stream_tumbling",
 ]
 

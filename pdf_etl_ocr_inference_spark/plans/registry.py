@@ -62,6 +62,7 @@ def _load_all_modules() -> None:
         pandas_plans,
         relational_plans,
         scale_plans,
+        setop_plans,
         similarity_plans,
         source_plans,
         streaming_plans,

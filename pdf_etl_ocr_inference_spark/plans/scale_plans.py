@@ -129,17 +129,22 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     pairs = a.join(b, "fp").filter(F.col("id_a") != F.col("id_b")).select(
         "id_a", "id_b"
     )
-    # undirected edges both ways + self-loops, then iterate
-    # label <- min(label of neighbors ∪ self) until fixpoint
+    # Iterate ONLY over nodes that appear in a pair: isolated docs are
+    # their own cluster by definition and would just inflate every
+    # round's join (at 100 TB the pair graph is a tiny fraction of the
+    # corpus — label propagation must run on it, not on the corpus).
     edges = pairs.unionByName(
         pairs.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
         )
     ).localCheckpoint()
-    labels = docs.select(
-        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    labels = (
+        edges.select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
     )
-    for _ in range(8):  # ≥ log2(diameter) rounds; cliques need 1
+    for _ in range(8):  # ≥ log2(diameter) rounds; dup cliques need 1
         neighbor_min = (
             edges.join(labels, edges["id_b"] == labels["doc_id"])
             .groupBy("id_a")
@@ -168,4 +173,8 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select("doc_id", "cluster_id")
+    return docs.select("doc_id").join(
+        labels.withColumnRenamed("cluster_id", "_cc"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("_cc", F.col("doc_id")).alias("cluster_id")
+    )
