@@ -83,6 +83,56 @@ def op20_derive_filename(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op06_fetch_pipeline",
+    "SELECT doc_id, "
+    "'/tmp/spark_graft_scratch/blobs_dst/' || PRINTF('%06d', doc_id) "
+    "|| '.txt' AS filename, n_chars AS filesize, TRUE AS fetch_ok "
+    "FROM documents",
+    doc="EP-1 ingest pipeline (ref 01:174-183): derive filenames "
+    "natively, fetch each blob via the idempotent mapInPandas fetcher "
+    "(exists-check makes task retries safe, ref 01:100-101), stat "
+    "sizes. file:// fetcher copies staged text files, so filesize = "
+    "n_chars (ASCII) — fully oracle-checkable despite the side "
+    "effects.",
+)
+def op06_fetch_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from pdf_etl_ocr_inference_spark.operators.ingest import fetch_blobs
+
+    src_dir = "/tmp/spark_graft_scratch/blobs_src"
+    dst_dir = "/tmp/spark_graft_scratch/blobs_dst"
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    # stage source blobs (driver-side; tiny control fixture). Re-stage
+    # when the doc count changes (different SF) so urls stay valid.
+    rows = docs.collect()
+    marker = os.path.join(src_dir, f".staged_{len(rows)}")
+    if not os.path.exists(marker):
+        import shutil
+
+        # different SF ⇒ same doc_ids, different text: clear BOTH dirs
+        # so the fetcher's idempotence check can't keep stale blobs
+        for d in (src_dir, dst_dir):
+            shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(src_dir, exist_ok=True)
+        for r in rows:
+            with open(
+                os.path.join(src_dir, f"{r['doc_id']:06d}.txt"), "w"
+            ) as f:
+                f.write(r["text"])
+        open(marker, "w").close()
+
+    work = docs.select(
+        "doc_id",
+        F.format_string(f"file://{src_dir}/%06d.txt", "doc_id").alias("url"),
+        F.format_string(f"{dst_dir}/%06d.txt", "doc_id").alias("dest"),
+    )
+    return fetch_blobs(
+        work, url_col="url", dest_col="dest", id_cols=("doc_id",)
+    )
+
+
+@register(
     "pipeline_chunk_embed_topk",
     None,  # stub embedder in the plan → rows-only
     doc="flagship pipeline: documents → chunk (mapInPandas, LPT) → "
