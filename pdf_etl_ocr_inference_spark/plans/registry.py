@@ -56,6 +56,7 @@ def _load_all_modules() -> None:
     # Import side-effect registers specs; keep imports here to avoid
     # circularity at package import time.
     from pdf_etl_ocr_inference_spark.plans import (  # noqa: F401
+        analysis_plans,
         dedup_plans,
         document_plans,
         multimodal_plans,
