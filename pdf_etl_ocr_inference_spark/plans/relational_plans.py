@@ -584,7 +584,7 @@ def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(

@@ -132,7 +132,11 @@ def tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     )
     orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # nation dims broadcast explicitly (bounded forever); supplier/
+        # customer grow with SF — AQE converts to broadcast at runtime
+        # when the filtered side is actually small, and falls back to
+        # shuffle when it isn't (the 100 TB-safe default)
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -192,8 +196,8 @@ def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
     )
     li = _t(spark, sf, "lineitem")
     vol = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust_dim, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .select(
@@ -241,8 +245,8 @@ def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf, "lineitem")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "nation",
@@ -337,7 +341,7 @@ def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
     )
     part = _t(spark, sf, "part").select("p_partkey", "p_type")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -407,7 +411,7 @@ def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
         .select("p_partkey")
     )
     li = _t(spark, sf, "lineitem").join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        part, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
     w = Window.partitionBy("l_partkey")
     return (
@@ -449,10 +453,8 @@ def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
     cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
     return (
-        li.join(
-            F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
-        )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
@@ -489,7 +491,7 @@ def tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
         F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
     )
     li = _t(spark, sf, "lineitem")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         (
             (F.col("p_brand") == "Brand#12")
