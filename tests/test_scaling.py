@@ -1,0 +1,64 @@
+"""Reproduce the reference's parallel-OCR scaling claim with a
+deterministic sleep-stub parser (BASELINE.md: ``02:4-8`` reports
+~5 h serial → ~15 min on 24 cores, "nearly linear scaling").
+
+The stub sleeps a fixed time per document (seconds instead of the
+reference's ~3 min), so wall-clock measures scheduling, not OCR.  The
+engine path is the real one — ``chunk_map_in_pandas`` with an injected
+``parse_fn``, LPT layout off (uniform docs) — only the parser is fake.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.operators.documents import chunk_map_in_pandas
+from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+
+from .conftest import SF0001
+
+_SLEEP = 0.2
+_N_DOCS = 16
+
+
+def _slow_parse(text: str) -> list[str]:
+    time.sleep(_SLEEP)
+    return [text[:120]]
+
+
+def _run(spark, num_partitions: int) -> float:
+    docs = (
+        load_table(spark, SF0001, "documents")
+        .filter(F.col("doc_id") < _N_DOCS)
+        .select("doc_id", "text")
+    )
+    t0 = time.perf_counter()
+    out = chunk_map_in_pandas(
+        docs,
+        text_col="text",
+        id_cols=("doc_id",),
+        parse_fn=_slow_parse,
+        min_chars=10,
+        num_partitions=num_partitions,
+    )
+    n = out.count()
+    assert n == _N_DOCS
+    return time.perf_counter() - t0
+
+
+def test_parallel_speedup_near_linear(spark):
+    # warm the Python worker pool so neither timed run pays spawn cost
+    spark.range(0, 256, 1, _N_DOCS).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    serial = _run(spark, num_partitions=1)
+    parallel = _run(spark, num_partitions=_N_DOCS)
+    # ideal: 16x. Assert ≥4x to stay robust against scheduler noise —
+    # far beyond what a serial plan could show (serial floor is
+    # N_DOCS * SLEEP = 3.2s; parallel floor is SLEEP = 0.2s).
+    assert serial >= _N_DOCS * _SLEEP * 0.95
+    assert parallel < serial / 4, (
+        f"speedup {serial / parallel:.1f}x below threshold"
+    )
