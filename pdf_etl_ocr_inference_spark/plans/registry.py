@@ -69,6 +69,7 @@ def _load_all_modules() -> None:
         streaming_plans,
         temporal_plans,
         text_plans,
+        tpch2_plans,
         tpch_plans,
     )
 
