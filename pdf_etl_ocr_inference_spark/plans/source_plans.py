@@ -126,6 +126,28 @@ def op08_catalog_ddl(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op02b_sql_api",
+    "SELECT n_name, COUNT(*) AS n_suppliers, "
+    "ROUND(AVG(s_acctbal), 4) AS avg_bal "
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+    "GROUP BY n_name",
+    doc="spark.sql() front end over registered temp views (OP-02/08 "
+    "SQL-string path, ref 01:188/02:129 spark.sql usage) — same "
+    "Catalyst plan as the DataFrame API.",
+)
+def op02b_sql_api(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.sources.catalog import register_all
+
+    register_all(spark, sf)
+    return spark.sql(
+        "SELECT n_name, COUNT(*) AS n_suppliers, "
+        "ROUND(AVG(s_acctbal), 4) AS avg_bal "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    )
+
+
+@register(
     "op21_scalar_udf",
     "SELECT doc_id, TRY_CAST(REGEXP_EXTRACT(source, '([0-9]+)$', 1) "
     "AS BIGINT) AS src_num FROM documents",

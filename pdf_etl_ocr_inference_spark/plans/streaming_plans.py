@@ -91,6 +91,41 @@ def op55_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op45c_foreachbatch_sink",
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    doc="foreachBatch custom sink: each micro-batch lands in a parquet "
+    "dir via arbitrary writer code (the escape hatch for sinks "
+    "Structured Streaming lacks — upserts, JDBC, external indexes). "
+    "availableNow catch-up, then the landed data is re-read and "
+    "aggregated; oracle = batch aggregation of the same events.",
+)
+def op45c_foreachbatch_sink(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    out_dir = tempfile.mkdtemp(prefix="fb_sink_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    stream = stream_events_raw(spark, f"{sf}/events.parquet", TABLES["events"])
+
+    def _write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.select("event_id", "event_type").write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_write_batch)
+        .queryName(f"fb_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = spark.read.parquet(out_dir)
+    return landed.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
     "op46_incremental_sessionize",
     "SELECT user_id, COUNT(*) AS n_events, "
     "COUNT(DISTINCT event_type) AS n_types, "
