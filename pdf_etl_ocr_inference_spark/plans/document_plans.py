@@ -103,10 +103,13 @@ def op06_fetch_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     src_dir = "/tmp/spark_graft_scratch/blobs_src"
     dst_dir = "/tmp/spark_graft_scratch/blobs_dst"
     docs = _t(spark, sf, "documents").select("doc_id", "text")
-    # stage source blobs (driver-side; tiny control fixture). Re-stage
-    # when the doc count changes (different SF) so urls stay valid.
+    # stage source blobs (driver-side; tiny control fixture). Marker
+    # keys on the SF DIR, not the row count — sf0.001 and sf0.01 both
+    # have 500 docs with different text, so a count-keyed marker would
+    # keep stale blobs across SF switches.
     rows = docs.collect()
-    marker = os.path.join(src_dir, f".staged_{len(rows)}")
+    sf_tag = os.path.basename(os.path.normpath(sf))
+    marker = os.path.join(src_dir, f".staged_{sf_tag}")
     if not os.path.exists(marker):
         import shutil
 
