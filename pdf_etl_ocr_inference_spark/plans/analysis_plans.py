@@ -111,6 +111,77 @@ def op34c_window_ranks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op63_summary_stats",
+    "SELECT 'l_quantity' AS col, COUNT(*) AS n, "
+    "ROUND(AVG(l_quantity), 4) AS mean, "
+    "ROUND(STDDEV_SAMP(l_quantity), 4) AS std, "
+    "MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v FROM lineitem "
+    "UNION ALL "
+    "SELECT 'l_discount', COUNT(*), ROUND(AVG(l_discount), 4), "
+    "ROUND(STDDEV_SAMP(l_discount), 4), MIN(l_discount), MAX(l_discount) "
+    "FROM lineitem",
+    doc="describe()-style column statistics as one pass over the scan "
+    "(all stats partial-aggregate map-side; no per-column rescans).",
+)
+def op63_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    stats = li.agg(
+        *[
+            agg
+            for c in ("l_quantity", "l_discount")
+            for agg in (
+                F.count(c).alias(f"n_{c}"),
+                F.round(F.avg(c), 4).alias(f"mean_{c}"),
+                F.round(F.stddev_samp(c), 4).alias(f"std_{c}"),
+                F.min(c).alias(f"min_{c}"),
+                F.max(c).alias(f"max_{c}"),
+            )
+        ]
+    )
+    rows = [
+        stats.select(
+            F.lit(c).alias("col"),
+            F.col(f"n_{c}").alias("n"),
+            F.col(f"mean_{c}").alias("mean"),
+            F.col(f"std_{c}").alias("std"),
+            F.col(f"min_{c}").alias("min_v"),
+            F.col(f"max_{c}").alias("max_v"),
+        )
+        for c in ("l_quantity", "l_discount")
+    ]
+    return rows[0].unionByName(rows[1])
+
+
+@register(
+    "op64_train_test_split",
+    "SELECT split, lang, COUNT(*) AS n FROM ("
+    "  SELECT lang, CASE WHEN "
+    "  CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) "
+    "    AS INTEGER) % 10 < 8 "
+    "  THEN 'train' ELSE 'eval' END AS split FROM documents) "
+    "GROUP BY split, lang",
+    doc="deterministic hash-based train/eval split (md5 of the stable "
+    "id, bucket mod 10) — reproducible across engines, runs, and "
+    "cluster sizes, unlike sample()'s partition-dependent RNG. The "
+    "pattern for stable dataset splits at any scale.",
+)
+def op64_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10
+    )
+    return (
+        docs.withColumn(
+            "split", F.when(bucket < 8, "train").otherwise("eval")
+        )
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "op30e_argminmax",
     "SELECT c_mktsegment, "
     "ARG_MAX(c_name, c_acctbal) AS richest, "
