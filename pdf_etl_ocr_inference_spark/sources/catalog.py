@@ -117,6 +117,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS); a session built outside
+        # our factory (e.g. the driver's) rejects it without this
+        # runtime-settable legacy conf
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)

@@ -53,6 +53,7 @@ def stream_events_tumbling(
 
     # events.ts is TIMESTAMP(NANOS): stream it as long nanos (matching
     # spark.sql.legacy.parquet.nanosAsLong) and convert post-read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_fields = [
         T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
         for f in schema.fields
@@ -87,6 +88,7 @@ def stream_events_raw(
     operators."""
     from pdf_etl_ocr_inference_spark.sources.catalog import normalize_event_ts
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_fields = [
         T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
         for f in schema.fields
