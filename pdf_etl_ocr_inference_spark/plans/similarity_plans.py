@@ -55,6 +55,39 @@ def op44_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op44c_topk_cosine_pandas",
+    "SELECT e.vec_id, "
+    "ROUND(LIST_COSINE_SIMILARITY(e.embedding, q.embedding), 4) AS score "
+    "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+    "WHERE e.vec_id <> 0 "
+    "ORDER BY LIST_COSINE_SIMILARITY(e.embedding, q.embedding) DESC, e.vec_id "
+    "LIMIT 5",
+    doc="op44 through the vectorized pandas-UDF scorer (Arrow batch → "
+    "one numpy matrix-vector product) instead of the interpreted JVM "
+    "HOF — same oracle ⇒ the two scoring paths are value-identical. "
+    "The numpy path wins once dim × batch is large.",
+)
+def op44c_topk_cosine_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.vector import (
+        make_cosine_to_query_udf,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    scorer = make_cosine_to_query_udf(qvec)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", scorer("embedding").alias("_raw"))
+        .orderBy(F.desc("_raw"), "vec_id")
+        .limit(5)
+        .select("vec_id", F.round("_raw", 4).alias("score"))
+    )
+
+
+@register(
     "op43_index_build",
     "SELECT vec_id, ROUND(SQRT(LIST_DOT_PRODUCT(embedding, embedding)), 4) "
     "AS norm FROM embeddings",
