@@ -91,6 +91,61 @@ def op55_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op10_change_data_feed",
+    "SELECT _change_type, COUNT(*) AS n FROM ("
+    "  SELECT CASE "
+    "    WHEN doc_id % 10 = 7 THEN 'delete' "
+    "    WHEN doc_id % 10 = 3 THEN 'update_postimage' END AS _change_type "
+    "  FROM documents WHERE doc_id % 10 IN (3, 7) "
+    "  UNION ALL "
+    "  SELECT 'update_preimage' FROM documents WHERE doc_id % 10 = 3 "
+    "  UNION ALL SELECT 'insert' FROM documents) "
+    "GROUP BY _change_type",
+    doc="change data feed on plain parquet (ref ocr:112 "
+    "delta.enableChangeDataFeed, engine-native): commit v0 = full "
+    "insert, commit v1 = diff of an updated snapshot (doc_id%10==3 "
+    "updated, %10==7 deleted) via full-outer reconciliation; "
+    "read_changes(since=0) prunes to v1's directory only. Oracle "
+    "derives the same change-row counts arithmetically.",
+)
+def op10_change_data_feed(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        commit_changes,
+        diff_snapshots,
+        read_changes,
+    )
+
+    cdf_dir = tempfile.mkdtemp(prefix="cdf_")
+    shutil.rmtree(cdf_dir, ignore_errors=True)
+
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    # v0: initial full load
+    commit_changes(
+        docs.withColumn("_change_type", F.lit("insert")), cdf_dir, 0
+    )
+    # v1: an updated snapshot — %10==3 rows get new text, %10==7 dropped
+    after = (
+        docs.filter(F.col("doc_id") % 10 != 7)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 3, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+    )
+    commit_changes(diff_snapshots(docs, after, "doc_id"), cdf_dir, 1)
+    incremental = read_changes(spark, cdf_dir, since_version=-1)
+    return incremental.groupBy("_change_type").agg(F.count("*").alias("n"))
+
+
+@register(
     "op45c_foreachbatch_sink",
     "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
     doc="foreachBatch custom sink: each micro-batch lands in a parquet "

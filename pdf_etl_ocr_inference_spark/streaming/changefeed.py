@@ -1,0 +1,112 @@
+"""Engine-native change data feed (SURVEY OP-10/OP-45).
+
+The reference enables Delta CDF with a table property
+(``ocr-tesseract-unstructured.py:112``) so downstream consumers sync
+row-level changes incrementally (``ocr:149`` TRIGGERED index).  Open-
+source Spark has no CDF without Delta on the classpath; this module
+provides the same *capability* on plain parquet:
+
+- a **versioned table layout**: ``path/v=N/`` per commit, each row
+  stamped with ``_change_type`` (insert / update_preimage /
+  update_postimage / delete) and ``_commit_version``;
+- ``commit_changes``  : append one commit (the writer computes the
+  change rows — typically a key-join diff against the previous
+  snapshot, see ``diff_snapshots``);
+- ``read_changes``    : all change rows with ``_commit_version >
+  since`` — partition pruning on ``v=`` does the "incremental" part
+  (a consumer at version N reads only new directories);
+- ``snapshot``        : reconstruct the current state (latest
+  post-image per key, deletes dropped) — one window per key.
+
+Scale: commits are append-only directory writes (no rewrite of
+history); ``read_changes(since)`` cost ∝ new data only; ``snapshot``
+shuffles once on the key.  Compaction (folding old versions into a
+base snapshot) is the standard follow-up and orthogonal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+CHANGE_TYPES = (
+    "insert",
+    "update_preimage",
+    "update_postimage",
+    "delete",
+)
+
+
+def commit_changes(changes: DataFrame, path: str, version: int) -> None:
+    """Append one commit of change rows as ``path/v=N/``.
+
+    The version lives ONLY in the partition directory name — readers
+    recover it as a partition column, and version predicates prune
+    directories (a data column wouldn't).
+    """
+    changes.write.mode("overwrite").parquet(f"{path}/v={version}")
+
+
+def diff_snapshots(
+    before: DataFrame, after: DataFrame, key: str
+) -> DataFrame:
+    """Compute change rows between two snapshots (full outer join on
+    the key): inserts, deletes, and pre/post images for updates.
+
+    At 100 TB this is the one-shuffle-per-side reconciliation join;
+    writers that KNOW their changes (upsert batches) skip it and call
+    ``commit_changes`` directly.
+    """
+    b = before.select(
+        F.col(key).alias("_k"), F.struct(*before.columns).alias("_b")
+    )
+    a = after.select(
+        F.col(key).alias("_k2"), F.struct(*after.columns).alias("_a")
+    )
+    joined = b.join(a, b["_k"] == a["_k2"], "full_outer")
+    inserts = joined.filter(F.col("_k").isNull()).select(
+        F.col("_a.*"), F.lit("insert").alias("_change_type")
+    )
+    deletes = joined.filter(F.col("_k2").isNull()).select(
+        F.col("_b.*"), F.lit("delete").alias("_change_type")
+    )
+    updated = joined.filter(
+        F.col("_k").isNotNull()
+        & F.col("_k2").isNotNull()
+        & (F.col("_b") != F.col("_a"))
+    )
+    pre = updated.select(
+        F.col("_b.*"), F.lit("update_preimage").alias("_change_type")
+    )
+    post = updated.select(
+        F.col("_a.*"), F.lit("update_postimage").alias("_change_type")
+    )
+    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
+
+def read_changes(
+    spark: SparkSession, path: str, since_version: int = -1
+) -> DataFrame:
+    """Change rows with ``_commit_version > since_version``.
+
+    ``v=N`` is a partition column → the filter prunes directories, so
+    an incremental consumer reads only commits it hasn't seen.
+    """
+    df = spark.read.option("basePath", path).parquet(path)
+    df = df.withColumnRenamed("v", "_commit_version") if "v" in df.columns else df
+    return df.filter(F.col("_commit_version") > since_version)
+
+
+def snapshot(spark: SparkSession, path: str, key: str) -> DataFrame:
+    """Current state: latest insert/post-image per key, minus keys
+    whose latest change is a delete."""
+    changes = read_changes(spark, path, since_version=-1).filter(
+        F.col("_change_type") != "update_preimage"
+    )
+    w = Window.partitionBy(key).orderBy(F.desc("_commit_version"))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("_change_type") != "delete")
+    )
+    return latest.drop("_rn", "_change_type", "_commit_version")

@@ -111,6 +111,37 @@ def test_approx_sketches_within_tolerance(spark):
         assert abs(row["ap50"] - e["p50"]) <= 0.05 * max(abs(e["p50"]), 1e-9) + 0.05
 
 
+def test_changefeed_snapshot_reconstructs_state(spark, tmp_path):
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        commit_changes,
+        diff_snapshots,
+        read_changes,
+        snapshot,
+    )
+
+    path = str(tmp_path / "cdf")
+    docs = load_table(spark, SF0001, "documents").select("doc_id", "text")
+    commit_changes(docs.withColumn("_change_type", F.lit("insert")), path, 0)
+    after = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 3, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    commit_changes(diff_snapshots(docs, after, "doc_id"), path, 1)
+
+    # incremental read prunes to the new commit only
+    inc = read_changes(spark, path, since_version=0)
+    assert inc.select("_commit_version").distinct().collect()[0][0] == 1
+
+    # snapshot == the post-update state, exactly
+    snap = {
+        (r["doc_id"], r["text"]) for r in snapshot(spark, path, "doc_id").collect()
+    }
+    expect = {(r["doc_id"], r["text"]) for r in after.collect()}
+    assert snap == expect
+
+
 def test_minhash_lsh_subset_of_exact(spark):
     docs = load_table(spark, SF0001, "documents")
     exact = {
