@@ -111,6 +111,36 @@ def op34c_window_ranks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op65_udtf",
+    "SELECT doc_id, pos, tok FROM ("
+    "  SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEAST(5, LEN(w)))) AS i, w "
+    "  FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS w "
+    "        FROM documents)) t(doc_id, i, w), "
+    "LATERAL (SELECT i - 1 AS pos, w[i] AS tok)",
+    doc="Python UDTF (table function) surface: lead-token extractor "
+    "emitting (pos, tok) rows per document via LATERAL join — the "
+    "generalization of explode to arbitrary Python row generators "
+    "(the reference's only TVF is explode, SURVEY §2.4 note).",
+)
+def op65_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, tok: string")
+    class LeadTokens:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").split() if t]
+            for i, t in enumerate(toks[:5]):
+                yield i, t
+
+    spark.udtf.register("lead_tokens", LeadTokens)
+    _t(spark, sf, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, pos, tok FROM _docs_udtf, "
+        "LATERAL lead_tokens(text)"
+    )
+
+
+@register(
     "op63_summary_stats",
     "SELECT 'l_quantity' AS col, COUNT(*) AS n, "
     "ROUND(AVG(l_quantity), 4) AS mean, "

@@ -93,6 +93,36 @@ def op57_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op56b_salted_join",
+    "SELECT n_name, COUNT(*) AS n_customers FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+    doc="skew-defeating salted join: the fact side's hot key space is "
+    "split 8 ways (key, salt) and the dimension side replicates once "
+    "per salt, so one hot nation no longer lands on one reducer. "
+    "Result provably identical to the plain join (the oracle). Used "
+    "when AQE's skew splitting can't help (e.g. aggregation follows "
+    "the join on the same key).",
+)
+def op56b_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    n_salt = 8
+    cust = _t(spark, sf, "customer").withColumn(
+        "_salt", (F.crc32(F.col("c_custkey").cast("string")) % n_salt)
+    )
+    nation = _t(spark, sf, "nation").withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return (
+        cust.join(
+            nation,
+            (cust["c_nationkey"] == nation["n_nationkey"])
+            & (cust["_salt"] == nation["_salt"]),
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
     "dedup_clusters",
     "WITH RECURSIVE pairs AS ("
     "  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ("
