@@ -212,6 +212,62 @@ def op64_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op66_quality_checks",
+    "SELECT 'null_text' AS check_name, "
+    "COUNT(*) FILTER (text IS NULL) AS violations FROM documents "
+    "UNION ALL SELECT 'empty_text', COUNT(*) FILTER (LENGTH(TRIM(text)) = 0) "
+    "FROM documents "
+    "UNION ALL SELECT 'bad_n_chars', COUNT(*) FILTER (n_chars <> LENGTH(text)) "
+    "FROM documents "
+    "UNION ALL SELECT 'dup_doc_id', COUNT(*) - COUNT(DISTINCT doc_id) "
+    "FROM documents",
+    doc="dataset validation pass: null/empty/consistency/uniqueness "
+    "checks as ONE scan with conditional aggregates (not one scan per "
+    "rule) — the pre-training-data quality gate.",
+)
+def op66_quality_checks(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    agg = docs.agg(
+        F.count(F.when(F.col("text").isNull(), 1)).alias("null_text"),
+        F.count(F.when(F.length(F.trim("text")) == 0, 1)).alias("empty_text"),
+        F.count(
+            F.when(F.col("n_chars") != F.length("text"), 1)
+        ).alias("bad_n_chars"),
+        (F.count("doc_id") - F.countDistinct("doc_id")).alias("dup_doc_id"),
+    )
+    checks = ["null_text", "empty_text", "bad_n_chars", "dup_doc_id"]
+    out = None
+    for c in checks:
+        row = agg.select(
+            F.lit(c).alias("check_name"), F.col(c).alias("violations")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "op67_histogram",
+    # DuckDB 1.0 has no width_bucket — the oracle spells out the
+    # same edge semantics (below range → 0, at-or-above max → 13)
+    "SELECT CASE WHEN o_totalprice < 0 THEN 0 "
+    "WHEN o_totalprice >= 600000 THEN 13 "
+    "ELSE CAST(FLOOR(o_totalprice / 50000) AS BIGINT) + 1 END AS bucket, "
+    "COUNT(*) AS n FROM orders GROUP BY bucket",
+    doc="equi-width histogram via width_bucket — single-pass "
+    "distribution profiling for numeric columns.",
+)
+def op67_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12))
+            .alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "op30e_argminmax",
     "SELECT c_mktsegment, "
     "ARG_MAX(c_name, c_acctbal) AS richest, "
