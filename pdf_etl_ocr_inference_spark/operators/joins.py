@@ -81,7 +81,11 @@ def asof_join(
     row (null when no prior right row exists).
     """
     lcols = left.columns
-    side_order = 1 if strict else 0  # strict: left sorts before same-ts right
+    # Within one timestamp the carry window includes rows up to and
+    # including the current one, so visibility of a same-ts right row
+    # is decided by sort order: non-strict → right first (visible),
+    # strict → left first (not yet visible).
+    side_order = 0 if strict else 1  # left's tag; right gets the other
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),

@@ -86,6 +86,33 @@ def test_asof_join_equals_naive(spark):
         assert got[p["event_id"]] == expect
 
 
+def test_asof_join_tie_semantics(spark):
+    """A right row at exactly left_ts is visible unless strict — the
+    fixture has no (key, ts) collisions, so this constructs one."""
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 150, 15.0)], "k long, ts long, v double"
+    )
+    non_strict = {
+        (r["ts"], r["v"])
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"],
+        ).collect()
+    }
+    assert non_strict == {(100, 10.0), (200, 15.0)}
+    strict = {
+        (r["ts"], r["v"])
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], strict=True,
+        ).collect()
+    }
+    assert strict == {(100, None), (200, 15.0)}
+
+
 def test_approx_sketches_within_tolerance(spark):
     events = load_table(spark, SF0001, "events")
     approx = (
