@@ -103,9 +103,12 @@ def op51_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts")
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events = _t(spark, sf, "events")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # microsecond-exact gap — cast('long') would truncate to seconds
+    # and disagree with the oracle's INTERVAL comparison at boundaries
+    mics = F.unix_micros(F.col("ts"))
+    gap = mics - F.lag(mics).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > 30 * 60), F.lit(1)
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     return (
         events.withColumn("_new", new_session)
@@ -122,7 +125,7 @@ def op51_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     "op52_session_window",
     "WITH gaps AS ("
     "  SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER w "
-    "    > INTERVAL 30 MINUTE OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END "
+    "    >= INTERVAL 30 MINUTE OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END "
     "    AS new_session FROM events WINDOW w AS ("
     "    PARTITION BY user_id ORDER BY ts)), "
     "sess AS ("
@@ -133,7 +136,10 @@ def op51_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     "COUNT(*) AS n_events FROM sess GROUP BY user_id, sid",
     doc="native session_window aggregation (the Structured-Streaming "
     "session operator, batch-executed); oracle mirrors the gap-merge "
-    "semantics with window SQL. window end = last event + gap.",
+    "semantics with window SQL. Boundary: a session window spans "
+    "[first, last+gap) and an event AT the boundary starts a NEW "
+    "session (Spark merges only when ts < end) — hence >= in the "
+    "oracle's new-session test.",
 )
 def op52_session_window(spark: SparkSession, sf: str) -> DataFrame:
     events = _t(spark, sf, "events")

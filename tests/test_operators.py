@@ -113,6 +113,26 @@ def test_asof_join_tie_semantics(spark):
     assert strict == {(100, None), (200, 15.0)}
 
 
+def test_session_window_boundary_starts_new_session(spark):
+    """An event exactly gap after the previous one falls OUTSIDE the
+    session window [first, last+gap) — documents the >= boundary the
+    op52 oracle mirrors."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, 0), 1),
+        (dt.datetime(2024, 1, 1, 10, 30), 1),  # exactly 30min later
+        (dt.datetime(2024, 1, 1, 10, 59), 1),  # 29min after → merges
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    sessions = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .collect()
+    )
+    assert sorted(r["count"] for r in sessions) == [1, 2]
+
+
 def test_approx_sketches_within_tolerance(spark):
     events = load_table(spark, SF0001, "events")
     approx = (
