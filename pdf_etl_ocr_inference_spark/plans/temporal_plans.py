@@ -125,7 +125,7 @@ def op51_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     "op52_session_window",
     "WITH gaps AS ("
     "  SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER w "
-    "    >= INTERVAL 30 MINUTE OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END "
+    "    > INTERVAL 30 MINUTE OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END "
     "    AS new_session FROM events WINDOW w AS ("
     "    PARTITION BY user_id ORDER BY ts)), "
     "sess AS ("
@@ -136,10 +136,10 @@ def op51_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     "COUNT(*) AS n_events FROM sess GROUP BY user_id, sid",
     doc="native session_window aggregation (the Structured-Streaming "
     "session operator, batch-executed); oracle mirrors the gap-merge "
-    "semantics with window SQL. Boundary: a session window spans "
-    "[first, last+gap) and an event AT the boundary starts a NEW "
-    "session (Spark merges only when ts < end) — hence >= in the "
-    "oracle's new-session test.",
+    "semantics with window SQL. Boundary (verified empirically, "
+    "tests/test_operators.py): an event EXACTLY gap after the "
+    "previous one still MERGES — new session only when gap is "
+    "strictly exceeded, hence > in the oracle.",
 )
 def op52_session_window(spark: SparkSession, sf: str) -> DataFrame:
     events = _t(spark, sf, "events")

@@ -113,16 +113,17 @@ def test_asof_join_tie_semantics(spark):
     assert strict == {(100, None), (200, 15.0)}
 
 
-def test_session_window_boundary_starts_new_session(spark):
-    """An event exactly gap after the previous one falls OUTSIDE the
-    session window [first, last+gap) — documents the >= boundary the
-    op52 oracle mirrors."""
+def test_session_window_boundary_merges_inclusively(spark):
+    """An event EXACTLY gap after the previous one still merges into
+    the session (verified Spark behavior); only a strictly larger gap
+    starts a new session — the semantics op52's oracle mirrors with
+    its strict `>` new-session test."""
     import datetime as dt
 
     rows = [
         (dt.datetime(2024, 1, 1, 10, 0), 1),
-        (dt.datetime(2024, 1, 1, 10, 30), 1),  # exactly 30min later
-        (dt.datetime(2024, 1, 1, 10, 59), 1),  # 29min after → merges
+        (dt.datetime(2024, 1, 1, 10, 30), 1),  # exactly 30min → merges
+        (dt.datetime(2024, 1, 1, 11, 0, 0, 1), 1),  # 30min+1µs → new
     ]
     df = spark.createDataFrame(rows, "ts timestamp, user_id long")
     sessions = (
