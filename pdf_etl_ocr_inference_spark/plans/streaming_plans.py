@@ -146,6 +146,50 @@ def op10_change_data_feed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op45d_stream_stream_join",
+    "SELECT p.event_id AS purchase_id, c.event_id AS click_id "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+    "ON p.user_id = c.user_id "
+    "AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts",
+    doc="stream-stream interval join (watermarked both sides, state "
+    "bounded by the 30-min time constraint + watermark horizon): "
+    "purchases joined to preceding clicks per user as BOTH sides "
+    "stream in. availableNow catch-up result equals the batch "
+    "interval join (op50's oracle).",
+)
+def op45d_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    events_path = f"{sf}/events.parquet"
+    purchases = (
+        stream_events_raw(spark, events_path, TABLES["events"])
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream_events_raw(spark, events_path, TABLES["events"])
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("purchase_id", "click_id")
+    return run_available_now(joined, output_mode="append")
+
+
+@register(
     "op45c_foreachbatch_sink",
     "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
     doc="foreachBatch custom sink: each micro-batch lands in a parquet "
