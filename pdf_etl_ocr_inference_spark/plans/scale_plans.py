@@ -93,6 +93,61 @@ def op57_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op68_merge_upsert",
+    "SELECT status, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total "
+    "FROM ("
+    "  SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'updated' ELSE 'kept' END "
+    "  AS status, CASE WHEN o_orderkey % 5 = 0 "
+    "  THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice "
+    "  FROM orders "
+    "  UNION ALL SELECT 'inserted', 123.45 "
+    "  FROM range(10)) "
+    "GROUP BY status",
+    doc="MERGE INTO (upsert) as a single full-outer reconciliation: "
+    "matched rows take the source's values, unmatched-source rows "
+    "insert, unmatched-target rows persist — one shuffle per side, "
+    "no per-row lookups. The lakehouse write idiom behind the "
+    "reference's Delta tables, engine-native.",
+)
+def op68_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    # source: updates for keys %5==0 (price bump) + 10 brand-new rows
+    updates = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        )
+    )
+    max_key = 10_000_000_000
+    inserts = spark.range(10).select(
+        (F.col("id") + max_key).alias("o_orderkey"),
+        F.lit(123.45).alias("o_totalprice"),
+    )
+    source = updates.unionByName(inserts)
+    t = orders.select(
+        F.col("o_orderkey").alias("t_key"),
+        F.col("o_totalprice").alias("t_price"),
+    )
+    s = source.select(
+        F.col("o_orderkey").alias("s_key"),
+        F.col("o_totalprice").alias("s_price"),
+    )
+    merged = t.join(s, t["t_key"] == s["s_key"], "full_outer").select(
+        F.coalesce("s_key", "t_key").alias("o_orderkey"),
+        F.coalesce("s_price", "t_price").alias("o_totalprice"),
+        F.when(F.col("t_key").isNull(), "inserted")
+        .when(F.col("s_key").isNull(), "kept")
+        .otherwise("updated")
+        .alias("status"),
+    )
+    return merged.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
     "op56b_salted_join",
     "SELECT n_name, COUNT(*) AS n_customers FROM customer "
     "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",

@@ -190,6 +190,60 @@ def op45d_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op45e_stream_static_join",
+    "SELECT e.event_id, u.first_seen FROM events e JOIN ("
+    "  SELECT user_id, STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen "
+    "  FROM events GROUP BY user_id) u ON e.user_id = u.user_id "
+    "WHERE e.event_type = 'purchase'",
+    doc="stream-static enrichment join: the streaming side joins a "
+    "batch dimension (per-user first-seen) — the static side is "
+    "re-read per micro-batch, no state needed (vs stream-stream's "
+    "stateful buffering).",
+)
+def op45e_stream_static_join(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+
+    static_users = (
+        load_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_seen"
+            )
+        )
+    )
+    stream = (
+        stream_events_raw(spark, f"{sf}/events.parquet", TABLES["events"])
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id")
+    )
+    joined = stream.join(static_users, "user_id").select(
+        "event_id", "first_seen"
+    )
+    return run_available_now(joined, output_mode="append")
+
+
+@register(
+    "op45f_stream_dedup",
+    "SELECT COUNT(*) AS n_unique FROM ("
+    "  SELECT DISTINCT event_id FROM events)",
+    doc="streaming deduplication: dropDuplicates on the id within the "
+    "watermark horizon — state holds one entry per id inside the "
+    "horizon, expiring as the watermark advances (exactly-once-style "
+    "ingestion dedup).",
+)
+def op45f_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    stream = (
+        stream_events_raw(spark, f"{sf}/events.parquet", TABLES["events"])
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id")
+    )
+    deduped = run_available_now(stream, output_mode="append")
+    return deduped.agg(F.count("*").alias("n_unique"))
+
+
+@register(
     "op45c_foreachbatch_sink",
     "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
     doc="foreachBatch custom sink: each micro-batch lands in a parquet "
