@@ -174,6 +174,40 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "ann_mllib_brp_lsh",
+    None,  # MLlib hash partitions are engine-specific → rows-only
+    doc="MLlib BucketedRandomProjectionLSH approxNearestNeighbors "
+    "(euclidean) — the off-the-shelf ANN alternative to the engine's "
+    "own LSH/IVF operators; included so a user of either API has a "
+    "path. Deterministic via fixed seed.",
+)
+def ann_mllib_brp_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _t(spark, sf, "embeddings")
+    df = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=3,
+        seed=42,
+    )
+    model = lsh.fit(df)
+    qvec = df.filter(F.col("vec_id") == 0).collect()[0]["features"]
+    nn = model.approxNearestNeighbors(
+        df.filter(F.col("vec_id") != 0), qvec, 5
+    )
+    return nn.select("vec_id", F.round("distCol", 4).alias("dist"))
+
+
+@register(
     "dedup_embedding_cosine",
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
     "ROUND(LIST_COSINE_SIMILARITY(a.embedding, b.embedding), 4) AS sim "
