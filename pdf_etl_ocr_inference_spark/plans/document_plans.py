@@ -136,6 +136,33 @@ def op06_fetch_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "pipeline_chunk_dedup",
+    "WITH chunks AS (" + _CHUNK_SQL + ") "
+    "SELECT COUNT(*) AS n_chunks, "
+    "COUNT(DISTINCT MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(chunk), "
+    "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))) AS n_unique, "
+    "COUNT(*) - COUNT(DISTINCT MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE("
+    "LOWER(chunk), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))) AS n_dups "
+    "FROM chunks",
+    doc="end-to-end chunk-level dedup: documents → native chunker → "
+    "canonical fingerprint → duplicate counts. The ingest-dedup "
+    "composition a training-data pipeline runs before embedding "
+    "(never embed a chunk twice).",
+)
+def pipeline_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.text import doc_fingerprint
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    chunks = chunk_native(docs, "text", window=20, min_chars=50)
+    fps = chunks.select(doc_fingerprint("chunk").alias("fp"))
+    return fps.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_dups"),
+    )
+
+
+@register(
     "pipeline_chunk_embed_topk",
     None,  # stub embedder in the plan → rows-only
     doc="flagship pipeline: documents → chunk (mapInPandas, LPT) → "

@@ -93,6 +93,46 @@ def text_language_id(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "text_stopword_ratio",
+    "SELECT doc_id, ROUND(LEN(LIST_FILTER("
+    "STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'), "
+    "t -> t IN ('the', 'and', 'of', 'to', 'in'))) * 1.0 / "
+    "GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')), 1), 6) "
+    "AS stopword_ratio FROM documents",
+    doc="stopword-density signal (C4/Gopher-style: too-low ratio "
+    "flags non-prose) using the 'en' marker lexicon.",
+)
+def text_stopword_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "in"))
+    )
+    total = F.greatest(F.size(F.split(F.trim(F.col("text")), r"\s+")), F.lit(1))
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.round(hits / total, 6).alias("stopword_ratio")
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    "SELECT doc_id, ROUND(1.0 - LEN(LIST_DISTINCT("
+    "STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'))) * 1.0 / "
+    "GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')), 1), 6) "
+    "AS repetition FROM documents",
+    doc="repetition signal: 1 - distinct/total token ratio (Gopher's "
+    "duplicate-fraction family) — high values flag boilerplate/spam.",
+)
+def text_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    rep = 1.0 - F.size(F.array_distinct(toks)) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.round(rep, 6).alias("repetition")
+    )
+
+
+@register(
     "text_fingerprint",
     "SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), "
     "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint "
