@@ -98,7 +98,11 @@ def text_rolling_hash(spark: SparkSession, sf: str) -> DataFrame:
     "ROUND(CUME_DIST() OVER w, 6) AS cume "
     "FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)",
     doc="ranking-window surface beyond row_number: ntile / "
-    "percent_rank / cume_dist over a global tie-free order.",
+    "percent_rank / cume_dist over a global tie-free order. Scale "
+    "note: an UNPARTITIONED window is a deliberate single-task "
+    "bottleneck — acceptable for bounded sets (this one ranks "
+    "customers); at 100 TB rank within partitions, or derive global "
+    "percentiles from approx_percentile instead.",
 )
 def op34c_window_ranks(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.orderBy("c_acctbal", "c_custkey")
