@@ -167,6 +167,54 @@ def byte_histogram_features(
     return work.mapInPandas(_hist, schema=out_schema)
 
 
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """Audio-modality features: interpret the blob as 16-bit PCM mono
+    and compute duration / RMS / peak per clip — the audio analogue of
+    ``decode_media`` (numpy ``frombuffer`` inside ``mapInPandas``; a
+    real deployment injects an actual audio codec the same way the
+    image path injects PIL).
+    """
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.IntegerType()),
+        ]
+    )
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("n_samples", "duration_s", "rms", "peak")}
+            for p in pdf[payload_col]:
+                samples = np.frombuffer(
+                    p[: len(p) - (len(p) % 2)], dtype="<i2"
+                ).astype("float64")
+                n = samples.size
+                out["n_samples"].append(n)
+                out["duration_s"].append(n / sample_rate)
+                out["rms"].append(
+                    float(np.sqrt((samples**2).mean())) if n else 0.0
+                )
+                out["peak"].append(
+                    int(np.abs(samples).max()) if n else 0
+                )
+            res = pd.DataFrame(out)
+            res.insert(0, id_col, pdf[id_col].to_numpy())
+            yield res
+
+    work = ensure_min_parallelism(df.select(id_col, payload_col))
+    return work.mapInPandas(_feats, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",

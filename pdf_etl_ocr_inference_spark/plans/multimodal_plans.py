@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_etl_ocr_inference_spark.operators.multimodal import (
+    audio_features,
     byte_histogram_features,
     decode_media,
     sample_frames,
@@ -80,6 +81,26 @@ def mm_byte_histogram(spark: SparkSession, sf: str) -> DataFrame:
             ),
             2,
         ).alias("l1_mass"),
+    )
+
+
+@register(
+    "mm_audio_features",
+    # the SQL-derivable half of the decode (sample count & duration
+    # from byte length) is oracle-checked; rms/peak are pytest-checked
+    "SELECT doc_id AS media_id, "
+    "OCTET_LENGTH(ENCODE(text)) // 2 AS n_samples, "
+    "ROUND((OCTET_LENGTH(ENCODE(text)) // 2) / 16000.0, 6) "
+    "AS duration_s FROM documents",
+    doc="audio modality: blob as 16-bit PCM mono → n_samples / "
+    "duration / RMS / peak via numpy-frombuffer mapInPandas (codec "
+    "injection point, same pattern as image decode).",
+)
+def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    media = with_media_column(_t(spark, sf, "documents"))
+    feats = audio_features(media, sample_rate=16_000)
+    return feats.select(
+        "media_id", "n_samples", F.round("duration_s", 6).alias("duration_s")
     )
 
 

@@ -45,6 +45,29 @@ def test_fake_decode_matches_payload_bytes(spark):
         assert abs(got["brightness"] - expect["brightness"]) < 1e-9
 
 
+def test_audio_features_match_numpy(spark):
+    import numpy as np
+
+    from pdf_etl_ocr_inference_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    docs = load_table(spark, SF0001, "documents")
+    media = with_media_column(docs)
+    feats = {
+        r["media_id"]: r for r in audio_features(media).collect()
+    }
+    for row in media.limit(10).collect():
+        p = bytes(row["payload"])
+        samples = np.frombuffer(
+            p[: len(p) - (len(p) % 2)], dtype="<i2"
+        ).astype("float64")
+        got = feats[row["media_id"]]
+        assert got["n_samples"] == samples.size
+        assert abs(got["rms"] - float(np.sqrt((samples**2).mean()))) < 1e-9
+        assert got["peak"] == int(np.abs(samples).max())
+
+
 def test_byte_histogram_normalized(spark):
     docs = load_table(spark, SF0001, "documents")
     feats = byte_histogram_features(with_media_column(docs)).collect()
