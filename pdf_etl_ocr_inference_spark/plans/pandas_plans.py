@@ -51,6 +51,34 @@ def op27_applyinpandas_zscore(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op22_broadcast_lookup",
+    "SELECT s_suppkey, n_name FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey",
+    doc="OP-22 closure-capture lookup done right: the reference "
+    "captured a driver list in a UDF closure (02:279, a broadcast-by-"
+    "accident); the engine uses an explicit sc.broadcast dict inside "
+    "an Arrow-batched pandas UDF. Oracle = the equi-join — which is "
+    "also the better plan when the dim is joinable; the broadcast-var "
+    "form exists for non-relational lookup logic.",
+)
+def op22_broadcast_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    nation_map = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _t(spark, sf, "nation").collect()
+    }
+    bc = spark.sparkContext.broadcast(nation_map)
+
+    @F.pandas_udf("string")
+    def lookup(keys: pd.Series) -> pd.Series:
+        m = bc.value
+        return keys.map(m)
+
+    return _t(spark, sf, "supplier").select(
+        "s_suppkey", lookup("s_nationkey").alias("n_name")
+    )
+
+
+@register(
     "op28_grouped_agg_udaf",
     "SELECT c_mktsegment, ROUND(EXP(AVG(LN(c_acctbal))), 4) AS geo_mean "
     "FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment",
