@@ -78,6 +78,39 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # Reproduce the baseline's parallel-OCR scaling claim (BASELINE.md:
+    # ~5h serial → ~15min on 24 cores, "nearly linear") with a
+    # sleep-stub parser through the real mapInPandas path, scaled to
+    # benchmark time (0.1s/doc instead of ~3min/doc).
+    from pyspark.sql import functions as SF
+
+    from pdf_etl_ocr_inference_spark.operators.documents import (
+        chunk_map_in_pandas,
+    )
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+
+    def _slow_parse(text: str) -> list[str]:
+        time.sleep(0.1)
+        return [text[:80]]
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(SF.col("doc_id") < 64)
+        .select("doc_id", "text")
+    )
+
+    def _ocr_run(parts: int) -> float:
+        t0 = time.perf_counter()
+        chunk_map_in_pandas(
+            docs, parse_fn=_slow_parse, min_chars=1, num_partitions=parts
+        ).count()
+        return time.perf_counter() - t0
+
+    serial = _ocr_run(1)
+    par = min(_ocr_run(32), _ocr_run(32))
+    ocr_speedup = round(serial / par, 1)
+    print(f"# ocr stub: serial {serial:.2f}s, parallel {par:.2f}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -88,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ocr_stub_parallel_speedup_32x_ideal": ocr_speedup,
             }
         )
     )
