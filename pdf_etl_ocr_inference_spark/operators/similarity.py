@@ -162,6 +162,45 @@ def topk_lsh(
     return topk_exact(bucket, embedding_col, query_vec, k=k, id_col=id_col)
 
 
+def lsh_near_pairs(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.35,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-accelerated near-duplicate PAIRS over embeddings: bucket by
+    sign signature, generate candidates within buckets, verify with
+    exact cosine ≥ ``threshold``.
+
+    The scale path for ``dedup_embedding_cosine``'s brute force: cost
+    is Σ bucket_size² instead of n² — with b buckets and balanced
+    hashing, a ~b× reduction. Recall < 1 by construction (similar
+    pairs straddling a hyperplane land in different buckets); raise it
+    with multiple tables (union over seeds) exactly like MinHash
+    banding. Verified-subset property is tested against brute force.
+    """
+    sig = lsh_signature(embedding_col, dim, n_planes, seed)
+    tagged = df.select(
+        F.col(id_col), F.col(embedding_col).alias("_e"), sig.alias("_sig")
+    )
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col("_e").alias("e_a"), "_sig"
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col("_e").alias("e_b"), "_sig"
+    )
+    return (
+        a.join(b, "_sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_sim", cosine_similarity("e_a", "e_b"))
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b", F.round("_sim", 4).alias("sim"))
+    )
+
+
 # ------------------------------------------------------------------
 # IVF-style cell-probe search
 # ------------------------------------------------------------------

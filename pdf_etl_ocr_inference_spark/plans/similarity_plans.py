@@ -15,6 +15,7 @@ from pdf_etl_ocr_inference_spark.operators.inference import with_embeddings
 from pdf_etl_ocr_inference_spark.operators.similarity import (
     build_index,
     ivf_assign,
+    lsh_near_pairs,
     topk_ivf,
     topk_lsh,
 )
@@ -139,6 +140,24 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         qvec,
         k=5,
         n_planes=8,
+    )
+
+
+@register(
+    "dedup_embedding_lsh",
+    None,  # bucket recall is probabilistic → rows-only; subset-of-
+    # brute-force property tested in pytest
+    doc="LSH-accelerated embedding near-dup pairs: sign-signature "
+    "buckets → within-bucket candidates → exact cosine ≥ 0.35 verify. "
+    "The Σ bucket² scale path for dedup_embedding_cosine's n² brute "
+    "force; every emitted pair is exact-verified (no false "
+    "positives).",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return lsh_near_pairs(
+        emb, "embedding", "vec_id", dim=dim, threshold=0.35, n_planes=8
     )
 
 

@@ -213,6 +213,35 @@ def test_changefeed_snapshot_reconstructs_state(spark, tmp_path):
     assert snap == expect
 
 
+def test_embedding_lsh_pairs_subset_of_bruteforce(spark):
+    from pdf_etl_ocr_inference_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        lsh_near_pairs,
+    )
+
+    emb = load_table(spark, SF0001, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_pairs(
+            emb, "embedding", "vec_id", dim=dim, threshold=0.35
+        ).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity("ea", "eb") >= 0.35)
+        .collect()
+    }
+    assert lsh <= brute  # exact verification ⇒ no false positives
+    assert lsh  # buckets actually produce candidates on the fixture
+
+
 def test_minhash_lsh_subset_of_exact(spark):
     docs = load_table(spark, SF0001, "documents")
     exact = {
