@@ -17,9 +17,9 @@ from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
     "op44b_topk_batch",
     "SELECT qid, vec_id, score FROM ("
     "  SELECT q.vec_id AS qid, e.vec_id AS vec_id, "
-    "  ROUND(LIST_COSINE_SIMILARITY(e.embedding, q.embedding), 4) AS score, "
+    "  ROUND(LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score, "
     "  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
-    "    LIST_COSINE_SIMILARITY(e.embedding, q.embedding) DESC, e.vec_id) "
+    "    LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id) "
     "    AS rn "
     "  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q "
     "  JOIN embeddings e ON e.vec_id >= 10) "

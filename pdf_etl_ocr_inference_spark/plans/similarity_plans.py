@@ -26,10 +26,10 @@ from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
 @register(
     "op44_topk_cosine",
     "SELECT e.vec_id, "
-    "ROUND(LIST_COSINE_SIMILARITY(e.embedding, q.embedding), 4) AS score "
+    "ROUND(LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score "
     "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
     "WHERE e.vec_id <> 0 "
-    "ORDER BY LIST_COSINE_SIMILARITY(e.embedding, q.embedding) DESC, e.vec_id "
+    "ORDER BY LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id "
     "LIMIT 5",
     doc="brute-force cosine top-5 vs the vec_id=0 query vector "
     "(ref ocr:167-170 num_results=5). TakeOrderedAndProject — "
@@ -58,10 +58,10 @@ def op44_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "op44c_topk_cosine_pandas",
     "SELECT e.vec_id, "
-    "ROUND(LIST_COSINE_SIMILARITY(e.embedding, q.embedding), 4) AS score "
+    "ROUND(LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score "
     "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q "
     "WHERE e.vec_id <> 0 "
-    "ORDER BY LIST_COSINE_SIMILARITY(e.embedding, q.embedding) DESC, e.vec_id "
+    "ORDER BY LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id "
     "LIMIT 5",
     doc="op44 through the vectorized pandas-UDF scorer (Arrow batch → "
     "one numpy matrix-vector product) instead of the interpreted JVM "
@@ -90,7 +90,7 @@ def op44c_topk_cosine_pandas(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "op43_index_build",
-    "SELECT vec_id, ROUND(SQRT(LIST_DOT_PRODUCT(embedding, embedding)), 4) "
+    "SELECT vec_id, ROUND(SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])), 4) "
     "AS norm FROM embeddings",
     doc="index build = materialized (pk, embedding, norm) table "
     "(ref ocr:136-155 delta-sync index, engine-native).",
@@ -229,11 +229,11 @@ def ann_mllib_brp_lsh(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine",
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-    "ROUND(LIST_COSINE_SIMILARITY(a.embedding, b.embedding), 4) AS sim "
+    "ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim "
     "FROM (SELECT * FROM embeddings WHERE vec_id < 1000) a, "
     "(SELECT * FROM embeddings WHERE vec_id < 1000) b "
     "WHERE a.vec_id < b.vec_id "
-    "AND LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.35",
+    "AND LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35",
     doc="embedding-cosine near-dup pairs; threshold 0.35 is the "
     "~99.9th percentile of pairwise sims in the synthetic fixture "
     "(max 0.51 — a production 0.95 cutoff would never fire here). "
