@@ -93,6 +93,37 @@ def op57_bucketed_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op69_observed_metrics",
+    "SELECT COUNT(*) AS rows_seen, ROUND(SUM(l_quantity), 2) AS qty_seen "
+    "FROM lineitem WHERE l_returnflag = 'R'",
+    doc="pipeline observability: Observation metrics ride the SAME "
+    "scan as the real work (zero extra passes) — the production "
+    "pattern for row-count/quality counters on every job. The query "
+    "returns the observed values; the oracle recomputes them "
+    "relationally, proving the observation channel is exact.",
+)
+def op69_observed_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    obs = Observation("etl_metrics")
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.round(F.sum("l_quantity"), 2).alias("qty_seen"),
+        )
+    )
+    li.write.format("noop").mode("overwrite").save()  # the "real work"
+    got = obs.get
+    return spark.createDataFrame(
+        [(got["rows_seen"], got["qty_seen"])],
+        "rows_seen long, qty_seen double",
+    )
+
+
+@register(
     "op68_merge_upsert",
     "SELECT status, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total "
     "FROM ("
