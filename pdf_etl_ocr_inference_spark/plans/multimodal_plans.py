@@ -105,6 +105,45 @@ def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "mm_byte_stats_arrow",
+    "SELECT doc_id AS media_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes, "
+    "LENGTH(REPLACE(text, ' ', '')) AS n_nonspace FROM documents",
+    doc="mapInArrow variant of the blob-stats stage: operates on raw "
+    "pyarrow RecordBatches (no pandas materialization — lower "
+    "overhead than mapInPandas when the logic is already columnar). "
+    "Oracle derives the same byte stats relationally.",
+)
+def mm_byte_stats_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        ensure_min_parallelism,
+    )
+
+    media = with_media_column(_t(spark, sf, "documents"))
+
+    def _stats(batches):
+        for batch in batches:
+            ids = batch.column("media_id")
+            payloads = batch.column("payload")
+            n_bytes = []
+            n_nonspace = []
+            for p in payloads:
+                b = p.as_py()
+                n_bytes.append(len(b))
+                n_nonspace.append(len(b) - b.count(b" "))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(n_bytes, pa.int64()), pa.array(n_nonspace, pa.int64())],
+                names=["media_id", "n_bytes", "n_nonspace"],
+            )
+
+    work = ensure_min_parallelism(media.select("media_id", "payload"))
+    return work.mapInArrow(
+        _stats, schema="media_id long, n_bytes long, n_nonspace long"
+    )
+
+
+@register(
     "mm_frame_sample",
     # DuckDB can't slice BLOBs; ASCII fixture text makes character
     # substring ≡ byte substring, so the oracle slices the VARCHAR.

@@ -97,12 +97,26 @@ def read_changes(
     return df.filter(F.col("_commit_version") > since_version)
 
 
-def snapshot(spark: SparkSession, path: str, key: str) -> DataFrame:
-    """Current state: latest insert/post-image per key, minus keys
-    whose latest change is a delete."""
+def snapshot(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    as_of_version: int | None = None,
+) -> DataFrame:
+    """State reconstruction: latest insert/post-image per key, minus
+    keys whose latest change is a delete.
+
+    ``as_of_version`` gives time travel — reconstruct the table as it
+    was after commit N by ignoring later commit directories (partition
+    pruning keeps the read proportional to history up to N).
+    """
     changes = read_changes(spark, path, since_version=-1).filter(
         F.col("_change_type") != "update_preimage"
     )
+    if as_of_version is not None:
+        changes = changes.filter(
+            F.col("_commit_version") <= as_of_version
+        )
     w = Window.partitionBy(key).orderBy(F.desc("_commit_version"))
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))

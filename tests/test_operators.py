@@ -212,6 +212,13 @@ def test_changefeed_snapshot_reconstructs_state(spark, tmp_path):
     expect = {(r["doc_id"], r["text"]) for r in after.collect()}
     assert snap == expect
 
+    # time travel: as-of v0 reconstructs the ORIGINAL state
+    snap0 = {
+        (r["doc_id"], r["text"])
+        for r in snapshot(spark, path, "doc_id", as_of_version=0).collect()
+    }
+    assert snap0 == {(r["doc_id"], r["text"]) for r in docs.collect()}
+
 
 def test_embedding_lsh_pairs_subset_of_bruteforce(spark):
     from pdf_etl_ocr_inference_spark.functions.vector import (
