@@ -77,3 +77,28 @@ def test_tpch_q5_broadcasts_dims_once(spark):
     df = _SPECS["tpch_q5"].fn(spark, SF0001)
     plan = _explain(spark, df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_suite_stays_jvm_side(spark):
+    """No Python evaluation anywhere in the relational suite — the
+    engine rule that hot paths stay in whole-stage codegen."""
+    for q in [n for n in _SPECS if n.startswith("tpch_")]:
+        plan = _explain(spark, _SPECS[q].fn(spark, SF0001))
+        assert "BatchEvalPython" not in plan, q
+        assert "ArrowEvalPython" not in plan, q
+        assert "MapInPandas" not in plan, q
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+    from pdf_etl_ocr_inference_spark.sources.writers import overwrite_parquet
+
+    path = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, SF0001, "orders")
+    overwrite_parquet(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = _explain(spark, back)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "o_orderstatus" in pf[0]
