@@ -272,7 +272,11 @@ def tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    # timestamp + interval, NOT date_add (which truncates to DATE and
+    # would diverge from the oracle on any non-midnight timestamps)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
     l_with_o = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
     l1 = l_with_o.filter(late).select(
         F.col("l_orderkey").alias("k1"),
