@@ -54,16 +54,17 @@ def test_parallel_speedup_near_linear(spark):
         lambda it: it, schema="id long"
     ).count()
     serial = _run(spark, num_partitions=1)
-    # best-of-2: the host has transient contention bursts that can eat
-    # a single parallel run's speedup
-    parallel = min(
-        _run(spark, num_partitions=_N_DOCS),
-        _run(spark, num_partitions=_N_DOCS),
-    )
-    # ideal: 16x. Assert ≥3x to stay robust against scheduler noise —
-    # far beyond what a serial plan could show (serial floor is
-    # N_DOCS * SLEEP = 3.2s; parallel floor is SLEEP = 0.2s).
     assert serial >= _N_DOCS * _SLEEP * 0.95
-    assert parallel < serial / 3, (
-        f"speedup {serial / parallel:.1f}x below threshold"
+    # ideal: 16x. Assert ≥3x — far beyond what a serial plan could
+    # show (serial floor is N_DOCS*SLEEP = 3.2s; parallel floor is
+    # SLEEP = 0.2s). The host has multi-second contention bursts, so
+    # measure up to 4 times and pass on the best observation: a burst
+    # can slow a run down, but nothing can make a serial plan fast.
+    best = float("inf")
+    for _ in range(4):
+        best = min(best, _run(spark, num_partitions=_N_DOCS))
+        if best < serial / 3:
+            break
+    assert best < serial / 3, (
+        f"speedup {serial / best:.1f}x below threshold"
     )
