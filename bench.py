@@ -64,19 +64,24 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # Per-query min across two FULL passes (not back-to-back reps):
+    # the host shows multi-second contention bursts, and a burst that
+    # covers both consecutive reps of one query is unlikely to cover
+    # the same query again a full pass (~30s) later.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = specs[name].fn
-        best, n = float("inf"), 0
-        # best-of-2: transient scheduler noise (VM steal, GC) otherwise
-        # lands on whichever query it happens to hit
-        for _ in range(2):
+    counts: dict[str, int] = {}
+    for _pass in range(2):
+        for name in BENCH_QUERIES:
             t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            df = specs[name].fn(spark, SF_DIR)
+            counts[name] = df.count()
+            el = time.perf_counter() - t0
+            timings[name] = round(min(timings.get(name, el), el), 3)
+    for name in BENCH_QUERIES:
+        print(
+            f"# {name}: {timings[name]}s ({counts[name]} rows)",
+            file=sys.stderr,
+        )
 
     # Reproduce the baseline's parallel-OCR scaling claim (BASELINE.md:
     # ~5h serial → ~15min on 24 cores, "nearly linear") with a
