@@ -169,33 +169,52 @@ def lsh_near_pairs(
     dim: int,
     threshold: float = 0.35,
     n_planes: int = 8,
+    n_tables: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """LSH-accelerated near-duplicate PAIRS over embeddings: bucket by
-    sign signature, generate candidates within buckets, verify with
-    exact cosine ≥ ``threshold``.
+    """LSH-accelerated near-duplicate PAIRS over embeddings:
+    ``n_tables`` independent sign-signature tables (different seeded
+    hyperplane sets), candidates = same bucket in ANY table, then
+    exact cosine ≥ ``threshold`` verification.
 
     The scale path for ``dedup_embedding_cosine``'s brute force: cost
-    is Σ bucket_size² instead of n² — with b buckets and balanced
-    hashing, a ~b× reduction. Recall < 1 by construction (similar
-    pairs straddling a hyperplane land in different buckets); raise it
-    with multiple tables (union over seeds) exactly like MinHash
-    banding. Verified-subset property is tested against brute force.
+    is Σ bucket_size² per table instead of n².  A single table misses
+    similar pairs that straddle one hyperplane; with t tables a pair
+    colliding in any table survives — miss probability decays
+    exponentially in t (the OR-amplification MinHash banding uses).
+    Candidates are distinct-ed across tables before the (more
+    expensive) verification, so each pair verifies once.
+    Verified-subset property is tested against brute force.
     """
-    sig = lsh_signature(embedding_col, dim, n_planes, seed)
     tagged = df.select(
-        F.col(id_col), F.col(embedding_col).alias("_e"), sig.alias("_sig")
+        F.col(id_col),
+        F.col(embedding_col).alias("_e"),
+        F.array(
+            *[
+                lsh_signature(embedding_col, dim, n_planes, seed + 1000 * t)
+                for t in range(n_tables)
+            ]
+        ).alias("_sigs"),
     )
-    a = tagged.select(
-        F.col(id_col).alias("id_a"), F.col("_e").alias("e_a"), "_sig"
+    exploded = tagged.select(
+        id_col, "_e", F.posexplode("_sigs").alias("_table", "_sig")
     )
-    b = tagged.select(
-        F.col(id_col).alias("id_b"), F.col("_e").alias("e_b"), "_sig"
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("_e").alias("e_a"),
+        "_table", "_sig",
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("_e").alias("e_b"),
+        "_table", "_sig",
+    )
+    candidates = (
+        a.join(b, ["_table", "_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "e_a", "e_b")
+        .distinct()
     )
     return (
-        a.join(b, "_sig")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_sim", cosine_similarity("e_a", "e_b"))
+        candidates.withColumn("_sim", cosine_similarity("e_a", "e_b"))
         .filter(F.col("_sim") >= threshold)
         .select("id_a", "id_b", F.round("_sim", 4).alias("sim"))
     )

@@ -147,17 +147,23 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     "dedup_embedding_lsh",
     None,  # bucket recall is probabilistic → rows-only; subset-of-
     # brute-force property tested in pytest
-    doc="LSH-accelerated embedding near-dup pairs: sign-signature "
-    "buckets → within-bucket candidates → exact cosine ≥ 0.35 verify. "
-    "The Σ bucket² scale path for dedup_embedding_cosine's n² brute "
-    "force; every emitted pair is exact-verified (no false "
-    "positives).",
+    doc="LSH-accelerated embedding near-dup pairs: 3 independent "
+    "sign-signature tables (OR-amplified recall), within-bucket "
+    "candidates distinct-ed across tables, exact cosine ≥ 0.35 "
+    "verify. The Σ bucket² scale path for dedup_embedding_cosine's "
+    "n² brute force; every emitted pair is exact-verified (no false "
+    "positives). Regime note: sign-LSH recall is high for TRUE "
+    "near-dups (cos ≥ ~0.9, the production dedup target — "
+    "recall-tested in pytest with constructed pairs); the synthetic "
+    "fixture's 0.35-sim pairs are near-orthogonal, so this entry "
+    "emits a verified sample of them.",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
     return lsh_near_pairs(
-        emb, "embedding", "vec_id", dim=dim, threshold=0.35, n_planes=8
+        emb, "embedding", "vec_id", dim=dim, threshold=0.35,
+        n_planes=8, n_tables=3,
     )
 
 

@@ -249,6 +249,44 @@ def test_embedding_lsh_pairs_subset_of_bruteforce(spark):
     assert lsh  # buckets actually produce candidates on the fixture
 
 
+def test_embedding_lsh_recall_in_design_regime(spark):
+    """Sign-LSH recall is exponential in plane-agreement probability:
+    for TRUE near-dups (cos ≥ 0.95, what production dedup targets)
+    recall with 8 planes × 3 tables is high; the fixture's moderate
+    0.35-similarity pairs are near-orthogonal and inherently hard for
+    any hyperplane scheme. Construct real near-dups to test the
+    design regime."""
+    import random
+
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        lsh_near_pairs,
+    )
+
+    rng = random.Random(7)
+    dim = 32
+    rows = []
+    expected = set()
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((2 * i, [float(v) for v in base]))
+        # near-dup partner: tiny perturbation → cos ≈ 0.999
+        rows.append(
+            (2 * i + 1, [float(v + rng.gauss(0, 0.01)) for v in base])
+        )
+        expected.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_pairs(
+            df, "embedding", "vec_id", dim=dim, threshold=0.95
+        ).collect()
+    }
+    found = got & expected
+    assert len(found) >= 0.9 * len(expected), (
+        f"recall {len(found)}/{len(expected)}"
+    )
+
+
 def test_minhash_lsh_subset_of_exact(spark):
     docs = load_table(spark, SF0001, "documents")
     exact = {
