@@ -72,13 +72,23 @@ def word_ngrams(c: Column | str, n: int = 3) -> Column:
     Built from native ``transform`` + ``slice`` over the token array —
     no UDF, so it vectorizes JVM-side.  Documents shorter than ``n``
     tokens yield a single shingle of all their tokens.
+
+    The token array is let-bound via a 1-element array wrapper: HOF
+    lambda bodies are evaluated per element with no common
+    subexpression elimination, so referencing the split expression
+    directly inside the inner lambda would re-run the regex split per
+    shingle (O(tokens²) per document).  Binding it to a lambda
+    variable evaluates it exactly once.
     """
-    t = tokens(c)
-    n_sh = F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
     return F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
+        F.array(tokens(c)),
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    )[0]
 
 
 def quality_score(c: Column | str) -> Column:

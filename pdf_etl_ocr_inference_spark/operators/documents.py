@@ -60,13 +60,20 @@ def chunk_native(
     filter applied post-chunk (ref ``02:230``).
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    n_chunks = F.ceil(F.size(toks) / F.lit(window)).cast("int")
+    # Materialize the token array as a column BEFORE the transform:
+    # HOF lambdas re-evaluate inlined subexpressions per element, so
+    # referencing the split expression inside the lambda would re-split
+    # the document once per chunk (O(len²)).  A column reference is an
+    # attribute lookup — evaluated once per row.
+    tc = F.col("_toks")
+    n_chunks = F.ceil(F.size(tc) / F.lit(window)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * window + 1, window)),
+        lambda i: F.concat_ws(" ", F.slice(tc, i * window + 1, window)),
     )
     return (
         ensure_min_parallelism(df)
+        .withColumn("_toks", toks)
         .withColumn("_chunks", chunks)
         .select(
             *[c for c in df.columns if c != text_col],

@@ -273,15 +273,26 @@ def op67_histogram(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "op30e_argminmax",
+    # DuckDB arg_max can't take a composite ordering key, so the
+    # tie-free oracle is expressed with rank-1 window rows instead.
+    "WITH ranked AS (SELECT c_mktsegment, c_name, "
+    "ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
+    "ORDER BY c_acctbal DESC, c_name DESC) AS r_max, "
+    "ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
+    "ORDER BY c_acctbal ASC, c_name ASC) AS r_min FROM customer) "
     "SELECT c_mktsegment, "
-    "ARG_MAX(c_name, c_acctbal) AS richest, "
-    "ARG_MIN(c_name, c_acctbal) AS poorest "
-    "FROM customer GROUP BY c_mktsegment",
+    "MAX(CASE WHEN r_max = 1 THEN c_name END) AS richest, "
+    "MAX(CASE WHEN r_min = 1 THEN c_name END) AS poorest "
+    "FROM ranked GROUP BY c_mktsegment",
     doc="max_by/min_by aggregates (DuckDB arg_max/arg_min) — the "
-    "pick-the-row-attaining-the-extreme idiom without a self-join.",
+    "pick-the-row-attaining-the-extreme idiom without a self-join. "
+    "The ordering key is (c_acctbal, c_name), not bare c_acctbal: "
+    "max_by tie-breaking is engine-specific, so a duplicate balance "
+    "within a segment would otherwise be nondeterministic.",
 )
 def op30e_argminmax(spark: SparkSession, sf: str) -> DataFrame:
+    tie_free = F.struct("c_acctbal", "c_name")
     return _t(spark, sf, "customer").groupBy("c_mktsegment").agg(
-        F.max_by("c_name", "c_acctbal").alias("richest"),
-        F.min_by("c_name", "c_acctbal").alias("poorest"),
+        F.max_by("c_name", tie_free).alias("richest"),
+        F.min_by("c_name", tie_free).alias("poorest"),
     )

@@ -225,10 +225,13 @@ def op56b_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     "  JOIN reach r ON p.id_b = r.doc_id) "
     "SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id",
     doc="connected-components clustering over exact-duplicate pairs: "
-    "iterative min-label propagation (converges in O(log d) rounds, "
-    "d = component diameter; duplicate components are cliques → 1 "
-    "round). The step that turns pairwise dedup output into "
-    "keep/drop groups. Oracle = recursive CTE over the same pairs.",
+    "iterative min-label propagation (converges in O(d) rounds, "
+    "d = component diameter — log-round convergence would need "
+    "pointer doubling; duplicate components are cliques → 1 round). "
+    "Runs to convergence with a safety cap and raises rather than "
+    "returning unconverged ids. The step that turns pairwise dedup "
+    "output into keep/drop groups. Oracle = recursive CTE over the "
+    "same pairs.",
 )
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.functions.text import doc_fingerprint
@@ -260,7 +263,14 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .localCheckpoint()
     )
-    for _ in range(8):  # ≥ log2(diameter) rounds; dup cliques need 1
+    # Plain neighbor-min propagation needs O(diameter) rounds (NOT
+    # log2 — that would require pointer doubling / large-star small-star
+    # a la Kiveris CC).  Exact-dup components are cliques (1 round),
+    # but a chain-shaped pair graph is possible for near-dup inputs, so
+    # run to convergence and fail loudly instead of returning wrong ids.
+    max_rounds = 64
+    converged = False
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges["id_b"] == labels["doc_id"])
             .groupBy("id_a")
@@ -288,7 +298,14 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge in "
+            f"{max_rounds} rounds (pair-graph diameter > {max_rounds}); "
+            "raise max_rounds or switch to pointer-doubling CC"
+        )
     return docs.select("doc_id").join(
         labels.withColumnRenamed("cluster_id", "_cc"), "doc_id", "left"
     ).select(

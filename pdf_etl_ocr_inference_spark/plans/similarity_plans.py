@@ -253,11 +253,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.functions.vector import dot_product, l2_norm
 
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 1000)
-    unit = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda v: v.cast("double") / l2_norm("embedding")
-        ).alias("u"),
+    # Hoist the norm to its own column FIRST: an aggregate inside the
+    # transform lambda would be re-evaluated per element (O(dim²)/row).
+    unit = (
+        emb.withColumn("_norm", l2_norm("embedding"))
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda v: v.cast("double") / F.col("_norm")
+            ).alias("u"),
+        )
     )
     a = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
     b = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))

@@ -79,13 +79,16 @@ def op55_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     totals = user_running_totals(stream)
     out = run_available_now(totals, output_mode="update")
     # one emitted row per (user, micro-batch); the LAST emission per
-    # user is the caught-up state.  With a single input file there is
-    # one batch, but don't rely on it — reduce to the final state.
+    # user is the caught-up state.  n_events is strictly monotone per
+    # user across emissions (each micro-batch a user appears in adds
+    # >=1 event), so max_by(total_value, n_events) deterministically
+    # selects the final state.  max(total_value) would NOT: value is
+    # only monotone when event values are non-negative.
     return (
         out.groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.round(F.max("total_value"), 2).alias("total_value"),
+            F.round(F.max_by("total_value", "n_events"), 2).alias("total_value"),
         )
     )
 

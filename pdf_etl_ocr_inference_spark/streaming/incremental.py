@@ -27,14 +27,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# One wrapper dir per resolved source file, created lazily and reused
+# for the process lifetime — repeated catalog/bench/gate passes must
+# not leak a fresh mkdtemp per call.
+_STREAM_DIR_CACHE: dict = {}
+
+
 def _as_stream_dir(path: str) -> str:
     """The file streaming source requires a *directory*.  A production
     table is a directory of parquet files already; the single-file
-    testdata fixtures get symlinked into a temp dir."""
+    testdata fixtures get symlinked into a (cached, per-source) temp
+    dir."""
     if os.path.isdir(path):
         return path
-    d = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+    key = os.path.abspath(path)
+    d = _STREAM_DIR_CACHE.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(key, os.path.join(d, os.path.basename(path)))
+        _STREAM_DIR_CACHE[key] = d
     return d
 
 

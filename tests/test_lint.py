@@ -1,0 +1,89 @@
+"""AST lint: no expensive expression re-evaluated inside a HOF lambda.
+
+Spark higher-order functions (``transform``/``aggregate``/``zip_with``/
+``filter``/``exists``/``forall``) evaluate their lambda body once PER
+ELEMENT, with no common-subexpression elimination across elements.  An
+O(len)-or-worse expression inlined in the lambda body therefore turns a
+linear pass into a quadratic one — the class of bug the round-1 review
+found in ``dedup_embedding_cosine`` (``l2_norm`` inside ``transform``:
+O(dim²)/row) and in ``word_ngrams``/``chunk_native`` (regex split
+re-run per shingle/chunk).
+
+The fix patterns are (a) hoist to a ``withColumn`` before the HOF —
+attribute references inside a lambda are row lookups, not recomputes —
+or (b) let-bind via a 1-element array wrapper
+(``transform(array(expr), lambda t: ...)`` as in ``word_ngrams``).
+
+This test walks every lambda passed to a HOF in the package source and
+fails on calls to known O(len)+ expression builders inside the body.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+
+PKG = pathlib.Path(__file__).resolve().parents[1] / "pdf_etl_ocr_inference_spark"
+
+HOF_NAMES = {"transform", "aggregate", "zip_with", "filter", "exists", "forall"}
+
+# Expression-producing helpers that cost O(len(array/string)) or worse
+# per evaluation.  Referencing a *column* inside a lambda is fine (row
+# attribute lookup); *building* one of these inside a lambda is not.
+EXPENSIVE_CALLS = {
+    # pyspark.sql.functions aggregating/scanning an array or string
+    "aggregate", "array_sort", "array_distinct", "sort_array",
+    "split", "regexp_replace", "sequence",
+    # package vector/text helpers that expand to aggregates/splits
+    "l2_norm", "dot_product", "cosine_similarity", "l2_distance",
+    "tokens", "word_ngrams", "normalize_text", "doc_fingerprint",
+    "shingles",
+}
+
+# (file, lambda lineno, offending call) triples reviewed and accepted.
+ALLOWLIST: set[tuple[str, str]] = {
+    # word_ngrams let-binding wrapper: the outer transform iterates a
+    # 1-element array, so its lambda body (which builds the inner
+    # sequence/transform) runs exactly once per row by construction.
+    ("functions/text.py", "sequence"),
+}
+
+
+def _call_name(node: ast.Call) -> str | None:
+    f = node.func
+    if isinstance(f, ast.Attribute):
+        return f.attr
+    if isinstance(f, ast.Name):
+        return f.id
+    return None
+
+
+def _violations_in(path: pathlib.Path) -> list[str]:
+    tree = ast.parse(path.read_text(), filename=str(path))
+    rel = str(path.relative_to(PKG))
+    out: list[str] = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        if _call_name(node) not in HOF_NAMES:
+            continue
+        for arg in list(node.args) + [kw.value for kw in node.keywords]:
+            if not isinstance(arg, ast.Lambda):
+                continue
+            for inner in ast.walk(arg.body):
+                if isinstance(inner, ast.Call):
+                    name = _call_name(inner)
+                    if name in EXPENSIVE_CALLS and (rel, name) not in ALLOWLIST:
+                        out.append(
+                            f"{rel}:{arg.lineno}: `{name}(...)` inside a "
+                            f"HOF lambda — hoist to a column or let-bind "
+                            f"(see tests/test_lint.py docstring)"
+                        )
+    return out
+
+
+def test_no_expensive_expression_inside_hof_lambda():
+    violations: list[str] = []
+    for path in sorted(PKG.rglob("*.py")):
+        violations.extend(_violations_in(path))
+    assert not violations, "\n".join(violations)
