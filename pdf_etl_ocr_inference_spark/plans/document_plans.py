@@ -93,7 +93,9 @@ def op20_derive_filename(spark: SparkSession, sf: str) -> DataFrame:
     "(exists-check makes task retries safe, ref 01:100-101), stat "
     "sizes. file:// fetcher copies staged text files, so filesize = "
     "n_chars (ASCII) — fully oracle-checkable despite the side "
-    "effects.",
+    "effects. Fixture staging is itself a distributed mapInPandas "
+    "write (atomic rename per blob ⇒ retry-safe) — the query contains "
+    "no data collect().",
 )
 def op06_fetch_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     import os
@@ -103,11 +105,10 @@ def op06_fetch_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     src_dir = "/tmp/spark_graft_scratch/blobs_src"
     dst_dir = "/tmp/spark_graft_scratch/blobs_dst"
     docs = _t(spark, sf, "documents").select("doc_id", "text")
-    # stage source blobs (driver-side; tiny control fixture). Marker
-    # keys on the SF DIR, not the row count — sf0.001 and sf0.01 both
-    # have 500 docs with different text, so a count-keyed marker would
-    # keep stale blobs across SF switches.
-    rows = docs.collect()
+    # Stage source blobs with a DISTRIBUTED write (local-mode executors
+    # share the FS). Marker keys on the SF DIR, not the row count —
+    # sf0.001 and sf0.01 both have 500 docs with different text, so a
+    # count-keyed marker would keep stale blobs across SF switches.
     sf_tag = os.path.basename(os.path.normpath(sf))
     marker = os.path.join(src_dir, f".staged_{sf_tag}")
     if not os.path.exists(marker):
@@ -118,11 +119,26 @@ def op06_fetch_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         for d in (src_dir, dst_dir):
             shutil.rmtree(d, ignore_errors=True)
         os.makedirs(src_dir, exist_ok=True)
-        for r in rows:
-            with open(
-                os.path.join(src_dir, f"{r['doc_id']:06d}.txt"), "w"
-            ) as f:
-                f.write(r["text"])
+
+        def _stage(batches):
+            import os as _os
+
+            import pandas as pd
+
+            n = 0
+            for pdf in batches:
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    path = _os.path.join(src_dir, f"{int(doc_id):06d}.txt")
+                    tmp = f"{path}.tmp.{_os.getpid()}"
+                    with open(tmp, "w") as f:
+                        f.write(text)
+                    _os.replace(tmp, path)  # atomic ⇒ task-retry safe
+                    n += 1
+            yield pd.DataFrame({"n_staged": [n]})
+
+        docs.mapInPandas(_stage, "n_staged long").agg(
+            F.sum("n_staged")
+        ).count()  # control-only action: triggers the distributed write
         open(marker, "w").close()
 
     work = docs.select(
