@@ -115,6 +115,36 @@ def op34c_window_ranks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op34d_scalable_ranks",
+    # SAME oracle as op34c — the scalable formulation must be
+    # value-identical to the single-task window
+    "SELECT c_custkey, "
+    "NTILE(4) OVER w AS quartile, "
+    "ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank, "
+    "ROUND(CUME_DIST() OVER w, 6) AS cume "
+    "FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)",
+    doc="op34c's runnable scale substitute: global ntile/percent_rank/"
+    "cume_dist WITHOUT a single-task window — quantile-bucket the sort "
+    "key (approxQuantile, one pass), rank within buckets in parallel, "
+    "add broadcast per-bucket offsets, derive the metrics "
+    "arithmetically. Oracle-identical to op34c; plan-tested to run "
+    ">1 task.",
+)
+def op34d_scalable_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.ranking import (
+        global_rank_metrics,
+    )
+
+    out = global_rank_metrics(
+        _t(spark, sf, "customer"),
+        order_cols=["c_acctbal", "c_custkey"],
+        ntiles=4,
+        num_buckets=32,
+    )
+    return out.select("c_custkey", "quartile", "pct_rank", "cume")
+
+
+@register(
     "op65_udtf",
     "SELECT doc_id, pos, tok FROM ("
     "  SELECT doc_id, UNNEST(GENERATE_SERIES(1, LEAST(5, LEN(w)))) AS i, w "

@@ -149,6 +149,61 @@ def op10_change_data_feed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op10b_cdf_compaction",
+    # final state after v0 insert-all, v1 (update %10==3 / delete
+    # %10==7), compact-through-1, v2 (delete %10==5): rows whose
+    # doc_id%10 ∉ {5,7}, with %10==3 texts carrying the update marker
+    "SELECT doc_id, (doc_id % 10 = 3) AS updated, n_chars "
+    "FROM documents WHERE doc_id % 10 NOT IN (5, 7)",
+    doc="change-feed compaction: fold v<=1 into a base snapshot, then "
+    "apply a post-compaction commit. snapshot() over [base + v2] must "
+    "equal the never-compacted state — the oracle derives that state "
+    "arithmetically from documents. Proves compaction preserves "
+    "reconstruction while bounding snapshot cost by current size, not "
+    "history length.",
+)
+def op10b_cdf_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        commit_changes,
+        compact,
+        diff_snapshots,
+        snapshot,
+    )
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+
+    cdf_dir = tempfile.mkdtemp(prefix="cdfc_")
+    shutil.rmtree(cdf_dir, ignore_errors=True)
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    commit_changes(
+        docs.withColumn("_change_type", F.lit("insert")), cdf_dir, 0
+    )
+    v1 = (
+        docs.filter(F.col("doc_id") % 10 != 7)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 3, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+    )
+    commit_changes(diff_snapshots(docs, v1, "doc_id"), cdf_dir, 1)
+    compact(spark, cdf_dir, key="doc_id", through_version=1)
+    # post-compaction incremental commit: delete %10==5 survivors
+    v2 = v1.filter(F.col("doc_id") % 10 != 5)
+    commit_changes(diff_snapshots(v1, v2, "doc_id"), cdf_dir, 2)
+    snap = snapshot(spark, cdf_dir, key="doc_id")
+    return snap.select(
+        "doc_id", F.col("text").endswith(" v2").alias("updated"), "n_chars"
+    )
+
+
+@register(
     "op45d_stream_stream_join",
     "SELECT p.event_id AS purchase_id, c.event_id AS click_id "
     "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "

@@ -20,8 +20,8 @@ provides the same *capability* on plain parquet:
 
 Scale: commits are append-only directory writes (no rewrite of
 history); ``read_changes(since)`` cost ∝ new data only; ``snapshot``
-shuffles once on the key.  Compaction (folding old versions into a
-base snapshot) is the standard follow-up and orthogonal.
+shuffles once on the key; ``compact`` folds ``v<=N`` into a base
+snapshot so reconstruction cost stops growing with history.
 """
 
 from __future__ import annotations
@@ -44,6 +44,11 @@ def commit_changes(changes: DataFrame, path: str, version: int) -> None:
     recover it as a partition column, and version predicates prune
     directories (a data column wouldn't).
     """
+    if "v" in changes.columns:
+        raise ValueError(
+            "change-feed tables cannot have a data column named 'v': "
+            "it collides with the v=N commit partition column"
+        )
     changes.write.mode("overwrite").parquet(f"{path}/v={version}")
 
 
@@ -124,3 +129,62 @@ def snapshot(
         .filter(F.col("_change_type") != "delete")
     )
     return latest.drop("_rn", "_change_type", "_commit_version")
+
+
+def list_versions(path: str) -> list[int]:
+    """Commit versions present on disk (sorted ascending)."""
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("v=") and os.path.isdir(os.path.join(path, name)):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def compact(
+    spark: SparkSession, path: str, key: str, through_version: int
+) -> None:
+    """Fold commits ``v <= through_version`` into one base-snapshot
+    commit at ``v=through_version``, removing the older directories —
+    so ``snapshot()`` cost stops growing with history length.
+
+    The base is the reconstructed state as-of ``through_version``,
+    rewritten as all-``insert`` rows.  Semantics afterwards:
+
+    - ``snapshot()`` at any ``as_of >= through_version`` is IDENTICAL
+      to pre-compaction (oracle-checked by ``op10b_cdf_compaction``);
+    - ``read_changes(since >= through_version)`` is untouched — those
+      directories are not rewritten;
+    - ``read_changes(since < through_version)`` returns the base
+      insert rows plus later commits: a consumer that fell behind the
+      compaction horizon gets a full re-sync (standard CDF retention
+      behavior);
+    - time travel below the horizon is gone by construction.
+
+    Cost ∝ current snapshot size + history ≤ N being folded, NOT the
+    total feed history; later commits are untouched.  The final
+    multi-directory swap is not transactional on a plain filesystem —
+    a production deployment fronts it with a manifest/log commit (the
+    role Delta's transaction log plays); at this engine's layer the
+    base is staged to a temp dir and moved into place last so a crash
+    mid-compaction loses no committed data (the stale v<=N dirs are
+    still present and a re-run is safe).
+    """
+    import os
+    import shutil
+
+    versions = list_versions(path)
+    to_fold = [v for v in versions if v <= through_version]
+    if not to_fold:
+        return
+    base = snapshot(spark, path, key, as_of_version=through_version)
+    base = base.withColumn("_change_type", F.lit("insert"))
+    tmp = os.path.join(path, f"_compact_tmp_v{through_version}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    base.write.mode("overwrite").parquet(tmp)  # materialize BEFORE rm
+    for v in to_fold:
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    os.replace(tmp, os.path.join(path, f"v={through_version}"))

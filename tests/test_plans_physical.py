@@ -102,3 +102,22 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     plan = _explain(spark, back)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "o_orderstatus" in pf[0]
+
+
+def test_scalable_ranks_runs_multi_task(spark):
+    """op34d (the op34c scale substitute) must NOT funnel the table
+    through a single task: its window partitions by quantile bucket,
+    so the ranking stage runs one task per bucket."""
+    df = _SPECS["op34d_scalable_ranks"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    # the single-task plan signature is an empty window partition spec
+    # forcing SinglePartition distribution — it must be absent; the
+    # ranking window must instead require clustering by the quantile
+    # bucket (hashpartitioning → one task per bucket at scale; AQE may
+    # coalesce the tiny fixture, so assert the DISTRIBUTION, not the
+    # runtime partition count)
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(_b" in plan
+    # while op34c (the §2-faithful surface) IS the single-task window
+    ref = _SPECS["op34c_window_ranks"].fn(spark, SF0001)
+    assert "SinglePartition" in _explain(spark, ref)
