@@ -47,6 +47,26 @@ BENCH_QUERIES = [
 ]
 
 
+def ann_recall(spark, sf_dir: str, specs=None) -> dict[str, float]:
+    """recall@5 of each ANN path vs the exact top-5 (op44's ground
+    truth) on the same corpus — the quality axis the latency numbers
+    alone hide.  Imported by pytest, which asserts floors."""
+    if specs is None:
+        from pdf_etl_ocr_inference_spark.plans import all_specs
+
+        specs = all_specs()
+    exact = {r["vec_id"] for r in specs["op44_topk_cosine"].fn(spark, sf_dir).collect()}
+    out = {}
+    for label, qname in (
+        ("lsh", "ann_lsh_topk"),
+        ("ivf", "ann_ivf_topk"),
+        ("rewrite", "ann_rewrite_topk"),
+    ):
+        got = {r["vec_id"] for r in specs[qname].fn(spark, sf_dir).collect()}
+        out[label] = round(len(got & exact) / len(exact), 3)
+    return out
+
+
 def main() -> None:
     from pdf_etl_ocr_inference_spark.plans import all_specs
     from pdf_etl_ocr_inference_spark.session import _cpus, get_spark
@@ -116,6 +136,9 @@ def main() -> None:
     ocr_speedup = round(serial / par, 1)
     print(f"# ocr stub: serial {serial:.2f}s, parallel {par:.2f}s", file=sys.stderr)
 
+    recalls = ann_recall(spark, SF_DIR, specs)
+    print(f"# ann recall@5 vs exact: {recalls}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -127,6 +150,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ocr_stub_parallel_speedup_32x_ideal": ocr_speedup,
+                "ann_recall_at_5": recalls,
             }
         )
     )

@@ -58,13 +58,27 @@ def topk_exact(
     k: int = 5,
     id_col: str = "vec_id",
     metric: str = "cosine",
+    table_key: str | None = None,
+    exclude_ids: list | None = None,
 ) -> DataFrame:
     """OP-44 brute-force top-k: score every row, take k.
 
     ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — each
     partition keeps a k-heap, driver merges; no global sort shuffle.
     Deterministic tie-break on id.
+
+    ``table_key`` declares that ``df`` is exactly the indexed corpus
+    registered under that key (minus ``exclude_ids``): the similarity
+    hint rides the score column's metadata, and the engine optimizer
+    (``optimizer.rewrite_similarity_topk``) may then substitute the
+    LSH bucket-probe access path for this full scan.  Don't pass it
+    for arbitrarily pre-filtered inputs — the index doesn't know your
+    filter.
     """
+    import json as _json
+
+    if exclude_ids:
+        df = df.filter(~F.col(id_col).isin(list(exclude_ids)))
     q = _as_vec_lit(query_vec)
     if metric == "cosine":
         score = cosine_similarity(F.col(embedding_col), q)
@@ -72,8 +86,23 @@ def topk_exact(
         score = dot_product(F.col(embedding_col), q)
     else:
         raise ValueError(f"unknown metric {metric!r}")
+    score_col = F.round(score, 4)
+    if table_key is not None:
+        from pdf_etl_ocr_inference_spark.optimizer import HINT_KEY
+
+        hint = _json.dumps(
+            {
+                "metric": metric,
+                "query_vec": [float(v) for v in query_vec],
+                "table_key": table_key,
+                "exclude_ids": list(exclude_ids or []),
+            }
+        )
+        scored = score_col.alias("score", metadata={HINT_KEY: hint})
+    else:
+        scored = score_col.alias("score")
     return (
-        df.select(F.col(id_col), F.round(score, 4).alias("score"))
+        df.select(F.col(id_col), scored)
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
@@ -122,6 +151,26 @@ def lsh_signature(
     return sig
 
 
+def query_signature_probes(
+    query_vec: list[float],
+    n_planes: int,
+    seed: int,
+    hamming_radius: int,
+) -> list[int]:
+    """Driver-side query signature + its Hamming-ball multi-probe set
+    (Lv et al. 2007): every bucket differing in ≤ r sign bits."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        dp = sum(a * b for a, b in zip(query_vec, p))
+        qsig += (1 if dp > 0 else 0) * 2**i
+    return [
+        qsig ^ sum(1 << b for b in flipped)
+        for r in range(hamming_radius + 1)
+        for flipped in itertools.combinations(range(n_planes), r)
+    ]
+
+
 def topk_lsh(
     df: DataFrame,
     embedding_col: str,
@@ -131,6 +180,7 @@ def topk_lsh(
     n_planes: int = 8,
     seed: int = 42,
     hamming_radius: int = 2,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: restrict to LSH buckets near the query's
     signature (multi-probe, Lv et al. 2007), then exact cosine
@@ -144,22 +194,26 @@ def topk_lsh(
     single-bucket probe on a sparse corpus frequently returns < k
     candidates, while nearby buckets hold the near-misses that one
     flipped sign bit sent elsewhere.
+
+    ``n_tables`` > 1 OR-amplifies recall with independent plane
+    families (seed + 1000·t, matching ``lsh_near_pairs``): a neighbor
+    missed by one family's ball is caught by another, miss probability
+    decaying exponentially in t.  One scan either way — the per-table
+    membership tests are OR-ed into a single filter.
     """
     dim = len(query_vec)
-    sig_col = lsh_signature(embedding_col, dim, n_planes, seed)
-    # Compute the query's signature driver-side with the same planes.
-    planes = _hyperplanes(dim, n_planes, seed)
-    qsig = 0
-    for i, p in enumerate(planes):
-        dp = sum(a * b for a, b in zip(query_vec, p))
-        qsig += (1 if dp > 0 else 0) * 2**i
-    probes = [
-        qsig ^ sum(1 << b for b in flipped)
-        for r in range(hamming_radius + 1)
-        for flipped in itertools.combinations(range(n_planes), r)
-    ]
-    bucket = df.withColumn("_sig", sig_col).filter(F.col("_sig").isin(probes))
-    return topk_exact(bucket, embedding_col, query_vec, k=k, id_col=id_col)
+    member = None
+    for t in range(n_tables):
+        s = seed + 1000 * t
+        sig_col = lsh_signature(embedding_col, dim, n_planes, s)
+        probes = query_signature_probes(
+            query_vec, n_planes, s, hamming_radius
+        )
+        m = sig_col.isin(probes)
+        member = m if member is None else (member | m)
+    return topk_exact(
+        df.filter(member), embedding_col, query_vec, k=k, id_col=id_col
+    )
 
 
 def lsh_near_pairs(

@@ -1,0 +1,260 @@
+"""Engine optimizer: rewrite brute-force similarity top-k onto an ANN
+index (SURVEY §4.8's one sanctioned custom rule).
+
+The reference's vector search is a managed service: writing to an
+index table and calling ``similarity_search`` routes the query through
+the service's ANN structures (``ocr-tesseract-unstructured.py:
+136-172``).  This module gives the engine the same *optimizer story*
+on open Spark: the user states the DECLARATIVE query — score every
+row with ``cosine_similarity``, ``ORDER BY score DESC LIMIT k`` — and
+the engine substitutes the physically-better access path when one
+exists.
+
+How the rule works (mirrors how Catalyst itself propagates join hints
+— an annotation riding on the plan, matched structurally):
+
+1. ``topk_exact(..., table_key=...)`` embeds a similarity hint in the
+   score column's METADATA (metric, query vector, id/embedding cols,
+   table key).  Metadata survives analysis and projection.
+2. ``rewrite_similarity_topk`` pattern-matches the ANALYZED Catalyst
+   plan — ``GlobalLimit > LocalLimit > Sort(score DESC) > ...`` with a
+   hinted score column — via the JVM plan nodes, and extracts ``k``
+   from the plan's own limit expression (NOT from the API call: the
+   rule sees only the plan, like any Catalyst rule).
+3. If the :class:`IndexCatalog` has an LSH index for the hint's table
+   key, the rule emits the probe plan: scan the signature-PARTITIONED
+   index table with ``_sig IN (multi-probe signatures)`` — partition
+   pruning skips every non-probed bucket directory (visible as
+   ``PartitionFilters`` in the physical plan; plan-tested) — then
+   exact re-rank within candidates.  No match / no index → the plan
+   is returned unchanged (the rule is a no-op, never an error).
+
+At 100 TB: the brute-force plan scans the full corpus per query; the
+rewritten plan reads ``O(probes × bucket)`` — with 8 planes and
+Hamming radius 2, 37/256 of the corpus, and deeper signatures cut it
+geometrically.  The index is derived data: rebuild = one scan, and the
+incremental path is the OP-46 availableNow refresh over the change
+feed (``setop_plans.op43b``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HINT_KEY = "spark_graft.similarity_hint"
+
+_DEFAULT_INDEX_ROOT = "/tmp/spark_graft_scratch/ann_indexes"
+
+
+# ------------------------------------------------------------------
+# Index catalog: table_key -> on-disk LSH index + its parameters
+# ------------------------------------------------------------------
+
+
+def _index_dir(root: str, table_key: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256(table_key.encode()).hexdigest()[:16]
+    return os.path.join(root, h)
+
+
+class IndexCatalog:
+    """Registry of ANN indexes, persisted beside the index data (a
+    ``meta.json`` per index) so it survives sessions — the engine's
+    tiny analogue of a metastore's index catalog."""
+
+    def __init__(self, root: str = _DEFAULT_INDEX_ROOT):
+        self.root = root
+
+    def lookup(self, table_key: str) -> dict | None:
+        meta_path = os.path.join(
+            _index_dir(self.root, table_key), "meta.json"
+        )
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            return json.load(f)
+
+    def register(self, table_key: str, meta: dict) -> None:
+        d = _index_dir(self.root, table_key)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    def drop(self, table_key: str) -> None:
+        import shutil
+
+        shutil.rmtree(_index_dir(self.root, table_key), ignore_errors=True)
+
+
+INDEX_FORMAT_VERSION = 2
+
+
+def build_lsh_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    table_key: str,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 42,
+    n_tables: int = 3,
+    catalog: IndexCatalog | None = None,
+) -> str:
+    """Materialize the LSH index: (id, embedding, _table, _sig)
+    written PARTITIONED BY (table, signature), so a probe is directory
+    pruning.  ``n_tables`` independent plane families (seed + 1000·t)
+    OR-amplify recall — a probe reads the Hamming ball in EVERY table
+    and dedups candidate ids before re-ranking.
+
+    One corpus scan (each row emits ``n_tables`` index rows);
+    signature bits are native column code, no Python.  Returns the
+    index data path.
+    """
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        lsh_signature,
+    )
+
+    cat = catalog or IndexCatalog()
+    dim = len(
+        corpus.select(embedding_col).first()[embedding_col]
+    )
+    d = _index_dir(cat.root, table_key)
+    data_path = os.path.join(d, "data")
+    sigs = F.array(
+        *[
+            lsh_signature(embedding_col, dim, n_planes, seed + 1000 * t)
+            for t in range(n_tables)
+        ]
+    )
+    (
+        corpus.select(
+            F.col(id_col),
+            F.col(embedding_col).alias("embedding"),
+            F.posexplode(sigs).alias("_table", "_sig"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("_table", "_sig")
+        .parquet(data_path)
+    )
+    cat.register(
+        table_key,
+        {
+            "kind": "lsh",
+            "format_version": INDEX_FORMAT_VERSION,
+            "data_path": data_path,
+            "id_col": id_col,
+            "n_planes": n_planes,
+            "seed": seed,
+            "n_tables": n_tables,
+            "dim": dim,
+        },
+    )
+    return data_path
+
+
+# ------------------------------------------------------------------
+# The rewrite rule
+# ------------------------------------------------------------------
+
+
+def _hinted_field(df: DataFrame):
+    for f in df.schema.fields:
+        if f.metadata and HINT_KEY in f.metadata:
+            return f
+    return None
+
+
+def _plan_matches_topk(df: DataFrame, score_name: str) -> int | None:
+    """Structural match on the ANALYZED plan: GlobalLimit(k) >
+    LocalLimit > Sort whose FIRST key is ``score_name`` descending.
+    Returns k, or None if the plan isn't the top-k shape."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.nodeName() != "GlobalLimit":
+            return None
+        k = int(node.limitExpr().toString())
+        node = node.children().head()
+        if node.nodeName() != "LocalLimit":
+            return None
+        node = node.children().head()
+        if node.nodeName() != "Sort":
+            return None
+        first = node.order().head()
+        if first.direction().toString() != "Descending":
+            return None
+        child = first.child()
+        # the sort key must BE the hinted score attribute
+        if not hasattr(child, "name") or child.name() != score_name:
+            return None
+        return k
+    except Exception:
+        return None  # unexpected plan shapes never break the query
+
+
+def rewrite_similarity_topk(
+    df: DataFrame,
+    catalog: IndexCatalog | None = None,
+    hamming_radius: int = 2,
+) -> DataFrame:
+    """THE rule: brute-force cosine top-k over an indexed table →
+    LSH bucket probe + exact re-rank.  Returns ``df`` unchanged when
+    the pattern or the index is absent."""
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        query_signature_probes,
+        topk_exact,
+    )
+
+    field = _hinted_field(df)
+    if field is None:
+        return df
+    hint = json.loads(field.metadata[HINT_KEY])
+    if hint.get("metric") != "cosine" or not hint.get("table_key"):
+        return df
+    k = _plan_matches_topk(df, field.name)
+    if k is None:
+        return df
+    cat = catalog or IndexCatalog()
+    idx = cat.lookup(hint["table_key"])
+    if (
+        idx is None
+        or idx.get("kind") != "lsh"
+        or idx.get("format_version") != INDEX_FORMAT_VERSION
+    ):
+        return df
+    qvec = hint["query_vec"]
+    if len(qvec) != idx["dim"]:
+        return df
+
+    spark = df.sparkSession
+    index_df = spark.read.parquet(idx["data_path"])
+    # probe the Hamming ball in EVERY table: (_table, _sig) are both
+    # partition columns, so the OR-of-ANDs predicate prunes to exactly
+    # the probed bucket directories
+    member = None
+    for t in range(idx["n_tables"]):
+        probes = query_signature_probes(
+            qvec, idx["n_planes"], idx["seed"] + 1000 * t, hamming_radius
+        )
+        m = (F.col("_table") == t) & F.col("_sig").isin(probes)
+        member = m if member is None else (member | m)
+    cand = index_df.filter(member)
+    excl = hint.get("exclude_ids") or []
+    if excl:
+        cand = cand.filter(~F.col(idx["id_col"]).isin(excl))
+    # a candidate id can surface from several tables — dedup before
+    # the exact re-rank so each embedding scores once
+    cand = cand.dropDuplicates([idx["id_col"]])
+    return topk_exact(
+        cand, "embedding", qvec, k=k, id_col=idx["id_col"], metric="cosine"
+    )
+
+
+def optimize(df: DataFrame, catalog: IndexCatalog | None = None) -> DataFrame:
+    """Engine optimizer entry point: apply every rewrite rule (one
+    today) until fixpoint-in-one-pass; unchanged plans pass through."""
+    return rewrite_similarity_topk(df, catalog=catalog)

@@ -140,7 +140,52 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         qvec,
         k=5,
         n_planes=8,
+        n_tables=3,
     )
+
+
+@register(
+    "ann_rewrite_topk",
+    None,  # approximate (bucket probe) → rows-only; subset/recall vs
+    # op44 asserted in pytest, plan-tested to probe partitions
+    doc="SURVEY §4.8's sanctioned rewrite rule, end-to-end: the query "
+    "is DECLARED as brute-force cosine top-k (op44's shape, hinted "
+    "with its table key); the engine optimizer matches the analyzed "
+    "GlobalLimit>LocalLimit>Sort(score DESC) plan, finds the LSH "
+    "index in the IndexCatalog, and substitutes the bucket-probe "
+    "access path — a partition-pruned scan of the signature-"
+    "partitioned index (PartitionFilters prune non-probed buckets) "
+    "+ exact re-rank. No index ⇒ the plan runs unchanged.",
+)
+def ann_rewrite_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.similarity import topk_exact
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        IndexCatalog,
+        build_lsh_index,
+        optimize,
+    )
+
+    from pdf_etl_ocr_inference_spark.optimizer import INDEX_FORMAT_VERSION
+
+    emb = _t(spark, sf, "embeddings")
+    table_key = f"{sf}/embeddings"
+    cat = IndexCatalog()
+    meta = cat.lookup(table_key)  # build once per SF (idempotent);
+    # rebuild when the on-disk index predates the current layout
+    if meta is None or meta.get("format_version") != INDEX_FORMAT_VERSION:
+        build_lsh_index(
+            spark, emb, table_key, id_col="vec_id",
+            embedding_col="embedding", n_planes=8, seed=42, n_tables=3,
+        )
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    brute = topk_exact(
+        emb, "embedding", qvec, k=5, id_col="vec_id",
+        table_key=table_key, exclude_ids=[0],
+    )
+    return optimize(brute)
 
 
 @register(
