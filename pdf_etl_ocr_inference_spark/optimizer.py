@@ -32,9 +32,12 @@ How the rule works (mirrors how Catalyst itself propagates join hints
 At 100 TB: the brute-force plan scans the full corpus per query; the
 rewritten plan reads ``O(probes × bucket)`` — with 8 planes and
 Hamming radius 2, 37/256 of the corpus, and deeper signatures cut it
-geometrically.  The index is derived data: rebuild = one scan, and the
-incremental path is the OP-46 availableNow refresh over the change
-feed (``setop_plans.op43b``).
+geometrically.  The index is derived data: ``build_lsh_index`` is the
+one-scan (re)build, and :func:`refresh_lsh_index` folds change-feed
+commits in APPEND-ONLY (live rows + tombstones; liveness resolved per
+bucket at probe time) so maintenance cost is ∝ changes, never a
+corpus rescan — the open equivalent of the reference's triggered
+delta-sync index (``ocr:149``).
 """
 
 from __future__ import annotations
@@ -91,7 +94,7 @@ class IndexCatalog:
         shutil.rmtree(_index_dir(self.root, table_key), ignore_errors=True)
 
 
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3
 
 
 def build_lsh_index(
@@ -105,41 +108,33 @@ def build_lsh_index(
     n_tables: int = 3,
     catalog: IndexCatalog | None = None,
 ) -> str:
-    """Materialize the LSH index: (id, embedding, _table, _sig)
-    written PARTITIONED BY (table, signature), so a probe is directory
-    pruning.  ``n_tables`` independent plane families (seed + 1000·t)
-    OR-amplify recall — a probe reads the Hamming ball in EVERY table
-    and dedups candidate ids before re-ranking.
+    """Materialize the LSH index: (id, embedding, version, tombstone)
+    rows written PARTITIONED BY (table, signature), so a probe is
+    directory pruning.  ``n_tables`` independent plane families
+    (seed + 1000·t) OR-amplify recall — a probe reads the Hamming ball
+    in EVERY table and dedups candidate ids before re-ranking.
 
-    One corpus scan (each row emits ``n_tables`` index rows);
-    signature bits are native column code, no Python.  Returns the
-    index data path.
+    The index is DERIVED DATA maintained append-only: the base build
+    writes version 0; :func:`refresh_lsh_index` appends live rows and
+    tombstones for change-feed commits, and probes resolve liveness
+    per bucket (latest version wins).  One corpus scan (each row emits
+    ``n_tables`` index rows); signature bits are native column code,
+    no Python.  Returns the index data path.
     """
-    from pdf_etl_ocr_inference_spark.operators.similarity import (
-        lsh_signature,
-    )
-
     cat = catalog or IndexCatalog()
     dim = len(
         corpus.select(embedding_col).first()[embedding_col]
     )
     d = _index_dir(cat.root, table_key)
     data_path = os.path.join(d, "data")
-    sigs = F.array(
-        *[
-            lsh_signature(embedding_col, dim, n_planes, seed + 1000 * t)
-            for t in range(n_tables)
-        ]
-    )
-    (
-        corpus.select(
-            F.col(id_col),
-            F.col(embedding_col).alias("embedding"),
-            F.posexplode(sigs).alias("_table", "_sig"),
-        )
-        .write.mode("overwrite")
-        .partitionBy("_table", "_sig")
-        .parquet(data_path)
+    import shutil
+
+    shutil.rmtree(data_path, ignore_errors=True)  # full rebuild
+    _index_rows(
+        corpus, id_col, embedding_col, dim, n_planes, seed, n_tables,
+        version=0, deleted=False,
+    ).write.mode("overwrite").partitionBy("_table", "_sig").parquet(
+        data_path
     )
     cat.register(
         table_key,
@@ -152,9 +147,140 @@ def build_lsh_index(
             "seed": seed,
             "n_tables": n_tables,
             "dim": dim,
+            "last_version": 0,
         },
     )
     return data_path
+
+
+def _index_rows(
+    df: DataFrame,
+    id_col: str,
+    embedding_col: str,
+    dim: int,
+    n_planes: int,
+    seed: int,
+    n_tables: int,
+    version: int,
+    deleted: bool,
+) -> DataFrame:
+    """(id, embedding, _commit_version, _deleted, _table, _sig) rows —
+    one per (input row × table), signatures computed natively."""
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        lsh_signature,
+    )
+
+    sigs = F.array(
+        *[
+            lsh_signature(embedding_col, dim, n_planes, seed + 1000 * t)
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(embedding_col).alias("embedding"),
+        F.lit(version).cast("long").alias("_commit_version"),
+        F.lit(deleted).alias("_deleted"),
+        F.posexplode(sigs).alias("_table", "_sig"),
+    )
+
+
+def refresh_lsh_index(
+    spark: SparkSession,
+    table_key: str,
+    changes: DataFrame,
+    version: int,
+    embedding_col: str = "embedding",
+    catalog: IndexCatalog | None = None,
+) -> None:
+    """Incrementally fold ONE change-feed commit into the index —
+    append-only, cost ∝ |changes|, never a corpus rescan (the managed
+    analogue is the reference's TRIGGERED delta-sync index, ocr:149).
+
+    ``changes`` carries (id, embedding, _change_type) rows, the
+    contract of ``streaming.changefeed.read_changes``/
+    ``diff_snapshots``:
+
+    - insert / update_postimage → LIVE rows in the NEW embedding's
+      buckets;
+    - delete / update_preimage → TOMBSTONES in the OLD embedding's
+      buckets (the preimage embedding tells us which buckets the stale
+      entry sits in — no index lookup needed).
+
+    Probes resolve per (id, table, bucket): latest version wins, live
+    beats tombstone at equal version (an in-place update whose bucket
+    didn't change lands both rows in one bucket).  Periodic
+    ``build_lsh_index`` is the compaction that folds tombstones away.
+    """
+    cat = catalog or IndexCatalog()
+    idx = cat.lookup(table_key)
+    if idx is None or idx.get("format_version") != INDEX_FORMAT_VERSION:
+        raise ValueError(f"no current-format LSH index for {table_key!r}")
+    if version <= idx["last_version"]:
+        return  # already folded (idempotent on driver-retry)
+    common = dict(
+        id_col=idx["id_col"], embedding_col=embedding_col,
+        dim=idx["dim"], n_planes=idx["n_planes"], seed=idx["seed"],
+        n_tables=idx["n_tables"], version=version,
+    )
+    live = _index_rows(
+        changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ),
+        deleted=False,
+        **common,
+    )
+    dead = _index_rows(
+        changes.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ),
+        deleted=True,
+        **common,
+    )
+    live.unionByName(dead).write.mode("append").partitionBy(
+        "_table", "_sig"
+    ).parquet(idx["data_path"])
+    idx["last_version"] = version
+    cat.register(table_key, idx)
+
+
+def probe_lsh_index(
+    spark: SparkSession,
+    idx: dict,
+    query_vec: list[float],
+    hamming_radius: int = 2,
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """Partition-pruned candidate set for a query: the Hamming ball in
+    every table, liveness resolved per bucket (latest version wins,
+    live beats tombstone on ties), deduped by id."""
+    from pyspark.sql import Window
+
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        query_signature_probes,
+    )
+
+    index_df = spark.read.parquet(idx["data_path"])
+    member = None
+    for t in range(idx["n_tables"]):
+        probes = query_signature_probes(
+            query_vec, idx["n_planes"], idx["seed"] + 1000 * t,
+            hamming_radius,
+        )
+        m = (F.col("_table") == t) & F.col("_sig").isin(probes)
+        member = m if member is None else (member | m)
+    cand = index_df.filter(member)
+    if exclude_ids:
+        cand = cand.filter(~F.col(idx["id_col"]).isin(list(exclude_ids)))
+    w = Window.partitionBy(idx["id_col"], "_table", "_sig").orderBy(
+        F.desc("_commit_version"), F.asc("_deleted")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (~F.col("_deleted")))
+        .dropDuplicates([idx["id_col"]])
+        .select(idx["id_col"], "embedding")
+    )
 
 
 # ------------------------------------------------------------------
@@ -205,7 +331,6 @@ def rewrite_similarity_topk(
     LSH bucket probe + exact re-rank.  Returns ``df`` unchanged when
     the pattern or the index is absent."""
     from pdf_etl_ocr_inference_spark.operators.similarity import (
-        query_signature_probes,
         topk_exact,
     )
 
@@ -230,25 +355,13 @@ def rewrite_similarity_topk(
     if len(qvec) != idx["dim"]:
         return df
 
-    spark = df.sparkSession
-    index_df = spark.read.parquet(idx["data_path"])
-    # probe the Hamming ball in EVERY table: (_table, _sig) are both
-    # partition columns, so the OR-of-ANDs predicate prunes to exactly
-    # the probed bucket directories
-    member = None
-    for t in range(idx["n_tables"]):
-        probes = query_signature_probes(
-            qvec, idx["n_planes"], idx["seed"] + 1000 * t, hamming_radius
-        )
-        m = (F.col("_table") == t) & F.col("_sig").isin(probes)
-        member = m if member is None else (member | m)
-    cand = index_df.filter(member)
-    excl = hint.get("exclude_ids") or []
-    if excl:
-        cand = cand.filter(~F.col(idx["id_col"]).isin(excl))
-    # a candidate id can surface from several tables — dedup before
-    # the exact re-rank so each embedding scores once
-    cand = cand.dropDuplicates([idx["id_col"]])
+    cand = probe_lsh_index(
+        df.sparkSession,
+        idx,
+        qvec,
+        hamming_radius=hamming_radius,
+        exclude_ids=hint.get("exclude_ids") or [],
+    )
     return topk_exact(
         cand, "embedding", qvec, k=k, id_col=idx["id_col"], metric="cosine"
     )

@@ -189,6 +189,60 @@ def ann_rewrite_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "ann_index_incremental",
+    None,  # approximate bucket probe → rows-only; refresh ≡ rebuild
+    # equivalence asserted in pytest (test_optimizer.py)
+    doc="incremental ANN index maintenance from the change feed (the "
+    "reference's triggered delta-sync, ocr:149, open-sourced): build "
+    "the LSH index at v0, derive one change commit (vec_id%10==3 "
+    "re-embedded → rows move buckets; %10==7 deleted), fold it in "
+    "with refresh_lsh_index — an APPEND-ONLY write of live rows + "
+    "tombstones, cost ∝ changes — then probe top-5. Liveness resolves "
+    "per bucket at probe time (latest commit wins, live beats "
+    "tombstone on ties).",
+)
+def ann_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.similarity import topk_exact
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        IndexCatalog,
+        build_lsh_index,
+        probe_lsh_index,
+        refresh_lsh_index,
+    )
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        diff_snapshots,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    table_key = f"{sf}/embeddings_incremental"
+    cat = IndexCatalog()
+    # deterministic rebuild per run: base at v0, then one commit
+    build_lsh_index(
+        spark, emb, table_key, id_col="vec_id",
+        embedding_col="embedding", n_planes=8, seed=42, n_tables=3,
+    )
+    after = (
+        emb.filter(F.col("vec_id") % 10 != 7)
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 10 == 3,
+                F.transform("embedding", lambda v: -v),
+            ).otherwise(F.col("embedding")),
+        )
+    )
+    changes = diff_snapshots(emb, after, "vec_id")
+    refresh_lsh_index(spark, table_key, changes, version=1)
+    idx = cat.lookup(table_key)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cand = probe_lsh_index(spark, idx, qvec, exclude_ids=[0])
+    return topk_exact(cand, "embedding", qvec, k=5, id_col="vec_id")
+
+
+@register(
     "dedup_embedding_lsh",
     None,  # bucket recall is probabilistic → rows-only; subset-of-
     # brute-force property tested in pytest

@@ -177,3 +177,140 @@ def test_rewrite_recall_in_design_regime(spark, tmp_path):
     got = [r["vec_id"] for r in opt.collect()]
     recall = len(set(got) & set(exact)) / len(exact)
     assert recall == 1.0, f"recall {recall}: {got} vs {exact}"
+
+
+def test_incremental_refresh_equals_rebuild(spark, tmp_path):
+    """Folding a change commit with refresh_lsh_index must leave the
+    index probe-equivalent to a full rebuild on the new snapshot:
+    moved ids surface with their NEW embedding, deleted ids vanish,
+    inserted ids appear."""
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        probe_lsh_index,
+        refresh_lsh_index,
+    )
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        diff_snapshots,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+
+    def randv():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    v0_rows = [(i, randv()) for i in range(120)]
+    v0 = spark.createDataFrame(v0_rows, "vec_id long, embedding array<double>")
+    # v1: ids %10==3 re-embedded (bucket moves), %10==7 deleted,
+    # ids 200-204 inserted
+    v1 = (
+        v0.filter(F.col("vec_id") % 10 != 7)
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 10 == 3,
+                F.transform("embedding", lambda v: -v),
+            ).otherwise(F.col("embedding")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(200 + j, randv()) for j in range(5)],
+                "vec_id long, embedding array<double>",
+            )
+        )
+    )
+
+    cat_a = IndexCatalog(root=str(tmp_path / "a"))
+    build_lsh_index(
+        spark, v0, "k", id_col="vec_id", embedding_col="embedding",
+        n_planes=6, seed=42, n_tables=2, catalog=cat_a,
+    )
+    refresh_lsh_index(
+        spark, "k", diff_snapshots(v0, v1, "vec_id"), version=1,
+        catalog=cat_a,
+    )
+    cat_b = IndexCatalog(root=str(tmp_path / "b"))
+    build_lsh_index(
+        spark, v1, "k", id_col="vec_id", embedding_col="embedding",
+        n_planes=6, seed=42, n_tables=2, catalog=cat_b,
+    )
+
+    qvec = v0_rows[0][1]
+    for radius in (1, 2):
+        got_a = {
+            (r["vec_id"], tuple(round(x, 9) for x in r["embedding"]))
+            for r in probe_lsh_index(
+                spark, cat_a.lookup("k"), qvec, hamming_radius=radius
+            ).collect()
+        }
+        got_b = {
+            (r["vec_id"], tuple(round(x, 9) for x in r["embedding"]))
+            for r in probe_lsh_index(
+                spark, cat_b.lookup("k"), qvec, hamming_radius=radius
+            ).collect()
+        }
+        assert got_a == got_b and got_a
+    # refresh is idempotent on re-delivery of the same version
+    refresh_lsh_index(
+        spark, "k", diff_snapshots(v0, v1, "vec_id"), version=1,
+        catalog=cat_a,
+    )
+    again = {
+        r["vec_id"]
+        for r in probe_lsh_index(
+            spark, cat_a.lookup("k"), qvec, hamming_radius=2
+        ).collect()
+    }
+    assert again == {v for v, _ in got_a}
+
+
+def test_refresh_same_bucket_update_tie(spark, tmp_path):
+    """An update whose embedding keeps its signature lands the
+    tombstone (preimage) and the live row (postimage) in the SAME
+    bucket at the SAME version — the live row must win the tie."""
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        probe_lsh_index,
+        refresh_lsh_index,
+    )
+
+    dim = 8
+    base = [1.0] * dim
+    v0 = spark.createDataFrame(
+        [(1, base), (2, [-x for x in base])],
+        "vec_id long, embedding array<double>",
+    )
+    cat = IndexCatalog(root=str(tmp_path / "c"))
+    build_lsh_index(
+        spark, v0, "k", id_col="vec_id", embedding_col="embedding",
+        n_planes=4, seed=42, n_tables=1, catalog=cat,
+    )
+    # identical embedding in pre and post → same buckets, same version
+    changes = spark.createDataFrame(
+        [(1, base, "update_preimage"), (1, base, "update_postimage")],
+        "vec_id long, embedding array<double>, _change_type string",
+    )
+    refresh_lsh_index(spark, "k", changes, version=1, catalog=cat)
+    got = {
+        r["vec_id"]
+        for r in probe_lsh_index(
+            spark, cat.lookup("k"), base, hamming_radius=4
+        ).collect()
+    }
+    assert 1 in got  # the live row survived the same-bucket tie
+    # and a pure delete at a later version really removes the id
+    refresh_lsh_index(
+        spark,
+        "k",
+        spark.createDataFrame(
+            [(1, base, "delete")],
+            "vec_id long, embedding array<double>, _change_type string",
+        ),
+        version=2,
+        catalog=cat,
+    )
+    got2 = {
+        r["vec_id"]
+        for r in probe_lsh_index(
+            spark, cat.lookup("k"), base, hamming_radius=4
+        ).collect()
+    }
+    assert 1 not in got2 and 2 in got2
