@@ -37,3 +37,22 @@ def ensure_min_parallelism(
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Checkpoint an iterative algorithm's intermediate state, cutting
+    the growing lineage.
+
+    Durability follows the session: if ``sc.setCheckpointDir`` was
+    called (production — HDFS/object store), use a RELIABLE checkpoint
+    that survives executor loss; otherwise fall back to
+    ``localCheckpoint`` (executor-local blocks — fine on local[n],
+    where executor loss means process death anyway).  Iterative
+    drivers (label propagation, IVF training) call this per round, so
+    at 100 TB with preemptible executors the reliable path is the
+    difference between a retried stage and a restarted job.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)

@@ -237,6 +237,7 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.functions.text import doc_fingerprint
     from pdf_etl_ocr_inference_spark.operators.layout import (
         ensure_min_parallelism,
+        truncate_lineage,
     )
 
     docs = _t(spark, sf, "documents")
@@ -252,16 +253,17 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # their own cluster by definition and would just inflate every
     # round's join (at 100 TB the pair graph is a tiny fraction of the
     # corpus — label propagation must run on it, not on the corpus).
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    edges = truncate_lineage(
+        pairs.unionByName(
+            pairs.select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
         )
-    ).localCheckpoint()
-    labels = (
+    )
+    labels = truncate_lineage(
         edges.select(F.col("id_a").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint()
     )
     # Plain neighbor-min propagation needs O(diameter) rounds (NOT
     # log2 — that would require pointer doubling / large-star small-star
@@ -287,8 +289,8 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
                     F.coalesce(F.col("nmin"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()  # truncate the growing lineage
         )
+        new_labels = truncate_lineage(new_labels)  # cut growing lineage
         changed = (
             new_labels.join(labels.withColumnRenamed("cluster_id", "_old"),
                             "doc_id")
