@@ -67,6 +67,76 @@ def ann_recall(spark, sf_dir: str, specs=None) -> dict[str, float]:
     return out
 
 
+def probe_speedup(spark) -> dict:
+    """Brute-force cosine top-k vs the optimizer's LSH bucket probe on
+    a deterministic 1M×64 synthetic corpus — the corpus size where the
+    access-path choice becomes visible (the 500-row fixture can't show
+    it).  Corpus parquet and index are cached in scratch; only the
+    first run pays the build (~60 s)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.similarity import topk_exact
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        INDEX_FORMAT_VERSION,
+        IndexCatalog,
+        build_lsh_index,
+        optimize,
+    )
+
+    n, dim = 1_000_000, 64
+    corpus_path = "/tmp/spark_graft_scratch/probe_corpus_1m"
+    key = "bench/probe_corpus_1m"
+    if not os.path.exists(corpus_path):
+        emb = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id"), j), F.lit(2000)).cast("double")
+                / 1000.0
+                - 1.0
+            ),
+        )
+        (
+            spark.range(0, n, 1, 32)
+            .select(F.col("id").alias("vec_id"), emb.alias("embedding"))
+            .write.mode("overwrite")
+            .parquet(corpus_path)
+        )
+    corpus = spark.read.parquet(corpus_path)
+    cat = IndexCatalog()
+    meta = cat.lookup(key)
+    if meta is None or meta.get("format_version") != INDEX_FORMAT_VERSION:
+        build_lsh_index(
+            spark, corpus, key, n_planes=12, seed=42, n_tables=3,
+            catalog=cat,
+        )
+    qvec = [
+        float(v)
+        for v in corpus.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    brute = topk_exact(
+        corpus, "embedding", qvec, k=10, table_key=key, exclude_ids=[0]
+    )
+    opt = optimize(brute, catalog=cat)
+
+    def best(df, reps: int = 3) -> float:
+        out = []
+        for _ in range(reps):
+            t0 = _t.perf_counter()
+            df.collect()
+            out.append(_t.perf_counter() - t0)
+        return round(min(out), 3)
+
+    tb, tp = best(brute), best(opt)
+    return {
+        "corpus_rows": n,
+        "brute_sec": tb,
+        "probe_sec": tp,
+        "speedup": round(tb / tp, 1) if tp > 0 else None,
+    }
+
+
 def main() -> None:
     from pdf_etl_ocr_inference_spark.plans import all_specs
     from pdf_etl_ocr_inference_spark.session import _cpus, get_spark
@@ -138,6 +208,8 @@ def main() -> None:
 
     recalls = ann_recall(spark, SF_DIR, specs)
     print(f"# ann recall@5 vs exact: {recalls}", file=sys.stderr)
+    probe = probe_speedup(spark)
+    print(f"# ann probe vs brute @1M: {probe}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -151,6 +223,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ocr_stub_parallel_speedup_32x_ideal": ocr_speedup,
                 "ann_recall_at_5": recalls,
+                "ann_probe_speedup_1m": probe,
             }
         )
     )

@@ -94,7 +94,16 @@ class IndexCatalog:
         shutil.rmtree(_index_dir(self.root, table_key), ignore_errors=True)
 
 
-INDEX_FORMAT_VERSION = 3
+INDEX_FORMAT_VERSION = 4
+
+# Bucket-directory fanout cap: signatures are stored as DATA (sorted,
+# so parquet row-group min/max stats prune within files) while the
+# PARTITION column is sig mod this — directory count stays
+# n_tables × 256 no matter how deep the signature, avoiding the
+# small-file/metadata explosion a per-signature directory layout hits
+# (measured: a 12-plane per-sig layout took minutes to write and its
+# probe drowned in per-file scheduling).
+PARTITION_BUCKETS = 256
 
 
 def build_lsh_index(
@@ -108,11 +117,13 @@ def build_lsh_index(
     n_tables: int = 3,
     catalog: IndexCatalog | None = None,
 ) -> str:
-    """Materialize the LSH index: (id, embedding, version, tombstone)
-    rows written PARTITIONED BY (table, signature), so a probe is
-    directory pruning.  ``n_tables`` independent plane families
-    (seed + 1000·t) OR-amplify recall — a probe reads the Hamming ball
-    in EVERY table and dedups candidate ids before re-ranking.
+    """Materialize the LSH index: (id, embedding, signature, version,
+    tombstone) rows PARTITIONED BY (table, signature mod 256) and
+    SORTED by signature within partitions — a probe prunes bucket
+    directories coarsely and parquet row groups finely.  ``n_tables``
+    independent plane families (seed + 1000·t) OR-amplify recall — a
+    probe reads the Hamming ball in EVERY table and dedups candidate
+    ids before re-ranking.
 
     The index is DERIVED DATA maintained append-only: the base build
     writes version 0; :func:`refresh_lsh_index` appends live rows and
@@ -130,11 +141,20 @@ def build_lsh_index(
     import shutil
 
     shutil.rmtree(data_path, ignore_errors=True)  # full rebuild
-    _index_rows(
+    rows = _index_rows(
         corpus, id_col, embedding_col, dim, n_planes, seed, n_tables,
         version=0, deleted=False,
-    ).write.mode("overwrite").partitionBy("_table", "_sig").parquet(
-        data_path
+    )
+    # Cluster rows by their target partition BEFORE the dynamic
+    # partitioned write (one writer per directory, not one per scan
+    # task per directory), and sort by _sig within partitions so each
+    # row group covers a narrow signature range → min/max stats prune.
+    (
+        rows.repartition("_table", "_pb")
+        .sortWithinPartitions("_table", "_pb", "_sig")
+        .write.mode("overwrite")
+        .partitionBy("_table", "_pb")
+        .parquet(data_path)
     )
     cat.register(
         table_key,
@@ -164,8 +184,9 @@ def _index_rows(
     version: int,
     deleted: bool,
 ) -> DataFrame:
-    """(id, embedding, _commit_version, _deleted, _table, _sig) rows —
-    one per (input row × table), signatures computed natively."""
+    """(id, embedding, _commit_version, _deleted, _table, _sig, _pb)
+    rows — one per (input row × table), signatures computed natively;
+    ``_pb`` is the bounded partition bucket (sig mod 256)."""
     from pdf_etl_ocr_inference_spark.operators.similarity import (
         lsh_signature,
     )
@@ -182,7 +203,7 @@ def _index_rows(
         F.lit(version).cast("long").alias("_commit_version"),
         F.lit(deleted).alias("_deleted"),
         F.posexplode(sigs).alias("_table", "_sig"),
-    )
+    ).withColumn("_pb", F.pmod(F.col("_sig"), F.lit(PARTITION_BUCKETS)))
 
 
 def refresh_lsh_index(
@@ -237,9 +258,14 @@ def refresh_lsh_index(
         deleted=True,
         **common,
     )
-    live.unionByName(dead).write.mode("append").partitionBy(
-        "_table", "_sig"
-    ).parquet(idx["data_path"])
+    (
+        live.unionByName(dead)
+        .repartition("_table", "_pb")
+        .sortWithinPartitions("_table", "_pb", "_sig")
+        .write.mode("append")
+        .partitionBy("_table", "_pb")
+        .parquet(idx["data_path"])
+    )
     idx["last_version"] = version
     cat.register(table_key, idx)
 
@@ -267,7 +293,14 @@ def probe_lsh_index(
             query_vec, idx["n_planes"], idx["seed"] + 1000 * t,
             hamming_radius,
         )
-        m = (F.col("_table") == t) & F.col("_sig").isin(probes)
+        # _pb prunes directories (partition column), _sig then filters
+        # rows — and row GROUPS, since files are sig-sorted
+        buckets = sorted({p % PARTITION_BUCKETS for p in probes})
+        m = (
+            (F.col("_table") == t)
+            & F.col("_pb").isin(buckets)
+            & F.col("_sig").isin(probes)
+        )
         member = m if member is None else (member | m)
     cand = index_df.filter(member)
     if exclude_ids:

@@ -66,9 +66,10 @@ def test_rewrite_probes_partitions_not_corpus(spark, corpus, indexed):
     )
     opt = rewrite_similarity_topk(brute, catalog=cat)
     plan = _explain(spark, opt)
-    # bucket probe: partition pruning on the signature, index scan only
+    # bucket probe: directory pruning on (_table, _pb), row/row-group
+    # filtering on the full signature; index scan only
     assert "PartitionFilters" in plan
-    assert "_sig" in plan
+    assert "_pb" in plan and "_sig" in plan
     assert "embeddings.parquet" not in plan  # corpus never scanned
     # brute force, by contrast, scans the corpus with no _sig pruning
     brute_plan = _explain(spark, brute)
