@@ -1,0 +1,172 @@
+"""Product quantization (PQ) for embedding search (Jégou et al. 2011,
+"Product quantization for nearest neighbor search" — public method).
+
+The memory-bound scale path: a 64-float embedding (256 B) compresses
+to M=8 one-byte codes (32×).  The ADC (asymmetric distance
+computation) scan then reads ONLY the code column — at 100 TB of
+embeddings the scan shrinks by the same 32×, and the exact re-rank
+touches full vectors for just the top candidates.
+
+Division of labor (deliberate):
+
+- **training** (:func:`train_pq_codebooks`): driver-side numpy
+  k-means per subspace on a hash-sampled, L2-normalized subset —
+  codebooks are control data (M × K × dim/M floats), the standard PQ
+  practice; cost is constant in corpus size.
+- **encoding** (:func:`pq_encode`): Arrow-vectorized pandas UDF — one
+  numpy distance matrix per subspace per batch.  Index-BUILD time
+  (once per corpus), where vectorized Python beats 128 interpreted
+  per-row aggregate expressions.
+- **query** (:func:`topk_pq`): pure JVM — the query's M×K lookup
+  table is embedded as a literal array-of-arrays and the approximate
+  distance is a native ``transform``+``aggregate`` over the code
+  array; top ``rerank`` candidates by ADC distance re-rank with exact
+  cosine.  No Python in the per-query hot path.
+
+Vectors are L2-normalized before encode/train, so squared L2 on unit
+vectors is monotone with cosine (d² = 2 − 2·cos) and ADC ranking
+agrees with the cosine ranking it approximates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.functions.vector import l2_norm
+from pdf_etl_ocr_inference_spark.operators.similarity import topk_exact
+
+
+def _normalize(vec):
+    import numpy as np
+
+    v = np.asarray(vec, dtype="float64")
+    n = float(np.sqrt((v * v).sum()))
+    return v / n if n > 0 else v
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    sample_mod: int = 4,
+    iters: int = 10,
+    seed: int = 42,
+) -> list:
+    """k-means codebooks per subspace, trained driver-side on the
+    ``id % sample_mod == 0`` hash sample (deterministic; constant cost
+    as the corpus grows).  Returns ``m`` lists of ``k`` centroids."""
+    import numpy as np
+
+    rows = (
+        df.filter(F.col(id_col) % sample_mod == 0)
+        .select(embedding_col)
+        .collect()
+    )
+    x = np.stack([_normalize(r[embedding_col]) for r in rows])
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        # k-means++-ish init: distinct random sample rows
+        cents = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    embedding_col: str,
+    codebooks: list,
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Append the M-byte PQ code array (Arrow-vectorized; build-time)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype="float64") for b in codebooks]
+
+    # NB: no type hints — under `from __future__ import annotations`
+    # they are strings PySpark's hint resolver can't evaluate here
+    @F.pandas_udf("array<int>")
+    def encode(batch):
+        mat = np.stack([_normalize(v) for v in batch])
+        codes = np.empty((len(mat), m), dtype="int32")
+        for j in range(m):
+            xs = mat[:, j * sub : (j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, encode(embedding_col))
+
+
+def adc_distance(
+    codes_col: Column | str, query_vec: list, codebooks: list
+) -> Column:
+    """Native ADC: Σⱼ lut[j][code_j], lut built driver-side from the
+    (normalized) query — squared L2 to each centroid per subspace."""
+    import numpy as np
+
+    q = _normalize(query_vec)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    lut = []
+    for j in range(m):
+        qs = q[j * sub : (j + 1) * sub]
+        cents = np.asarray(codebooks[j], dtype="float64")
+        lut.append(((cents - qs[None, :]) ** 2).sum(axis=1))
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+    )
+    codes = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    # let-bind the literal LUT via a 1-element array wrapper (it is
+    # materialized once per row, not once per code element), then map
+    # each (code, subspace-index) to its table cell and fold
+    return F.transform(
+        F.array(lut_lit),
+        lambda t: F.aggregate(
+            F.transform(codes, lambda c, j: t[j][c]),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )[0]
+
+
+def topk_pq(
+    encoded: DataFrame,
+    embedding_col: str,
+    query_vec: list,
+    codebooks: list,
+    k: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """ADC scan over codes (native, 32×-smaller read) → top ``rerank``
+    candidates by approximate distance → exact cosine top-k."""
+    cand = (
+        encoded.select(
+            id_col,
+            embedding_col,
+            adc_distance(codes_col, query_vec, codebooks).alias("_adc"),
+        )
+        .orderBy(F.asc("_adc"), id_col)  # TakeOrderedAndProject
+        .limit(rerank)
+    )
+    return topk_exact(cand, embedding_col, query_vec, k=k, id_col=id_col)

@@ -189,6 +189,40 @@ def ann_rewrite_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_topk",
+    None,  # approximate (quantized distances) → rows-only; recall
+    # floor + ADC monotonicity tested in pytest
+    doc="product-quantization ANN (Jégou 2011): 64-float embeddings "
+    "compress to 8 one-byte codes (32×), the ADC scan reads ONLY the "
+    "code column via a native LUT fold (no Python in the query path), "
+    "top-50 candidates re-rank with exact cosine. Codebooks train "
+    "driver-side on a hash sample (control data, constant cost); "
+    "encoding is an Arrow-vectorized build-time pass. The "
+    "memory-bound scale path: at 100 TB of embeddings the per-query "
+    "scan shrinks 32×.",
+)
+def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.pq import (
+        pq_encode,
+        topk_pq,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    books = train_pq_codebooks(
+        emb, "embedding", id_col="vec_id", m=8, k=16, sample_mod=4,
+    )
+    encoded = pq_encode(emb.filter(F.col("vec_id") != 0), "embedding", books)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return topk_pq(
+        encoded, "embedding", qvec, books, k=5, rerank=50, id_col="vec_id"
+    )
+
+
+@register(
     "ann_index_incremental",
     None,  # approximate bucket probe → rows-only; refresh ≡ rebuild
     # equivalence asserted in pytest (test_optimizer.py)

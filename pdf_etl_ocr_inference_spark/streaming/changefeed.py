@@ -188,3 +188,30 @@ def compact(
     for v in to_fold:
         shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
     os.replace(tmp, os.path.join(path, f"v={through_version}"))
+
+
+def maybe_compact(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    max_commits: int = 16,
+    keep_recent: int = 4,
+) -> bool:
+    """Compaction POLICY: when the feed has accumulated more than
+    ``max_commits`` commit directories, fold everything except the
+    ``keep_recent`` newest into a base snapshot.  Returns whether a
+    compaction ran.
+
+    Writers call this after ``commit_changes`` — amortized cost is one
+    snapshot materialization every ``max_commits - keep_recent``
+    commits, and ``read_changes(since)`` consumers lagging fewer than
+    ``keep_recent`` commits never see a re-sync.  The knobs trade
+    history (time-travel depth, consumer lag tolerance) against
+    ``snapshot()`` read amplification.
+    """
+    versions = list_versions(path)
+    if len(versions) <= max_commits:
+        return False
+    horizon = versions[-(keep_recent + 1)] if keep_recent else versions[-1]
+    compact(spark, path, key, through_version=horizon)
+    return True

@@ -103,3 +103,33 @@ def test_full_compaction_through_latest(spark, feed):
     assert _state(snapshot(spark, feed, "k")) == FINAL
     # no temp staging dirs left behind
     assert not [d for d in os.listdir(feed) if d.startswith("_compact")]
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """Below the threshold: no-op. Above: folds all but keep_recent
+    newest commits, preserving the snapshot."""
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        maybe_compact,
+    )
+
+    path = str(tmp_path / "feed2")
+    snap = spark.createDataFrame([(k, f"v{k}") for k in range(4)],
+                                 "k long, val string")
+    commit_changes(snap.withColumn("_change_type", F.lit("insert")), path, 0)
+    prev = snap
+    for v in range(1, 7):  # 6 update commits -> 7 total
+        cur = prev.withColumn(
+            "val",
+            F.when(F.col("k") == v % 4, F.concat(F.col("val"), F.lit("+")))
+            .otherwise(F.col("val")),
+        )
+        commit_changes(diff_snapshots(prev, cur, "k"), path, v)
+        prev = cur
+    assert not maybe_compact(spark, path, "k", max_commits=16)
+    assert list_versions(path) == list(range(7))
+    before = _state(snapshot(spark, path, "k"))
+    assert maybe_compact(spark, path, "k", max_commits=4, keep_recent=2)
+    # horizon = 3rd-newest commit (v4): base at 4 plus v5, v6 kept
+    assert list_versions(path) == [4, 5, 6]
+    assert _state(snapshot(spark, path, "k")) == before
+    assert not maybe_compact(spark, path, "k", max_commits=4, keep_recent=2)

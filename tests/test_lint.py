@@ -46,6 +46,9 @@ ALLOWLIST: set[tuple[str, str]] = {
     # 1-element array, so its lambda body (which builds the inner
     # sequence/transform) runs exactly once per row by construction.
     ("functions/text.py", "sequence"),
+    # adc_distance's identical let-binding wrapper around the literal
+    # LUT: the aggregate inside runs once per row.
+    ("operators/pq.py", "aggregate"),
 }
 
 
