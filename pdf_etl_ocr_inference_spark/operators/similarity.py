@@ -216,6 +216,62 @@ def topk_lsh(
     )
 
 
+def near_pairs_exact(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    threshold: float,
+    id_limit: int | None = None,
+    table_key: str | None = None,
+) -> DataFrame:
+    """Brute-force near-duplicate pairs: all-pairs cosine ≥ threshold
+    (O(n²) — the ground-truth baseline; ``id_limit`` scopes it).
+
+    Like :func:`topk_exact`, ``table_key`` declares the input is the
+    indexed corpus and rides a near-pairs hint on the ``sim`` column —
+    the optimizer may then substitute the Σ bucket² same-signature
+    pair generation over the stored LSH index
+    (``optimizer.rewrite_near_pairs``).
+    """
+    import json as _json
+
+    if id_limit is not None:
+        df = df.filter(F.col(id_col) < id_limit)
+    # Hoist the norm to a column (an aggregate inside the transform
+    # lambda would re-evaluate per element).
+    unit = df.withColumn("_norm", l2_norm(embedding_col)).select(
+        F.col(id_col),
+        F.transform(
+            embedding_col, lambda v: v.cast("double") / F.col("_norm")
+        ).alias("_u"),
+    )
+    a = unit.select(F.col(id_col).alias("id_a"), F.col("_u").alias("u_a"))
+    b = unit.select(F.col(id_col).alias("id_b"), F.col("_u").alias("u_b"))
+    sim = F.round(F.col("_sim"), 4)
+    if table_key is not None:
+        from pdf_etl_ocr_inference_spark.optimizer import HINT_KEY
+
+        hint = _json.dumps(
+            {
+                "kind": "near_pairs",
+                "metric": "cosine",
+                "threshold": threshold,
+                "table_key": table_key,
+                "id_limit": id_limit,
+            }
+        )
+        sim_col = sim.alias("sim", metadata={HINT_KEY: hint})
+    else:
+        sim_col = sim.alias("sim")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_sim", dot_product("u_a", "u_b"))
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b", sim_col)
+    )
+
+
 def lsh_near_pairs(
     df: DataFrame,
     embedding_col: str,

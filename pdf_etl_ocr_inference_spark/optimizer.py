@@ -280,8 +280,6 @@ def probe_lsh_index(
     """Partition-pruned candidate set for a query: the Hamming ball in
     every table, liveness resolved per bucket (latest version wins,
     live beats tombstone on ties), deduped by id."""
-    from pyspark.sql import Window
-
     from pdf_etl_ocr_inference_spark.operators.similarity import (
         query_signature_probes,
     )
@@ -305,14 +303,26 @@ def probe_lsh_index(
     cand = index_df.filter(member)
     if exclude_ids:
         cand = cand.filter(~F.col(idx["id_col"]).isin(list(exclude_ids)))
+    return (
+        _resolve_live(cand, idx)
+        .dropDuplicates([idx["id_col"]])
+        .select(idx["id_col"], "embedding")
+    )
+
+
+def _resolve_live(rows: DataFrame, idx: dict) -> DataFrame:
+    """Per-bucket liveness: latest commit version wins; a live row
+    beats a tombstone at equal version (same-bucket in-place update).
+    Keeps ``_table``/``_sig`` so callers can still bucket-join."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(idx["id_col"], "_table", "_sig").orderBy(
         F.desc("_commit_version"), F.asc("_deleted")
     )
     return (
-        cand.withColumn("_rn", F.row_number().over(w))
+        rows.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (~F.col("_deleted")))
-        .dropDuplicates([idx["id_col"]])
-        .select(idx["id_col"], "embedding")
+        .drop("_rn")
     )
 
 
@@ -400,7 +410,93 @@ def rewrite_similarity_topk(
     )
 
 
+def _plan_contains_join(df: DataFrame) -> bool:
+    """True iff the analyzed plan has a Join node anywhere — the
+    minimum structural evidence of the all-pairs shape."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() == "Join":
+                return True
+            it = node.children().iterator()
+            while it.hasNext():
+                stack.append(it.next())
+        return False
+    except Exception:
+        return False
+
+
+def rewrite_near_pairs(
+    df: DataFrame, catalog: IndexCatalog | None = None
+) -> DataFrame:
+    """Rule #2: brute-force all-pairs cosine threshold (the
+    ``near_pairs_exact`` shape, O(n²)) → same-signature pair
+    generation over the stored LSH index (Σ bucket² per table,
+    OR-amplified across tables) + exact verification.
+
+    Every emitted pair is exact-verified, so the rewrite has zero
+    false positives; recall follows the LSH collision probability
+    (OR-amplified).  ``id_limit`` in the hint is honored so scoped
+    baselines rewrite consistently."""
+    from pdf_etl_ocr_inference_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    field = _hinted_field(df)
+    if field is None:
+        return df
+    hint = json.loads(field.metadata[HINT_KEY])
+    if hint.get("kind") != "near_pairs" or not hint.get("table_key"):
+        return df
+    if not _plan_contains_join(df):
+        return df
+    cat = catalog or IndexCatalog()
+    idx = cat.lookup(hint["table_key"])
+    if (
+        idx is None
+        or idx.get("kind") != "lsh"
+        or idx.get("format_version") != INDEX_FORMAT_VERSION
+    ):
+        return df
+
+    spark = df.sparkSession
+    live = _resolve_live(spark.read.parquet(idx["data_path"]), idx)
+    if hint.get("id_limit") is not None:
+        live = live.filter(F.col(idx["id_col"]) < hint["id_limit"])
+    a = live.select(
+        F.col(idx["id_col"]).alias("id_a"),
+        F.col("embedding").alias("e_a"),
+        "_table",
+        "_sig",
+    )
+    b = live.select(
+        F.col(idx["id_col"]).alias("id_b"),
+        F.col("embedding").alias("e_b"),
+        "_table",
+        "_sig",
+    )
+    threshold = float(hint["threshold"])
+    return (
+        a.join(b, ["_table", "_sig"])  # same bucket, same table
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "e_a", "e_b")
+        .distinct()  # a pair may collide in several tables
+        .withColumn("_sim", cosine_similarity("e_a", "e_b"))
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b", F.round("_sim", 4).alias("sim"))
+    )
+
+
+_RULES = (rewrite_similarity_topk, rewrite_near_pairs)
+
+
 def optimize(df: DataFrame, catalog: IndexCatalog | None = None) -> DataFrame:
-    """Engine optimizer entry point: apply every rewrite rule (one
-    today) until fixpoint-in-one-pass; unchanged plans pass through."""
-    return rewrite_similarity_topk(df, catalog=catalog)
+    """Engine optimizer entry point: apply each rewrite rule once, in
+    order; the first rule that fires wins (rules are shape-disjoint),
+    unchanged plans pass through."""
+    for rule in _RULES:
+        new = rule(df, catalog=catalog)
+        if new is not df:
+            return new
+    return df

@@ -383,26 +383,50 @@ def ann_mllib_brp_lsh(spark: SparkSession, sf: str) -> DataFrame:
     "per-pair work to a dot product.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    from pdf_etl_ocr_inference_spark.functions.vector import dot_product, l2_norm
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        near_pairs_exact,
+    )
 
-    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 1000)
-    # Hoist the norm to its own column FIRST: an aggregate inside the
-    # transform lambda would be re-evaluated per element (O(dim²)/row).
-    unit = (
-        emb.withColumn("_norm", l2_norm("embedding"))
-        .select(
-            "vec_id",
-            F.transform(
-                "embedding", lambda v: v.cast("double") / F.col("_norm")
-            ).alias("u"),
+    emb = _t(spark, sf, "embeddings")
+    return near_pairs_exact(
+        emb, "embedding", "vec_id", threshold=0.35, id_limit=1000
+    )
+
+
+@register(
+    "ann_rewrite_near_pairs",
+    None,  # approximate (same-bucket candidates) → rows-only;
+    # verified-subset + design-regime recall in pytest
+    doc="optimizer rule #2 end-to-end: the query DECLARES brute-force "
+    "all-pairs cosine ≥ 0.35 (dedup_embedding_cosine's O(n²) shape, "
+    "hinted); rewrite_near_pairs matches the hinted self-join plan "
+    "and substitutes Σ bucket² same-signature pair generation over "
+    "the stored LSH index (liveness-resolved, OR across 3 tables) "
+    "with exact verification — zero false positives, LSH-collision "
+    "recall.",
+)
+def ann_rewrite_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        near_pairs_exact,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        INDEX_FORMAT_VERSION,
+        IndexCatalog,
+        build_lsh_index,
+        optimize,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    table_key = f"{sf}/embeddings"
+    cat = IndexCatalog()
+    meta = cat.lookup(table_key)
+    if meta is None or meta.get("format_version") != INDEX_FORMAT_VERSION:
+        build_lsh_index(
+            spark, emb, table_key, id_col="vec_id",
+            embedding_col="embedding", n_planes=8, seed=42, n_tables=3,
         )
+    brute = near_pairs_exact(
+        emb, "embedding", "vec_id", threshold=0.35, id_limit=1000,
+        table_key=table_key,
     )
-    a = unit.select(F.col("vec_id").alias("id_a"), F.col("u").alias("u_a"))
-    b = unit.select(F.col("vec_id").alias("id_b"), F.col("u").alias("u_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_sim", dot_product("u_a", "u_b"))
-        .filter(F.col("_sim") >= 0.35)
-        .select("id_a", "id_b", F.round("_sim", 4).alias("sim"))
-    )
+    return optimize(brute)

@@ -315,3 +315,80 @@ def test_refresh_same_bucket_update_tie(spark, tmp_path):
         ).collect()
     }
     assert 1 not in got2 and 2 in got2
+
+
+def test_near_pairs_rewrite_subset_and_plan(spark, corpus, indexed):
+    """Rule #2: rewritten pairs must be a verified SUBSET of brute
+    force with identical sims (no false positives), and the rewritten
+    plan must join on buckets, not cross-join the corpus."""
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        near_pairs_exact,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import rewrite_near_pairs
+
+    cat, key = indexed
+    brute = near_pairs_exact(
+        corpus, "embedding", "vec_id", threshold=0.35, table_key=key
+    )
+    opt = rewrite_near_pairs(brute, catalog=cat)
+    assert opt is not brute  # rule fired
+    plan = _explain(spark, opt)
+    assert "CartesianProduct" not in plan and "embeddings.parquet" not in plan
+    brute_pairs = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in near_pairs_exact(
+            corpus, "embedding", "vec_id", threshold=0.35
+        ).collect()
+    }
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in opt.collect()}
+    assert set(got) <= set(brute_pairs)
+    for pair, sim in got.items():
+        assert brute_pairs[pair] == pytest.approx(sim, abs=1e-4)
+    # guard rails: no hint / no join shape → unchanged
+    plain = near_pairs_exact(corpus, "embedding", "vec_id", threshold=0.35)
+    assert rewrite_near_pairs(plain, catalog=cat) is plain
+    unknown = near_pairs_exact(
+        corpus, "embedding", "vec_id", threshold=0.35, table_key="no/idx"
+    )
+    assert rewrite_near_pairs(unknown, catalog=cat) is unknown
+
+
+def test_near_pairs_rewrite_recall_design_regime(spark, tmp_path):
+    """Constructed near-dup pairs (cos ≈ 0.99) must all survive the
+    bucket-join rewrite — same regime contract as dedup_embedding_lsh."""
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        near_pairs_exact,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import optimize
+
+    rng = random.Random(13)
+    dim = 32
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows, expected = [], set()
+    for i in range(8):  # 8 near-dup pairs: ids (2i, 2i+1)
+        base = unit([rng.gauss(0, 1) for _ in range(dim)])
+        twin = unit([x + rng.gauss(0, 0.02) for x in base])
+        rows += [(2 * i, base), (2 * i + 1, twin)]
+        expected.add((2 * i, 2 * i + 1))
+    rows += [
+        (100 + j, unit([rng.gauss(0, 1) for _ in range(dim)]))
+        for j in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cat = IndexCatalog(root=str(tmp_path / "np"))
+    build_lsh_index(
+        spark, df, "k", id_col="vec_id", embedding_col="embedding",
+        n_planes=8, seed=42, n_tables=3, catalog=cat,
+    )
+    opt = optimize(
+        near_pairs_exact(
+            df, "embedding", "vec_id", threshold=0.9, table_key="k"
+        ),
+        catalog=cat,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in opt.collect()}
+    assert expected <= got, f"missed {expected - got}"
