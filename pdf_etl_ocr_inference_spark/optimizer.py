@@ -270,6 +270,68 @@ def refresh_lsh_index(
     cat.register(table_key, idx)
 
 
+def sync_index_from_feed(
+    spark: SparkSession,
+    feed_path: str,
+    table_key: str,
+    change_schema,
+    checkpoint_dir: str,
+    catalog: IndexCatalog | None = None,
+    timeout_s: int = 120,
+) -> None:
+    """TRIGGERED index sync (the reference's delta-sync vector index,
+    ``ocr:149``, on open Spark): an ``availableNow`` stream over the
+    change feed's commit directories folds every unseen commit into
+    the LSH index via :func:`refresh_lsh_index`, then stops.
+
+    The streaming CHECKPOINT tracks which commit files were already
+    ingested (restart-safe, no re-reads), and ``refresh_lsh_index``'s
+    version guard makes re-delivery a no-op — the two layers give
+    at-least-once ingestion with idempotent folds.  Run it from a
+    scheduler after each batch of ``commit_changes`` calls; cost per
+    run ∝ new commits only.
+
+    ``change_schema`` is the change-row schema WITHOUT the ``v``
+    partition column (added here from the directory name).
+    """
+    from pyspark.sql import types as T
+
+    cat = catalog or IndexCatalog()
+    full = T.StructType(
+        list(change_schema.fields) + [T.StructField("v", T.IntegerType())]
+    )
+    stream = (
+        spark.readStream.schema(full)
+        .option("basePath", feed_path)
+        .parquet(f"{feed_path}/v=*")
+    )
+
+    def _fold(batch_df, _batch_id):
+        versions = sorted(
+            r["v"] for r in batch_df.select("v").distinct().collect()
+        )
+        for v in versions:  # ascending: later commits fold later
+            refresh_lsh_index(
+                spark,
+                table_key,
+                batch_df.filter(F.col("v") == v),
+                version=v,
+                catalog=cat,
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 def probe_lsh_index(
     spark: SparkSession,
     idx: dict,

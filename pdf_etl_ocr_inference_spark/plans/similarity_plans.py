@@ -277,6 +277,84 @@ def ann_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "ann_index_stream_sync",
+    None,  # approximate bucket probe → rows-only; sync ≡ rebuild
+    # equivalence + checkpoint idempotence asserted in pytest
+    doc="the reference's TRIGGERED delta-sync vector index (ocr:149) "
+    "end-to-end on open Spark: documents' embeddings change feed "
+    "(v0 insert, v1 update/delete) → availableNow stream over unseen "
+    "commit directories → foreachBatch folds each commit into the "
+    "LSH index incrementally (streaming checkpoint tracks ingested "
+    "files; version guard makes re-delivery a no-op) → bucket-probe "
+    "top-5 of the synced index.",
+)
+def ann_index_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from pdf_etl_ocr_inference_spark.operators.similarity import topk_exact
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        IndexCatalog,
+        build_lsh_index,
+        probe_lsh_index,
+        sync_index_from_feed,
+    )
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        commit_changes,
+        diff_snapshots,
+    )
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # deterministic scratch keyed on the SF dir: fresh feed+checkpoint
+    # per run (no cross-run leak; removed again after the sync action)
+    safe = sf.strip("/").replace("/", "_")
+    scratch = f"{tempfile.gettempdir()}/spark_graft_annsync_{safe}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    feed = f"{scratch}/feed"
+    commit_changes(emb.withColumn("_change_type", F.lit("insert")), feed, 0)
+    after = (
+        emb.filter(F.col("vec_id") % 10 != 7)
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 10 == 3,
+                F.transform("embedding", lambda v: -v),
+            ).otherwise(F.col("embedding")),
+        )
+    )
+    commit_changes(diff_snapshots(emb, after, "vec_id"), feed, 1)
+
+    table_key = f"{sf}/embeddings_stream_sync"
+    cat = IndexCatalog()
+    build_lsh_index(
+        spark, emb, table_key, id_col="vec_id",
+        embedding_col="embedding", n_planes=8, seed=42, n_tables=3,
+    )
+    emb_type = emb.schema["embedding"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", emb_type),
+            T.StructField("_change_type", T.StringType()),
+        ]
+    )
+    sync_index_from_feed(
+        spark, feed, table_key, schema, f"{scratch}/ckpt", catalog=cat
+    )
+    # feed + checkpoint were only inputs to the sync action; the probe
+    # below reads the index root, so the scratch can go now
+    shutil.rmtree(scratch, ignore_errors=True)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    cand = probe_lsh_index(spark, cat.lookup(table_key), qvec, exclude_ids=[0])
+    return topk_exact(cand, "embedding", qvec, k=5, id_col="vec_id")
+
+
+@register(
     "dedup_embedding_lsh",
     None,  # bucket recall is probabilistic → rows-only; subset-of-
     # brute-force property tested in pytest

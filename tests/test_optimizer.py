@@ -392,3 +392,83 @@ def test_near_pairs_rewrite_recall_design_regime(spark, tmp_path):
     )
     got = {(r["id_a"], r["id_b"]) for r in opt.collect()}
     assert expected <= got, f"missed {expected - got}"
+
+
+def test_streaming_index_sync(spark, tmp_path):
+    """availableNow sync over a change feed folds unseen commits into
+    the index (same end state as direct refresh) and a re-run with the
+    same checkpoint ingests nothing new."""
+    from pyspark.sql import types as T
+
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        probe_lsh_index,
+        sync_index_from_feed,
+    )
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        commit_changes,
+        diff_snapshots,
+    )
+
+    rng = random.Random(17)
+    dim = 16
+    v0 = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    feed = str(tmp_path / "feed")
+    commit_changes(v0.withColumn("_change_type", F.lit("insert")), feed, 0)
+    v1 = (
+        v0.filter(F.col("vec_id") % 10 != 7)
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 10 == 3,
+                F.transform("embedding", lambda x: -x),
+            ).otherwise(F.col("embedding")),
+        )
+    )
+    commit_changes(diff_snapshots(v0, v1, "vec_id"), feed, 1)
+
+    cat = IndexCatalog(root=str(tmp_path / "idx"))
+    build_lsh_index(
+        spark, v0, "k", id_col="vec_id", embedding_col="embedding",
+        n_planes=6, seed=42, n_tables=2, catalog=cat,
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("_change_type", T.StringType()),
+        ]
+    )
+    ckpt = str(tmp_path / "ckpt")
+    sync_index_from_feed(spark, feed, "k", schema, ckpt, catalog=cat)
+    assert cat.lookup("k")["last_version"] == 1
+
+    qvec = [1.0] * dim
+    after_sync = {
+        (r["vec_id"], tuple(round(x, 9) for x in r["embedding"]))
+        for r in probe_lsh_index(
+            spark, cat.lookup("k"), qvec, hamming_radius=6
+        ).collect()
+    }
+    # reference state: fresh index built directly on the v1 snapshot
+    cat2 = IndexCatalog(root=str(tmp_path / "idx2"))
+    build_lsh_index(
+        spark, v1, "k", id_col="vec_id", embedding_col="embedding",
+        n_planes=6, seed=42, n_tables=2, catalog=cat2,
+    )
+    rebuilt = {
+        (r["vec_id"], tuple(round(x, 9) for x in r["embedding"]))
+        for r in probe_lsh_index(
+            spark, cat2.lookup("k"), qvec, hamming_radius=6
+        ).collect()
+    }
+    assert after_sync == rebuilt and after_sync
+    # re-run with the same checkpoint: stream sees no new files
+    import os as _os
+
+    files_before = sum(len(fs) for _, _, fs in _os.walk(cat.root))
+    sync_index_from_feed(spark, feed, "k", schema, ckpt, catalog=cat)
+    files_after = sum(len(fs) for _, _, fs in _os.walk(cat.root))
+    assert files_after == files_before
