@@ -365,10 +365,13 @@ def probe_lsh_index(
     cand = index_df.filter(member)
     if exclude_ids:
         cand = cand.filter(~F.col(idx["id_col"]).isin(list(exclude_ids)))
-    return (
-        _resolve_live(cand, idx)
-        .dropDuplicates([idx["id_col"]])
-        .select(idx["id_col"], "embedding")
+    # A never-refreshed index (last_version 0) holds only live v0 rows:
+    # skip the per-bucket liveness window — one less shuffle on the
+    # latency-critical probe path.
+    if idx.get("last_version", 0) != 0:
+        cand = _resolve_live(cand, idx)
+    return cand.dropDuplicates([idx["id_col"]]).select(
+        idx["id_col"], "embedding"
     )
 
 
@@ -553,11 +556,22 @@ def rewrite_near_pairs(
 _RULES = (rewrite_similarity_topk, rewrite_near_pairs)
 
 
-def optimize(df: DataFrame, catalog: IndexCatalog | None = None) -> DataFrame:
+def optimize(
+    df: DataFrame,
+    catalog: IndexCatalog | None = None,
+    hamming_radius: int = 2,
+) -> DataFrame:
     """Engine optimizer entry point: apply each rewrite rule once, in
     order; the first rule that fires wins (rules are shape-disjoint),
-    unchanged plans pass through."""
-    for rule in _RULES:
+    unchanged plans pass through.  ``hamming_radius`` tunes the top-k
+    rewrite's probe width (recall ↔ buckets-read); rules that don't
+    take it ignore it."""
+    new = rewrite_similarity_topk(
+        df, catalog=catalog, hamming_radius=hamming_radius
+    )
+    if new is not df:
+        return new
+    for rule in _RULES[1:]:
         new = rule(df, catalog=catalog)
         if new is not df:
             return new
