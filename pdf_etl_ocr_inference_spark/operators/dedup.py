@@ -325,3 +325,101 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------------------------
+# Connected components (log-round)
+# ------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+) -> tuple[DataFrame, int]:
+    """Log-round connected components over an undirected pair graph.
+
+    Shiloach–Vishkin-style alternation, per round:
+
+    1. **hook** — every node takes the minimum label among itself and
+       its neighbors (plain HashMin step);
+    2. **shortcut** — one pointer jump: ``label := label(label)``,
+       compressing label chains so distances to the component minimum
+       halve every round.
+
+    Plain neighbor-min propagation (``dedup_clusters``) needs
+    O(diameter) rounds — fine for exact-dup cliques, hopeless for the
+    chain-shaped similarity graphs near-dup dedup produces at 100 TB.
+    The hook+shortcut alternation converges in O(log n) rounds on any
+    graph shape, so ``max_rounds=20`` covers components of ~10^6-hop
+    diameter.  Labels only decrease and are always node ids from the
+    same component, so the fixpoint label is the component minimum.
+
+    ``edges`` need not be symmetric (symmetrized internally) and rows
+    with ``id_a == id_b`` are ignored.  Returns ``(labels, rounds)``:
+    ``labels(node, component)`` covers every node incident to an edge
+    (isolated nodes are their own component by definition and should
+    be handled by the caller's final left join — propagating them
+    through every round would scale with the corpus, not the pair
+    graph).  Raises if ``max_rounds`` is hit without convergence.
+    """
+    from pdf_etl_ocr_inference_spark.operators.layout import truncate_lineage
+
+    pairs = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    sym = truncate_lineage(
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    labels = truncate_lineage(
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    for rounds in range(1, max_rounds + 1):
+        nmin = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("component").alias("_nmin"))
+        )
+        hooked = labels.join(
+            nmin, labels["node"] == nmin["src"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("_nmin"), F.col("component")),
+            ).alias("component"),
+        )
+        parent = hooked.select(
+            F.col("node").alias("_pnode"), F.col("component").alias("_pcomp")
+        )
+        shortcut = hooked.join(
+            parent, hooked["component"] == parent["_pnode"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("_pcomp"), F.col("component")),
+            ).alias("component"),
+        )
+        shortcut = truncate_lineage(shortcut)
+        changed = (
+            shortcut.join(
+                labels.withColumnRenamed("component", "_old"), "node"
+            )
+            .filter(F.col("component") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = shortcut
+        if changed == 0:
+            return labels, rounds
+    raise RuntimeError(
+        f"connected_components: no convergence in {max_rounds} rounds "
+        "(theoretically impossible for max_rounds >= log2(n) + 2; "
+        "check the edge set for instability)"
+    )

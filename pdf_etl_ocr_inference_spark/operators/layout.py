@@ -56,3 +56,27 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     if sc._jsc.sc().getCheckpointDir().isDefined():
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def zorder_key(cols, bits: int = 12):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column, column ``i`` occupying bit positions ``i, i+n, i+2n, ...``.
+
+    Inputs must already be non-negative integers scaled into
+    ``[0, 2**bits)`` (callers clamp with ``% 2**bits`` or a min-max
+    rescale).  Sorting the table by this key clusters rows that are
+    close in EVERY dimension, so parquet row-group min/max stats become
+    selective for *all* interleaved columns at once — a multi-dim scan
+    can then prune row groups regardless of which dimension the
+    predicate hits, where a linear sort only serves its leading column.
+    Pure bit arithmetic (shift/or), fully inside whole-stage codegen.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z

@@ -208,8 +208,11 @@ def op56b_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
+# Recursive-CTE ground truth for connected components over the
+# exact-duplicate pair graph; shared by both CC implementations so the
+# O(diameter) and O(log n) variants are verified against the identical
+# answer.
+_CC_ORACLE = (
     "WITH RECURSIVE pairs AS ("
     "  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM ("
     "    SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),"
@@ -223,7 +226,13 @@ def op56b_salted_join(spark: SparkSession, sf: str) -> DataFrame:
     "  UNION "
     "  SELECT p.id_a AS doc_id, r.root FROM pairs p "
     "  JOIN reach r ON p.id_b = r.doc_id) "
-    "SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id",
+    "SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id"
+)
+
+
+@register(
+    "dedup_clusters",
+    _CC_ORACLE,
     doc="connected-components clustering over exact-duplicate pairs: "
     "iterative min-label propagation (converges in O(d) rounds, "
     "d = component diameter — log-round convergence would need "
@@ -313,3 +322,163 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "doc_id", F.coalesce("_cc", F.col("doc_id")).alias("cluster_id")
     )
+
+
+@register(
+    "dedup_clusters_sv",
+    _CC_ORACLE,
+    doc="log-round connected components (Shiloach–Vishkin hook + "
+    "pointer-jump shortcut, operators/dedup.connected_components) over "
+    "the same exact-dup pair graph as dedup_clusters. Plain propagation "
+    "is O(diameter) rounds; the shortcut halves label-chain length "
+    "every round → O(log n) rounds on chain-shaped near-dup graphs, "
+    "the shape that matters at 100 TB. Oracle identical to "
+    "dedup_clusters (same recursive CTE) ⇒ both variants provably "
+    "agree.",
+)
+def dedup_clusters_sv(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.text import doc_fingerprint
+    from pdf_etl_ocr_inference_spark.operators.dedup import (
+        connected_components,
+    )
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        ensure_min_parallelism,
+    )
+
+    docs = _t(spark, sf, "documents")
+    fp = ensure_min_parallelism(docs).select(
+        "doc_id", doc_fingerprint("text").alias("fp")
+    )
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp").filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    labels, _rounds = connected_components(pairs)
+    return docs.select("doc_id").join(
+        labels.withColumnRenamed("node", "doc_id")
+        .withColumnRenamed("component", "_cc"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("_cc", F.col("doc_id")).alias("cluster_id")
+    )
+
+
+# ------------------------------------------------------------------
+# Multi-dimensional layout + runtime join pruning
+# ------------------------------------------------------------------
+
+
+def _zorder_scratch(sf: str) -> str:
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf))
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch", f"zorder_orders_{tag}"
+    )
+
+
+@register(
+    "op70_zorder_layout",
+    "SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total "
+    "FROM orders WHERE o_custkey BETWEEN 100 AND 299 "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01'",
+    doc="Z-order (Morton) clustered layout: orders rewritten sorted by "
+    "the bit-interleaving of (o_custkey, days-since-1995) — "
+    "operators/layout.zorder_key — via repartitionByRange + "
+    "sortWithinPartitions, then a 2-D box predicate is answered from "
+    "the clustered copy. Oracle = same predicate on the original "
+    "table, proving the rewrite is content-preserving. The point at "
+    "100 TB: row-group min/max stats prune for BOTH dimensions "
+    "(measured in tests/test_zorder.py), where a linear sort serves "
+    "only its leading column; the write itself is one range shuffle.",
+)
+def op70_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.layout import zorder_key
+
+    orders = _t(spark, sf, "orders")
+    x = F.col("o_custkey").bitwiseAND(F.lit(4095))
+    y = (
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))
+        ).bitwiseAND(F.lit(4095))
+    )
+    path = _zorder_scratch(sf)
+    (
+        orders.withColumn("_z", zorder_key([x, y], bits=12))
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    zo = spark.read.parquet(path)
+    return zo.filter(
+        F.col("o_custkey").between(100, 299)
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "op71_bloom_join",
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "ROUND(SUM(l_extendedprice), 2) AS total "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderpriority",
+    doc="runtime Bloom-filter join pruning: Catalyst's "
+    "InjectRuntimeFilter plants a bloom_filter_agg of the selective "
+    "build side's join keys as a might_contain pre-filter on the "
+    "probe-side SCAN, so at 100 TB most lineitem rows die at the scan "
+    "instead of crossing the join shuffle (~5× fewer shuffled rows "
+    "for a 1-of-5 priority filter). Injection thresholds are tuned "
+    "for fixture sizes during planning only (saved/restored); the "
+    "plan test asserts might_contain sits on the probe side. "
+    "Result provably identical to the plain join (the oracle).",
+)
+def op71_bloom_join(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    saved = {}
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # fixture scans are far below the 10 GB production default
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        # keep the join a shuffle join at planning time: a broadcast
+        # build side would get DPP/no filter and hide the mechanism
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in tuned.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        out = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            )
+        )
+        # materialize logical optimization + physical planning NOW so
+        # the bloom filter is baked into this DataFrame's plan before
+        # the thresholds are restored (plans are lazy vals on the
+        # Dataset's QueryExecution — later actions reuse them)
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

@@ -143,3 +143,184 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return _t(spark, sf, "documents").select(
         "doc_id", doc_fingerprint("text").alias("fingerprint")
     )
+
+
+# ------------------------------------------------------------------
+# PII scrubbing
+# ------------------------------------------------------------------
+# The fixture corpus contains no PII, so the op first plants
+# deterministic PII (email / IPv4 / phone derived from doc_id) into
+# every document — identically on both engines — then scrubs it.
+# Patterns use only regex constructs with identical semantics in Java
+# (Spark) and RE2 (DuckDB): char classes, bounded repeats, \b, \d.
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+_PII_SYNTH_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || "
+    "'@mail.example.com or 10.0.' || (doc_id % 256)::VARCHAR || '.' || "
+    "(doc_id % 100)::VARCHAR || ' tel 555-' || "
+    "LPAD((doc_id % 1000)::VARCHAR, 3, '0') || '-' || "
+    "LPAD((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+
+
+@register(
+    "text_pii_scrub",
+    "SELECT doc_id, "
+    f"LEN(REGEXP_EXTRACT_ALL(t, '{_PII_EMAIL}'))::INT AS n_emails, "
+    f"LEN(REGEXP_EXTRACT_ALL(REGEXP_REPLACE(t, '{_PII_EMAIL}', "
+    f"'<EMAIL>', 'g'), '{_PII_IP}'))::INT AS n_ips, "
+    f"LEN(REGEXP_EXTRACT_ALL(REGEXP_REPLACE(REGEXP_REPLACE(t, "
+    f"'{_PII_EMAIL}', '<EMAIL>', 'g'), '{_PII_IP}', '<IP>', 'g'), "
+    f"'{_PII_PHONE}'))::INT AS n_phones, "
+    f"REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t, '{_PII_EMAIL}', "
+    f"'<EMAIL>', 'g'), '{_PII_IP}', '<IP>', 'g'), '{_PII_PHONE}', "
+    "'<PHONE>', 'g') AS clean_text "
+    f"FROM (SELECT doc_id, {_PII_SYNTH_SQL} AS t FROM documents)",
+    doc="PII redaction (email → IPv4 → phone, in that order so earlier "
+    "redactions can't be re-matched) with per-kind counts. All native "
+    "regexp_replace/regexp_count — stays in whole-stage codegen, no "
+    "shuffle at all: the 100 TB cost is exactly one scan+rewrite.",
+)
+def text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@mail.example.com or 10.0."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        (d % 100).cast("string"),
+        F.lit(" tel 555-"),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+    no_email = F.regexp_replace(synth, _PII_EMAIL, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, _PII_IP, "<IP>")
+    no_phone = F.regexp_replace(no_ip, _PII_PHONE, "<PHONE>")
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_count(synth, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(no_email, F.lit(_PII_IP)).alias("n_ips"),
+        F.regexp_count(no_ip, F.lit(_PII_PHONE)).alias("n_phones"),
+        no_phone.alias("clean_text"),
+    )
+
+
+# ------------------------------------------------------------------
+# Boilerplate-line removal
+# ------------------------------------------------------------------
+# Classic scraped-corpus cleaning: a line whose normalized form occurs
+# in many distinct documents is boilerplate (nav bars, cookie banners,
+# license footers) and is dropped from every document. The fixture
+# docs are single-line, so a shared header/footer is planted first —
+# identically on both engines — turning every doc into 3 lines of
+# which exactly the header and footer cross the frequency threshold.
+
+_BP_HEADER = "generated header do not edit"
+_BP_FOOTER = "copyright footer all rights reserved"
+_BP_MIN_DOCS = 10
+
+
+@register(
+    "text_boilerplate_lines",
+    "WITH d AS (SELECT doc_id, "
+    f"'{_BP_HEADER}' || CHR(10) || text || CHR(10) || '{_BP_FOOTER}' AS t "
+    "FROM documents), "
+    "split AS (SELECT doc_id, STRING_SPLIT(t, CHR(10)) AS parts FROM d), "
+    "lines AS (SELECT doc_id, "
+    "UNNEST(GENERATE_SERIES(1, LEN(parts))) AS i, parts FROM split), "
+    "lines2 AS (SELECT doc_id, i - 1 AS pos, parts[i] AS line FROM lines), "
+    "boiler AS (SELECT line FROM lines2 GROUP BY line "
+    f"HAVING COUNT(DISTINCT doc_id) >= {_BP_MIN_DOCS}) "
+    "SELECT doc_id, COUNT(*) AS n_lines, "
+    "COUNT(*) - COUNT(b.line) AS n_kept, "
+    "STRING_AGG(CASE WHEN b.line IS NULL THEN l.line END, CHR(10) "
+    "ORDER BY l.pos) AS clean_text "
+    "FROM lines2 l LEFT JOIN boiler b USING (line) GROUP BY doc_id",
+    doc="corpus-frequency boilerplate-line removal: explode lines with "
+    "position, count distinct docs per line (map-side combinable "
+    "shuffle), broadcast the (by-definition tiny) frequent-line set "
+    "back as an anti-indicator, reassemble each doc in one grouped "
+    "pass. At 100 TB: one agg shuffle + one broadcast join + one "
+    "groupBy — the frequent-line set stays small no matter the corpus.",
+)
+def text_boilerplate_lines(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    synth = F.concat_ws(
+        "\n", F.lit(_BP_HEADER), F.col("text"), F.lit(_BP_FOOTER)
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(synth, "\n")).alias("pos", "line")
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= _BP_MIN_DOCS)
+        .select("line", F.lit(1).alias("_b"))
+    )
+    marked = lines.join(F.broadcast(boiler), "line", "left")
+    items = F.array_sort(
+        F.collect_list(F.struct("pos", "line", F.col("_b").alias("b")))
+    )
+    kept_lines = F.transform(
+        F.filter(items, lambda x: x["b"].isNull()), lambda x: x["line"]
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        (F.count("*") - F.count("_b")).alias("n_kept"),
+        F.array_join(kept_lines, "\n").alias("clean_text"),
+    )
+
+
+# ------------------------------------------------------------------
+# Weighted training-mix construction
+# ------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIX_BUDGET = 50
+_MIX_QUOTAS = {
+    s: int(_MIX_BUDGET * w) for s, w in sorted(_MIX_WEIGHTS.items())
+}
+
+
+@register(
+    "train_mix_weighted",
+    "SELECT doc_id, source FROM ("
+    "  SELECT doc_id, source, ROW_NUMBER() OVER ("
+    "    PARTITION BY source ORDER BY MD5(doc_id::VARCHAR)) AS rk "
+    "  FROM documents WHERE source IN ("
+    + ", ".join(f"'{s}'" for s in sorted(_MIX_QUOTAS))
+    + ")) WHERE rk <= CASE source "
+    + " ".join(f"WHEN '{s}' THEN {q}" for s, q in sorted(_MIX_QUOTAS.items()))
+    + " END",
+    doc="weighted training-mix construction: per-source quotas from "
+    "target weights, filled by ranking docs on a deterministic "
+    "pseudo-random key (md5 of doc_id — reproducible shuffle, no RNG "
+    "state). Per-source top-k via a source-partitioned window; md5 is "
+    "collision-free on ids so selection is tie-free. At 100 TB a "
+    "billion-doc source makes one window partition a straggler — the "
+    "op34d_scalable_ranks bucketed-ranking substitute applies "
+    "per-source verbatim.",
+)
+def train_mix_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    quota = F.create_map(
+        *[F.lit(x) for sq in sorted(_MIX_QUOTAS.items()) for x in sq]
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string"))
+    )
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("source").isin(*sorted(_MIX_QUOTAS)))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= quota[F.col("source")])
+        .select("doc_id", "source")
+    )
