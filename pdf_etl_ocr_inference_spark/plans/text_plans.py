@@ -324,3 +324,108 @@ def train_mix_weighted(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") <= quota[F.col("source")])
         .select("doc_id", "source")
     )
+
+
+# ------------------------------------------------------------------
+# Benchmark-contamination detection
+# ------------------------------------------------------------------
+
+# 5-gram shingle list, SQL side (mirrors functions.text.word_ngrams
+# with n=5: shingles i = join(tokens[i:i+5]) for i in 1..max(len-4,1))
+_GRAMS5 = (
+    "LIST_DISTINCT(LIST_TRANSFORM("
+    "GENERATE_SERIES(1, GREATEST(LEN(toks) - 4, 1)), "
+    "i -> ARRAY_TO_STRING(toks[i:i+4], ' ')))"
+)
+
+
+@register(
+    "text_contamination",
+    "WITH g AS ("
+    "  SELECT doc_id, " + _GRAMS5 + " AS grams FROM ("
+    "    SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks "
+    "    FROM documents)), "
+    "bg AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g "
+    "       WHERE doc_id % 97 = 3), "
+    "dg AS (SELECT doc_id, UNNEST(grams) AS gram FROM g "
+    "       WHERE doc_id % 97 <> 3) "
+    "SELECT dg.doc_id, COUNT(*) AS n_grams, COUNT(bg.gram) AS n_matched, "
+    "ROUND(COUNT(bg.gram) * 1.0 / COUNT(*), 6) AS contamination "
+    "FROM dg LEFT JOIN bg USING (gram) GROUP BY dg.doc_id",
+    doc="benchmark-contamination detection: word-5-gram overlap of "
+    "every corpus doc against a held-out benchmark set (GPT-3 appendix "
+    "C method). The benchmark n-gram set is schema-bounded (eval "
+    "suites don't grow with the corpus) so it broadcasts — the corpus "
+    "never shuffles, only the per-doc agg does. Fixture benchmark = "
+    "docs with doc_id % 97 == 3.",
+)
+def text_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.contamination import (
+        contamination_report,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 3)
+    corpus = docs.filter(F.col("doc_id") % 97 != 3)
+    return contamination_report(corpus, bench, "text", "doc_id", n=5)
+
+
+# ------------------------------------------------------------------
+# TF-IDF top terms
+# ------------------------------------------------------------------
+
+_NORM_SQL = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', '', "
+    "'g'), '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "text_tfidf_terms",
+    "WITH tf AS ("
+    "  SELECT doc_id, term, COUNT(*) AS tf FROM ("
+    "    SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(" + _NORM_SQL + ", "
+    "'\\s+')) AS term FROM documents) GROUP BY doc_id, term), "
+    "dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "n AS (SELECT COUNT(*) AS n_docs FROM documents) "
+    "SELECT doc_id, term, tfidf FROM ("
+    "  SELECT tf.doc_id, tf.term, "
+    "  ROUND(tf * LN((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf, "
+    "  ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY "
+    "    tf * LN((n_docs + 1.0) / (df + 1.0)) DESC, tf.term) AS rk "
+    "  FROM tf, dfreq, n WHERE tf.term = dfreq.term) WHERE rk <= 3",
+    doc="per-document top-3 TF-IDF terms: normalized tokens → "
+    "(doc,term) counts → term document-frequency → idf via a "
+    "broadcast scalar doc count (no driver collect) → per-doc window "
+    "top-k, tie-broken by term so ranking is deterministic. Two "
+    "combinable shuffles ((doc,term) then term); the per-doc window "
+    "partitions by doc_id — millions of small partitions, no "
+    "straggler.",
+)
+def text_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from pdf_etl_ocr_inference_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    docs = _t(spark, sf, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokens(normalize_text("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    score = F.col("tf") * F.log(
+        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_score"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("_score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.round("_score", 6).alias("tfidf"))
+    )

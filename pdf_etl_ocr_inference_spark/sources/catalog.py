@@ -109,6 +109,33 @@ TABLES: dict[str, T.StructType] = {
 }
 
 
+# ts unit per resolved events path ("ns"/"us"), probed once from the
+# parquet footer — driver-side metadata read, no job.
+_TS_UNIT_CACHE: dict = {}
+
+
+def event_ts_unit(path: str) -> str:
+    """The testdata generator has produced ``events.ts`` as both
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds; probe the
+    footer instead of assuming, so the read schema matches the file."""
+    import os
+
+    key = os.path.abspath(path)
+    unit = _TS_UNIT_CACHE.get(key)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        target = key
+        if os.path.isdir(target):
+            parts = sorted(
+                n for n in os.listdir(target) if n.endswith(".parquet")
+            )
+            target = os.path.join(target, parts[0])
+        unit = pq.read_schema(target).field("ts").type.unit
+        _TS_UNIT_CACHE[key] = unit
+    return unit
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (OP-02).
 
@@ -117,22 +144,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
-    if name == "events":
-        # events.parquet is TIMESTAMP(NANOS); a session built outside
-        # our factory (e.g. the driver's) rejects it without this
-        # runtime-settable legacy conf
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = normalize_event_ts(df)
-    return df
+    if name != "events":
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if event_ts_unit(path) != "ns":
+        # Naive-micros files would otherwise infer TIMESTAMP_NTZ;
+        # reading under the declared schema surfaces ts as TIMESTAMP
+        # with the stored value passed through unshifted — type-stable
+        # across testdata generations and independent of session tz.
+        return spark.read.schema(TABLES["events"]).parquet(path)
+    # TIMESTAMP(NANOS): a session built outside our factory (e.g. the
+    # driver's) rejects nanos without this runtime-settable legacy
+    # conf; read as long nanos, convert post-read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(spark.read.parquet(path))
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads as
-    long nanos under ``spark.sql.legacy.parquet.nanosAsLong``.  Convert
+    """When events.ts is TIMESTAMP(NANOS) in parquet, Spark reads it as
+    long nanos under ``spark.sql.legacy.parquet.nanosAsLong``; convert
     to a proper timestamp at micro precision (floor division — matches
-    DuckDB's nano→micro truncation)."""
+    DuckDB's nano→micro truncation).  Micro-precision files arrive as
+    TimestampType already and pass through untouched."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

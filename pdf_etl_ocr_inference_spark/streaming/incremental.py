@@ -49,6 +49,39 @@ def _as_stream_dir(path: str) -> str:
     return d
 
 
+def _read_events_stream(
+    spark: SparkSession, events_path: str, schema: T.StructType
+) -> DataFrame:
+    """Streaming scan of events with ``ts`` as a proper timestamp,
+    whatever precision the parquet carries.
+
+    Micro-precision files read natively; nano-precision files (which
+    Spark's vectorized reader only surfaces as long under
+    ``spark.sql.legacy.parquet.nanosAsLong``) are read as long nanos
+    and floor-converted post-read.
+    """
+    from pdf_etl_ocr_inference_spark.sources.catalog import (
+        event_ts_unit,
+        normalize_event_ts,
+    )
+
+    if event_ts_unit(events_path) != "ns":
+        return (
+            spark.readStream.schema(schema)
+            .parquet(_as_stream_dir(events_path))
+        )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_fields = [
+        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+        for f in schema.fields
+    ]
+    stream = (
+        spark.readStream.schema(T.StructType(raw_fields))
+        .parquet(_as_stream_dir(events_path))
+    )
+    return normalize_event_ts(stream)
+
+
 def stream_events_tumbling(
     spark: SparkSession,
     events_path: str,
@@ -60,20 +93,9 @@ def stream_events_tumbling(
 
     Returns the *streaming* DataFrame (caller attaches the sink).
     """
-    from pdf_etl_ocr_inference_spark.sources.catalog import normalize_event_ts
-
-    # events.ts is TIMESTAMP(NANOS): stream it as long nanos (matching
-    # spark.sql.legacy.parquet.nanosAsLong) and convert post-read.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_fields = [
-        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-        for f in schema.fields
-    ]
-    stream = (
-        spark.readStream.schema(T.StructType(raw_fields))
-        .parquet(_as_stream_dir(events_path))
+    stream = _read_events_stream(spark, events_path, schema).withWatermark(
+        "ts", watermark
     )
-    stream = normalize_event_ts(stream).withWatermark("ts", watermark)
     return (
         stream.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
@@ -94,21 +116,10 @@ def stream_events_raw(
     events_path: str,
     schema: T.StructType,
 ) -> DataFrame:
-    """Streaming scan of the events fixture (ts normalized from nanos),
-    no aggregation attached — the building block for custom stateful
-    operators."""
-    from pdf_etl_ocr_inference_spark.sources.catalog import normalize_event_ts
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_fields = [
-        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-        for f in schema.fields
-    ]
-    stream = (
-        spark.readStream.schema(T.StructType(raw_fields))
-        .parquet(_as_stream_dir(events_path))
-    )
-    return normalize_event_ts(stream)
+    """Streaming scan of the events fixture (ts normalized to a proper
+    timestamp whatever the file precision), no aggregation attached —
+    the building block for custom stateful operators."""
+    return _read_events_stream(spark, events_path, schema)
 
 
 def stream_events_sliding(

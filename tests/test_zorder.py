@@ -65,6 +65,14 @@ def _overlap_frac(ranges, col, lo, hi) -> float:
     return hit / n
 
 
+def _box(lo: float, hi: float, frac_lo: float, frac_hi: float):
+    """Sub-range of [lo, hi] between the given domain fractions —
+    query boxes derive from the observed domain, so the test holds
+    whatever key ranges the testdata generator used this round."""
+    span = hi - lo
+    return lo + frac_lo * span, lo + frac_hi * span
+
+
 @pytest.fixture(scope="module")
 def layouts(spark, tmp_path_factory):
     from pyspark.sql import functions as F
@@ -80,12 +88,28 @@ def layouts(spark, tmp_path_factory):
             F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))
         ).alias("o_days"),
     )
+    dom = orders.agg(
+        F.min("o_custkey").alias("c_lo"),
+        F.max("o_custkey").alias("c_hi"),
+        F.min("o_days").alias("d_lo"),
+        F.max("o_days").alias("d_hi"),
+    ).first()
+
+    def scaled(col: str, lo: int, hi: int):
+        # min-max rescale into [0, 4095] — the zorder_key docstring's
+        # caller contract (clamping with & would alias wrapped keys)
+        return (
+            (F.col(col) - F.lit(lo))
+            * F.lit(4095)
+            / F.lit(max(hi - lo, 1))
+        ).cast("long")
+
     zp = str(base / "zorder")
     lp = str(base / "linear")
     z = zorder_key(
         [
-            F.col("o_custkey").bitwiseAND(F.lit(4095)),
-            F.col("o_days").bitwiseAND(F.lit(4095)),
+            scaled("o_custkey", dom.c_lo, dom.c_hi),
+            scaled("o_days", dom.d_lo, dom.d_hi),
         ],
         bits=12,
     )
@@ -107,24 +131,25 @@ def layouts(spark, tmp_path_factory):
     return (
         _stats_ranges(zp + "/*.parquet", cols),
         _stats_ranges(lp + "/*.parquet", cols),
+        dom,
     )
 
 
 def test_zorder_prunes_both_dimensions(layouts):
-    zr, lr = layouts
+    zr, lr, dom = layouts
     assert len(zr) == 16 and len(lr) == 16
     # narrow box in each dimension separately (~1/16 of the domain)
-    cust = _overlap_frac(zr, "o_custkey", 100, 190)
-    days = _overlap_frac(zr, "o_days", 300, 450)
+    cust = _overlap_frac(zr, "o_custkey", *_box(dom.c_lo, dom.c_hi, 0.30, 0.36))
+    days = _overlap_frac(zr, "o_days", *_box(dom.d_lo, dom.d_hi, 0.30, 0.36))
     # z-order must prune meaningfully on BOTH dims at once
     assert cust <= 0.5, f"zorder custkey overlap {cust}"
     assert days <= 0.5, f"zorder days overlap {days}"
 
 
 def test_linear_sort_serves_only_leading_column(layouts):
-    _, lr = layouts
-    cust = _overlap_frac(lr, "o_custkey", 100, 190)
-    days = _overlap_frac(lr, "o_days", 300, 450)
+    _, lr, dom = layouts
+    cust = _overlap_frac(lr, "o_custkey", *_box(dom.c_lo, dom.c_hi, 0.30, 0.36))
+    days = _overlap_frac(lr, "o_days", *_box(dom.d_lo, dom.d_hi, 0.30, 0.36))
     assert cust <= 0.25, f"linear leading-col overlap {cust}"
     # non-leading column: every file spans ~the full date range
     assert days >= 0.9, f"linear non-leading overlap {days}"
