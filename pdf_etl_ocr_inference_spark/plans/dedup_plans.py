@@ -98,3 +98,40 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_near_pairs(
         _t(spark, sf, "documents"), "text", "doc_id", max_hamming=3
     )
+
+
+@register(
+    "dedup_minhash_incremental",
+    None,  # xxhash64-based → rows-only; ≡-to-batch property in pytest
+    doc="incremental near-dedup of a new-arrivals batch against the "
+    "corpus MinHash-LSH index, no corpus re-shingle: index built on "
+    "the base corpus, the batch folded in append-only (the change-"
+    "feed refresh path), then the batch's band rows probe the index "
+    "with (band, _pb) partition pruning + broadcast join. pytest "
+    "proves the pair set equals the batch-touching subset of the "
+    "full-corpus minhash_dedup_pairs, and that tombstones from "
+    "deletes/updates are honored. The 100 TB daily-ingest dedup "
+    "shape: cost ∝ batch, never corpus.",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+        refresh_minhash_index,
+    )
+
+    docs = _t(spark, sf, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    base = docs.filter(F.col("doc_id") % 10 != 7)
+    key = f"catalog/minhash/{sf}"
+    build_minhash_index(spark, base, key, "text", "doc_id")
+    refresh_minhash_index(
+        spark,
+        key,
+        batch.withColumn("_change_type", F.lit("insert")),
+        version=1,
+    )
+    return dedup_against_index(
+        spark, key, batch.select("doc_id", "text"), docs,
+        jaccard_threshold=0.5,
+    )

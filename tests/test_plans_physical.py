@@ -121,3 +121,35 @@ def test_scalable_ranks_runs_multi_task(spark):
     # while op34c (the §2-faithful surface) IS the single-task window
     ref = _SPECS["op34c_window_ranks"].fn(spark, SF0001)
     assert "SinglePartition" in _explain(spark, ref)
+
+
+def test_minhash_probe_prunes_and_broadcasts(spark, tmp_path):
+    """The incremental dedup probe must hit the index with partition
+    pruning on (band, _pb) and broadcast the batch's band rows — the
+    index side of the bucket join never shuffles."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import IndexCatalog
+
+    cat = IndexCatalog(root=str(tmp_path))
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i % 5}p{j}" for j in range(10))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    build_minhash_index(spark, docs, "t/plan", catalog=cat)
+    batch = docs.filter(F.col("doc_id") < 4)
+    out = dedup_against_index(
+        spark, "t/plan", batch, docs, jaccard_threshold=0.5, catalog=cat
+    )
+    plan = _explain(spark, out)
+    part_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any(
+        "band" in ln and "_pb" in ln and " IN " in ln for ln in part_lines
+    ), part_lines
+    assert "BroadcastHashJoin" in plan
