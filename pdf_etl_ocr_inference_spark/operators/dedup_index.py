@@ -20,10 +20,13 @@ table, maintained append-only from the change feed:
   scan — then exact-Jaccard-verifies candidates against corpus text
   fetched by a candidate-id semi-join.
 
-Layout mirrors the embedding index: partitioned by (band,
-bucket mod 256) — bounded directory fanout — and sorted by bucket
-within partitions so row-group min/max stats prune bucket equality
-probes inside each file.
+Layout lesson re-learned from the embedding index: directory fanout
+must stay BOUNDED.  Partitioning by (band, bucket mod 256) would make
+num_bands x 256 directories of tiny files — the metadata/scheduling
+cost dominates the probe.  So the partition column is _pb =
+xxhash64(band, bucket) mod 256 alone (256 directories total, any
+num_bands), with (band, bucket) kept as sorted DATA columns so
+row-group min/max stats prune the equality probe inside each file.
 """
 
 from __future__ import annotations
@@ -34,12 +37,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_etl_ocr_inference_spark.functions.text import word_ngrams
-from pdf_etl_ocr_inference_spark.operators.dedup import (
-    minhash_signatures,
-)
 from pdf_etl_ocr_inference_spark.optimizer import IndexCatalog
 
-MINHASH_INDEX_FORMAT = 1
+MINHASH_INDEX_FORMAT = 2
 _PARTITION_BUCKETS = 256
 
 
@@ -51,30 +51,54 @@ def _band_rows(
     num_bands: int,
     shingle_n: int,
     version: int,
-    deleted: bool,
 ) -> DataFrame:
-    """(id, band, bucket, _commit_version, _deleted, _pb) rows."""
+    """(id, band, bucket, _commit_version, _deleted, _pb) rows.
+
+    ``df`` must carry a boolean ``_deleted`` column; signatures group
+    by (id, _deleted) so ONE pipeline handles a mixed change commit —
+    an update contributes a live row hashed from its postimage text
+    AND a tombstone hashed from its preimage text, without running
+    (and codegen-compiling) the minhash pipeline twice.  Bucket
+    values depend only on shingles and seeds, so they are identical
+    to ``operators.dedup.minhash_signatures``'s (the batch pipeline
+    the property tests compare against).
+    """
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        ensure_min_parallelism,
+    )
+
     rpb = num_hashes // num_bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    exploded = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.col("_deleted"),
+        F.explode(
+            F.array_distinct(word_ngrams(text_col, shingle_n))
+        ).alias("_sh"),
+    )
+    sigs = exploded.groupBy(id_col, "_deleted").agg(
+        *[
+            F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sig = F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
     return (
         sigs.select(
             F.col(id_col),
+            F.col("_deleted"),
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(num_bands - 1)),
                     lambda b: F.xxhash64(
-                        F.slice(F.col("sig"), b * rpb + 1, rpb).cast(
-                            "string"
-                        ),
-                        b,
+                        F.slice(sig, b * rpb + 1, rpb).cast("string"), b
                     ),
                 )
             ).alias("band", "bucket"),
         )
         .withColumn("_commit_version", F.lit(version).cast("long"))
-        .withColumn("_deleted", F.lit(deleted))
         .withColumn(
-            "_pb", F.pmod(F.col("bucket"), F.lit(_PARTITION_BUCKETS))
+            "_pb",
+            F.pmod(F.xxhash64("band", "bucket"), F.lit(_PARTITION_BUCKETS)),
         )
     )
 
@@ -104,14 +128,15 @@ def build_minhash_index(
 
     shutil.rmtree(data_path, ignore_errors=True)
     rows = _band_rows(
-        corpus, text_col, id_col, num_hashes, num_bands, shingle_n,
-        version=0, deleted=False,
+        corpus.withColumn("_deleted", F.lit(False)),
+        text_col, id_col, num_hashes, num_bands, shingle_n,
+        version=0,
     )
     (
-        rows.repartition("band", "_pb")
-        .sortWithinPartitions("band", "_pb", "bucket")
+        rows.repartition("_pb")
+        .sortWithinPartitions("_pb", "band", "bucket")
         .write.mode("overwrite")
-        .partitionBy("band", "_pb")
+        .partitionBy("_pb")
         .parquet(data_path)
     )
     cat.register(
@@ -160,34 +185,28 @@ def refresh_minhash_index(
     meta = _load_meta(table_key, cat)
     if version <= meta["last_version"]:
         return
-    common = dict(
-        text_col=text_col,
-        id_col=meta["id_col"],
-        num_hashes=meta["num_hashes"],
-        num_bands=meta["num_bands"],
-        shingle_n=meta["shingle_n"],
+    tagged = changes.filter(
+        F.col("_change_type").isin(
+            "insert", "update_postimage", "delete", "update_preimage"
+        )
+    ).withColumn(
+        "_deleted",
+        F.col("_change_type").isin("delete", "update_preimage"),
+    )
+    rows = _band_rows(
+        tagged,
+        text_col,
+        meta["id_col"],
+        meta["num_hashes"],
+        meta["num_bands"],
+        meta["shingle_n"],
         version=version,
     )
-    live = _band_rows(
-        changes.filter(
-            F.col("_change_type").isin("insert", "update_postimage")
-        ),
-        deleted=False,
-        **common,
-    )
-    dead = _band_rows(
-        changes.filter(
-            F.col("_change_type").isin("delete", "update_preimage")
-        ),
-        deleted=True,
-        **common,
-    )
     (
-        live.unionByName(dead)
-        .repartition("band", "_pb")
-        .sortWithinPartitions("band", "_pb", "bucket")
+        rows.repartition("_pb")
+        .sortWithinPartitions("_pb", "band", "bucket")
         .write.mode("append")
-        .partitionBy("band", "_pb")
+        .partitionBy("_pb")
         .parquet(meta["data_path"])
     )
     meta["last_version"] = version
@@ -232,8 +251,7 @@ def dedup_against_index(
     - the batch's band rows come from its own text (no index read
       needed to know where to look);
     - their partition buckets prune the index scan to the touched
-      ``(band, _pb)`` directories (≤ 8×256, usually far fewer for a
-      small batch);
+      ``_pb`` directories (≤ 256, far fewer for a small batch);
     - the pruned index side BROADCAST-joins the batch's band rows —
       the index never shuffles;
     - liveness (latest version wins, live beats tombstone) is
@@ -252,25 +270,23 @@ def dedup_against_index(
     meta = _load_meta(table_key, catalog)
     id_col = meta["id_col"]
     probe = _band_rows(
-        new_docs,
+        new_docs.withColumn("_deleted", F.lit(False)),
         text_col,
         id_col,
         meta["num_hashes"],
         meta["num_bands"],
         meta["shingle_n"],
         version=0,
-        deleted=False,
     ).select(F.col(id_col).alias("_probe_id"), "band", "bucket", "_pb")
-    # touched partition directories — ≤ num_bands × 256 values of
-    # control data, collected driver-side to prune the index scan
-    # (simple IN-list predicates on the partition columns so they
-    # land in PartitionFilters; the conjunction is a slight superset
-    # of the touched (band, _pb) set, corrected by the bucket join)
-    touched = probe.select("band", "_pb").distinct().collect()
-    bands_in = sorted({r["band"] for r in touched})
-    pbs_in = sorted({r["_pb"] for r in touched})
+    probe = probe.persist()
+    # touched partition directories — ≤ 256 values of control data,
+    # collected driver-side into a simple IN-list predicate on the
+    # partition column so it lands in PartitionFilters
+    pbs_in = sorted(
+        r["_pb"] for r in probe.select("_pb").distinct().collect()
+    )
     idx = spark.read.parquet(meta["data_path"]).filter(
-        F.col("band").isin(bands_in) & F.col("_pb").isin(pbs_in)
+        F.col("_pb").isin(pbs_in)
     )
     matched = idx.join(
         F.broadcast(probe.drop("_pb")), ["band", "bucket"]
@@ -290,11 +306,24 @@ def dedup_against_index(
         )
         .distinct()
     )
-    sh = corpus_text.select(
-        F.col(id_col),
-        F.array_distinct(
-            word_ngrams(text_col, meta["shingle_n"])
-        ).alias("_sh"),
+    cands = cands.persist()
+    # shingle ONLY candidate docs: the candidate-id set is small, so
+    # it broadcasts into the corpus_text scan and the expensive
+    # shingling runs on candidates alone — verification cost stays
+    # ∝ candidates, not ∝ corpus text volume
+    cand_ids = (
+        cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+        .distinct()
+    )
+    sh = (
+        corpus_text.join(F.broadcast(cand_ids), id_col)
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                word_ngrams(text_col, meta["shingle_n"])
+            ).alias("_sh"),
+        )
+        .persist()
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))

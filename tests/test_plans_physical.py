@@ -150,6 +150,6 @@ def test_minhash_probe_prunes_and_broadcasts(spark, tmp_path):
         ln for ln in plan.splitlines() if "PartitionFilters" in ln
     ]
     assert any(
-        "band" in ln and "_pb" in ln and " IN " in ln for ln in part_lines
+        "_pb" in ln and ("INSET" in ln or " IN " in ln) for ln in part_lines
     ), part_lines
     assert "BroadcastHashJoin" in plan
