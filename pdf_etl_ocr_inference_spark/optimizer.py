@@ -278,11 +278,14 @@ def sync_index_from_feed(
     checkpoint_dir: str,
     catalog: IndexCatalog | None = None,
     timeout_s: int = 120,
+    refresh_fn=None,
 ) -> None:
     """TRIGGERED index sync (the reference's delta-sync vector index,
     ``ocr:149``, on open Spark): an ``availableNow`` stream over the
     change feed's commit directories folds every unseen commit into
-    the LSH index via :func:`refresh_lsh_index`, then stops.
+    the LSH index via :func:`refresh_lsh_index` — or any compatible
+    ``refresh_fn(spark, table_key, changes, version=, catalog=)``,
+    e.g. the MinHash text-dedup index's — then stops.
 
     The streaming CHECKPOINT tracks which commit files were already
     ingested (restart-safe, no re-reads), and ``refresh_lsh_index``'s
@@ -297,6 +300,7 @@ def sync_index_from_feed(
     from pyspark.sql import types as T
 
     cat = catalog or IndexCatalog()
+    fold_one = refresh_fn or refresh_lsh_index
     full = T.StructType(
         list(change_schema.fields) + [T.StructField("v", T.IntegerType())]
     )
@@ -311,7 +315,7 @@ def sync_index_from_feed(
             r["v"] for r in batch_df.select("v").distinct().collect()
         )
         for v in versions:  # ascending: later commits fold later
-            refresh_lsh_index(
+            fold_one(
                 spark,
                 table_key,
                 batch_df.filter(F.col("v") == v),

@@ -135,3 +135,74 @@ def dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
         spark, key, batch.select("doc_id", "text"), docs,
         jaccard_threshold=0.5,
     )
+
+
+@register(
+    "dedup_index_stream_sync",
+    None,  # xxhash64-based → rows-only; sync≡direct-refresh + run-
+    # idempotence asserted in pytest
+    doc="triggered streaming maintenance of the text-dedup MinHash "
+    "index: documents change feed (v0 corpus insert, v1 new-arrivals "
+    "commit) → availableNow stream over unseen commit directories → "
+    "foreachBatch folds each commit via refresh_minhash_index "
+    "(streaming checkpoint + version guard = at-least-once ingestion "
+    "with idempotent folds) → incremental dedup probe of the batch "
+    "against the synced index. The same triggered-sync machinery as "
+    "ann_index_stream_sync (ref ocr:149), applied to text dedup.",
+)
+def dedup_index_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from pdf_etl_ocr_inference_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+        refresh_minhash_index,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        IndexCatalog,
+        sync_index_from_feed,
+    )
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        commit_changes,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    base = docs.filter(F.col("doc_id") % 10 != 7)
+
+    safe = sf.strip("/").replace("/", "_")
+    scratch = f"{tempfile.gettempdir()}/spark_graft_dedupsync_{safe}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    feed = f"{scratch}/feed"
+    commit_changes(
+        base.withColumn("_change_type", F.lit("insert")), feed, 0
+    )
+    commit_changes(
+        batch.withColumn("_change_type", F.lit("insert")), feed, 1
+    )
+
+    key = f"catalog/minhash_sync/{sf}"
+    cat = IndexCatalog()
+    build_minhash_index(spark, base, key, catalog=cat)  # v0 state
+    change_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_change_type", T.StringType()),
+        ]
+    )
+    sync_index_from_feed(
+        spark,
+        feed,
+        key,
+        change_schema,
+        checkpoint_dir=f"{scratch}/ckpt",
+        catalog=cat,
+        refresh_fn=refresh_minhash_index,
+    )
+    return dedup_against_index(
+        spark, key, batch, docs, jaccard_threshold=0.5, catalog=cat
+    )

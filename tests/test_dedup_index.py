@@ -151,3 +151,20 @@ def test_refresh_idempotent_on_redelivery(spark, corpus, tmp_path):
         )
     )
     assert before == after
+
+
+def test_stream_sync_entry_deterministic(spark):
+    """The triggered-sync catalog entry equals the direct-refresh path
+    and is stable across re-runs (fresh feed+checkpoint per call)."""
+    from pdf_etl_ocr_inference_spark.plans import all_specs
+
+    from .conftest import SF0001
+
+    fn = all_specs()["dedup_index_stream_sync"].fn
+    first = _pairs(fn(spark, SF0001))
+    again = _pairs(fn(spark, SF0001))
+    assert first == again
+    direct = _pairs(
+        all_specs()["dedup_minhash_incremental"].fn(spark, SF0001)
+    )
+    assert first == direct
