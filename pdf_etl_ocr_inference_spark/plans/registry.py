@@ -71,6 +71,7 @@ def _load_all_modules() -> None:
         text_plans,
         tpch2_plans,
         tpch_plans,
+        train_plans,
     )
 
 

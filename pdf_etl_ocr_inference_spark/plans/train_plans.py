@@ -1,0 +1,185 @@
+"""Training-data preparation catalog: sequence packing, corpus
+language-model scoring, and incremental materialized aggregates.
+
+These extend the reference's chunk→embed pipeline (``02-parallel-ocr-
+with-ray.py:292-297`` persists chunks for model consumption) toward
+what an LLM pre-training pipeline needs after chunking: packing chunks
+into fixed token budgets, scoring documents against corpus statistics,
+and keeping corpus-level aggregates fresh without full rescans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.functions.text import token_count, tokens
+from pdf_etl_ocr_inference_spark.plans.registry import register
+from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+_PACK_SHARDS = 8  # independent packing streams
+
+
+@register(
+    "train_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+      FROM documents),
+    pos AS (
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_tok
+      FROM toks)
+    SELECT shard, CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT)
+             AS seq_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM pos GROUP BY shard, seq_id
+    """,
+    doc="GPT-style concat-and-pack: assign each document to the "
+    f"{_PACK_BUDGET}-token training sequence where its text begins, "
+    "packing greedily in doc_id order within each of "
+    f"{_PACK_SHARDS} hash shards. The shard is the unit of "
+    "parallelism — each packing stream is an independent window, so "
+    "the plan scales by adding shards instead of funnelling the "
+    "corpus through one global cumulative sum.",
+)
+def train_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    toks = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = toks.withColumn(
+        "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        pos.withColumn(
+            "seq_id", F.floor(F.col("start_tok") / F.lit(_PACK_BUDGET))
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok),
+    total AS (SELECT SUM(tf) AS n FROM freq)
+    SELECT doc_id,
+           ROUND(AVG(LN(tf / (SELECT n FROM total))), 4) AS avg_logprob
+    FROM tok JOIN freq USING (tok)
+    GROUP BY doc_id
+    """,
+    doc="corpus-unigram language-model scoring (CCNet/RefinedWeb-style "
+    "perplexity filter, done with corpus term frequencies instead of "
+    "an external LM): per-document mean log-probability of its tokens "
+    "under the corpus unigram distribution. Two shuffles total "
+    "(vocab count, per-doc mean); the vocab join keys on the token, "
+    "so skewed stopwords spread across partitions instead of one hot "
+    "key — and the frequency table can be broadcast when the vocab "
+    "is capped.",
+)
+def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    tok = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+        )
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n"))
+    scored = (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log(F.col("tf") / F.col("n"))), 4).alias(
+                "avg_logprob"
+            )
+        )
+    )
+    return scored
+
+
+@register(
+    "op72_incremental_agg",
+    # final snapshot after v0 insert-all, v1 (n_chars += 17 where
+    # doc_id%10==3, delete %10==7) — aggregated by lang, maintained
+    # incrementally, never recomputed from the base table.
+    """
+    SELECT lang, COUNT(*) AS n_rows,
+           SUM(CASE WHEN doc_id % 10 = 3 THEN n_chars + 17
+                    ELSE n_chars END) AS sum_chars
+    FROM documents WHERE doc_id % 10 != 7 GROUP BY lang
+    """,
+    doc="incremental materialized aggregate (generalizes ref ocr:149's "
+    "TRIGGERED index sync to arbitrary COUNT/SUM views): the per-lang "
+    "aggregate is built once from the v0 change rows, then maintained "
+    "by merging the signed delta of v1 (updates contribute post-image "
+    "minus pre-image, deletes subtract) — refresh cost tracks change "
+    "volume, not corpus size. The oracle recomputes the final-state "
+    "aggregate arithmetically; matching it proves the incremental "
+    "path equals a full recompute.",
+)
+def op72_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        commit_changes,
+        diff_snapshots,
+        read_changes,
+    )
+    from pdf_etl_ocr_inference_spark.streaming.ivm import (
+        agg_delta,
+        merge_delta,
+    )
+
+    cdf_dir = tempfile.mkdtemp(prefix="ivm_")
+    shutil.rmtree(cdf_dir, ignore_errors=True)
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    commit_changes(
+        docs.withColumn("_change_type", F.lit("insert")), cdf_dir, 0
+    )
+    after = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 10 == 3, F.col("n_chars") + F.lit(17)
+        ).otherwise(F.col("n_chars")),
+    )
+    commit_changes(diff_snapshots(docs, after, "doc_id"), cdf_dir, 1)
+
+    base = agg_delta(
+        read_changes(spark, cdf_dir, since_version=-1).filter(
+            F.col("_commit_version") == 0
+        ),
+        keys=["lang"],
+        sum_cols={"sum_chars": "n_chars"},
+    )
+    delta = agg_delta(
+        read_changes(spark, cdf_dir, since_version=0),
+        keys=["lang"],
+        sum_cols={"sum_chars": "n_chars"},
+    )
+    return merge_delta(base, delta, keys=["lang"], value_cols=["sum_chars"])
