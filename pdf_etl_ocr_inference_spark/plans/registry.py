@@ -57,6 +57,7 @@ def _load_all_modules() -> None:
     # circularity at package import time.
     from pdf_etl_ocr_inference_spark.plans import (  # noqa: F401
         analysis_plans,
+        clustering_plans,
         dedup_plans,
         document_plans,
         multimodal_plans,
