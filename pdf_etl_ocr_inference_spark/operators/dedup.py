@@ -277,28 +277,44 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    text_col: str,
+def hamming_near_pairs(
+    fps: DataFrame,
+    hash_col: str,
     id_col: str,
     max_hamming: int = 3,
     num_blocks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+    """Near pairs among 64-bit fingerprints by hamming ≤ max_hamming.
 
     Block-permutation candidate generation (Manku et al., WWW'07):
     split the 64-bit fingerprint into ``num_blocks`` 16-bit blocks; two
     fingerprints within hamming r < num_blocks must agree on ≥1 block →
-    join per block, verify with bit_count(xor).
+    join per block, verify with bit_count(xor).  Works for any 64-bit
+    locality-preserving hash (SimHash over text, dHash over images).
+
+    Completeness requires ``max_hamming < num_blocks`` (pigeonhole);
+    rejected otherwise instead of silently losing recall.  Wider radii
+    → more, narrower blocks (e.g. 8 blocks of 8 bits for radius ≤ 7),
+    which also widens the candidate join — the usual LSH trade.
     """
-    fps = simhash(df, text_col, id_col)
+    if max_hamming >= num_blocks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs num_blocks>{max_hamming} "
+            "for complete candidate generation"
+        )
+    if 64 % num_blocks:
+        raise ValueError("num_blocks must divide 64")
+    width = 64 // num_blocks
+    mask = (1 << width) - 1
     blocked = fps.select(
         id_col,
-        "simhash",
+        hash_col,
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col(hash_col), width * i).bitwiseAND(
+                        F.lit(mask)
+                    )
                     for i in range(num_blocks)
                 ]
             )
@@ -306,13 +322,13 @@ def simhash_near_pairs(
     )
     a = blocked.select(
         F.col(id_col).alias("id_a"),
-        F.col("simhash").alias("sh_a"),
+        F.col(hash_col).alias("sh_a"),
         "block_idx",
         "block_val",
     )
     b = blocked.select(
         F.col(id_col).alias("id_b"),
-        F.col("simhash").alias("sh_b"),
+        F.col(hash_col).alias("sh_b"),
         "block_idx",
         "block_val",
     )
@@ -324,6 +340,20 @@ def simhash_near_pairs(
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming."""
+    fps = simhash(df, text_col, id_col)
+    return hamming_near_pairs(
+        fps, "simhash", id_col, max_hamming=max_hamming, num_blocks=num_blocks
     )
 
 

@@ -252,3 +252,85 @@ def sample_frames(
             ).alias("frame_checksum"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Perceptual hashing (image near-duplicate detection)
+# ------------------------------------------------------------------
+
+_DHASH_ROWS, _DHASH_COLS = 8, 9  # 8x8 comparison bits
+
+
+def _dhash_one(payload: bytes) -> int:
+    """dHash (difference hash) of one blob's pixel plane.
+
+    The blob's bytes stand in for the decoded grayscale image (the
+    same injection-point convention as ``fake_decode``; production
+    swaps in a real decode + resize).  Block-mean downsample to an
+    8x9 grid, then bit (i,j) = grid[i][j] < grid[i][j+1] — a 64-bit
+    locality-preserving fingerprint: small payload edits flip few
+    bits, so near-dup images land within a small hamming radius.
+    Pure integer/float arithmetic on the byte values — deterministic.
+    """
+    import numpy as np
+
+    b = np.frombuffer(payload, dtype=np.uint8)
+    if b.size == 0:
+        b = np.zeros(1, dtype=np.uint8)
+    grid = [
+        [
+            (float(cell.mean()) if cell.size else 0.0)
+            for cell in np.array_split(row, _DHASH_COLS)
+        ]
+        for row in np.array_split(b, _DHASH_ROWS)
+    ]
+    h = 0
+    for i in range(_DHASH_ROWS):
+        for j in range(_DHASH_COLS - 1):
+            h = (h << 1) | int(grid[i][j] < grid[i][j + 1])
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def perceptual_hash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, phash): 64-bit dHash per blob via an Arrow-batched pandas
+    UDF — the per-pixel work is the codec boundary (Python by
+    necessity), everything after the 8-byte hash is native Spark.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _dhash(payloads: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_dhash_one(p) for p in payloads], dtype="int64"
+        )
+
+    work = ensure_min_parallelism(df.select(id_col, payload_col))
+    return work.select(
+        F.col(id_col), _dhash(F.col(payload_col)).alias("phash")
+    )
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Image near-duplicate pairs: dHash fingerprints + the same
+    Manku block-join used for SimHash text dedup (``operators.dedup.
+    hamming_near_pairs``).  Defaults use 8 blocks of 8 bits so the
+    radius-6 candidate generation is complete (pigeonhole needs
+    ``max_hamming < num_blocks``); narrower blocks mean a wider
+    candidate join — the usual LSH recall/cost trade.
+    """
+    from pdf_etl_ocr_inference_spark.operators.dedup import hamming_near_pairs
+
+    fps = perceptual_hash(df, payload_col=payload_col, id_col=id_col)
+    return hamming_near_pairs(
+        fps, "phash", id_col, max_hamming=max_hamming, num_blocks=num_blocks
+    )

@@ -162,3 +162,42 @@ def mm_byte_stats_arrow(spark: SparkSession, sf: str) -> DataFrame:
 def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     media = with_media_column(_t(spark, sf, "documents"))
     return sample_frames(media, frame_bytes=256, every_nth=4)
+
+
+@register(
+    "mm_phash",
+    None,  # per-pixel dHash runs at the codec boundary (pandas UDF) —
+    # not SQL-expressible; exact parity vs a pure-Python reference in
+    # tests/test_phash.py
+    doc="64-bit perceptual hash (dHash) per media blob: block-mean "
+    "downsample to an 8x9 grid, difference bits — the fingerprint "
+    "step of image near-dup dedup. Arrow-batched pandas UDF for the "
+    "pixel work; output is 8 bytes/row, so everything downstream is "
+    "native.",
+)
+def mm_phash(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.multimodal import (
+        perceptual_hash,
+    )
+
+    media = with_media_column(_t(spark, sf, "documents"))
+    return perceptual_hash(media)
+
+
+@register(
+    "mm_phash_neardup",
+    None,  # depends on mm_phash's Python-side fingerprints; pair set
+    # verified == brute-force hamming scan in tests/test_phash.py
+    doc="image near-duplicate pairs: dHash hamming <= 6 via the Manku "
+    "block join (8 blocks of 8 bits -> complete candidates at radius "
+    "6), exact bit_count verify on candidates only — the SimHash "
+    "dedup machinery reused across modalities. Sub-quadratic: "
+    "candidate volume tracks block-bucket sizes, not n^2.",
+)
+def mm_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.multimodal import (
+        phash_near_pairs,
+    )
+
+    media = with_media_column(_t(spark, sf, "documents"))
+    return phash_near_pairs(media)
