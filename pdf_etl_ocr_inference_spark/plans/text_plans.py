@@ -429,3 +429,39 @@ def text_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", F.round("_score", 6).alias("tfidf"))
     )
+
+
+# ------------------------------------------------------------------
+# Corpus boilerplate-phrase mining
+# ------------------------------------------------------------------
+
+
+@register(
+    "text_repeated_phrases",
+    "WITH g AS ("
+    "  SELECT doc_id, " + _GRAMS5 + " AS grams FROM ("
+    "    SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks "
+    "    FROM documents)) "
+    "SELECT gram, COUNT(*) AS df FROM ("
+    "  SELECT doc_id, UNNEST(grams) AS gram FROM g) "
+    "GROUP BY gram HAVING COUNT(*) >= 2",
+    doc="corpus boilerplate-phrase mining: word-5-grams appearing in "
+    ">= 2 distinct documents, with their document frequency — the "
+    "phrase-level complement of text_boilerplate_lines (cookie "
+    "banners and license headers repeat as phrases, not always as "
+    "whole lines). One explode + one combinable count shuffle; "
+    "per-doc shingles are deduplicated before the explode so df "
+    "counts documents, not occurrences.",
+)
+def text_repeated_phrases(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.text import word_ngrams
+
+    docs = _t(spark, sf, "documents")
+    grams = docs.select(
+        F.explode(F.array_distinct(word_ngrams("text", 5))).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+    )

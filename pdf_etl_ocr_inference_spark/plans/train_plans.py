@@ -183,3 +183,93 @@ def op72_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
         sum_cols={"sum_chars": "n_chars"},
     )
     return merge_delta(base, delta, keys=["lang"], value_cols=["sum_chars"])
+
+
+@register(
+    "op72b_ivm_stream_sync",
+    # same final state as op72_incremental_agg — the maintenance now
+    # runs as a TRIGGERED availableNow stream over the change feed
+    """
+    SELECT lang, COUNT(*) AS n_rows,
+           SUM(CASE WHEN doc_id % 10 = 3 THEN n_chars + 17
+                    ELSE n_chars END) AS sum_chars
+    FROM documents WHERE doc_id % 10 != 7 GROUP BY lang
+    """,
+    doc="triggered streaming maintenance of a materialized aggregate: "
+    "the documents change feed (v0 insert-all, v1 update/delete) is "
+    "consumed by an availableNow foreachBatch stream (the same "
+    "machinery as the index syncs); each commit folds a signed "
+    "COUNT/SUM delta into a versioned aggregate-state table via a "
+    "distributed write — no driver-side state, refresh cost tracks "
+    "change volume. Oracle proves the streamed state equals a full "
+    "recompute of the final snapshot.",
+)
+def op72b_ivm_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from pdf_etl_ocr_inference_spark.optimizer import sync_index_from_feed
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        commit_changes,
+        diff_snapshots,
+    )
+    from pdf_etl_ocr_inference_spark.streaming.ivm import (
+        agg_delta,
+        merge_delta,
+    )
+
+    safe = sf.strip("/").replace("/", "_")
+    scratch = f"{tempfile.gettempdir()}/spark_graft_ivmsync_{safe}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    feed = f"{scratch}/feed"
+    state = f"{scratch}/agg_state"
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    commit_changes(
+        docs.withColumn("_change_type", F.lit("insert")), feed, 0
+    )
+    after = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 10 == 3, F.col("n_chars") + F.lit(17)
+        ).otherwise(F.col("n_chars")),
+    )
+    commit_changes(diff_snapshots(docs, after, "doc_id"), feed, 1)
+
+    applied = {"v": -1}
+
+    def _fold_agg(spark, table_key, changes, version, catalog):
+        if version <= applied["v"]:
+            return  # re-delivered commit: idempotent no-op
+        delta = agg_delta(
+            changes, keys=["lang"], sum_cols={"sum_chars": "n_chars"}
+        )
+        if applied["v"] < 0:
+            merged = delta.filter(F.col("n_rows") > 0)
+        else:
+            base = spark.read.parquet(f"{state}/v={applied['v']}")
+            merged = merge_delta(
+                base, delta, keys=["lang"], value_cols=["sum_chars"]
+            )
+        merged.write.mode("overwrite").parquet(f"{state}/v={version}")
+        applied["v"] = version
+
+    change_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_change_type", T.StringType()),
+        ]
+    )
+    sync_index_from_feed(
+        spark,
+        feed,
+        f"catalog/ivm_sync/{sf}",
+        change_schema,
+        checkpoint_dir=f"{scratch}/ckpt",
+        refresh_fn=_fold_agg,
+    )
+    return spark.read.parquet(f"{state}/v={applied['v']}")

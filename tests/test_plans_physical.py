@@ -153,3 +153,41 @@ def test_minhash_probe_prunes_and_broadcasts(spark, tmp_path):
         "_pb" in ln and ("INSET" in ln or " IN " in ln) for ln in part_lines
     ), part_lines
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    # the packing cumulative-sum must run per shard, not as one
+    # SinglePartition global window
+    df = _SPECS["train_pack_sequences"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    window_args = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning(shard" in ln or "SinglePartition" in ln
+    ]
+    assert any("hashpartitioning(shard" in ln for ln in window_args), plan
+    assert not any("SinglePartition" in ln for ln in window_args), plan
+
+
+def test_kmeans_assign_is_single_scan_no_join(spark):
+    # assignment = k fused aggregate expressions per row: one scan,
+    # no join/shuffle for the argmin itself
+    df = _SPECS["ann_kmeans_assign"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+    scan_nodes = [
+        ln
+        for ln in plan.splitlines()
+        if ln.startswith("(") and "Scan parquet" in ln
+    ]
+    assert len(scan_nodes) == 1, plan
+
+
+def test_unigram_logprob_broadcasts_scalar_total(spark):
+    # the corpus-total join must be a broadcast, not a shuffle; the
+    # doc-token explode feeds map-side partial aggregation
+    df = _SPECS["text_unigram_logprob"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert "BroadcastExchange" in plan, plan
+    assert "partial_avg" in plan, plan
