@@ -265,6 +265,51 @@ def incremental_dedup_speedup(spark) -> dict:
     }
 
 
+def kmeans_scale(spark) -> dict:
+    """One deterministic Lloyd round on the cached 1M×64 corpus (built
+    by probe_speedup): times the per-round assignment scan and the
+    full round (assignment + exact-int centroid shuffle) — the two
+    costs that multiply by rounds at 100 TB.  Centroids = the 8
+    lowest-id vectors, same rule as the catalog entry.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    corpus_path = "/tmp/spark_graft_scratch/probe_corpus_1m_planted"
+    if not os.path.exists(corpus_path):
+        return {"skipped": "probe corpus not built"}
+    corpus = spark.read.parquet(corpus_path)
+    rows = corpus.select("vec_id", "embedding").orderBy("vec_id").limit(8)
+    centroids = [[float(x) for x in r["embedding"]] for r in rows.collect()]
+
+    t0 = _t.perf_counter()
+    n_assigned = (
+        assign_clusters(corpus, "embedding", centroids)
+        .groupBy("cluster_id")
+        .count()
+        .count()
+    )
+    t_assign = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    res = kmeans_fit(corpus, "embedding", "vec_id", k=8, rounds=1)
+    t_round = _t.perf_counter() - t0
+    return {
+        "corpus_rows": 1_000_000,
+        "dim": 64,
+        "k": 8,
+        "clusters_nonempty": n_assigned,
+        "assign_scan_sec": round(t_assign, 3),
+        "full_round_sec": round(t_round, 3),
+        "inertia_round0": round(res.inertia_per_round[0], 1),
+    }
+
+
 def main() -> None:
     from pdf_etl_ocr_inference_spark.plans import all_specs
     from pdf_etl_ocr_inference_spark.session import _cpus, get_spark
@@ -340,6 +385,8 @@ def main() -> None:
     print(f"# ann probe vs brute @1M: {probe}", file=sys.stderr)
     inc_dedup = incremental_dedup_speedup(spark)
     print(f"# incremental dedup @200k: {inc_dedup}", file=sys.stderr)
+    km = kmeans_scale(spark)
+    print(f"# kmeans round @1M: {km}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -355,6 +402,7 @@ def main() -> None:
                 "ann_recall_at_5": recalls,
                 "ann_probe_speedup_1m": probe,
                 "incremental_dedup_speedup_200k": inc_dedup,
+                "kmeans_round_1m": km,
             }
         )
     )

@@ -107,3 +107,54 @@ def test_batched_delta_equals_per_commit_deltas(spark, cdf_dir):
     )
     expected = _recompute(snapshot(spark, cdf_dir, "id"))
     assert _rows(batched) == _rows(expected)
+
+
+def test_random_commit_sequence(spark, cdf_dir):
+    # seeded random 4-commit history over a small key domain: every
+    # prefix of the feed must maintain to the snapshot recompute
+    import random
+
+    rng = random.Random(20260813)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id long, grp string, val long")
+
+    state = {
+        i: (rng.choice("abc"), rng.randrange(-50, 50)) for i in range(12)
+    }
+    s_prev = df([(i, g, v) for i, (g, v) in state.items()])
+    commit_changes(
+        s_prev.withColumn("_change_type", F.lit("insert")), cdf_dir, 0
+    )
+    for v in range(1, 4):
+        for i in list(state):
+            roll = rng.random()
+            if roll < 0.2:
+                del state[i]
+            elif roll < 0.5:
+                state[i] = (rng.choice("abc"), rng.randrange(-50, 50))
+        nxt = max(state, default=-1) + 1
+        for i in range(nxt, nxt + rng.randrange(0, 3)):
+            state[i] = (rng.choice("abcd"), rng.randrange(-50, 50))
+        s_cur = df([(i, g, x) for i, (g, x) in state.items()])
+        commit_changes(diff_snapshots(s_prev, s_cur, "id"), cdf_dir, v)
+        s_prev = s_cur
+
+    mat = agg_delta(
+        read_changes(spark, cdf_dir, since_version=-1).filter(
+            F.col("_commit_version") == 0
+        ),
+        KEYS,
+        SUMS,
+    )
+    for v in range(1, 4):
+        delta = agg_delta(
+            read_changes(spark, cdf_dir, since_version=v - 1).filter(
+                F.col("_commit_version") == v
+            ),
+            KEYS,
+            SUMS,
+        )
+        mat = merge_delta(mat, delta, KEYS, value_cols=["total"])
+        expected = _recompute(snapshot(spark, cdf_dir, "id", as_of_version=v))
+        assert _rows(mat) == _rows(expected), f"diverged at v{v}"
