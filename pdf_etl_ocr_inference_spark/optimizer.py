@@ -580,3 +580,116 @@ def optimize(
         if new is not df:
             return new
     return df
+
+
+# ------------------------------------------------------------------
+# Distributed kNN join
+# ------------------------------------------------------------------
+
+
+def knn_join(
+    queries: DataFrame,
+    table_key: str,
+    k: int = 5,
+    query_id_col: str = "q_id",
+    query_vec_col: str = "embedding",
+    hamming_radius: int = 1,
+    catalog: IndexCatalog | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """kNN JOIN: for every row of ``queries``, the top-k nearest
+    corpus rows from the stored LSH index — with the query side kept
+    as a DataFrame end to end.
+
+    ``topk_lsh``/``probe_lsh_index`` take one driver-side query
+    vector; this is the two-table form a 100 TB pipeline needs
+    (e.g. near-dup of a new batch against the corpus, retrieval for a
+    whole eval set): query signatures + their Hamming-ball multi-probe
+    set are computed IN-PLAN (native column code), candidates come
+    from an equi-join on (table, signature) — shuffle ∝ probe
+    fan-out, never |Q|×|corpus| — and the exact cosine re-rank runs
+    per query id under a window.  Zero false positives by
+    construction; recall follows the OR-amplified collision
+    probability, same as the single-query probe.
+    """
+    import itertools
+
+    from pyspark.sql import Window
+
+    from pdf_etl_ocr_inference_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        lsh_signature,
+    )
+
+    cat = catalog or IndexCatalog()
+    idx = cat.lookup(table_key)
+    if (
+        idx is None
+        or idx.get("kind") != "lsh"
+        or idx.get("format_version") != INDEX_FORMAT_VERSION
+    ):
+        raise KeyError(f"no usable LSH index under {table_key!r}")
+    n_planes, n_tables = idx["n_planes"], idx["n_tables"]
+    masks = [
+        sum(1 << b for b in combo)
+        for r in range(hamming_radius + 1)
+        for combo in itertools.combinations(range(n_planes), r)
+    ]
+
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(query_vec_col).alias("_qvec"),
+    )
+    for t in range(n_tables):
+        q = q.withColumn(
+            f"_sig{t}",
+            lsh_signature(
+                "_qvec", idx["dim"], n_planes, idx["seed"] + 1000 * t
+            ),
+        )
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("_table"),
+                F.col(f"_sig{t}").bitwiseXOR(F.lit(m)).alias("_sig"),
+            )
+            for t in range(n_tables)
+            for m in masks
+        ]
+    )
+    qp = q.select(
+        "_qid",
+        "_qvec",
+        F.explode(probes).alias("_p"),
+    ).select("_qid", "_qvec", F.col("_p._table").alias("_table"), F.col("_p._sig").alias("_sig"))
+
+    spark = queries.sparkSession
+    live = spark.read.parquet(idx["data_path"])
+    if idx.get("last_version", 0) != 0:
+        live = _resolve_live(live, idx)
+    id_col = idx["id_col"]
+    cand = (
+        qp.join(
+            live.select(id_col, "embedding", "_table", "_sig"),
+            on=["_table", "_sig"],
+        )
+        .dropDuplicates(["_qid", id_col])  # a pair may collide in >1 table
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("_qid") != F.col(id_col))
+    w = Window.partitionBy("_qid").orderBy(
+        F.desc("_score"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("_score", cosine_similarity("_qvec", "embedding"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            id_col,
+            F.round("_score", 4).alias("score"),
+            "rank",
+        )
+    )

@@ -508,3 +508,45 @@ def ann_rewrite_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
         table_key=table_key,
     )
     return optimize(brute)
+
+
+@register(
+    "ann_knn_join",
+    None,  # approximate (bucket probe) → rows-only; recall floor vs
+    # the brute-force batch and zero-false-positive/plan properties in
+    # tests/test_knn_join.py
+    doc="distributed kNN JOIN: for every row of a query TABLE, top-5 "
+    "nearest corpus rows from the stored LSH index — query "
+    "signatures + Hamming-ball probes computed in-plan (native "
+    "column code, no driver collect of query vectors), candidates "
+    "via an equi-join on (table, signature), exact cosine re-rank "
+    "per query under a window. The two-table form of ann_rewrite_"
+    "topk: shuffle ∝ probe fan-out, never |Q|x|corpus|.",
+)
+def ann_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        INDEX_FORMAT_VERSION,
+        IndexCatalog,
+        build_lsh_index,
+        knn_join,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    table_key = f"{sf}/embeddings"
+    cat = IndexCatalog()
+    meta = cat.lookup(table_key)
+    if meta is None or meta.get("format_version") != INDEX_FORMAT_VERSION:
+        build_lsh_index(
+            spark, emb, table_key, id_col="vec_id",
+            embedding_col="embedding", n_planes=8, seed=42, n_tables=3,
+        )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return knn_join(
+        queries,
+        table_key,
+        k=5,
+        hamming_radius=1,
+        exclude_self=True,
+    )

@@ -273,3 +273,90 @@ def op72b_ivm_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
         refresh_fn=_fold_agg,
     )
     return spark.read.parquet(f"{state}/v={applied['v']}")
+
+
+# SQL mirror of functions.text.quality_score (same expression as the
+# text_quality_score oracle, kept unrounded: per-row IEEE arithmetic
+# is bit-identical across engines)
+_QUALITY_SQL = """(
+    (LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g'))
+     / GREATEST(LENGTH(text), 1))
+  + (CASE WHEN LENGTH(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+  + (CASE WHEN
+        (LENGTH(text) - LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) + 1)
+          / GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')), 1)
+        BETWEEN 2.0 AND 12.0
+     THEN 1.0 ELSE 0.0 END)
+) / 3.0"""
+
+# SQL mirror of functions.text.normalize_text (same as dedup_plans)
+_NORM_SQL = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', '', "
+    "'g'), '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "pipeline_pretrain_corpus",
+    f"""
+    WITH q AS (
+      SELECT doc_id, text FROM documents WHERE {_QUALITY_SQL} >= 0.5),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id FROM (
+        SELECT doc_id, MD5({_NORM_SQL}) AS f FROM q) GROUP BY f),
+    d AS (SELECT q.doc_id, q.text FROM q JOIN surv USING (doc_id)),
+    toks AS (
+      SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+      FROM d),
+    pos AS (
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_tok
+      FROM toks)
+    SELECT shard, CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT)
+             AS seq_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+    FROM pos GROUP BY shard, seq_id
+    """,
+    doc="end-to-end pretraining-corpus construction as ONE lazy plan: "
+    "quality filter (C4/Gopher-style heuristics) -> exact dedup "
+    "(canonical-fingerprint survivor semi-join) -> GPT-style sequence "
+    "packing, emitting per-sequence stats. No stage materializes or "
+    "touches the driver; Catalyst fuses the filter into the scan and "
+    "the whole chain is three shuffles (dedup groupBy, survivor "
+    "semi-join broadcast-able at dup-key cardinality, packing "
+    "window+agg). The oracle replays the identical chain in SQL — "
+    "every stage stays value-checked even composed.",
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.text import quality_score
+    from pdf_etl_ocr_inference_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    q = docs.filter(quality_score("text") >= 0.5)
+    d = exact_dedup(q, "text", "doc_id")
+    toks = d.select(
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn(
+            "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .withColumn(
+            "seq_id", F.floor(F.col("start_tok") / F.lit(_PACK_BUDGET))
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+    )

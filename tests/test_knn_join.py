@@ -1,0 +1,151 @@
+"""Distributed kNN join (optimizer.knn_join): scores are exact (zero
+false positives), recall holds against the brute-force batch top-k,
+the candidate join is an equi-join (no nested-loop |Q|x|corpus|), and
+design-regime recall is 1.0 on planted clusters.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.functions.vector import cosine_similarity
+from pdf_etl_ocr_inference_spark.optimizer import (
+    INDEX_FORMAT_VERSION,
+    IndexCatalog,
+    build_lsh_index,
+    knn_join,
+)
+
+SF = "/root/testdata/sf0.001"
+KEY = f"{SF}/embeddings"
+
+
+@pytest.fixture(scope="module")
+def indexed_emb(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cat = IndexCatalog()
+    meta = cat.lookup(KEY)
+    if meta is None or meta.get("format_version") != INDEX_FORMAT_VERSION:
+        build_lsh_index(
+            spark, emb, KEY, id_col="vec_id", embedding_col="embedding",
+            n_planes=8, seed=42, n_tables=3,
+        )
+    return emb
+
+
+def _queries(emb, n=10):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+
+
+def _brute_topk(emb, queries, k=5):
+    q = queries.select("q_id", F.col("embedding").alias("_qvec"))
+    c = emb.select("vec_id", "embedding")
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        q.crossJoin(c)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("score", cosine_similarity("_qvec", "embedding"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "score")
+    )
+
+
+def test_scores_exact_and_recall_floor(spark, indexed_emb):
+    queries = _queries(indexed_emb)
+    # radius 2: near-orthogonal fixture vectors are far outside
+    # sign-LSH's design regime (measured recall: 0.16/0.54/0.92 at
+    # radius 1/2/3) — the narrow radius-1 probe is for real clustered
+    # data (design-regime test below); this floors the machinery
+    got = knn_join(
+        queries, KEY, k=5, hamming_radius=2, exclude_self=True
+    ).collect()
+    # exact scores: recompute each returned pair's cosine directly
+    emb_map = {
+        r["vec_id"]: r["embedding"] for r in indexed_emb.collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb)
+
+    for r in got:
+        expect = cos(emb_map[r["q_id"]], emb_map[r["vec_id"]])
+        assert abs(r["score"] - expect) < 5e-4, r
+
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in _brute_topk(indexed_emb, queries).collect()
+    }
+    hits = {(r["q_id"], r["vec_id"]) for r in got} & truth
+    recall = len(hits) / len(truth)
+    assert recall >= 0.4, recall
+
+
+def test_partition_invariance(spark, indexed_emb):
+    queries = _queries(indexed_emb)
+    a = knn_join(queries, KEY, k=5, exclude_self=True).collect()
+    b = knn_join(
+        queries.repartition(7), KEY, k=5, exclude_self=True
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_no_nested_loop_join(spark, indexed_emb):
+    df = knn_join(_queries(indexed_emb), KEY, k=5)
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_design_regime_recall_is_one(spark):
+    # planted clusters: 20 groups x 5 near-identical members; every
+    # query's true top-4 are its siblings, which share all sign bits
+    # with overwhelming probability across 3 OR-amplified tables
+    base = spark.range(0, 100, 1, 4).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") / 5).cast("long").alias("gid"),
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.col("gid"), j), F.lit(2000)).cast("double")
+            / 1000.0
+            - 1.0
+            + F.pmod(
+                F.xxhash64(F.col("vec_id"), j, F.lit(1)), F.lit(2000)
+            ).cast("double")
+            / 100000.0
+        ),
+    )
+    corpus = base.select("vec_id", emb.alias("embedding"))
+    key = "test/knn_join_design_regime"
+    cat = IndexCatalog()
+    cat.drop(key)
+    build_lsh_index(
+        spark, corpus, key, id_col="vec_id", embedding_col="embedding",
+        n_planes=8, seed=42, n_tables=3, catalog=cat,
+    )
+    queries = corpus.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = knn_join(
+        queries, key, k=4, hamming_radius=1, catalog=cat,
+        exclude_self=True,
+    ).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for q in range(0, 100, 5):
+        siblings = {q + 1, q + 2, q + 3, q + 4}
+        assert by_q.get(q) == siblings, (q, by_q.get(q))
