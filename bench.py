@@ -274,10 +274,9 @@ def kmeans_scale(spark) -> dict:
     """
     import time as _t
 
-    from pyspark.sql import functions as F
-
     from pdf_etl_ocr_inference_spark.operators.clustering import (
         assign_clusters,
+        init_centroids,
         kmeans_fit,
     )
 
@@ -285,8 +284,7 @@ def kmeans_scale(spark) -> dict:
     if not os.path.exists(corpus_path):
         return {"skipped": "probe corpus not built"}
     corpus = spark.read.parquet(corpus_path)
-    rows = corpus.select("vec_id", "embedding").orderBy("vec_id").limit(8)
-    centroids = [[float(x) for x in r["embedding"]] for r in rows.collect()]
+    centroids = init_centroids(corpus, "embedding", "vec_id", 8)
 
     t0 = _t.perf_counter()
     n_assigned = (

@@ -69,6 +69,19 @@ def assign_clusters(
     )
 
 
+def init_centroids(
+    df: DataFrame, vec_col: str, id_col: str, k: int
+) -> list[list[float]]:
+    """No-RNG init: the vectors of the ``k`` smallest ids.
+
+    The single definition of the init rule — ``kmeans_fit``, the
+    catalog entries, and the bench all call this, and the
+    ``ann_kmeans_assign`` oracle's ``WHERE vec_id < k`` assumes it.
+    """
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
 @dataclass
 class KMeansResult:
     centroids: list[list[float]]
@@ -92,10 +105,7 @@ def kmeans_fit(
     dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0][
         "d"
     ]
-    init_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    )
-    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    centroids = init_centroids(df, vec_col, id_col, k)
     inertia_trace: list[float] = []
 
     scaled = F.transform(

@@ -305,7 +305,9 @@ def hamming_near_pairs(
     if 64 % num_blocks:
         raise ValueError("num_blocks must divide 64")
     width = 64 // num_blocks
-    mask = (1 << width) - 1
+    # width=64 (num_blocks=1): 2^64-1 overflows a long literal; the
+    # all-bits mask in signed-64 arithmetic is -1
+    mask = (1 << width) - 1 if width < 64 else -1
     blocked = fps.select(
         id_col,
         hash_col,

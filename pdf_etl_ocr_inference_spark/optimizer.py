@@ -631,6 +631,14 @@ def knn_join(
         or idx.get("format_version") != INDEX_FORMAT_VERSION
     ):
         raise KeyError(f"no usable LSH index under {table_key!r}")
+    qdim_row = queries.select(
+        F.size(F.col(query_vec_col)).alias("d")
+    ).first()
+    if qdim_row is not None and qdim_row["d"] != idx["dim"]:
+        raise ValueError(
+            f"query vectors are {qdim_row['d']}-dim but index "
+            f"{table_key!r} is {idx['dim']}-dim"
+        )
     n_planes, n_tables = idx["n_planes"], idx["n_tables"]
     masks = [
         sum(1 << b for b in combo)

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from pdf_etl_ocr_inference_spark.operators.clustering import (
     assign_clusters,
+    init_centroids,
     kmeans_fit,
 )
 from pdf_etl_ocr_inference_spark.plans.registry import register
@@ -17,9 +18,6 @@ from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
 _K = 8
 
 
-def _centroids_from_lowest_ids(df: DataFrame, k: int) -> list[list[float]]:
-    rows = df.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
-    return [[float(x) for x in r["embedding"]] for r in rows]
 
 
 @register(
@@ -42,7 +40,7 @@ def _centroids_from_lowest_ids(df: DataFrame, k: int) -> list[list[float]]:
 )
 def ann_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
-    centroids = _centroids_from_lowest_ids(emb, _K)
+    centroids = init_centroids(emb, "embedding", "vec_id", _K)
     return assign_clusters(emb, "embedding", centroids).select(
         "vec_id", F.col("cluster_id").cast("long").alias("cluster_id")
     )

@@ -144,6 +144,29 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ensure_embeddings_index(spark: "SparkSession", sf: str):
+    """Build (once per SF, idempotent) the canonical LSH index over the
+    embeddings table; rebuild when the on-disk index predates the
+    current layout.  Single definition so every index-backed catalog
+    entry probes an index built with the same hyperparameters."""
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        INDEX_FORMAT_VERSION,
+        IndexCatalog,
+        build_lsh_index,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    table_key = f"{sf}/embeddings"
+    cat = IndexCatalog()
+    meta = cat.lookup(table_key)
+    if meta is None or meta.get("format_version") != INDEX_FORMAT_VERSION:
+        build_lsh_index(
+            spark, emb, table_key, id_col="vec_id",
+            embedding_col="embedding", n_planes=8, seed=42, n_tables=3,
+        )
+    return emb, table_key
+
+
 @register(
     "ann_rewrite_topk",
     None,  # approximate (bucket probe) → rows-only; subset/recall vs
@@ -159,24 +182,9 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 )
 def ann_rewrite_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.similarity import topk_exact
-    from pdf_etl_ocr_inference_spark.optimizer import (
-        IndexCatalog,
-        build_lsh_index,
-        optimize,
-    )
+    from pdf_etl_ocr_inference_spark.optimizer import optimize
 
-    from pdf_etl_ocr_inference_spark.optimizer import INDEX_FORMAT_VERSION
-
-    emb = _t(spark, sf, "embeddings")
-    table_key = f"{sf}/embeddings"
-    cat = IndexCatalog()
-    meta = cat.lookup(table_key)  # build once per SF (idempotent);
-    # rebuild when the on-disk index predates the current layout
-    if meta is None or meta.get("format_version") != INDEX_FORMAT_VERSION:
-        build_lsh_index(
-            spark, emb, table_key, id_col="vec_id",
-            embedding_col="embedding", n_planes=8, seed=42, n_tables=3,
-        )
+    emb, table_key = _ensure_embeddings_index(spark, sf)
     qvec = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -487,22 +495,9 @@ def ann_rewrite_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.similarity import (
         near_pairs_exact,
     )
-    from pdf_etl_ocr_inference_spark.optimizer import (
-        INDEX_FORMAT_VERSION,
-        IndexCatalog,
-        build_lsh_index,
-        optimize,
-    )
+    from pdf_etl_ocr_inference_spark.optimizer import optimize
 
-    emb = _t(spark, sf, "embeddings")
-    table_key = f"{sf}/embeddings"
-    cat = IndexCatalog()
-    meta = cat.lookup(table_key)
-    if meta is None or meta.get("format_version") != INDEX_FORMAT_VERSION:
-        build_lsh_index(
-            spark, emb, table_key, id_col="vec_id",
-            embedding_col="embedding", n_planes=8, seed=42, n_tables=3,
-        )
+    emb, table_key = _ensure_embeddings_index(spark, sf)
     brute = near_pairs_exact(
         emb, "embedding", "vec_id", threshold=0.35, id_limit=1000,
         table_key=table_key,
@@ -524,22 +519,9 @@ def ann_rewrite_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     "topk: shuffle ∝ probe fan-out, never |Q|x|corpus|.",
 )
 def ann_knn_join(spark: SparkSession, sf: str) -> DataFrame:
-    from pdf_etl_ocr_inference_spark.optimizer import (
-        INDEX_FORMAT_VERSION,
-        IndexCatalog,
-        build_lsh_index,
-        knn_join,
-    )
+    from pdf_etl_ocr_inference_spark.optimizer import knn_join
 
-    emb = _t(spark, sf, "embeddings")
-    table_key = f"{sf}/embeddings"
-    cat = IndexCatalog()
-    meta = cat.lookup(table_key)
-    if meta is None or meta.get("format_version") != INDEX_FORMAT_VERSION:
-        build_lsh_index(
-            spark, emb, table_key, id_col="vec_id",
-            embedding_col="embedding", n_planes=8, seed=42, n_tables=3,
-        )
+    emb, table_key = _ensure_embeddings_index(spark, sf)
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )

@@ -21,6 +21,41 @@ _PACK_BUDGET = 512  # tokens per packed training sequence
 _PACK_SHARDS = 8  # independent packing streams
 
 
+def _documents_change_feed(spark: SparkSession, sf: str, tag: str) -> str:
+    """Shared IVM fixture: a change feed over documents with
+    v0 = insert-all and v1 = (n_chars += 17 where doc_id%10==3,
+    delete %10==7).  Both op72 variants and both oracles encode this
+    exact scenario — single construction site so they cannot diverge.
+    Uses a fixed per-(sf, tag) scratch dir wiped on entry (no temp-dir
+    leak across gate/bench runs)."""
+    import shutil
+    import tempfile
+
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        commit_changes,
+        diff_snapshots,
+    )
+
+    safe = sf.strip("/").replace("/", "_")
+    scratch = f"{tempfile.gettempdir()}/spark_graft_{tag}_{safe}"
+    # wipe the WHOLE scratch dir: siblings of the feed (streaming
+    # checkpoints, state tables) must not survive across runs
+    shutil.rmtree(scratch, ignore_errors=True)
+    feed = f"{scratch}/feed"
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    commit_changes(
+        docs.withColumn("_change_type", F.lit("insert")), feed, 0
+    )
+    after = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 10 == 3, F.col("n_chars") + F.lit(17)
+        ).otherwise(F.col("n_chars")),
+    )
+    commit_changes(diff_snapshots(docs, after, "doc_id"), feed, 1)
+    return feed
+
+
 @register(
     "train_pack_sequences",
     f"""
@@ -142,12 +177,7 @@ def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     "path equals a full recompute.",
 )
 def op72_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
-    import shutil
-    import tempfile
-
     from pdf_etl_ocr_inference_spark.streaming.changefeed import (
-        commit_changes,
-        diff_snapshots,
         read_changes,
     )
     from pdf_etl_ocr_inference_spark.streaming.ivm import (
@@ -155,20 +185,7 @@ def op72_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
         merge_delta,
     )
 
-    cdf_dir = tempfile.mkdtemp(prefix="ivm_")
-    shutil.rmtree(cdf_dir, ignore_errors=True)
-
-    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
-    commit_changes(
-        docs.withColumn("_change_type", F.lit("insert")), cdf_dir, 0
-    )
-    after = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
-        "n_chars",
-        F.when(
-            F.col("doc_id") % 10 == 3, F.col("n_chars") + F.lit(17)
-        ).otherwise(F.col("n_chars")),
-    )
-    commit_changes(diff_snapshots(docs, after, "doc_id"), cdf_dir, 1)
+    cdf_dir = _documents_change_feed(spark, sf, "ivm")
 
     base = agg_delta(
         read_changes(spark, cdf_dir, since_version=-1).filter(
@@ -205,38 +222,19 @@ def op72_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
     "recompute of the final snapshot.",
 )
 def op72b_ivm_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
-    import shutil
-    import tempfile
+    import os
 
     from pyspark.sql import types as T
 
     from pdf_etl_ocr_inference_spark.optimizer import sync_index_from_feed
-    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
-        commit_changes,
-        diff_snapshots,
-    )
     from pdf_etl_ocr_inference_spark.streaming.ivm import (
         agg_delta,
         merge_delta,
     )
 
-    safe = sf.strip("/").replace("/", "_")
-    scratch = f"{tempfile.gettempdir()}/spark_graft_ivmsync_{safe}"
-    shutil.rmtree(scratch, ignore_errors=True)
-    feed = f"{scratch}/feed"
+    feed = _documents_change_feed(spark, sf, "ivmsync")
+    scratch = os.path.dirname(feed)
     state = f"{scratch}/agg_state"
-
-    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
-    commit_changes(
-        docs.withColumn("_change_type", F.lit("insert")), feed, 0
-    )
-    after = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
-        "n_chars",
-        F.when(
-            F.col("doc_id") % 10 == 3, F.col("n_chars") + F.lit(17)
-        ).otherwise(F.col("n_chars")),
-    )
-    commit_changes(diff_snapshots(docs, after, "doc_id"), feed, 1)
 
     applied = {"v": -1}
 

@@ -149,3 +149,11 @@ def test_design_regime_recall_is_one(spark):
     for q in range(0, 100, 5):
         siblings = {q + 1, q + 2, q + 3, q + 4}
         assert by_q.get(q) == siblings, (q, by_q.get(q))
+
+
+def test_dim_mismatch_raises(spark, indexed_emb):
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "q_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        knn_join(bad, KEY, k=3)

@@ -82,3 +82,18 @@ def test_hamming_near_pairs_guardrails(spark):
         hamming_near_pairs(df, "h", "id", max_hamming=4, num_blocks=4)
     with pytest.raises(ValueError, match="divide 64"):
         hamming_near_pairs(df, "h", "id", max_hamming=2, num_blocks=6)
+
+
+def test_hamming_near_pairs_single_block_exact_dupes(spark):
+    # num_blocks=1 / max_hamming=0: the exact-duplicate configuration —
+    # the 64-bit mask must not overflow a long literal
+    df = spark.createDataFrame(
+        [(1, -5), (2, -5), (3, 9)], "id long, h long"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_pairs(
+            df, "h", "id", max_hamming=0, num_blocks=1
+        ).collect()
+    )
+    assert got == [(1, 2, 0)]
