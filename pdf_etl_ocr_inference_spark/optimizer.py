@@ -145,6 +145,12 @@ def build_lsh_index(
         corpus, id_col, embedding_col, dim, n_planes, seed, n_tables,
         version=0, deleted=False,
     )
+    # Observe the row count DURING the write (no extra scan) — the
+    # probe planner needs corpus cardinality for its occupancy model.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    rows = rows.observe(obs, F.count(F.lit(1)).alias("n"))
     # Cluster rows by their target partition BEFORE the dynamic
     # partitioned write (one writer per directory, not one per scan
     # task per directory), and sort by _sig within partitions so each
@@ -168,6 +174,7 @@ def build_lsh_index(
             "n_tables": n_tables,
             "dim": dim,
             "last_version": 0,
+            "n_rows": int(obs.get["n"]) // n_tables,
         },
     )
     return data_path
@@ -258,15 +265,28 @@ def refresh_lsh_index(
         deleted=True,
         **common,
     )
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    combined = live.unionByName(dead).observe(
+        obs,
+        F.sum(
+            F.when(F.col("_deleted"), F.lit(-1)).otherwise(F.lit(1))
+        ).alias("delta"),
+    )
     (
-        live.unionByName(dead)
-        .repartition("_table", "_pb")
+        combined.repartition("_table", "_pb")
         .sortWithinPartitions("_table", "_pb", "_sig")
         .write.mode("append")
         .partitionBy("_table", "_pb")
         .parquet(idx["data_path"])
     )
     idx["last_version"] = version
+    if "n_rows" in idx:
+        # live-row cardinality for the probe planner: inserts add,
+        # deletes subtract, updates (pre+post pair) cancel
+        delta = obs.get["delta"] or 0
+        idx["n_rows"] = max(0, idx["n_rows"] + int(delta) // idx["n_tables"])
     cat.register(table_key, idx)
 
 
@@ -437,11 +457,13 @@ def _plan_matches_topk(df: DataFrame, score_name: str) -> int | None:
 def rewrite_similarity_topk(
     df: DataFrame,
     catalog: IndexCatalog | None = None,
-    hamming_radius: int = 2,
+    hamming_radius: int | str = 2,
 ) -> DataFrame:
     """THE rule: brute-force cosine top-k over an indexed table →
     LSH bucket probe + exact re-rank.  Returns ``df`` unchanged when
-    the pattern or the index is absent."""
+    the pattern or the index is absent.  ``hamming_radius="auto"``
+    plans the probe width from the index's stored row statistics
+    (:func:`plan_hamming_radius`)."""
     from pdf_etl_ocr_inference_spark.operators.similarity import (
         topk_exact,
     )
@@ -466,6 +488,8 @@ def rewrite_similarity_topk(
     qvec = hint["query_vec"]
     if len(qvec) != idx["dim"]:
         return df
+    if hamming_radius == "auto":
+        hamming_radius = plan_hamming_radius(idx, k)
 
     cand = probe_lsh_index(
         df.sparkSession,
@@ -583,6 +607,49 @@ def optimize(
 
 
 # ------------------------------------------------------------------
+# Cost-based probe planning
+# ------------------------------------------------------------------
+
+
+def plan_hamming_radius(
+    idx: dict,
+    k: int,
+    target_multiplier: float = 3.0,
+    max_radius: int = 3,
+) -> int:
+    """Pick the multi-probe Hamming radius from index STATISTICS, not
+    guesswork: the smallest radius whose expected candidate volume
+    covers ``target_multiplier × k`` per query.
+
+    Model: buckets are ~uniform (random hyperplanes over spread-out
+    data), so a radius-r probe over ``n_tables`` OR-amplified tables
+    reads ``n_tables · ball(r) · n_rows / 2^n_planes`` candidates,
+    where ``ball(r) = Σ_{i≤r} C(n_planes, i)``.  ``n_rows`` is kept
+    in the index meta by build (observed during the write — no extra
+    scan) and by every incremental refresh (insert/delete deltas), so
+    planning reads NO data at query time — the same contract as a
+    metastore's table statistics.
+
+    Dense corpora therefore probe narrowly (radius 0–1: the bucket
+    alone already holds plenty of candidates) and sparse corpora
+    widen automatically instead of silently returning < k rows.
+    """
+    import math
+
+    n_rows = idx.get("n_rows")
+    if not n_rows:  # pre-statistics index: the historical default
+        return 2
+    n_planes, n_tables = idx["n_planes"], idx["n_tables"]
+    need = target_multiplier * k
+    for r in range(max_radius + 1):
+        ball = sum(math.comb(n_planes, i) for i in range(r + 1))
+        expected = n_tables * ball * n_rows / float(2**n_planes)
+        if expected >= need:
+            return r
+    return max_radius
+
+
+# ------------------------------------------------------------------
 # Distributed kNN join
 # ------------------------------------------------------------------
 
@@ -593,7 +660,7 @@ def knn_join(
     k: int = 5,
     query_id_col: str = "q_id",
     query_vec_col: str = "embedding",
-    hamming_radius: int = 1,
+    hamming_radius: int | str = "auto",
     catalog: IndexCatalog | None = None,
     exclude_self: bool = False,
 ) -> DataFrame:
@@ -640,6 +707,8 @@ def knn_join(
             f"{table_key!r} is {idx['dim']}-dim"
         )
     n_planes, n_tables = idx["n_planes"], idx["n_tables"]
+    if hamming_radius == "auto":
+        hamming_radius = plan_hamming_radius(idx, k)
     masks = [
         sum(1 << b for b in combo)
         for r in range(hamming_radius + 1)
