@@ -358,3 +358,75 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tokens").alias("seq_tokens"),
         )
     )
+
+
+@register(
+    "train_pack_incremental",
+    # oracle replays a FULL repack of the whole corpus and restricts
+    # to the new batch — proving the incremental path (per-shard token
+    # totals as the only state) is exactly the full result
+    f"""
+    WITH thr AS (
+      SELECT CAST(0.8 * (MAX(doc_id) + 1) AS BIGINT) AS t FROM documents),
+    toks AS (
+      SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+      FROM documents),
+    pos AS (
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_tok
+      FROM toks)
+    SELECT shard, CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT)
+             AS seq_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+    FROM pos WHERE doc_id >= (SELECT t FROM thr)
+    GROUP BY shard, seq_id
+    """,
+    doc="incremental sequence packing for append-only arrivals: docs "
+    "with id below the 80th-percentile threshold are the already-"
+    "packed corpus, the rest a new batch. The only state is the "
+    "per-shard packed-token total (one tiny aggregate, broadcast to "
+    "the batch), so the refresh windows over the BATCH only — cost "
+    "tracks arrivals, not corpus size. The oracle repacks the whole "
+    "corpus from scratch and restricts to the batch: incremental == "
+    "full, per value.",
+)
+def train_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+    )
+    thr = docs.agg(
+        (0.8 * (F.max("doc_id") + 1)).cast("long").alias("_thr")
+    )
+    docs = docs.crossJoin(F.broadcast(thr))
+    base = docs.filter(F.col("doc_id") < F.col("_thr"))
+    batch = docs.filter(F.col("doc_id") >= F.col("_thr"))
+    state = base.groupBy("shard").agg(
+        F.sum("n_tokens").alias("_base_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        batch.join(F.broadcast(state), on="shard", how="left")
+        .withColumn(
+            "start_tok",
+            F.coalesce(F.col("_base_tokens"), F.lit(0))
+            + F.sum("n_tokens").over(w)
+            - F.col("n_tokens"),
+        )
+        .withColumn(
+            "seq_id", F.floor(F.col("start_tok") / F.lit(_PACK_BUDGET))
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+    )
