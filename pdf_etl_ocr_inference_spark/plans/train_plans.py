@@ -430,3 +430,125 @@ def train_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tokens").alias("seq_tokens"),
         )
     )
+
+
+@register(
+    "pipeline_incremental_corpus",
+    # per-lang: corpus size after the new batch (maintained via signed
+    # deltas, never recomputed), arrivals in the batch, and arrivals
+    # that survive exact-dedup against the existing corpus + the batch
+    f"""
+    WITH thr AS (
+      SELECT CAST(0.8 * (MAX(doc_id) + 1) AS BIGINT) AS t FROM documents),
+    fp AS (
+      SELECT doc_id, lang, n_chars, MD5({_NORM_SQL}) AS f,
+             doc_id >= (SELECT t FROM thr) AS is_new
+      FROM documents),
+    surv AS (
+      SELECT lang, COUNT(*) AS n_new_unique FROM fp b
+      WHERE b.is_new
+        AND NOT EXISTS (SELECT 1 FROM fp c
+                        WHERE NOT c.is_new AND c.f = b.f)
+        AND b.doc_id = (SELECT MIN(b2.doc_id) FROM fp b2
+                        WHERE b2.is_new AND b2.f = b.f)
+      GROUP BY lang),
+    tot AS (
+      SELECT lang, COUNT(*) AS n_total,
+             SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS n_new
+      FROM fp GROUP BY lang)
+    SELECT lang, n_total, n_new,
+           COALESCE(n_new_unique, 0) AS n_new_unique
+    FROM tot LEFT JOIN surv USING (lang)
+    """,
+    doc="continuous-corpus maintenance, composed: new arrivals (ids "
+    "past the 80th-percentile threshold) land as a change-feed commit; "
+    "the per-lang corpus aggregate is maintained by signed IVM deltas "
+    "(never recomputed from the base table), and the batch is "
+    "exact-deduped against the existing corpus + itself via a "
+    "fingerprint anti-join + survivor rule — the steady-state shape "
+    "of a training-data ingestion pipeline, where every per-batch "
+    "cost tracks the batch, not the corpus. All three outputs are "
+    "value-checked against a from-scratch SQL replay.",
+)
+def pipeline_incremental_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pdf_etl_ocr_inference_spark.functions.text import doc_fingerprint
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        commit_changes,
+        read_changes,
+    )
+    from pdf_etl_ocr_inference_spark.streaming.ivm import (
+        agg_delta,
+        merge_delta,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    thr = docs.agg(
+        (0.8 * (F.max("doc_id") + 1)).cast("long").alias("_thr")
+    )
+    docs = docs.crossJoin(F.broadcast(thr))
+    base = docs.filter(F.col("doc_id") < F.col("_thr")).drop("_thr")
+    batch = docs.filter(F.col("doc_id") >= F.col("_thr")).drop("_thr")
+
+    safe = sf.strip("/").replace("/", "_")
+    feed = f"{tempfile.gettempdir()}/spark_graft_inccorpus_{safe}/feed"
+    shutil.rmtree(f"{tempfile.gettempdir()}/spark_graft_inccorpus_{safe}",
+                  ignore_errors=True)
+    cols = ["doc_id", "lang", "n_chars"]
+    commit_changes(
+        base.select(*cols).withColumn("_change_type", F.lit("insert")),
+        feed, 0,
+    )
+    commit_changes(
+        batch.select(*cols).withColumn("_change_type", F.lit("insert")),
+        feed, 1,
+    )
+
+    # (a) per-lang totals maintained by signed deltas, commit by commit
+    keys, sums = ["lang"], {"sum_chars": "n_chars"}
+    agg0 = agg_delta(
+        read_changes(spark, feed, since_version=-1).filter(
+            F.col("_commit_version") == 0
+        ),
+        keys, sums, count_col="n_total",
+    )
+    delta1 = agg_delta(
+        read_changes(spark, feed, since_version=0),
+        keys, sums, count_col="n_total",
+    )
+    totals = merge_delta(
+        agg0, delta1, keys, value_cols=["sum_chars"], count_col="n_total"
+    ).drop("sum_chars")
+
+    # (b) batch arrivals per lang
+    arrivals = batch.groupBy("lang").agg(F.count("*").alias("n_new"))
+
+    # (c) exact-dedup the batch against corpus + itself: fingerprint
+    # anti-join (corpus side) + min-id survivor rule (within batch)
+    bfp = batch.select(
+        "doc_id", "lang", doc_fingerprint("text").alias("f")
+    )
+    corpus_fp = base.select(doc_fingerprint("text").alias("f")).distinct()
+    fresh = bfp.join(corpus_fp, on="f", how="left_anti")
+    survivors = (
+        fresh.groupBy("f")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(fresh, on=["f", "doc_id"])
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_new_unique"))
+    )
+
+    return (
+        totals.join(arrivals, on="lang", how="left")
+        .join(survivors, on="lang", how="left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_new_unique", F.lit(0)).alias("n_new_unique"),
+        )
+    )
