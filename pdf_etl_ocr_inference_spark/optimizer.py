@@ -94,7 +94,7 @@ class IndexCatalog:
         shutil.rmtree(_index_dir(self.root, table_key), ignore_errors=True)
 
 
-INDEX_FORMAT_VERSION = 4
+INDEX_FORMAT_VERSION = 5  # v5: meta carries n_rows statistics
 
 # Bucket-directory fanout cap: signatures are stored as DATA (sorted,
 # so parquet row-group min/max stats prune within files) while the
@@ -488,7 +488,12 @@ def rewrite_similarity_topk(
     qvec = hint["query_vec"]
     if len(qvec) != idx["dim"]:
         return df
-    if hamming_radius == "auto":
+    if isinstance(hamming_radius, str):
+        if hamming_radius != "auto":
+            raise ValueError(
+                f"hamming_radius must be an int or 'auto', got "
+                f"{hamming_radius!r}"
+            )
         hamming_radius = plan_hamming_radius(idx, k)
 
     cand = probe_lsh_index(
@@ -587,12 +592,13 @@ _RULES = (rewrite_similarity_topk, rewrite_near_pairs)
 def optimize(
     df: DataFrame,
     catalog: IndexCatalog | None = None,
-    hamming_radius: int = 2,
+    hamming_radius: int | str = 2,
 ) -> DataFrame:
     """Engine optimizer entry point: apply each rewrite rule once, in
     order; the first rule that fires wins (rules are shape-disjoint),
     unchanged plans pass through.  ``hamming_radius`` tunes the top-k
-    rewrite's probe width (recall ↔ buckets-read); rules that don't
+    rewrite's probe width (recall ↔ buckets-read; ``"auto"`` plans it
+    from the index's stored row statistics); rules that don't
     take it ignore it."""
     new = rewrite_similarity_topk(
         df, catalog=catalog, hamming_radius=hamming_radius
@@ -630,18 +636,27 @@ def plan_hamming_radius(
     planning reads NO data at query time — the same contract as a
     metastore's table statistics.
 
-    Dense corpora therefore probe narrowly (radius 0–1: the bucket
-    alone already holds plenty of candidates) and sparse corpora
-    widen automatically instead of silently returning < k rows.
+    Dense corpora therefore probe narrowly and sparse corpora widen
+    automatically instead of silently returning < k rows.  The result
+    is floored at radius 1: candidate VOLUME is a lower bound on cost,
+    not a collision-probability model — a true neighbor one sign bit
+    away is missed at radius 0 no matter how full the home bucket is,
+    so the planner only ever widens relative to the single-flip probe,
+    never narrows below it.  The model also treats OR-amplified tables
+    as disjoint (slight candidate overcount), another reason not to
+    trust it below radius 1.  ``n_rows`` is approximate after many
+    refreshes (change types are trusted, not reconciled) — a full
+    rebuild re-observes it exactly, the same contract as ANALYZE
+    statistics.
     """
     import math
 
     n_rows = idx.get("n_rows")
-    if not n_rows:  # pre-statistics index: the historical default
-        return 2
+    if not n_rows:  # pre-statistics index (format < 5): match the
+        return 1  # floor — the single-flip probe
     n_planes, n_tables = idx["n_planes"], idx["n_tables"]
     need = target_multiplier * k
-    for r in range(max_radius + 1):
+    for r in range(1, max_radius + 1):
         ball = sum(math.comb(n_planes, i) for i in range(r + 1))
         expected = n_tables * ball * n_rows / float(2**n_planes)
         if expected >= need:
@@ -707,7 +722,12 @@ def knn_join(
             f"{table_key!r} is {idx['dim']}-dim"
         )
     n_planes, n_tables = idx["n_planes"], idx["n_tables"]
-    if hamming_radius == "auto":
+    if isinstance(hamming_radius, str):
+        if hamming_radius != "auto":
+            raise ValueError(
+                f"hamming_radius must be an int or 'auto', got "
+                f"{hamming_radius!r}"
+            )
         hamming_radius = plan_hamming_radius(idx, k)
     masks = [
         sum(1 << b for b in combo)

@@ -367,7 +367,7 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf: str) -> DataFrame:
     # totals as the only state) is exactly the full result
     f"""
     WITH thr AS (
-      SELECT CAST(0.8 * (MAX(doc_id) + 1) AS BIGINT) AS t FROM documents),
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS t FROM documents),
     toks AS (
       SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id,
              LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
@@ -439,9 +439,9 @@ def train_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
     # that survive exact-dedup against the existing corpus + the batch
     f"""
     WITH thr AS (
-      SELECT CAST(0.8 * (MAX(doc_id) + 1) AS BIGINT) AS t FROM documents),
+      SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS t FROM documents),
     fp AS (
-      SELECT doc_id, lang, n_chars, MD5({_NORM_SQL}) AS f,
+      SELECT doc_id, lang, MD5({_NORM_SQL}) AS f,
              doc_id >= (SELECT t FROM thr) AS is_new
       FROM documents),
     surv AS (
@@ -484,9 +484,7 @@ def pipeline_incremental_corpus(spark: SparkSession, sf: str) -> DataFrame:
         merge_delta,
     )
 
-    docs = _t(spark, sf, "documents").select(
-        "doc_id", "lang", "n_chars", "text"
-    )
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "text")
     thr = docs.agg(
         (0.8 * (F.max("doc_id") + 1)).cast("long").alias("_thr")
     )
@@ -498,7 +496,7 @@ def pipeline_incremental_corpus(spark: SparkSession, sf: str) -> DataFrame:
     feed = f"{tempfile.gettempdir()}/spark_graft_inccorpus_{safe}/feed"
     shutil.rmtree(f"{tempfile.gettempdir()}/spark_graft_inccorpus_{safe}",
                   ignore_errors=True)
-    cols = ["doc_id", "lang", "n_chars"]
+    cols = ["doc_id", "lang"]
     commit_changes(
         base.select(*cols).withColumn("_change_type", F.lit("insert")),
         feed, 0,
@@ -509,20 +507,20 @@ def pipeline_incremental_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     # (a) per-lang totals maintained by signed deltas, commit by commit
-    keys, sums = ["lang"], {"sum_chars": "n_chars"}
+    keys = ["lang"]
     agg0 = agg_delta(
         read_changes(spark, feed, since_version=-1).filter(
             F.col("_commit_version") == 0
         ),
-        keys, sums, count_col="n_total",
+        keys, sum_cols={}, count_col="n_total",
     )
     delta1 = agg_delta(
         read_changes(spark, feed, since_version=0),
-        keys, sums, count_col="n_total",
+        keys, sum_cols={}, count_col="n_total",
     )
     totals = merge_delta(
-        agg0, delta1, keys, value_cols=["sum_chars"], count_col="n_total"
-    ).drop("sum_chars")
+        agg0, delta1, keys, value_cols=[], count_col="n_total"
+    )
 
     # (b) batch arrivals per lang
     arrivals = batch.groupBy("lang").agg(F.count("*").alias("n_new"))

@@ -22,16 +22,18 @@ def _idx(n_rows, n_planes=8, n_tables=3):
 
 
 def test_radius_model():
-    # dense corpus: the home bucket alone covers 3k candidates
-    assert plan_hamming_radius(_idx(1_000_000), k=5) == 0
+    # dense corpus: floored at the single-flip probe — candidate
+    # volume is a cost bound, not a collision-probability model, so
+    # the planner never narrows below radius 1
+    assert plan_hamming_radius(_idx(1_000_000), k=5) == 1
     # 500 rows: r1 gives 3*9*500/256 ~ 53 >= 15
     assert plan_hamming_radius(_idx(500), k=5) == 1
     # 50 rows: need r2 (3*37*50/256 ~ 22 >= 15)
     assert plan_hamming_radius(_idx(50), k=5) == 2
     # tiny corpus: capped at max_radius
     assert plan_hamming_radius(_idx(3), k=5) == 3
-    # missing statistics (pre-statistics index): historical default
-    assert plan_hamming_radius({"n_planes": 8, "n_tables": 3}, k=5) == 2
+    # missing statistics (pre-v5 index): the radius-1 floor
+    assert plan_hamming_radius({"n_planes": 8, "n_tables": 3}, k=5) == 1
 
 
 def test_build_and_refresh_maintain_n_rows(spark, tmp_path):
@@ -98,3 +100,8 @@ def test_knn_join_auto_matches_planned_radius(spark, tmp_path):
     ).collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
     assert auto  # widened probe actually finds neighbors
+
+    import pytest
+
+    with pytest.raises(ValueError, match="auto"):
+        knn_join(queries, key, k=3, hamming_radius="AUTO", catalog=cat)
