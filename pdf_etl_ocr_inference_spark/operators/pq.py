@@ -66,11 +66,17 @@ def train_pq_codebooks(
         .collect()
     )
     x = np.stack([_normalize(r[embedding_col]) for r in rows])
-    dim = x.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
+    if x.shape[1] % m:
+        raise ValueError(f"dim {x.shape[1]} not divisible by m={m}")
     rng = np.random.RandomState(seed)
+    return _train_books(x, m, k, iters, rng)
+
+
+def _train_books(x, m, k, iters, rng) -> list:
+    """numpy k-means per subspace over a sample matrix (driver-side)."""
+    import numpy as np
+
+    sub = x.shape[1] // m
     books = []
     for j in range(m):
         xs = x[:, j * sub : (j + 1) * sub]
@@ -87,25 +93,95 @@ def train_pq_codebooks(
     return books
 
 
+def _reconstruct(x, books) -> "object":
+    """Quantize-then-decode: each subvector replaced by its nearest
+    centroid — the reconstruction PQ's ADC distance is exact for."""
+    import numpy as np
+
+    m = len(books)
+    sub = x.shape[1] // m
+    y = np.empty_like(x)
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cents = np.asarray(books[j], dtype="float64")
+        d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        y[:, j * sub : (j + 1) * sub] = cents[d2.argmin(axis=1)]
+    return y
+
+
+def train_opq(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    sample_mod: int = 4,
+    iters: int = 10,
+    opq_iters: int = 5,
+    seed: int = 42,
+) -> tuple:
+    """Optimized PQ (Ge et al. 2013, OPQ-NP): learn an orthonormal
+    rotation R that minimizes quantization error before the subspace
+    split, by alternating (a) codebook training in the rotated space
+    with (b) the orthogonal-Procrustes solve R = U Vᵀ from
+    SVD(Xᵀ·quantized(XR)).  Correlated/unbalanced dimensions get mixed
+    across subspaces, which plain PQ's fixed split cannot do.
+
+    Driver-side on the same hash sample as ``train_pq_codebooks``
+    (control data, constant cost).  Returns ``(rotation, codebooks)``
+    where ``rotation`` is a dim×dim list-of-lists; pass both to
+    :func:`pq_encode` / :func:`topk_pq`.
+    """
+    import numpy as np
+
+    rows = (
+        df.filter(F.col(id_col) % sample_mod == 0)
+        .select(embedding_col)
+        .collect()
+    )
+    x = np.stack([_normalize(r[embedding_col]) for r in rows])
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    rng = np.random.RandomState(seed)
+    r_mat = np.eye(dim)
+    books = None
+    for _ in range(opq_iters):
+        xr = x @ r_mat
+        books = _train_books(xr, m, k, iters, rng)
+        y = _reconstruct(xr, books)
+        u, _, vt = np.linalg.svd(x.T @ y)
+        r_mat = u @ vt
+    xr = x @ r_mat
+    books = _train_books(xr, m, k, iters, rng)
+    return [[float(v) for v in row] for row in r_mat], books
+
+
 def pq_encode(
     df: DataFrame,
     embedding_col: str,
     codebooks: list,
     out_col: str = "pq_codes",
+    rotation: list | None = None,
 ) -> DataFrame:
-    """Append the M-byte PQ code array (Arrow-vectorized; build-time)."""
+    """Append the M-byte PQ code array (Arrow-vectorized; build-time).
+    ``rotation`` (from :func:`train_opq`) is applied after
+    normalization, before the subspace split."""
     import numpy as np
     import pandas as pd
 
     m = len(codebooks)
     sub = len(codebooks[0][0])
     books = [np.asarray(b, dtype="float64") for b in codebooks]
+    r_mat = None if rotation is None else np.asarray(rotation, dtype="float64")
 
     # NB: no type hints — under `from __future__ import annotations`
     # they are strings PySpark's hint resolver can't evaluate here
     @F.pandas_udf("array<int>")
     def encode(batch):
         mat = np.stack([_normalize(v) for v in batch])
+        if r_mat is not None:
+            mat = mat @ r_mat
         codes = np.empty((len(mat), m), dtype="int32")
         for j in range(m):
             xs = mat[:, j * sub : (j + 1) * sub]
@@ -117,13 +193,19 @@ def pq_encode(
 
 
 def adc_distance(
-    codes_col: Column | str, query_vec: list, codebooks: list
+    codes_col: Column | str,
+    query_vec: list,
+    codebooks: list,
+    rotation: list | None = None,
 ) -> Column:
     """Native ADC: Σⱼ lut[j][code_j], lut built driver-side from the
-    (normalized) query — squared L2 to each centroid per subspace."""
+    (normalized, optionally rotated) query — squared L2 to each
+    centroid per subspace."""
     import numpy as np
 
     q = _normalize(query_vec)
+    if rotation is not None:
+        q = q @ np.asarray(rotation, dtype="float64")
     m = len(codebooks)
     sub = len(codebooks[0][0])
     lut = []
@@ -157,14 +239,19 @@ def topk_pq(
     rerank: int = 50,
     id_col: str = "vec_id",
     codes_col: str = "pq_codes",
+    rotation: list | None = None,
 ) -> DataFrame:
     """ADC scan over codes (native, 32×-smaller read) → top ``rerank``
-    candidates by approximate distance → exact cosine top-k."""
+    candidates by approximate distance → exact cosine top-k.  The
+    exact re-rank uses ORIGINAL vectors, so the rotation only affects
+    which candidates reach it."""
     cand = (
         encoded.select(
             id_col,
             embedding_col,
-            adc_distance(codes_col, query_vec, codebooks).alias("_adc"),
+            adc_distance(
+                codes_col, query_vec, codebooks, rotation=rotation
+            ).alias("_adc"),
         )
         .orderBy(F.asc("_adc"), id_col)  # TakeOrderedAndProject
         .limit(rerank)

@@ -532,3 +532,42 @@ def ann_knn_join(spark: SparkSession, sf: str) -> DataFrame:
         hamming_radius=1,
         exclude_self=True,
     )
+
+
+@register(
+    "ann_opq_topk",
+    None,  # approximate (rotated quantized distances) → rows-only;
+    # OPQ-beats-PQ quantization error + recall properties in
+    # tests/test_opq.py
+    doc="optimized product quantization (Ge 2013, OPQ-NP): an "
+    "orthonormal rotation learned by alternating codebook training "
+    "with orthogonal-Procrustes SVD solves mixes correlated "
+    "dimensions across subspaces before the split — lower "
+    "quantization error than plain PQ at identical code size and "
+    "identical query cost (the rotation folds into the build-time "
+    "encode and the driver-side query LUT; the native ADC scan is "
+    "unchanged).",
+)
+def ann_opq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.pq import (
+        pq_encode,
+        topk_pq,
+        train_opq,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    rot, books = train_opq(
+        emb, "embedding", id_col="vec_id", m=8, k=16, sample_mod=4,
+        opq_iters=3,
+    )
+    encoded = pq_encode(
+        emb.filter(F.col("vec_id") != 0), "embedding", books, rotation=rot
+    )
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return topk_pq(
+        encoded, "embedding", qvec, books, k=5, rerank=50,
+        id_col="vec_id", rotation=rot,
+    )
