@@ -1,0 +1,218 @@
+"""Sharded small-world graph ANN (NSW — Malkov et al. 2014, the
+single-layer core of HNSW; public method).
+
+Graph indexes answer top-k with O(ef·M·log-ish) distance evaluations
+instead of scanning buckets, but their *construction* is inherently
+sequential (each insert searches the graph so far).  The Spark-native
+answer is the standard sharded-serving pattern: partition the corpus
+into ``n_shards`` deterministic shards, build an independent NSW graph
+PER SHARD (each build is a single-task sequential job — Arrow-batched
+numpy inside ``applyInPandas``), and answer queries by scatter-gather:
+greedy-search every shard's graph in parallel, merge the local top-k.
+
+Scale shape at 100 TB:
+- build parallelism = shard count (each shard bounded to fit one
+  task's memory); rebuilds are per-shard, so a corpus append only
+  rebuilds the shards it touches;
+- query cost = n_shards parallel greedy walks, each touching
+  ``ef + M·hops`` vectors — independent of shard size in the dense
+  regime — followed by a k-row merge;
+- the graph lives in parquet partitioned by shard: (id, embedding,
+  neighbors array<long>) — a probe reads only adjacency + vectors it
+  walks (columnar projection prunes the rest).
+
+Determinism: shard = id % n_shards; inserts in ascending id order;
+all candidate orderings break ties by (distance, id) — so the graph
+and every search result are independent of partition layout.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+GRAPH_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("neighbors", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _greedy_search(vecs, adj, ids_sorted, q, ef):
+    """Beam search over one shard's graph: returns [(dist, id)] of the
+    ``ef`` closest visited nodes, deterministically (ties by id).
+
+    ``vecs``: dict id -> numpy vector; ``adj``: dict id -> list[id];
+    entry point = lowest id (the first inserted node).
+    """
+    import numpy as np
+
+    if not ids_sorted:
+        return []
+    entry = ids_sorted[0]
+
+    def d(i):
+        diff = vecs[i] - q
+        return float(np.dot(diff, diff))
+
+    visited = {entry}
+    cand = [(d(entry), entry)]  # min-heap of frontier
+    best = [(-cand[0][0], entry)]  # max-heap (neg dist) of ef best
+    while cand:
+        dist, node = heapq.heappop(cand)
+        if dist > -best[0][0] and len(best) >= ef:
+            break  # frontier is farther than the worst of the best
+        for nb in adj.get(node, ()):
+            if nb in visited:
+                continue
+            visited.add(nb)
+            dn = d(nb)
+            if len(best) < ef or dn < -best[0][0]:
+                heapq.heappush(cand, (dn, nb))
+                heapq.heappush(best, (-dn, nb))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    return sorted((-nd, i) for nd, i in best)
+
+
+def build_nsw_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    n_shards: int = 8,
+    m_neighbors: int = 8,
+    ef_construction: int = 32,
+) -> str:
+    """Build the sharded NSW graph and write it partitioned by shard.
+
+    Each shard builds independently inside ``applyInPandas``: nodes
+    insert in ascending id order; each insert greedy-searches the
+    graph so far for its ``m_neighbors`` nearest, links
+    bidirectionally, and prunes any over-full adjacency back to the
+    closest ``m_neighbors`` (ties by id).
+    """
+    import numpy as np
+    import pandas as pd
+
+    m, efc = m_neighbors, ef_construction
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")  # arrival order is arbitrary
+        ids = pdf["vec_id"].tolist()
+        mat = {
+            i: np.asarray(v, dtype="float64")
+            for i, v in zip(ids, pdf["embedding"])
+        }
+        adj: dict[int, list[int]] = {}
+
+        def prune(node):
+            if len(adj[node]) > m:
+                nb = adj[node]
+                dd = sorted(
+                    (float(np.dot(mat[node] - mat[x], mat[node] - mat[x])), x)
+                    for x in nb
+                )
+                adj[node] = [x for _, x in dd[:m]]
+
+        inserted: list[int] = []
+        for i in ids:
+            if not inserted:
+                adj[i] = []
+                inserted.append(i)
+                continue
+            near = _greedy_search(mat, adj, inserted, mat[i], efc)
+            links = [x for _, x in near[:m]]
+            adj[i] = list(links)
+            for x in links:
+                adj[x].append(i)
+                prune(x)
+            inserted.append(i)
+        out = pd.DataFrame(
+            {
+                "shard": pdf["shard"].tolist(),
+                "vec_id": ids,
+                "embedding": pdf["embedding"].tolist(),
+                "neighbors": [adj[i] for i in ids],
+            }
+        )
+        return out
+
+    sharded = corpus.select(
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(embedding_col).cast("array<double>").alias("embedding"),
+    )
+    graph = sharded.groupBy("shard").applyInPandas(_build, GRAPH_SCHEMA)
+    (
+        graph.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return path
+
+
+def topk_nsw(
+    spark: SparkSession,
+    path: str,
+    query_vec: list,
+    k: int = 5,
+    ef_search: int = 32,
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """Scatter-gather query: greedy-search every shard's graph in
+    parallel (one ``applyInPandas`` group per shard), merge local
+    top-k globally by cosine.  Scores are exact cosine on the walked
+    vectors — the graph only decides which vectors get scored.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype="float64")
+    qn = float(np.sqrt(np.dot(q, q)))
+    excl = set(exclude_ids or [])
+    ef = max(ef_search, k + len(excl))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def _search(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_sorted = sorted(pdf["vec_id"].tolist())
+        mat = {
+            i: np.asarray(v, dtype="float64")
+            for i, v in zip(pdf["vec_id"], pdf["embedding"])
+        }
+        adj = {
+            i: list(nb) for i, nb in zip(pdf["vec_id"], pdf["neighbors"])
+        }
+        near = _greedy_search(mat, adj, ids_sorted, q, ef)
+        rows = []
+        for _, i in near:
+            if i in excl:
+                continue
+            v = mat[i]
+            vn = float(np.sqrt(np.dot(v, v)))
+            score = float(np.dot(q, v) / (qn * vn)) if qn * vn else 0.0
+            rows.append((i, score))
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        return pd.DataFrame(rows[:k], columns=["vec_id", "score"])
+
+    graph = spark.read.parquet(path)
+    local = graph.groupBy("shard").applyInPandas(_search, out_schema)
+    return (
+        local.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("score", 4).alias("score"))
+    )

@@ -571,3 +571,42 @@ def ann_opq_topk(spark: SparkSession, sf: str) -> DataFrame:
         encoded, "embedding", qvec, books, k=5, rerank=50,
         id_col="vec_id", rotation=rot,
     )
+
+
+@register(
+    "ann_nsw_topk",
+    None,  # approximate (graph walk) → rows-only; recall floor +
+    # determinism + design-regime properties in tests/test_graph_ann.py
+    doc="sharded small-world graph ANN (NSW, the single-layer core of "
+    "HNSW): independent per-shard graphs built in applyInPandas "
+    "(build parallelism = shard count; per-shard rebuilds), queried "
+    "by scatter-gather greedy beam search — per-shard cost tracks "
+    "ef*M walk length, not shard size; exact cosine on the walked "
+    "vectors, k-row global merge. The fourth ANN family next to "
+    "LSH / IVF / PQ.",
+)
+def ann_nsw_topk(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        build_nsw_index,
+        topk_nsw,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    safe = sf.strip("/").replace("/", "_")
+    root = f"{tempfile.gettempdir()}/spark_graft_nsw_{safe}"
+    path = f"{root}/graph"
+    marker = f"{root}/format_v1"  # bump on graph-layout changes
+    if not os.path.exists(marker):  # build once per SF (deterministic)
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        build_nsw_index(spark, emb, path, n_shards=8, m_neighbors=8)
+        open(marker, "w").close()
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return topk_nsw(spark, path, qvec, k=5, ef_search=32, exclude_ids=[0])

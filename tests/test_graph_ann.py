@@ -1,0 +1,125 @@
+"""Sharded NSW graph ANN (operators/graph_ann.py): graph + results are
+partition-layout independent, recall holds vs exact top-k, scores are
+exact cosine, and planted clusters recall perfectly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+    build_nsw_index,
+    topk_nsw,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def graph_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nsw") / "graph")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_nsw_index(spark, emb, path, n_shards=4, m_neighbors=8)
+    return path
+
+
+def test_partition_invariance(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p1 = str(tmp_path / "g1")
+    p2 = str(tmp_path / "g2")
+    build_nsw_index(spark, emb, p1, n_shards=4)
+    build_nsw_index(spark, emb.repartition(13), p2, n_shards=4)
+    g1 = sorted(
+        (r["vec_id"], tuple(sorted(r["neighbors"])))
+        for r in spark.read.parquet(p1).collect()
+    )
+    g2 = sorted(
+        (r["vec_id"], tuple(sorted(r["neighbors"])))
+        for r in spark.read.parquet(p2).collect()
+    )
+    assert g1 == g2
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    r1 = topk_nsw(spark, p1, qvec, k=5, exclude_ids=[0]).collect()
+    r2 = topk_nsw(spark, p2, qvec, k=5, exclude_ids=[0]).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
+
+def test_recall_and_exact_scores(spark, graph_path):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    got = topk_nsw(
+        spark, graph_path, qvec, k=5, ef_search=32, exclude_ids=[0]
+    ).collect()
+    assert len(got) == 5
+    # exact scores
+    vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+    q = np.asarray(qvec)
+    for r in got:
+        v = vecs[r["vec_id"]]
+        expect = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        assert abs(r["score"] - expect) < 5e-4
+    # recall floor vs brute force (near-orthogonal fixture — the
+    # graph walks every shard, so recall is decent even off-regime)
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    from pdf_etl_ocr_inference_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    truth = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", cosine_similarity("embedding", qlit).alias("score")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .collect()
+    }
+    hits = {r["vec_id"] for r in got} & truth
+    assert len(hits) / 5 >= 0.4, (hits, truth)
+
+
+def test_design_regime_recall_is_one(spark, tmp_path):
+    # planted clusters (same construction as the knn_join test):
+    # every query's siblings must be found via the graph walk
+    base = spark.range(0, 100, 1, 4).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") / 5).cast("long").alias("gid"),
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.col("gid"), j), F.lit(2000)).cast("double")
+            / 1000.0
+            - 1.0
+            + F.pmod(
+                F.xxhash64(F.col("vec_id"), j, F.lit(1)), F.lit(2000)
+            ).cast("double")
+            / 100000.0
+        ),
+    )
+    corpus = base.select("vec_id", emb.alias("embedding"))
+    path = str(tmp_path / "planted")
+    build_nsw_index(spark, corpus, path, n_shards=4, m_neighbors=8)
+    rows = corpus.filter(F.col("vec_id") % 5 == 0).collect()
+    for r in rows[:5]:
+        got = topk_nsw(
+            spark,
+            path,
+            [float(v) for v in r["embedding"]],
+            k=4,
+            ef_search=32,
+            exclude_ids=[r["vec_id"]],
+        ).collect()
+        q = r["vec_id"]
+        assert {x["vec_id"] for x in got} == {q + 1, q + 2, q + 3, q + 4}
