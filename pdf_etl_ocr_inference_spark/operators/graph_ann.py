@@ -10,16 +10,23 @@ PER SHARD (each build is a single-task sequential job — Arrow-batched
 numpy inside ``applyInPandas``), and answer queries by scatter-gather:
 greedy-search every shard's graph in parallel, merge the local top-k.
 
-Scale shape at 100 TB:
+Scale shape at 100 TB — stated honestly:
 - build parallelism = shard count (each shard bounded to fit one
   task's memory); rebuilds are per-shard, so a corpus append only
   rebuilds the shards it touches;
-- query cost = n_shards parallel greedy walks, each touching
-  ``ef + M·hops`` vectors — independent of shard size in the dense
-  regime — followed by a k-row merge;
-- the graph lives in parquet partitioned by shard: (id, embedding,
-  neighbors array<long>) — a probe reads only adjacency + vectors it
-  walks (columnar projection prunes the rest).
+- a query runs n_shards parallel walks; each walk COMPUTES only
+  ``ef + M·hops`` distances, but because Spark is a scan engine the
+  task still LOADS its whole shard partition into the Python worker
+  first — per-shard read cost is O(shard size).  Bounding shard size
+  (add shards as the corpus grows) keeps the per-task read constant;
+  a latency-serving deployment would pin the per-shard graphs in
+  worker memory (foreachBatch/external store) instead of re-reading
+  them — within this engine, NSW is the build/layout story and the
+  bucketed LSH/IVF/PQ paths remain the scan-time scale paths.
+
+Metric: construction and search walk on L2 over NORMALIZED vectors,
+so the walk agrees with the cosine ranking the results are scored by
+(d² = 2 − 2·cos on unit vectors) even when input norms vary.
 
 Determinism: shard = id % n_shards; inserts in ascending id order;
 all candidate orderings break ties by (distance, id) — so the graph
@@ -107,10 +114,11 @@ def build_nsw_index(
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")  # arrival order is arbitrary
         ids = pdf["vec_id"].tolist()
-        mat = {
-            i: np.asarray(v, dtype="float64")
-            for i, v in zip(ids, pdf["embedding"])
-        }
+        mat = {}
+        for i, v in zip(ids, pdf["embedding"]):
+            vec = np.asarray(v, dtype="float64")
+            n = float(np.sqrt(np.dot(vec, vec)))
+            mat[i] = vec / n if n > 0 else vec
         adj: dict[int, list[int]] = {}
 
         def prune(node):
@@ -188,24 +196,25 @@ def topk_nsw(
         ]
     )
 
+    qu = q / qn if qn > 0 else q
+
     def _search(pdf: pd.DataFrame) -> pd.DataFrame:
         ids_sorted = sorted(pdf["vec_id"].tolist())
-        mat = {
-            i: np.asarray(v, dtype="float64")
-            for i, v in zip(pdf["vec_id"], pdf["embedding"])
-        }
+        mat = {}
+        for i, v in zip(pdf["vec_id"], pdf["embedding"]):
+            vec = np.asarray(v, dtype="float64")
+            n = float(np.sqrt(np.dot(vec, vec)))
+            mat[i] = vec / n if n > 0 else vec
         adj = {
             i: list(nb) for i, nb in zip(pdf["vec_id"], pdf["neighbors"])
         }
-        near = _greedy_search(mat, adj, ids_sorted, q, ef)
+        near = _greedy_search(mat, adj, ids_sorted, qu, ef)
         rows = []
         for _, i in near:
             if i in excl:
                 continue
-            v = mat[i]
-            vn = float(np.sqrt(np.dot(v, v)))
-            score = float(np.dot(q, v) / (qn * vn)) if qn * vn else 0.0
-            rows.append((i, score))
+            # unit vectors: cosine == dot
+            rows.append((i, float(np.dot(qu, mat[i]))))
         rows.sort(key=lambda t: (-t[1], t[0]))
         return pd.DataFrame(rows[:k], columns=["vec_id", "score"])
 

@@ -45,6 +45,24 @@ def _normalize(vec):
     return v / n if n > 0 else v
 
 
+def _collect_sample(df, embedding_col, id_col, sample_mod, m):
+    """Driver-side normalized sample matrix, SORTED by id so training
+    is independent of partition layout (collect() row order is not
+    deterministic).  Shared by PQ and OPQ training."""
+    import numpy as np
+
+    rows = (
+        df.filter(F.col(id_col) % sample_mod == 0)
+        .select(id_col, embedding_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    x = np.stack([_normalize(r[embedding_col]) for r in rows])
+    if x.shape[1] % m:
+        raise ValueError(f"dim {x.shape[1]} not divisible by m={m}")
+    return x
+
+
 def train_pq_codebooks(
     df: DataFrame,
     embedding_col: str,
@@ -60,14 +78,7 @@ def train_pq_codebooks(
     as the corpus grows).  Returns ``m`` lists of ``k`` centroids."""
     import numpy as np
 
-    rows = (
-        df.filter(F.col(id_col) % sample_mod == 0)
-        .select(embedding_col)
-        .collect()
-    )
-    x = np.stack([_normalize(r[embedding_col]) for r in rows])
-    if x.shape[1] % m:
-        raise ValueError(f"dim {x.shape[1]} not divisible by m={m}")
+    x = _collect_sample(df, embedding_col, id_col, sample_mod, m)
     rng = np.random.RandomState(seed)
     return _train_books(x, m, k, iters, rng)
 
@@ -134,15 +145,8 @@ def train_opq(
     """
     import numpy as np
 
-    rows = (
-        df.filter(F.col(id_col) % sample_mod == 0)
-        .select(embedding_col)
-        .collect()
-    )
-    x = np.stack([_normalize(r[embedding_col]) for r in rows])
+    x = _collect_sample(df, embedding_col, id_col, sample_mod, m)
     dim = x.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
     rng = np.random.RandomState(seed)
     r_mat = np.eye(dim)
     books = None

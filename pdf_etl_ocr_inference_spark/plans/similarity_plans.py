@@ -586,7 +586,6 @@ def ann_opq_topk(spark: SparkSession, sf: str) -> DataFrame:
     "LSH / IVF / PQ.",
 )
 def ann_nsw_topk(spark: SparkSession, sf: str) -> DataFrame:
-    import os
     import tempfile
 
     from pdf_etl_ocr_inference_spark.operators.graph_ann import (
@@ -598,13 +597,14 @@ def ann_nsw_topk(spark: SparkSession, sf: str) -> DataFrame:
     safe = sf.strip("/").replace("/", "_")
     root = f"{tempfile.gettempdir()}/spark_graft_nsw_{safe}"
     path = f"{root}/graph"
-    marker = f"{root}/format_v1"  # bump on graph-layout changes
-    if not os.path.exists(marker):  # build once per SF (deterministic)
-        import shutil
+    # rebuild every run (same policy as the stream-sync entries):
+    # a cached graph would silently serve stale neighbors if the
+    # testdata were regenerated in place, and would blind the
+    # determinism double-run to build nondeterminism
+    import shutil
 
-        shutil.rmtree(root, ignore_errors=True)
-        build_nsw_index(spark, emb, path, n_shards=8, m_neighbors=8)
-        open(marker, "w").close()
+    shutil.rmtree(root, ignore_errors=True)
+    build_nsw_index(spark, emb, path, n_shards=8, m_neighbors=8)
     qvec = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]

@@ -123,3 +123,26 @@ def test_design_regime_recall_is_one(spark, tmp_path):
         ).collect()
         q = r["vec_id"]
         assert {x["vec_id"] for x in got} == {q + 1, q + 2, q + 3, q + 4}
+
+
+def test_varying_norms_walk_agrees_with_cosine(spark, tmp_path):
+    # scale each vector by a different factor: cosine ranking is
+    # unchanged, so the (normalized-walk) graph results must be too
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    scaled = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x * (1.0 + F.col("vec_id") % 7)
+        ).alias("embedding"),
+    )
+    p1 = str(tmp_path / "unit")
+    p2 = str(tmp_path / "scaled")
+    build_nsw_index(spark, emb, p1, n_shards=4)
+    build_nsw_index(spark, scaled, p2, n_shards=4)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    r1 = [tuple(r) for r in topk_nsw(spark, p1, qvec, k=5, exclude_ids=[0]).collect()]
+    r2 = [tuple(r) for r in topk_nsw(spark, p2, qvec, k=5, exclude_ids=[0]).collect()]
+    assert r1 == r2

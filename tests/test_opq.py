@@ -98,3 +98,26 @@ def test_rotated_query_path_scores_exact(spark, correlated_df):
             (q @ v) / (np.linalg.norm(q) * np.linalg.norm(v))
         )
         assert abs(r["score"] - expect) < 5e-4
+
+
+def test_training_is_partition_invariant(correlated_df):
+    # the sample matrix is sorted by id before training, so codebooks
+    # and rotation cannot depend on collect() row order
+    r1, b1 = train_opq(
+        correlated_df, "embedding", "vec_id", m=4, k=8, sample_mod=1,
+        opq_iters=2,
+    )
+    r2, b2 = train_opq(
+        correlated_df.repartition(9), "embedding", "vec_id", m=4, k=8,
+        sample_mod=1, opq_iters=2,
+    )
+    assert r1 == r2
+    assert b1 == b2
+    p1 = train_pq_codebooks(
+        correlated_df, "embedding", "vec_id", m=4, k=8, sample_mod=1
+    )
+    p2 = train_pq_codebooks(
+        correlated_df.repartition(9), "embedding", "vec_id", m=4, k=8,
+        sample_mod=1,
+    )
+    assert p1 == p2
