@@ -225,3 +225,76 @@ def topk_nsw(
         .limit(k)
         .select("vec_id", F.round("score", 4).alias("score"))
     )
+
+
+def refresh_nsw_index(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    n_shards: int = 8,
+    m_neighbors: int = 8,
+    ef_construction: int = 32,
+) -> list[int]:
+    """Fold one change-feed commit into the graph by rebuilding ONLY
+    the shards the commit touches (shard = id % n_shards), leaving
+    every other shard's files untouched — the per-shard-rebuild
+    maintenance the sharded layout exists for.
+
+    ``changes`` carries (id, embedding, _change_type) rows with the
+    ``streaming.changefeed`` contract.  Per touched shard: survivors =
+    current shard members minus deleted/updated ids, plus inserted/
+    updated rows; the shard graph rebuilds deterministically from that
+    member set (same insert order and tie-breaks as the full build),
+    so refresh ≡ full rebuild of the post-change corpus, shard by
+    shard.  Returns the rebuilt shard ids.
+    """
+    adds = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(embedding_col).cast("array<double>").alias("embedding"),
+    )
+    removes = changes.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select(F.col(id_col).cast("long").alias("vec_id"))
+
+    touched = sorted(
+        r["s"]
+        for r in adds.select((F.col("vec_id") % n_shards).alias("s"))
+        .union(removes.select((F.col("vec_id") % n_shards).alias("s")))
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return []
+
+    graph = spark.read.parquet(path)
+    current = graph.filter(F.col("shard").isin(touched)).select(
+        "vec_id", "embedding"
+    )
+    survivors = current.join(removes, on="vec_id", how="left_anti")
+    members = survivors.unionByName(adds)
+
+    tmp = build_nsw_index(
+        spark,
+        members,
+        path + "_refresh_tmp",
+        n_shards=n_shards,
+        m_neighbors=m_neighbors,
+        ef_construction=ef_construction,
+    )
+    rebuilt = spark.read.parquet(tmp)
+    # overwrite ONLY the touched shard directories
+    for s in touched:
+        (
+            rebuilt.filter(F.col("shard") == s)
+            .drop("shard")
+            .write.mode("overwrite")
+            .parquet(f"{path}/shard={s}")
+        )
+    import shutil
+
+    shutil.rmtree(path + "_refresh_tmp", ignore_errors=True)
+    return touched

@@ -146,3 +146,78 @@ def test_varying_norms_walk_agrees_with_cosine(spark, tmp_path):
     r1 = [tuple(r) for r in topk_nsw(spark, p1, qvec, k=5, exclude_ids=[0]).collect()]
     r2 = [tuple(r) for r in topk_nsw(spark, p2, qvec, k=5, exclude_ids=[0]).collect()]
     assert r1 == r2
+
+
+def test_refresh_rebuilds_only_touched_shards(spark, tmp_path):
+    import glob
+
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        refresh_nsw_index,
+    )
+
+    def vecs(ids):
+        rows = [
+            (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+            for i in ids
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    path = str(tmp_path / "g")
+    corpus = vecs(range(40))
+    build_nsw_index(spark, corpus, path, n_shards=4, m_neighbors=4)
+
+    # commit: insert 100,101 (shards 0,1), delete 1 (shard 1),
+    # update 2 (shard 2) -> touched {0,1,2}; shard 3 untouched
+    changes = (
+        vecs([100, 101])
+        .withColumn("_change_type", F.lit("insert"))
+        .unionByName(
+            vecs([1]).withColumn("_change_type", F.lit("delete"))
+        )
+        .unionByName(
+            vecs([2]).withColumn("_change_type", F.lit("update_preimage"))
+        )
+        .unionByName(
+            vecs([2])
+            .select(
+                "vec_id",
+                F.transform("embedding", lambda x: x + 1.0).alias(
+                    "embedding"
+                ),
+            )
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+    )
+    untouched_before = sorted(glob.glob(f"{path}/shard=3/*.parquet"))
+    touched = refresh_nsw_index(
+        spark, path, changes, n_shards=4, m_neighbors=4
+    )
+    assert touched == [0, 1, 2]
+    assert sorted(glob.glob(f"{path}/shard=3/*.parquet")) == untouched_before
+
+    # refresh == full rebuild of the post-change corpus
+    post = (
+        corpus.filter(~F.col("vec_id").isin(1, 2))
+        .unionByName(vecs([100, 101]))
+        .unionByName(
+            vecs([2]).select(
+                "vec_id",
+                F.transform("embedding", lambda x: x + 1.0).alias(
+                    "embedding"
+                ),
+            )
+        )
+    )
+    full = str(tmp_path / "full")
+    build_nsw_index(spark, post, full, n_shards=4, m_neighbors=4)
+    a = sorted(
+        (r["vec_id"], tuple(sorted(r["neighbors"])))
+        for r in spark.read.parquet(path).collect()
+    )
+    b = sorted(
+        (r["vec_id"], tuple(sorted(r["neighbors"])))
+        for r in spark.read.parquet(full).collect()
+    )
+    assert a == b
