@@ -23,6 +23,13 @@ is exactly the aggregate of the current snapshot (proved in
 Only distributive/algebraic aggregates are maintainable this way;
 holistic ones (MEDIAN, exact DISTINCT) need their own sketch or a
 recompute — documented, not hidden.
+
+Delta interop: Delta Lake's Change Data Feed emits the SAME
+``_change_type`` vocabulary (insert / update_preimage /
+update_postimage / delete), so these helpers work unchanged on
+``spark.read.format("delta").option("readChangeFeed", "true")``
+output when delta-spark is on the classpath (see
+``sources.delta_interop``) — no adapter needed.
 """
 
 from __future__ import annotations
