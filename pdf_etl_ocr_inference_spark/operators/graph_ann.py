@@ -165,7 +165,43 @@ def build_nsw_index(
         .partitionBy("shard")
         .parquet(path)
     )
+    _write_meta(
+        path,
+        {
+            "n_shards": n_shards,
+            "m_neighbors": m_neighbors,
+            "ef_construction": ef_construction,
+            "last_version": 0,
+        },
+    )
     return path
+
+
+def _meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_nsw_meta.json")
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    import json
+
+    with open(_meta_path(path), "w") as f:
+        json.dump(meta, f)
+
+
+def _read_meta(path: str) -> dict:
+    import json
+    import os
+
+    mp = _meta_path(path)
+    if not os.path.exists(mp):
+        raise ValueError(
+            f"no NSW index metadata at {path!r} — build with "
+            "build_nsw_index first"
+        )
+    with open(mp) as f:
+        return json.load(f)
 
 
 def topk_nsw(
@@ -231,25 +267,42 @@ def refresh_nsw_index(
     spark: SparkSession,
     path: str,
     changes: DataFrame,
+    version: int,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
-    n_shards: int = 8,
-    m_neighbors: int = 8,
-    ef_construction: int = 32,
 ) -> list[int]:
     """Fold one change-feed commit into the graph by rebuilding ONLY
     the shards the commit touches (shard = id % n_shards), leaving
     every other shard's files untouched — the per-shard-rebuild
     maintenance the sharded layout exists for.
 
+    Build parameters come from the index's persisted metadata (a
+    refresh with mismatched shard count would silently scatter ids
+    across two shardings — the ``dedup_index`` precedent), and the
+    ``version`` watermark makes driver-retry re-delivery a no-op
+    instead of a graph corruption.
+
     ``changes`` carries (id, embedding, _change_type) rows with the
     ``streaming.changefeed`` contract.  Per touched shard: survivors =
-    current shard members minus deleted/updated ids, plus inserted/
-    updated rows; the shard graph rebuilds deterministically from that
-    member set (same insert order and tie-breaks as the full build),
+    current members minus removed AND re-added ids (upsert semantics —
+    an insert for an existing id replaces it), plus the added rows;
+    the shard graph rebuilds deterministically from that member set,
     so refresh ≡ full rebuild of the post-change corpus, shard by
-    shard.  Returns the rebuilt shard ids.
+    shard.  The rebuilt shard dirs are staged under a tmp index and
+    swapped in by O(1) directory moves LAST (the ``changefeed.
+    compact`` discipline) — a crash mid-swap leaves whole old or
+    whole new shard dirs, never partial files, though shards can
+    transiently disagree on the version until a re-run.  Returns the
+    rebuilt shard ids.
     """
+    import os
+    import shutil
+
+    meta = _read_meta(path)
+    if version <= meta.get("last_version", 0):
+        return []  # already folded (idempotent on driver retry)
+    n_shards = meta["n_shards"]
+
     adds = changes.filter(
         F.col("_change_type").isin("insert", "update_postimage")
     ).select(
@@ -268,33 +321,38 @@ def refresh_nsw_index(
         .collect()
     )
     if not touched:
+        meta["last_version"] = version
+        _write_meta(path, meta)
         return []
 
     graph = spark.read.parquet(path)
     current = graph.filter(F.col("shard").isin(touched)).select(
         "vec_id", "embedding"
     )
-    survivors = current.join(removes, on="vec_id", how="left_anti")
+    # drop removed ids AND re-added ids (upsert: the add wins)
+    gone = removes.unionByName(adds.select("vec_id")).distinct()
+    survivors = current.join(gone, on="vec_id", how="left_anti")
     members = survivors.unionByName(adds)
 
-    tmp = build_nsw_index(
-        spark,
-        members,
-        path + "_refresh_tmp",
-        n_shards=n_shards,
-        m_neighbors=m_neighbors,
-        ef_construction=ef_construction,
-    )
-    rebuilt = spark.read.parquet(tmp)
-    # overwrite ONLY the touched shard directories
-    for s in touched:
-        (
-            rebuilt.filter(F.col("shard") == s)
-            .drop("shard")
-            .write.mode("overwrite")
-            .parquet(f"{path}/shard={s}")
+    tmp = path + "_refresh_tmp"
+    try:
+        build_nsw_index(
+            spark,
+            members,
+            tmp,
+            n_shards=n_shards,
+            m_neighbors=meta["m_neighbors"],
+            ef_construction=meta["ef_construction"],
         )
-    import shutil
-
-    shutil.rmtree(path + "_refresh_tmp", ignore_errors=True)
+        # swap LAST: O(1) directory moves, no Spark re-read/re-encode
+        for sh in touched:
+            src = f"{tmp}/shard={sh}"
+            dst = f"{path}/shard={sh}"
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.exists(src):
+                os.replace(src, dst)
+        meta["last_version"] = version
+        _write_meta(path, meta)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return touched

@@ -191,11 +191,19 @@ def test_refresh_rebuilds_only_touched_shards(spark, tmp_path):
         )
     )
     untouched_before = sorted(glob.glob(f"{path}/shard=3/*.parquet"))
-    touched = refresh_nsw_index(
-        spark, path, changes, n_shards=4, m_neighbors=4
-    )
+    touched = refresh_nsw_index(spark, path, changes, version=1)
     assert touched == [0, 1, 2]
     assert sorted(glob.glob(f"{path}/shard=3/*.parquet")) == untouched_before
+    # driver-retry re-delivery of the same commit is a no-op
+    assert refresh_nsw_index(spark, path, changes, version=1) == []
+    # a duplicate insert for an existing id must not create a second
+    # node (upsert semantics)
+    again = vecs([100]).withColumn("_change_type", F.lit("insert"))
+    refresh_nsw_index(spark, path, again, version=2)
+    n100 = (
+        spark.read.parquet(path).filter(F.col("vec_id") == 100).count()
+    )
+    assert n100 == 1
 
     # refresh == full rebuild of the post-change corpus
     post = (
