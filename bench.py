@@ -61,6 +61,9 @@ def ann_recall(spark, sf_dir: str, specs=None) -> dict[str, float]:
         ("lsh", "ann_lsh_topk"),
         ("ivf", "ann_ivf_topk"),
         ("rewrite", "ann_rewrite_topk"),
+        ("pq", "ann_pq_topk"),
+        ("opq", "ann_opq_topk"),
+        ("nsw", "ann_nsw_topk"),
     ):
         got = {r["vec_id"] for r in specs[qname].fn(spark, sf_dir).collect()}
         out[label] = round(len(got & exact) / len(exact), 3)
