@@ -225,8 +225,13 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
+    # the ADC rerank pool must scale with the corpus: a fixed pool
+    # shrinks to a vanishing fraction as n grows and recall collapses
+    # (measured 0.8 -> 0.0 from sf0.01 to sf0.1 at rerank=50)
+    rerank = max(50, emb.count() // 10)
     return topk_pq(
-        encoded, "embedding", qvec, books, k=5, rerank=50, id_col="vec_id"
+        encoded, "embedding", qvec, books, k=5, rerank=rerank,
+        id_col="vec_id",
     )
 
 
@@ -567,8 +572,9 @@ def ann_opq_topk(spark: SparkSession, sf: str) -> DataFrame:
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
+    rerank = max(50, emb.count() // 10)  # see ann_pq_topk
     return topk_pq(
-        encoded, "embedding", qvec, books, k=5, rerank=50,
+        encoded, "embedding", qvec, books, k=5, rerank=rerank,
         id_col="vec_id", rotation=rot,
     )
 
