@@ -268,6 +268,72 @@ def incremental_dedup_speedup(spark) -> dict:
     }
 
 
+def dedup_dup_scaling(spark) -> dict:
+    """Candidate volume under mass duplication stays LINEAR (r3 fix).
+
+    Plants a boilerplate clique of growing depth d inside a 5k-doc
+    distinct corpus and measures (a) rows entering the band join
+    (`shingle_cliques` representatives — the candidate-volume
+    driver), (b) wall time of the verified near-dup pipeline through
+    the expansion.  Pre-collapse the band join cost grew ∝ d² (one
+    bucket of depth d per band); post-collapse the rep count is
+    CONSTANT in d and only the irreducible pair OUTPUT grows.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        shingle_cliques,
+    )
+
+    def _corpus(d):
+        distinct = spark.range(5_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(30)),
+                    lambda j: F.concat(
+                        F.lit("w"),
+                        (F.col("id") * 31 + j * 7).cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        clique = spark.range(d).select(
+            (F.col("id") + 100_000).alias("doc_id"),
+            F.lit(
+                "terms of service apply to every visitor of this "
+                "mirrored page and always will apply here"
+            ).alias("text"),
+        )
+        return distinct.unionByName(clique)
+
+    out = {}
+    for d in (1_000, 4_000):
+        docs = _corpus(d)
+        reps, _ = shingle_cliques(docs, "text", "doc_id")
+        t0 = _t.monotonic()
+        n_reps = reps.count()
+        t1 = _t.monotonic()
+        n_pairs = minhash_dedup_pairs(
+            docs, "text", "doc_id", jaccard_threshold=0.5
+        ).count()
+        t2 = _t.monotonic()
+        out[f"d{d}"] = {
+            "banded_reps": n_reps,
+            "pairs": n_pairs,
+            "collapse_s": round(t1 - t0, 2),
+            "pipeline_s": round(t2 - t1, 2),
+        }
+    out["reps_constant"] = (
+        out["d1000"]["banded_reps"] == out["d4000"]["banded_reps"]
+    )
+    return out
+
+
 def kmeans_scale(spark) -> dict:
     """One deterministic Lloyd round on the cached 1M×64 corpus (built
     by probe_speedup): times the per-round assignment scan and the
@@ -386,6 +452,8 @@ def main() -> None:
     print(f"# ann probe vs brute @1M: {probe}", file=sys.stderr)
     inc_dedup = incremental_dedup_speedup(spark)
     print(f"# incremental dedup @200k: {inc_dedup}", file=sys.stderr)
+    dup_scale = dedup_dup_scaling(spark)
+    print(f"# dedup mass-dup scaling: {dup_scale}", file=sys.stderr)
     km = kmeans_scale(spark)
     print(f"# kmeans round @1M: {km}", file=sys.stderr)
 
@@ -403,6 +471,7 @@ def main() -> None:
                 "ann_recall_at_5": recalls,
                 "ann_probe_speedup_1m": probe,
                 "incremental_dedup_speedup_200k": inc_dedup,
+                "dedup_mass_dup_scaling": dup_scale,
                 "kmeans_round_1m": km,
             }
         )

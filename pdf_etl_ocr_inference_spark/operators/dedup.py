@@ -9,12 +9,22 @@ standard MinHash-LSH construction (Broder 1997; Leskovec et al.,
 Scale notes (100 TB):
 - exact dedup = hash-groupBy: one shuffle on a 32-byte key, heavily
   combinable map-side.
-- MinHash-LSH: cost is the band-bucket shuffle;  bucket ids are
-  (band_idx, hash-of-band-signature) so the self-join key space is
-  huge → no skew.  Candidate verification re-joins shingle sets only
-  for candidate pairs (tiny vs corpus).
+- MinHash-LSH: cost is the band-bucket shuffle.  The band-hash key
+  space (~2^64) spreads DISTINCT documents thinly, but d EXACT
+  duplicates share every band bucket → d²/2 candidate pairs per band
+  — quadratic exactly on the mass-duplicated corpora (boilerplate
+  pages, mirrored docs) near-dedup exists for.  So the bucket join
+  runs on one representative per distinct shingle set (exact-dup
+  cliques collapse BEFORE banding; verified pairs re-expand through
+  the survivor map afterwards, so the emitted pair set is unchanged).
+  Candidate verification re-joins shingle sets only for candidate
+  pairs among representatives (tiny vs corpus).
 - SimHash: 64-bit fingerprint per doc; near-dup = identical fingerprint
-  per rotated band table (Manku et al. WWW'07 style), again join-based.
+  per rotated band table (Manku et al. WWW'07 style), again join-based
+  — with the same collapse applied on the fingerprint value itself.
+- Both candidate joins take an optional ``bucket_cap``: adversarial
+  buckets (many DISTINCT values sharing one bucket) truncate to the
+  cap's lowest ids with the dropped-row count LOGGED (never silent).
 """
 
 from __future__ import annotations
@@ -105,11 +115,38 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(
+    banded: DataFrame, bucket_keys: list[str], id_col: str, cap: int
+) -> DataFrame:
+    """Truncate every bucket to its ``cap`` lowest ids, LOGGING the
+    dropped-row count (No-silent-caps): an adversarial bucket — many
+    DISTINCT values landing in one bucket — costs members²/2 pairs,
+    so capping bounds the join at cap²/2 per bucket at a quantified,
+    reported recall cost.  The count is one driver-side long (control
+    data, not a data collect)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_keys).orderBy(id_col)
+    ranked = banded.withColumn("_rk", F.row_number().over(w))
+    dropped = ranked.filter(F.col("_rk") > cap).count()
+    if dropped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "bucket_cap=%d dropped %d bucket member(s) from candidate "
+            "generation (recall, not correctness, is affected)",
+            cap,
+            dropped,
+        )
+    return ranked.filter(F.col("_rk") <= cap).drop("_rk")
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str,
     num_bands: int = 8,
     rows_per_band: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band-hash) buckets.
 
@@ -119,6 +156,12 @@ def minhash_lsh_candidates(
     No barrier needed: ``minhash_signatures`` ends in an aggregation,
     so the band projections reference post-shuffle attributes rather
     than re-inlining the signature expression per band.
+
+    ``bucket_cap`` bounds any one (band, bucket)'s contribution to
+    cap²/2 pairs, with the truncation logged (see ``_cap_buckets``).
+    Callers that collapse exact-dup cliques first (``
+    minhash_dedup_pairs``) rarely need it; it is the backstop against
+    adversarial near-collisions among DISTINCT signatures.
     """
     if rows_per_band is not None:
         rpb = F.lit(rows_per_band)
@@ -135,6 +178,8 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if bucket_cap is not None:
+        banded = _cap_buckets(banded, ["band", "bucket"], id_col, bucket_cap)
     a = banded.select(
         F.col(id_col).alias("id_a"), "band", "bucket"
     )
@@ -149,6 +194,46 @@ def minhash_lsh_candidates(
     )
 
 
+def shingle_cliques(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact-duplicate shingle sets to one representative.
+
+    Jaccard is a pure function of a document's (distinct) shingle
+    set, so documents with identical sets are interchangeable for
+    near-dedup.  Groups by a 128-bit set fingerprint (md5 of the
+    sorted set joined on ``\\x1f`` — injective on sets, same
+    collision budget as ``exact_dedup``'s md5) with the min id as
+    survivor.
+
+    Returns ``(reps, smap)``: ``reps(id, shingles, _fp)`` one row per
+    DISTINCT shingle set (the survivor's), and the survivor map
+    ``smap(id, _fp, _keep)`` covering every input row.  This is the
+    pre-banding collapse that keeps LSH candidate volume linear under
+    mass duplication (d identical docs → one banded row, not d).
+    """
+    shingled = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.array_sort(
+            F.array_distinct(word_ngrams(text_col, shingle_n))
+        ).alias("shingles"),
+    )
+    keyed = shingled.withColumn(
+        "_fp", F.md5(F.concat_ws("\x1f", F.col("shingles")))
+    )
+    groups = keyed.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
+    smap = keyed.select(F.col(id_col), "_fp").join(groups, "_fp")
+    reps = keyed.join(
+        groups.withColumnRenamed("_keep", id_col).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return reps, smap
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str,
@@ -157,27 +242,59 @@ def minhash_dedup_pairs(
     num_bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified duplicate pairs.
 
-    Candidates from LSH buckets, then exact n-gram Jaccard verification
-    on the candidate pairs only (join back the shingle sets).
-    Output: ``id_a, id_b, jaccard`` (rounded 4) for pairs ≥ threshold.
+    EXACT-DUP CLIQUES COLLAPSE FIRST: documents group by their
+    (sorted, distinct) shingle set — Jaccard is a pure function of
+    that set, so clique members are interchangeable — and only the
+    min-id representative of each distinct set is shingled into the
+    band join.  d identical documents therefore contribute ONE row
+    per band bucket instead of d (candidate volume stays linear in
+    planted duplication; the pre-collapse join was d²/2 per band —
+    the realistic 100 TB worst case, since pretraining corpora carry
+    thousands-deep boilerplate/mirror cliques).
+
+    Candidates among representatives verify by exact Jaccard on the
+    representative shingle sets, then re-expand through the survivor
+    map: an inter-clique verified pair (A, B) emits every (x ∈ A,
+    y ∈ B), and every clique with >1 member emits its internal pairs
+    at jaccard 1.0 — exactly the pair set the uncollapsed pipeline
+    produced (expansion cost ∝ output size, which is irreducible for
+    pair output).  Output: ``id_a, id_b, jaccard`` for pairs ≥
+    threshold.  ``bucket_cap`` additionally bounds adversarial
+    buckets among DISTINCT sets (logged truncation).
     """
-    shingled = ensure_min_parallelism(df).select(
-        F.col(id_col),
-        F.array_distinct(word_ngrams(text_col, shingle_n)).alias("shingles"),
-    )
     if num_hashes % num_bands:
         raise ValueError("num_bands must divide num_hashes")
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    cands = minhash_lsh_candidates(
-        sigs, id_col, num_bands, rows_per_band=num_hashes // num_bands
+    reps, smap = shingle_cliques(df, text_col, id_col, shingle_n)
+
+    # signatures over representative shingle sets (shingles computed
+    # once — the pre-collapse path re-ran word_ngrams inside
+    # minhash_signatures)
+    exploded = reps.select(F.col(id_col), F.explode("shingles").alias("_sh"))
+    per_doc = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
     )
-    sa = shingled.select(
+    sigs = per_doc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    cands = minhash_lsh_candidates(
+        sigs,
+        id_col,
+        num_bands,
+        rows_per_band=num_hashes // num_bands,
+        bucket_cap=bucket_cap,
+    )
+    sa = reps.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )
-    sb = shingled.select(
+    sb = reps.select(
         F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
     )
     verified = (
@@ -191,7 +308,35 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+
+    # re-expand through the survivor map: (member x of clique(id_a),
+    # member y of clique(id_b)) for inter-clique pairs, all internal
+    # pairs at jaccard 1.0 for cliques of size > 1
+    ka = smap.select(F.col("_keep").alias("id_a"), F.col(id_col).alias("_xa"))
+    kb = smap.select(F.col("_keep").alias("id_b"), F.col(id_col).alias("_xb"))
+    inter = (
+        verified.join(ka, "id_a")
+        .join(kb, "id_b")
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    ia = smap.select("_fp", F.col(id_col).alias("_xa"))
+    ib = smap.select("_fp", F.col(id_col).alias("_xb"))
+    intra = (
+        ia.join(ib, "_fp")
+        .filter(F.col("_xa") < F.col("_xb"))
+        .select(
+            F.col("_xa").alias("id_a"),
+            F.col("_xb").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if jaccard_threshold > 1.0:
+        return inter  # degenerate threshold: even exact dups fail it
+    return inter.unionByName(intra)
 
 
 # ------------------------------------------------------------------
@@ -283,6 +428,7 @@ def hamming_near_pairs(
     id_col: str,
     max_hamming: int = 3,
     num_blocks: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near pairs among 64-bit fingerprints by hamming ≤ max_hamming.
 
@@ -292,10 +438,22 @@ def hamming_near_pairs(
     join per block, verify with bit_count(xor).  Works for any 64-bit
     locality-preserving hash (SimHash over text, dHash over images).
 
+    EQUAL FINGERPRINTS COLLAPSE FIRST: the pair predicate is a pure
+    function of the two hash values, so rows group by value and only
+    one representative per DISTINCT fingerprint enters the block join
+    — d identical fingerprints (mass-duplicated docs/images hash
+    identically) contribute 1 row per block instead of d (the
+    pre-collapse join paid d²/2 candidates per block).  Verified
+    value pairs re-expand through the value groups afterwards, plus
+    each >1-member group's internal pairs at hamming 0, reproducing
+    the uncollapsed pair set exactly.
+
     Completeness requires ``max_hamming < num_blocks`` (pigeonhole);
     rejected otherwise instead of silently losing recall.  Wider radii
     → more, narrower blocks (e.g. 8 blocks of 8 bits for radius ≤ 7),
     which also widens the candidate join — the usual LSH trade.
+    ``bucket_cap`` bounds adversarial buckets (many DISTINCT values
+    sharing one block value) with logged truncation.
     """
     if max_hamming >= num_blocks:
         raise ValueError(
@@ -308,13 +466,15 @@ def hamming_near_pairs(
     # width=64 (num_blocks=1): 2^64-1 overflows a long literal; the
     # all-bits mask in signed-64 arithmetic is -1
     mask = (1 << width) - 1 if width < 64 else -1
-    blocked = fps.select(
-        id_col,
-        hash_col,
+    vals = fps.select(F.col(id_col), F.col(hash_col).alias("_fpv"))
+    groups = vals.groupBy("_fpv").agg(F.min(id_col).alias("_keep"))
+    blocked = groups.select(
+        "_fpv",
+        "_keep",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col(hash_col), width * i).bitwiseAND(
+                    F.shiftrightunsigned(F.col("_fpv"), width * i).bitwiseAND(
                         F.lit(mask)
                     )
                     for i in range(num_blocks)
@@ -322,27 +482,55 @@ def hamming_near_pairs(
             )
         ).alias("block_idx", "block_val"),
     )
+    if bucket_cap is not None:
+        blocked = _cap_buckets(
+            blocked, ["block_idx", "block_val"], "_keep", bucket_cap
+        )
     a = blocked.select(
-        F.col(id_col).alias("id_a"),
-        F.col(hash_col).alias("sh_a"),
+        F.col("_fpv").alias("fp_a"),
+        F.col("_keep").alias("_ka"),
         "block_idx",
         "block_val",
     )
     b = blocked.select(
-        F.col(id_col).alias("id_b"),
-        F.col(hash_col).alias("sh_b"),
+        F.col("_fpv").alias("fp_b"),
+        F.col("_keep").alias("_kb"),
         "block_idx",
         "block_val",
     )
-    return (
+    value_pairs = (
         a.join(b, on=["block_idx", "block_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .filter(F.col("_ka") < F.col("_kb"))  # unordered distinct-value pair
+        .select("fp_a", "fp_b")
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    ma = vals.select(F.col("_fpv").alias("fp_a"), F.col(id_col).alias("_xa"))
+    mb = vals.select(F.col("_fpv").alias("fp_b"), F.col(id_col).alias("_xb"))
+    inter = (
+        value_pairs.join(ma, "fp_a")
+        .join(mb, "fp_b")
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+            "hamming",
+        )
+    )
+    ia = vals.select("_fpv", F.col(id_col).alias("_xa"))
+    ib = vals.select("_fpv", F.col(id_col).alias("_xb"))
+    intra = (
+        ia.join(ib, "_fpv")
+        .filter(F.col("_xa") < F.col("_xb"))
+        .select(
+            F.col("_xa").alias("id_a"),
+            F.col("_xb").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return inter.unionByName(intra)
 
 
 def simhash_near_pairs(

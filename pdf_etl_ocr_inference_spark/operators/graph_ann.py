@@ -289,11 +289,14 @@ def refresh_nsw_index(
     the shard graph rebuilds deterministically from that member set,
     so refresh ≡ full rebuild of the post-change corpus, shard by
     shard.  The rebuilt shard dirs are staged under a tmp index and
-    swapped in by O(1) directory moves LAST (the ``changefeed.
-    compact`` discipline) — a crash mid-swap leaves whole old or
-    whole new shard dirs, never partial files, though shards can
-    transiently disagree on the version until a re-run.  Returns the
-    rebuilt shard ids.
+    swapped in by O(1) directory renames LAST (the ``changefeed.
+    compact`` discipline).  Each swap is two atomic renames —
+    park the live shard under ``_old_shard_<n>`` (underscore prefix:
+    ignored by Spark's file listing) then ``os.replace(src, dst)`` —
+    so a crash between them leaves the old shard recoverable (never a
+    missing shard: a retry of the same version restores it before
+    rebuilding), and ``last_version`` only bumps after every shard
+    swapped.  Returns the rebuilt shard ids.
     """
     import os
     import shutil
@@ -325,6 +328,16 @@ def refresh_nsw_index(
         _write_meta(path, meta)
         return []
 
+    # recover any shard left under .old by a crash mid-swap of a
+    # PREVIOUS refresh attempt (version not yet bumped ⇒ this is a
+    # retry of that same commit): restore the old shard so the
+    # rebuild below reads the pre-change graph, not a missing dir.
+    for sh in touched:
+        dst = f"{path}/shard={sh}"
+        old = f"{path}/_old_shard_{sh}"  # "_" prefix: invisible to Spark
+        if os.path.exists(old) and not os.path.exists(dst):
+            os.replace(old, dst)
+
     graph = spark.read.parquet(path)
     current = graph.filter(F.col("shard").isin(touched)).select(
         "vec_id", "embedding"
@@ -344,15 +357,22 @@ def refresh_nsw_index(
             m_neighbors=meta["m_neighbors"],
             ef_construction=meta["ef_construction"],
         )
-        # swap LAST: O(1) directory moves, no Spark re-read/re-encode
+        # swap LAST: two atomic renames per shard — the old shard is
+        # parked under .old (recoverable) before the new one lands,
+        # so no crash point leaves the shard missing.
         for sh in touched:
             src = f"{tmp}/shard={sh}"
             dst = f"{path}/shard={sh}"
-            shutil.rmtree(dst, ignore_errors=True)
+            old = f"{path}/_old_shard_{sh}"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(dst):
+                os.replace(dst, old)
             if os.path.exists(src):
                 os.replace(src, dst)
         meta["last_version"] = version
         _write_meta(path, meta)
+        for sh in touched:  # all swapped + version durable: drop .old
+            shutil.rmtree(f"{path}/_old_shard_{sh}", ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return touched

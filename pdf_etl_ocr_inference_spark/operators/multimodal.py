@@ -274,6 +274,8 @@ def _dhash_one(payload: bytes) -> int:
     """
     import numpy as np
 
+    if not payload:  # None (NULL column) and b'' degrade alike
+        payload = b"\x00"
     b = np.frombuffer(payload, dtype=np.uint8)
     if b.size == 0:
         b = np.zeros(1, dtype=np.uint8)

@@ -50,7 +50,12 @@ from pyspark.sql import functions as F
 
 HINT_KEY = "spark_graft.similarity_hint"
 
-_DEFAULT_INDEX_ROOT = "/tmp/spark_graft_scratch/ann_indexes"
+# Per-process root (see scratch.py): concurrent gate/bench sessions
+# on one machine get private index trees instead of racing on a
+# fixed path.  Indexes persist across SparkSessions WITHIN a process.
+from pdf_etl_ocr_inference_spark.scratch import SCRATCH_ROOT as _SR
+
+_DEFAULT_INDEX_ROOT = os.path.join(_SR, "ann_indexes")
 
 
 # ------------------------------------------------------------------
@@ -239,6 +244,18 @@ def refresh_lsh_index(
     beats tombstone at equal version (an in-place update whose bucket
     didn't change lands both rows in one bucket).  Periodic
     ``build_lsh_index`` is the compaction that folds tombstones away.
+
+    ``n_rows`` maintenance contract: the probe planner's cardinality
+    is delta-maintained as (+1 insert/postimage, −1 delete/preimage).
+    That bookkeeping is exact ONLY if updates arrive as
+    ``update_preimage``/``update_postimage`` PAIRS — a bare re-insert
+    of a live id (upsert via plain ``insert``) replaces the row at
+    probe time but counts +1 with no offsetting −1, so repeated bare
+    upserts inflate ``n_rows`` and bias ``plan_hamming_radius``
+    toward narrower probes (a recall, not correctness, effect).
+    ``streaming.changefeed`` emits proper pairs; feeds that cannot
+    are healed at the next compaction: ``build_lsh_index`` re-observes
+    the true cardinality during its full rebuild.
     """
     cat = catalog or IndexCatalog()
     idx = cat.lookup(table_key)
@@ -756,11 +773,26 @@ def knn_join(
             for m in masks
         ]
     )
-    qp = q.select(
-        "_qid",
-        "_qvec",
-        F.explode(probes).alias("_p"),
-    ).select("_qid", "_qvec", F.col("_p._table").alias("_table"), F.col("_p._sig").alias("_sig"))
+    qp = (
+        q.select(
+            "_qid",
+            "_qvec",
+            F.explode(probes).alias("_p"),
+        )
+        .select(
+            "_qid",
+            "_qvec",
+            F.col("_p._table").alias("_table"),
+            F.col("_p._sig").alias("_sig"),
+        )
+        # derive the index's partition key on the probe side so the
+        # join carries it: the index scan prunes to the probed
+        # (_table, _pb) directories (dynamic partition pruning /
+        # runtime filters) instead of reading the whole index —
+        # keeps the index-side read ∝ probe fan-out, like the
+        # single-query probe path.
+        .withColumn("_pb", F.pmod(F.col("_sig"), F.lit(PARTITION_BUCKETS)))
+    )
 
     spark = queries.sparkSession
     live = spark.read.parquet(idx["data_path"])
@@ -769,8 +801,8 @@ def knn_join(
     id_col = idx["id_col"]
     cand = (
         qp.join(
-            live.select(id_col, "embedding", "_table", "_sig"),
-            on=["_table", "_sig"],
+            live.select(id_col, "embedding", "_table", "_pb", "_sig"),
+            on=["_table", "_pb", "_sig"],
         )
         .dropDuplicates(["_qid", id_col])  # a pair may collide in >1 table
     )

@@ -151,8 +151,6 @@ def dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     "ann_index_stream_sync (ref ocr:149), applied to text dedup.",
 )
 def dedup_index_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
-    import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -173,9 +171,10 @@ def dedup_index_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 7)
     base = docs.filter(F.col("doc_id") % 10 != 7)
 
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
     safe = sf.strip("/").replace("/", "_")
-    scratch = f"{tempfile.gettempdir()}/spark_graft_dedupsync_{safe}"
-    shutil.rmtree(scratch, ignore_errors=True)
+    scratch = scratch_dir(f"dedupsync_{safe}")
     feed = f"{scratch}/feed"
     commit_changes(
         base.withColumn("_change_type", F.lit("insert")), feed, 0

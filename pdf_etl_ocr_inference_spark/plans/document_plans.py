@@ -17,7 +17,15 @@ from pdf_etl_ocr_inference_spark.operators.documents import (
     derive_filenames,
 )
 from pdf_etl_ocr_inference_spark.plans.registry import register
+from pdf_etl_ocr_inference_spark.scratch import SCRATCH_ROOT as _SR
 from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
+
+# Per-process blob staging dirs (scratch.py): the oracle SQL below
+# interpolates the SAME path at import time, so Spark query and
+# DuckDB oracle always agree within a process while concurrent
+# sessions stay isolated.
+_BLOB_SRC = f"{_SR}/blobs_src"
+_BLOB_DST = f"{_SR}/blobs_dst"
 
 # Token-window chunking (window=20, stride=20, min_chars=50) in DuckDB:
 # toks = non-empty split on single spaces; chunk i joins toks[20i+1 .. 20i+20].
@@ -85,7 +93,7 @@ def op20_derive_filename(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "op06_fetch_pipeline",
     "SELECT doc_id, "
-    "'/tmp/spark_graft_scratch/blobs_dst/' || PRINTF('%06d', doc_id) "
+    f"'{_BLOB_DST}/' || PRINTF('%06d', doc_id) "
     "|| '.txt' AS filename, n_chars AS filesize, TRUE AS fetch_ok "
     "FROM documents",
     doc="EP-1 ingest pipeline (ref 01:174-183): derive filenames "
@@ -102,8 +110,8 @@ def op06_fetch_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
     from pdf_etl_ocr_inference_spark.operators.ingest import fetch_blobs
 
-    src_dir = "/tmp/spark_graft_scratch/blobs_src"
-    dst_dir = "/tmp/spark_graft_scratch/blobs_dst"
+    src_dir = _BLOB_SRC
+    dst_dir = _BLOB_DST
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     # Stage source blobs with a DISTRIBUTED write (local-mode executors
     # share the FS). Marker keys on the SF DIR, not the row count —

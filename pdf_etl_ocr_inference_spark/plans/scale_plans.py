@@ -373,12 +373,11 @@ def dedup_clusters_sv(spark: SparkSession, sf: str) -> DataFrame:
 
 def _zorder_scratch(sf: str) -> str:
     import os
-    import tempfile
+
+    from pdf_etl_ocr_inference_spark.scratch import scratch_root
 
     tag = os.path.basename(os.path.normpath(sf))
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_scratch", f"zorder_orders_{tag}"
-    )
+    return os.path.join(scratch_root(), f"zorder_orders_{tag}")
 
 
 @register(

@@ -303,7 +303,6 @@ def ann_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
 )
 def ann_index_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from pyspark.sql import types as T
 
@@ -319,12 +318,13 @@ def ann_index_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
         diff_snapshots,
     )
 
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
     emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
-    # deterministic scratch keyed on the SF dir: fresh feed+checkpoint
-    # per run (no cross-run leak; removed again after the sync action)
+    # per-process scratch keyed on the SF dir: fresh feed+checkpoint
+    # per run, no race with concurrent sessions (scratch.py)
     safe = sf.strip("/").replace("/", "_")
-    scratch = f"{tempfile.gettempdir()}/spark_graft_annsync_{safe}"
-    shutil.rmtree(scratch, ignore_errors=True)
+    scratch = scratch_dir(f"annsync_{safe}")
     feed = f"{scratch}/feed"
     commit_changes(emb.withColumn("_change_type", F.lit("insert")), feed, 0)
     after = (
@@ -592,24 +592,23 @@ def ann_opq_topk(spark: SparkSession, sf: str) -> DataFrame:
     "LSH / IVF / PQ.",
 )
 def ann_nsw_topk(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile
 
     from pdf_etl_ocr_inference_spark.operators.graph_ann import (
         build_nsw_index,
         topk_nsw,
     )
 
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
     emb = _t(spark, sf, "embeddings")
     safe = sf.strip("/").replace("/", "_")
-    root = f"{tempfile.gettempdir()}/spark_graft_nsw_{safe}"
-    path = f"{root}/graph"
     # rebuild every run (same policy as the stream-sync entries):
     # a cached graph would silently serve stale neighbors if the
     # testdata were regenerated in place, and would blind the
-    # determinism double-run to build nondeterminism
-    import shutil
-
-    shutil.rmtree(root, ignore_errors=True)
+    # determinism double-run to build nondeterminism; per-process
+    # scratch (scratch.py) keeps concurrent sessions isolated
+    root = scratch_dir(f"nsw_{safe}")
+    path = f"{root}/graph"
     build_nsw_index(spark, emb, path, n_shards=8, m_neighbors=8)
     qvec = [
         float(v)

@@ -27,9 +27,9 @@ from pdf_etl_ocr_inference_spark.sources.writers import overwrite_parquet
 
 
 def _scratch(tag: str) -> str:
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_scratch", tag)
-    os.makedirs(os.path.dirname(d), exist_ok=True)
-    return d
+    from pdf_etl_ocr_inference_spark.scratch import scratch_root
+
+    return os.path.join(scratch_root(), tag)
 
 
 @register(

@@ -26,21 +26,18 @@ def _documents_change_feed(spark: SparkSession, sf: str, tag: str) -> str:
     v0 = insert-all and v1 = (n_chars += 17 where doc_id%10==3,
     delete %10==7).  Both op72 variants and both oracles encode this
     exact scenario — single construction site so they cannot diverge.
-    Uses a fixed per-(sf, tag) scratch dir wiped on entry (no temp-dir
-    leak across gate/bench runs)."""
-    import shutil
-    import tempfile
-
+    Uses a per-process per-(sf, tag) scratch dir wiped on entry
+    (scratch.py: no cross-run leak, no cross-session race)."""
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
     from pdf_etl_ocr_inference_spark.streaming.changefeed import (
         commit_changes,
         diff_snapshots,
     )
 
     safe = sf.strip("/").replace("/", "_")
-    scratch = f"{tempfile.gettempdir()}/spark_graft_{tag}_{safe}"
     # wipe the WHOLE scratch dir: siblings of the feed (streaming
     # checkpoints, state tables) must not survive across runs
-    shutil.rmtree(scratch, ignore_errors=True)
+    scratch = scratch_dir(f"{tag}_{safe}")
     feed = f"{scratch}/feed"
     docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
     commit_changes(
@@ -471,8 +468,6 @@ def train_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
     "value-checked against a from-scratch SQL replay.",
 )
 def pipeline_incremental_corpus(spark: SparkSession, sf: str) -> DataFrame:
-    import shutil
-    import tempfile
 
     from pdf_etl_ocr_inference_spark.functions.text import doc_fingerprint
     from pdf_etl_ocr_inference_spark.streaming.changefeed import (
@@ -492,10 +487,10 @@ def pipeline_incremental_corpus(spark: SparkSession, sf: str) -> DataFrame:
     base = docs.filter(F.col("doc_id") < F.col("_thr")).drop("_thr")
     batch = docs.filter(F.col("doc_id") >= F.col("_thr")).drop("_thr")
 
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
     safe = sf.strip("/").replace("/", "_")
-    feed = f"{tempfile.gettempdir()}/spark_graft_inccorpus_{safe}/feed"
-    shutil.rmtree(f"{tempfile.gettempdir()}/spark_graft_inccorpus_{safe}",
-                  ignore_errors=True)
+    feed = f"{scratch_dir(f'inccorpus_{safe}')}/feed"
     cols = ["doc_id", "lang"]
     commit_changes(
         base.select(*cols).withColumn("_change_type", F.lit("insert")),
