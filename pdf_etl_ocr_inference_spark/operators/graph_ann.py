@@ -51,18 +51,21 @@ GRAPH_SCHEMA = T.StructType(
 )
 
 
-def _greedy_search(vecs, adj, ids_sorted, q, ef):
+def _greedy_search(vecs, adj, ids_sorted, q, ef, entry=None):
     """Beam search over one shard's graph: returns [(dist, id)] of the
     ``ef`` closest visited nodes, deterministically (ties by id).
 
     ``vecs``: dict id -> numpy vector; ``adj``: dict id -> list[id];
-    entry point = lowest id (the first inserted node).
+    entry point = lowest id (the first inserted node) unless an
+    explicit ``entry`` is given (the HNSW layered descent passes the
+    upper layer's result down).
     """
     import numpy as np
 
     if not ids_sorted:
         return []
-    entry = ids_sorted[0]
+    if entry is None:
+        entry = ids_sorted[0]
 
     def d(i):
         diff = vecs[i] - q

@@ -192,12 +192,28 @@ def mm_phash(spark: SparkSession, sf: str) -> DataFrame:
     "block join (8 blocks of 8 bits -> complete candidates at radius "
     "6), exact bit_count verify on candidates only — the SimHash "
     "dedup machinery reused across modalities. Sub-quadratic: "
-    "candidate volume tracks block-bucket sizes, not n^2.",
+    "candidate volume tracks block-bucket sizes, not n^2. The media "
+    "fixture PLANTS deterministic twins for every 50th blob (an "
+    "identical re-encode at id+1e6 and a one-byte-appended variant "
+    "at id+2e6), so the entry returns stable non-zero pairs at every "
+    "SF — the fixture's organic blobs alone share no near hashes, "
+    "which made the r2 rows-only check vacuous (0 rows).",
 )
 def mm_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.multimodal import (
         phash_near_pairs,
     )
 
-    media = with_media_column(_t(spark, sf, "documents"))
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 50 == 0)
+    twins_ident = planted.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    twins_pert = planted.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ")).alias("text"),
+    )
+    media = with_media_column(
+        docs.unionByName(twins_ident).unionByName(twins_pert)
+    )
     return phash_near_pairs(media)

@@ -615,3 +615,37 @@ def ann_nsw_topk(spark: SparkSession, sf: str) -> DataFrame:
         for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
     return topk_nsw(spark, path, qvec, k=5, ef_search=32, exclude_ids=[0])
+
+
+@register(
+    "ann_hnsw_topk",
+    None,  # approximate (layered graph walk) → rows-only; recall
+    # floor ≥ NSW at equal ef + determinism + design-regime
+    # properties in tests/test_hnsw.py
+    doc="sharded HIERARCHICAL small-world graph ANN (HNSW, Malkov & "
+    "Yashunin 2016; ref anchor ocr:145-170): deterministic geometric "
+    "layer assignment (pure function of the id), per-shard "
+    "multi-layer graphs built in applyInPandas, queried by layered "
+    "descent (ef=1 per upper layer) + layer-0 beam search — the "
+    "express layers cut entry-to-neighborhood hops to O(log n), "
+    "which is what keeps recall at fixed ef as the corpus grows. "
+    "Exact cosine on walked vectors, k-row global merge. The fifth "
+    "ANN family: LSH / IVF / PQ+OPQ / NSW / HNSW.",
+)
+def ann_hnsw_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.hnsw import (
+        build_hnsw_index,
+        topk_hnsw,
+    )
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
+    emb = _t(spark, sf, "embeddings")
+    safe = sf.strip("/").replace("/", "_")
+    root = scratch_dir(f"hnsw_{safe}")  # rebuild-every-run: see NSW note
+    path = f"{root}/graph"
+    build_hnsw_index(spark, emb, path, n_shards=8, m_neighbors=8)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return topk_hnsw(spark, path, qvec, k=5, ef_search=32, exclude_ids=[0])

@@ -24,3 +24,6 @@ def test_ann_recall_floors_gate_sf(spark):
     assert recalls["pq"] >= 0.6, recalls
     assert recalls["opq"] >= 0.6, recalls
     assert recalls["nsw"] >= 0.6, recalls
+    # the hierarchical walk must hold the single-layer family's floor
+    assert recalls["hnsw"] >= 0.6, recalls
+    assert recalls["hnsw"] >= recalls["nsw"] - 0.2, recalls
