@@ -269,6 +269,84 @@ def incremental_dedup_speedup(spark) -> dict:
     }
 
 
+def serving_latency(spark) -> dict:
+    """Pinned-index serving vs per-query shard re-read (r3 item).
+
+    Builds a 48k x 64 sharded NSW graph, then measures: the COLD
+    served query (workers parse + pin their shards), WARM served
+    queries 2..6 (cache hits — no parquet touched), and the unpinned
+    batch path (``topk_nsw``: full graph scan + shuffle per query,
+    the ocr:167-170 online shape done wrong).  The headline number is
+    warm vs unpinned — what pinning buys a repeated-query workload.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        build_nsw_index,
+        topk_nsw,
+    )
+    from pdf_etl_ocr_inference_spark.operators.serving import serve_topk
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
+    n, dim, shards = 100_000, 128, 16
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.pmod(F.xxhash64(F.col("id"), j), F.lit(2000)).cast(
+                "double"
+            )
+            / 1000.0
+            - 1.0,
+        ).alias("embedding"),
+    )
+    path = f"{scratch_dir('serving_bench')}/graph"
+    t0 = _t.monotonic()
+    build_nsw_index(
+        spark, corpus, path, n_shards=shards, m_neighbors=6,
+        ef_construction=16,
+    )
+    build_s = _t.monotonic() - t0
+
+    qrows = corpus.filter(F.col("vec_id") < 27).collect()
+    qs = [(r["vec_id"], [float(v) for v in r["embedding"]]) for r in qrows]
+
+    t0 = _t.monotonic()
+    serve_topk(spark, path, [qs[0]], k=5, kind="nsw").collect()
+    cold_s = _t.monotonic() - t0
+    warm = []
+    for q in qs[1:6]:
+        t0 = _t.monotonic()
+        serve_topk(spark, path, [q], k=5, kind="nsw").collect()
+        warm.append(_t.monotonic() - t0)
+    warm_s = sum(warm) / len(warm)
+    # the online-server shape: 20 concurrent requests in one job —
+    # per-query latency amortizes the fixed job overhead the
+    # single-query warm number is floored by
+    t0 = _t.monotonic()
+    serve_topk(spark, path, qs[6:26], k=5, kind="nsw").collect()
+    batch20_per_q = (_t.monotonic() - t0) / 20
+    unp = []
+    for q in qs[25:27]:
+        t0 = _t.monotonic()
+        topk_nsw(spark, path, q[1], k=5).collect()
+        unp.append(_t.monotonic() - t0)
+    unpinned_s = sum(unp) / len(unp)
+    return {
+        "corpus": n,
+        "dim": dim,
+        "build_s": round(build_s, 2),
+        "cold_s": round(cold_s, 3),
+        "warm_s": round(warm_s, 3),
+        "warm_batch20_per_query_s": round(batch20_per_q, 3),
+        "unpinned_s": round(unpinned_s, 3),
+        "warm_vs_unpinned_speedup": round(unpinned_s / warm_s, 1),
+        "batch_vs_unpinned_speedup": round(unpinned_s / batch20_per_q, 1),
+    }
+
+
 def dedup_dup_scaling(spark) -> dict:
     """Candidate volume under mass duplication stays LINEAR (r3 fix).
 
@@ -455,6 +533,8 @@ def main() -> None:
     print(f"# incremental dedup @200k: {inc_dedup}", file=sys.stderr)
     dup_scale = dedup_dup_scaling(spark)
     print(f"# dedup mass-dup scaling: {dup_scale}", file=sys.stderr)
+    serving = serving_latency(spark)
+    print(f"# pinned-index serving: {serving}", file=sys.stderr)
     km = kmeans_scale(spark)
     print(f"# kmeans round @1M: {km}", file=sys.stderr)
 
@@ -473,6 +553,7 @@ def main() -> None:
                 "ann_probe_speedup_1m": probe,
                 "incremental_dedup_speedup_200k": inc_dedup,
                 "dedup_mass_dup_scaling": dup_scale,
+                "pinned_serving_latency": serving,
                 "kmeans_round_1m": km,
             }
         )

@@ -1,0 +1,215 @@
+"""Pinned-index serving for the graph ANN families (NSW / HNSW).
+
+The batch query paths (``topk_nsw`` / ``topk_hnsw``) re-read their
+shard parquet on every query — fine for analytics, wrong for the
+reference's ONLINE similarity call (``ocr-tesseract-unstructured.py:
+167-170``, a managed-index query endpoint).  This module pins parsed
+per-shard graphs in EXECUTOR memory across queries:
+
+- the query job iterates a tiny shard-id DataFrame (``range(n_shards)``
+  pre-split one row per partition, so each task owns one shard with
+  no shuffle), NOT the graph table — Spark schedules no parquet scan
+  at all;
+- each task calls ``_load_shard(path, shard, version)``, which parses
+  the shard's parquet into (vectors, adjacency) dicts ONCE per worker
+  process and caches it module-level.  Spark's Python workers are
+  reused across tasks/jobs (``spark.python.worker.reuse``, default
+  on), so query 2..n hit the cache and pay only the walk;
+- the cache key includes the index VERSION (``last_version`` from the
+  index meta, bumped by ``refresh_nsw_index``), so a refresh
+  invalidates pinned state by construction — stale entries age out of
+  the bounded LRU rather than being served.
+
+This is the standard sharded-serving split: layout/build stays the
+batch engine's job; serving pins the derived structure.  On a real
+cluster the same code pins one shard per executor; local[32] shares
+one machine's workers, which is exactly the single-node serving
+shape the reference's endpoint runs.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CACHE_MAX = 64  # shard entries per worker process (bounded memory)
+_shard_cache: OrderedDict[tuple, tuple] = OrderedDict()
+
+
+def _load_shard(path: str, shard: int, version: int, kind: str):
+    """Parse one shard's graph parquet into in-memory search state,
+    cached per (path, shard, version, kind) in this worker process."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    key = (path, int(shard), int(version), kind)
+    hit = _shard_cache.get(key)
+    if hit is not None:
+        _shard_cache.move_to_end(key)
+        return hit
+    tbl = ds.dataset(f"{path}/shard={int(shard)}", format="parquet").to_table()
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    # vectorized embedding parse: one flatten + reshape + row-normalize
+    # instead of a python loop building 10^5 tiny arrays (the parse was
+    # the cold-load bottleneck)
+    embcol = tbl["embedding"].combine_chunks()
+    flat = embcol.flatten().to_numpy(zero_copy_only=False).astype("float64")
+    dim = len(flat) // max(len(ids), 1)
+    m = flat.reshape(len(ids), dim) if len(ids) else flat.reshape(0, 0)
+    norms = np.sqrt((m * m).sum(axis=1))
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    mat = {int(i): m[r] for r, i in enumerate(ids)}
+    nbcol = "neighbors" if kind == "nsw" else "layers"
+    d = tbl.select(["vec_id", nbcol]).to_pydict()
+    if kind == "nsw":
+        adj = {int(i): list(nb) for i, nb in zip(d["vec_id"], d["neighbors"])}
+        state = (mat, adj, sorted(mat))
+    else:  # hnsw
+        levels = {
+            int(i): len(ls) - 1 for i, ls in zip(d["vec_id"], d["layers"])
+        }
+        layered: list[dict] = [
+            {} for _ in range(max(levels.values(), default=0) + 1)
+        ]
+        for i, ls in zip(d["vec_id"], d["layers"]):
+            for lv, nb in enumerate(ls):
+                layered[lv][int(i)] = list(nb)
+        state = (mat, layered, levels, sorted(mat))
+    _shard_cache[key] = state
+    if len(_shard_cache) > _CACHE_MAX:
+        _shard_cache.popitem(last=False)
+    return state
+
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def serve_topk(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    ef_search: int = 32,
+    exclude_ids: list | None = None,
+    kind: str = "nsw",
+) -> DataFrame:
+    """Top-k for a BATCH of (qid, vector) queries against the pinned
+    sharded graph.  One job: every shard task answers every query
+    from its cached graph; global per-qid merge.  Output
+    ``(qid, vec_id, score)`` — ``score`` is exact cosine.
+
+    The query list is bounded control data (an online request batch),
+    shipped in the task closure — there is deliberately no corpus-
+    sized query-side DataFrame here; for corpus-scale two-table top-k
+    use ``optimizer.knn_join``.
+    """
+    import json
+    import os
+
+    if kind not in ("nsw", "hnsw"):
+        raise ValueError(f"kind must be nsw|hnsw, got {kind!r}")
+    meta_name = "_nsw_meta.json" if kind == "nsw" else "_hnsw_meta.json"
+    with open(os.path.join(path, meta_name)) as f:
+        meta = json.load(f)
+    n_shards = meta["n_shards"]
+    version = meta.get("last_version", 0)
+    excl = set(exclude_ids or [])
+    ef = max(ef_search, k + len(excl))
+
+    import numpy as np
+
+    qnorm = []
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype="float64")
+        n = float(np.sqrt(np.dot(q, q)))
+        qnorm.append((int(qid), (q / n if n > 0 else q).tolist()))
+
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        _greedy_search,
+    )
+
+    def _answer(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for sh in pdf["shard"]:
+                state = _load_shard(path, int(sh), version, kind)
+                for qid, qv in qnorm:
+                    qu = np.asarray(qv, dtype="float64")
+                    if kind == "nsw":
+                        mat, adj, ids_sorted = state
+                        near = _greedy_search(mat, adj, ids_sorted, qu, ef)
+                        local = []
+                        for _, i in near:
+                            if i in excl:
+                                continue
+                            local.append((qid, i, float(np.dot(qu, mat[i]))))
+                        local.sort(key=lambda t: (-t[2], t[1]))
+                        rows.extend(local[:k])
+                    else:
+                        mat, layered, levels, ids_sorted = state
+                        got = _hnsw_walk(
+                            mat, layered, levels, ids_sorted, qu, k, ef, excl
+                        )
+                        rows.extend((qid, i, s) for i, s in got)
+            yield pd.DataFrame(rows, columns=["qid", "vec_id", "score"])
+
+    # one shard id per partition WITHOUT a shuffle: range(n) split
+    # into n partitions puts row s in partition s — the query job is
+    # a single python stage + the k-row merge (every job stage is
+    # fixed overhead on an online path)
+    shards = spark.range(0, n_shards, 1, n_shards).select(
+        F.col("id").cast("int").alias("shard")
+    )
+    local = shards.mapInPandas(_answer, _OUT_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    # ≤ n_shards·k rows per query survive the shard merge — collapse
+    # to one partition (repartition, NOT coalesce: coalesce would
+    # serialize the shard tasks themselves) so the per-qid window
+    # doesn't pay a shuffle.partitions-wide exchange on control data
+    return (
+        local.repartition(1)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "vec_id", F.round("score", 4).alias("score"))
+    )
+
+
+def _hnsw_walk(mat, layered, levels, ids_sorted, qu, k, ef, excl):
+    """Layered descent + layer-0 beam on pre-parsed state (the cached
+    twin of ``hnsw._search_shard``, which parses pandas rows)."""
+    import numpy as np
+
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        _greedy_search,
+    )
+
+    if not ids_sorted:
+        return []
+    ep = min(mat, key=lambda i: (-levels[i], i))
+    cur = ep
+    for lv in range(levels[ep], 0, -1):
+        near = _greedy_search(mat, layered[lv], ids_sorted, qu, 1, entry=cur)
+        if near:
+            cur = near[0][1]
+    near = _greedy_search(mat, layered[0], ids_sorted, qu, ef, entry=cur)
+    rows = []
+    for _, i in near:
+        if i in excl:
+            continue
+        rows.append((i, float(np.dot(qu, mat[i]))))
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return rows[:k]
