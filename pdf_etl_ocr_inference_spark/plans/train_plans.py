@@ -357,6 +357,111 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# 5-gram shingle list, SQL side (same fragment as text_contamination)
+_GRAMS5_SQL = (
+    "LIST_DISTINCT(LIST_TRANSFORM("
+    "GENERATE_SERIES(1, GREATEST(LEN(toks) - 4, 1)), "
+    "i -> ARRAY_TO_STRING(toks[i:i+4], ' ')))"
+)
+
+
+@register(
+    "pipeline_pretrain_decontaminated",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3),
+    q AS (
+      SELECT doc_id, text FROM corpus WHERE {_QUALITY_SQL} >= 0.5),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id FROM (
+        SELECT doc_id, MD5({_NORM_SQL}) AS f FROM q) GROUP BY f),
+    d AS (SELECT q.doc_id, q.text FROM q JOIN surv USING (doc_id)),
+    bg AS (
+      SELECT DISTINCT UNNEST({_GRAMS5_SQL}) AS gram FROM (
+        SELECT STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
+        FROM documents WHERE doc_id % 97 = 3)),
+    dg AS (
+      SELECT doc_id, UNNEST({_GRAMS5_SQL}) AS gram FROM (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
+        FROM d)),
+    contam AS (
+      SELECT dg.doc_id,
+             ROUND(COUNT(bg.gram) * 1.0 / COUNT(*), 6) AS contamination
+      FROM dg LEFT JOIN bg USING (gram) GROUP BY dg.doc_id),
+    clean AS (
+      SELECT d.doc_id, d.text FROM d JOIN contam USING (doc_id)
+      WHERE contamination < 0.01),
+    toks AS (
+      SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+      FROM clean),
+    pos AS (
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_tok
+      FROM toks)
+    SELECT shard, CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT)
+             AS seq_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+    FROM pos GROUP BY shard, seq_id
+    """,
+    doc="pipeline_pretrain_corpus WITH the benchmark-decontamination "
+    "step a real pretraining run always includes (GPT-3 appendix C): "
+    "quality filter -> exact dedup -> drop every doc whose 5-gram "
+    "overlap with the HELD-OUT benchmark table (doc_id % 97 == 3) "
+    "reaches 1% -> sequence packing, one lazy plan. The benchmark "
+    "n-gram set is schema-bounded so it broadcasts (the corpus never "
+    "shuffles for the check; only the per-doc agg does). Both "
+    "fixtures carry a planted contaminated doc, so the drop is "
+    "exercised, and the oracle replays the identical chain — the "
+    "decontamination is value-checked end-to-end through packing.",
+)
+def pipeline_pretrain_decontaminated(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.text import quality_score
+    from pdf_etl_ocr_inference_spark.operators.contamination import (
+        contamination_report,
+    )
+    from pdf_etl_ocr_inference_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 3)
+    corpus = docs.filter(F.col("doc_id") % 97 != 3)
+    q = corpus.filter(quality_score("text") >= 0.5)
+    d = exact_dedup(q, "text", "doc_id")
+    rep = contamination_report(d, bench, "text", "doc_id", n=5)
+    clean = d.join(
+        rep.filter(F.col("contamination") < 0.01).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    toks = clean.select(
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn(
+            "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .withColumn(
+            "seq_id", F.floor(F.col("start_tok") / F.lit(_PACK_BUDGET))
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+    )
+
+
 @register(
     "train_pack_incremental",
     # oracle replays a FULL repack of the whole corpus and restricts
