@@ -301,10 +301,44 @@ def refresh_nsw_index(
     rebuilding), and ``last_version`` only bumps after every shard
     swapped.  Returns the rebuilt shard ids.
     """
+    meta = _read_meta(path)
+
+    def _rebuild(members, tmp):
+        build_nsw_index(
+            spark,
+            members,
+            tmp,
+            n_shards=meta["n_shards"],
+            m_neighbors=meta["m_neighbors"],
+            ef_construction=meta["ef_construction"],
+        )
+
+    return refresh_sharded_graph(
+        spark, path, changes, version, id_col, embedding_col,
+        meta, lambda m: _write_meta(path, m), _rebuild,
+    )
+
+
+def refresh_sharded_graph(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    version: int,
+    id_col: str,
+    embedding_col: str,
+    meta: dict,
+    write_meta,
+    rebuild,
+) -> list[int]:
+    """Generic per-shard incremental maintenance shared by the NSW and
+    HNSW families: compute touched shards, rebuild their member sets
+    into a tmp index via ``rebuild(members_df, tmp_path)``, then
+    atomically swap shard dirs (see :func:`refresh_nsw_index` for the
+    crash-safety contract).  ``meta`` must carry ``n_shards`` and
+    ``last_version``; ``write_meta(meta)`` persists it."""
     import os
     import shutil
 
-    meta = _read_meta(path)
     if version <= meta.get("last_version", 0):
         return []  # already folded (idempotent on driver retry)
     n_shards = meta["n_shards"]
@@ -328,7 +362,7 @@ def refresh_nsw_index(
     )
     if not touched:
         meta["last_version"] = version
-        _write_meta(path, meta)
+        write_meta(meta)
         return []
 
     # recover any shard left under .old by a crash mid-swap of a
@@ -352,14 +386,7 @@ def refresh_nsw_index(
 
     tmp = path + "_refresh_tmp"
     try:
-        build_nsw_index(
-            spark,
-            members,
-            tmp,
-            n_shards=n_shards,
-            m_neighbors=meta["m_neighbors"],
-            ef_construction=meta["ef_construction"],
-        )
+        rebuild(members, tmp)
         # swap LAST: two atomic renames per shard — the old shard is
         # parked under .old (recoverable) before the new one lands,
         # so no crash point leaves the shard missing.
@@ -373,7 +400,7 @@ def refresh_nsw_index(
             if os.path.exists(src):
                 os.replace(src, dst)
         meta["last_version"] = version
-        _write_meta(path, meta)
+        write_meta(meta)
         for sh in touched:  # all swapped + version durable: drop .old
             shutil.rmtree(f"{path}/_old_shard_{sh}", ignore_errors=True)
     finally:

@@ -184,19 +184,79 @@ def build_hnsw_index(
         .partitionBy("shard")
         .parquet(path)
     )
+    _write_meta(
+        path,
+        {
+            "n_shards": n_shards,
+            "m_neighbors": m_neighbors,
+            "ef_construction": ef_construction,
+            "last_version": 0,
+        },
+    )
+    return path
+
+
+def _meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_hnsw_meta.json")
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    import json
+
+    with open(_meta_path(path), "w") as f:
+        json.dump(meta, f)
+
+
+def _read_meta(path: str) -> dict:
     import json
     import os
 
-    with open(os.path.join(path, "_hnsw_meta.json"), "w") as f:
-        json.dump(
-            {
-                "n_shards": n_shards,
-                "m_neighbors": m_neighbors,
-                "ef_construction": ef_construction,
-            },
-            f,
+    mp = _meta_path(path)
+    if not os.path.exists(mp):
+        raise ValueError(
+            f"no HNSW index metadata at {path!r} — build with "
+            "build_hnsw_index first"
         )
-    return path
+    with open(mp) as f:
+        return json.load(f)
+
+
+def refresh_hnsw_index(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    version: int,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> list[int]:
+    """Fold one change-feed commit into the HNSW graph by rebuilding
+    ONLY the touched shards — the same contract, crash-safe atomic
+    shard swap, and version watermark as ``refresh_nsw_index`` (the
+    generic machinery is shared: ``graph_ann.refresh_sharded_graph``).
+    Deterministic layer assignment means refresh ≡ full rebuild of the
+    post-change corpus, shard by shard."""
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        refresh_sharded_graph,
+    )
+
+    meta = _read_meta(path)
+
+    def _rebuild(members, tmp):
+        build_hnsw_index(
+            spark,
+            members,
+            tmp,
+            n_shards=meta["n_shards"],
+            m_neighbors=meta["m_neighbors"],
+            ef_construction=meta["ef_construction"],
+        )
+
+    return refresh_sharded_graph(
+        spark, path, changes, version, id_col, embedding_col,
+        meta, lambda m: _write_meta(path, m), _rebuild,
+    )
 
 
 def _search_shard(pdf, qu, k, ef, excl):
