@@ -108,6 +108,31 @@ def test_no_nested_loop_join(spark, indexed_emb):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_candidate_join_carries_partition_key(spark, indexed_emb):
+    """r3 fix: the probe side derives _pb = pmod(_sig, 256) so the
+    candidate equi-join includes the index's PARTITION column — the
+    prerequisite for dynamic partition pruning / runtime filters to
+    bound the index-side read by probe fan-out instead of O(index)."""
+    df = knn_join(_queries(indexed_emb), KEY, k=5)
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the candidate join keys include _pb on both sides…
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if ln.startswith(("Left keys", "Right keys")) and "_sig" in ln
+    ]
+    assert key_lines and all("_pb" in ln for ln in key_lines), plan
+    # …and the index scan's PartitionFilters carry a runtime
+    # dynamicpruning expression on _pb — the index read is bounded by
+    # probe fan-out, not O(index)
+    pf = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "_pb" in ln
+    ]
+    assert pf and any("dynamicpruning" in ln for ln in pf), plan
+
+
 def test_design_regime_recall_is_one(spark):
     # planted clusters: 20 groups x 5 near-identical members; every
     # query's true top-4 are its siblings, which share all sign bits
