@@ -52,6 +52,38 @@ def _load_shard(path: str, shard: int, version: int, kind: str):
         return hit
     tbl = ds.dataset(f"{path}/shard={int(shard)}", format="parquet").to_table()
     ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    if kind == "pq":
+        import json
+        import os
+
+        embcol = tbl["embedding"].combine_chunks()
+        flat = (
+            embcol.flatten().to_numpy(zero_copy_only=False).astype("float64")
+        )
+        dim = len(flat) // max(len(ids), 1)
+        m = flat.reshape(len(ids), dim) if len(ids) else flat.reshape(0, 0)
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        codecol = tbl["pq_codes"].combine_chunks()
+        cflat = codecol.flatten().to_numpy(zero_copy_only=False)
+        nsub = len(cflat) // max(len(ids), 1)
+        codes = (
+            cflat.reshape(len(ids), nsub) if len(ids) else cflat.reshape(0, 0)
+        )
+        with open(os.path.join(path, "_pqserve_meta.json")) as f:
+            meta = json.load(f)
+        books = [np.asarray(b, dtype="float64") for b in meta["codebooks"]]
+        rot = (
+            None
+            if meta.get("rotation") is None
+            else np.asarray(meta["rotation"], dtype="float64")
+        )
+        state = (ids.astype("int64"), m, codes, books, rot)
+        _shard_cache[key] = state
+        if len(_shard_cache) > _CACHE_MAX:
+            _shard_cache.popitem(last=False)
+        return state
     # vectorized embedding parse: one flatten + reshape + row-normalize
     # instead of a python loop building 10^5 tiny arrays (the parse was
     # the cold-load bottleneck)
@@ -94,6 +126,137 @@ _OUT_SCHEMA = T.StructType(
 )
 
 
+# ------------------------------------------------------------------
+# PQ serving index: sharded (id, embedding, pq_codes) + pinned
+# codebooks — the ADC scan and exact re-rank run on cached arrays
+# ------------------------------------------------------------------
+
+
+def build_pq_serving_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    codebooks: list,
+    rotation: list | None = None,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    n_shards: int = 8,
+) -> str:
+    """Materialize the PQ serving layout: (vec_id, embedding,
+    pq_codes) partitioned by shard = id % n_shards, with the
+    codebooks/rotation persisted in the index meta — the worker-side
+    cache pins codes + vectors as dense numpy matrices and the
+    codebooks once per process.  ``embedding`` is kept for the exact
+    re-rank (the scan itself reads only the 32×-smaller codes)."""
+    import json
+    import os
+
+    from pdf_etl_ocr_inference_spark.operators.pq import pq_encode
+
+    encoded = pq_encode(
+        corpus.select(
+            (F.col(id_col) % n_shards).cast("int").alias("shard"),
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(embedding_col).cast("array<double>").alias("embedding"),
+        ),
+        "embedding",
+        codebooks,
+        out_col="pq_codes",
+        rotation=rotation,
+    )
+    (
+        encoded.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_pqserve_meta.json"), "w") as f:
+        json.dump(
+            {
+                "n_shards": n_shards,
+                "codebooks": codebooks,
+                "rotation": rotation,
+                "last_version": 0,
+            },
+            f,
+        )
+    return path
+
+
+def refresh_pq_serving_index(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    version: int,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> list[int]:
+    """Fold one change-feed commit into the PQ serving index —
+    touched shards re-encode their member sets with the PERSISTED
+    codebooks (quantizer retraining is a rebuild, not a refresh);
+    same crash-safe swap + version watermark as the graph families
+    (``graph_ann.refresh_sharded_graph``), so the serving cache
+    invalidates by key."""
+    import json
+    import os
+
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        refresh_sharded_graph,
+    )
+
+    mp = os.path.join(path, "_pqserve_meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+
+    def _write(m):
+        with open(mp, "w") as f:
+            json.dump(m, f)
+
+    def _rebuild(members, tmp):
+        build_pq_serving_index(
+            spark,
+            members,
+            tmp,
+            codebooks=meta["codebooks"],
+            rotation=meta["rotation"],
+            n_shards=meta["n_shards"],
+        )
+
+    return refresh_sharded_graph(
+        spark, path, changes, version, id_col, embedding_col,
+        meta, _write, _rebuild,
+    )
+
+
+def _pq_answer(state, qu, k, rerank, excl):
+    """ADC scan + exact re-rank on pinned arrays, deterministic ties
+    by (distance, id) like ``operators.pq.topk_pq``."""
+    import numpy as np
+
+    ids, emb, codes, books, rot = state
+    if len(ids) == 0:
+        return []
+    qr = qu @ rot if rot is not None else qu
+    m = len(books)
+    sub = books[0].shape[1]
+    # LUT[j][c] = squared distance of the query's j-th subvector to
+    # centroid c; ADC = sum over subspaces of LUT lookups
+    adc = np.zeros(len(ids), dtype="float64")
+    for j in range(m):
+        lut = ((books[j] - qr[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
+        adc += lut[codes[:, j]]
+    order = np.lexsort((ids, adc))[: max(rerank, k + len(excl))]
+    cand = order
+    scores = emb[cand] @ qu
+    rows = [
+        (int(ids[i]), float(s))
+        for i, s in zip(cand, scores)
+        if int(ids[i]) not in excl
+    ]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return rows[:k]
+
+
 def serve_topk(
     spark: SparkSession,
     path: str,
@@ -102,11 +265,14 @@ def serve_topk(
     ef_search: int = 32,
     exclude_ids: list | None = None,
     kind: str = "nsw",
+    rerank: int = 50,
 ) -> DataFrame:
     """Top-k for a BATCH of (qid, vector) queries against the pinned
-    sharded graph.  One job: every shard task answers every query
-    from its cached graph; global per-qid merge.  Output
-    ``(qid, vec_id, score)`` — ``score`` is exact cosine.
+    sharded index (``kind``: ``nsw``/``hnsw`` graph walk, or ``pq``
+    ADC scan + exact re-rank with pinned codebooks).  One job: every
+    shard task answers every query from its cached state; global
+    per-qid merge.  Output ``(qid, vec_id, score)`` — ``score`` is
+    exact cosine.
 
     The query list is bounded control data (an online request batch),
     shipped in the task closure — there is deliberately no corpus-
@@ -116,10 +282,14 @@ def serve_topk(
     import json
     import os
 
-    if kind not in ("nsw", "hnsw"):
-        raise ValueError(f"kind must be nsw|hnsw, got {kind!r}")
-    meta_name = "_nsw_meta.json" if kind == "nsw" else "_hnsw_meta.json"
-    with open(os.path.join(path, meta_name)) as f:
+    metas = {
+        "nsw": "_nsw_meta.json",
+        "hnsw": "_hnsw_meta.json",
+        "pq": "_pqserve_meta.json",
+    }
+    if kind not in metas:
+        raise ValueError(f"kind must be nsw|hnsw|pq, got {kind!r}")
+    with open(os.path.join(path, metas[kind])) as f:
         meta = json.load(f)
     n_shards = meta["n_shards"]
     version = meta.get("last_version", 0)
@@ -157,6 +327,9 @@ def serve_topk(
                             local.append((qid, i, float(np.dot(qu, mat[i]))))
                         local.sort(key=lambda t: (-t[2], t[1]))
                         rows.extend(local[:k])
+                    elif kind == "pq":
+                        got = _pq_answer(state, qu, k, rerank, excl)
+                        rows.extend((qid, i, s) for i, s in got)
                     else:
                         mat, layered, levels, ids_sorted = state
                         got = _hnsw_walk(
