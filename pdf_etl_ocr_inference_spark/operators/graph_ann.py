@@ -329,19 +329,28 @@ def refresh_sharded_graph(
     meta: dict,
     write_meta,
     rebuild,
+    shard_col=None,
 ) -> list[int]:
-    """Generic per-shard incremental maintenance shared by the NSW and
-    HNSW families: compute touched shards, rebuild their member sets
-    into a tmp index via ``rebuild(members_df, tmp_path)``, then
-    atomically swap shard dirs (see :func:`refresh_nsw_index` for the
-    crash-safety contract).  ``meta`` must carry ``n_shards`` and
-    ``last_version``; ``write_meta(meta)`` persists it."""
+    """Generic per-shard incremental maintenance shared by the sharded
+    index families (NSW/HNSW graphs, PQ/IVF serving layouts): compute
+    touched shards, rebuild their member sets into a tmp index via
+    ``rebuild(members_df, tmp_path)``, then atomically swap shard dirs
+    (see :func:`refresh_nsw_index` for the crash-safety contract).
+    ``meta`` must carry ``n_shards`` and ``last_version``;
+    ``write_meta(meta)`` persists it.  ``shard_col(df) -> Column``
+    overrides the default id-hash sharding (``vec_id % n_shards``) —
+    IVF passes the centroid-argmax so an update that MOVES a vector
+    between cells touches both (preimage rows carry the old
+    embedding, postimage rows the new one)."""
     import os
     import shutil
 
     if version <= meta.get("last_version", 0):
         return []  # already folded (idempotent on driver retry)
     n_shards = meta["n_shards"]
+    sc_ = shard_col or (
+        lambda df: F.pmod(F.col("vec_id"), F.lit(n_shards))
+    )
 
     adds = changes.filter(
         F.col("_change_type").isin("insert", "update_postimage")
@@ -351,12 +360,15 @@ def refresh_sharded_graph(
     )
     removes = changes.filter(
         F.col("_change_type").isin("delete", "update_preimage")
-    ).select(F.col(id_col).cast("long").alias("vec_id"))
+    ).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(embedding_col).cast("array<double>").alias("embedding"),
+    )
 
     touched = sorted(
         r["s"]
-        for r in adds.select((F.col("vec_id") % n_shards).alias("s"))
-        .union(removes.select((F.col("vec_id") % n_shards).alias("s")))
+        for r in adds.select(sc_(adds).cast("int").alias("s"))
+        .union(removes.select(sc_(removes).cast("int").alias("s")))
         .distinct()
         .collect()
     )
@@ -380,7 +392,11 @@ def refresh_sharded_graph(
         "vec_id", "embedding"
     )
     # drop removed ids AND re-added ids (upsert: the add wins)
-    gone = removes.unionByName(adds.select("vec_id")).distinct()
+    gone = (
+        removes.select("vec_id")
+        .unionByName(adds.select("vec_id"))
+        .distinct()
+    )
     survivors = current.join(gone, on="vec_id", how="left_anti")
     members = survivors.unionByName(adds)
 

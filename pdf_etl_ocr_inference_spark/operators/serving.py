@@ -50,8 +50,41 @@ def _load_shard(path: str, shard: int, version: int, kind: str):
     if hit is not None:
         _shard_cache.move_to_end(key)
         return hit
-    tbl = ds.dataset(f"{path}/shard={int(shard)}", format="parquet").to_table()
+    import os
+
+    shard_dir = f"{path}/shard={int(shard)}"
+    if not os.path.isdir(shard_dir):  # empty shard/cell: no members
+        empty = {
+            "nsw": ({}, {}, []),
+            "hnsw": ({}, [], {}, []),
+            "pq": (
+                np.empty(0, dtype="int64"),
+                np.empty((0, 0)),
+                np.empty((0, 0), dtype="int64"),
+                [],
+                None,
+            ),
+            "ivf": (np.empty(0, dtype="int64"), np.empty((0, 0))),
+        }[kind]
+        _shard_cache[key] = empty
+        return empty
+    tbl = ds.dataset(shard_dir, format="parquet").to_table()
     ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    if kind == "ivf":
+        embcol = tbl["embedding"].combine_chunks()
+        flat = (
+            embcol.flatten().to_numpy(zero_copy_only=False).astype("float64")
+        )
+        dim = len(flat) // max(len(ids), 1)
+        m = flat.reshape(len(ids), dim) if len(ids) else flat.reshape(0, 0)
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        state = (ids.astype("int64"), m)
+        _shard_cache[key] = state
+        if len(_shard_cache) > _CACHE_MAX:
+            _shard_cache.popitem(last=False)
+        return state
     if kind == "pq":
         import json
         import os
@@ -228,6 +261,131 @@ def refresh_pq_serving_index(
     )
 
 
+# ------------------------------------------------------------------
+# IVF serving index: cells ARE the shards — a query schedules tasks
+# only for its probed cells
+# ------------------------------------------------------------------
+
+
+def _ivf_shard_col(centroids):
+    """Centroid-argmax as a Column (cell id), evaluated per row with
+    each dot computed once (array-argmax, not a when-chain)."""
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def build_ivf_serving_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    centroids: list,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> str:
+    """Materialize the IVF serving layout: rows partitioned by their
+    nearest-centroid CELL (shard = cell), centroids persisted in the
+    meta.  A query then schedules tasks ONLY for its ``n_probe``
+    nearest cells — the serving twin of ``topk_ivf``'s partition-
+    pruned scan."""
+    import json
+    import os
+
+    from pdf_etl_ocr_inference_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(
+        corpus.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(embedding_col).cast("array<double>").alias("embedding"),
+        ),
+        "embedding",
+        centroids,
+        id_col="vec_id",
+    ).select(
+        F.col("cell").cast("int").alias("shard"), "vec_id", "embedding"
+    )
+    (
+        assigned.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivfserve_meta.json"), "w") as f:
+        json.dump(
+            {
+                "n_shards": len(centroids),
+                "centroids": centroids,
+                "last_version": 0,
+            },
+            f,
+        )
+    return path
+
+
+def refresh_ivf_serving_index(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    version: int,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> list[int]:
+    """Fold one change-feed commit into the IVF layout.  The shard
+    function is the centroid argmax, so an update that moves a vector
+    between cells touches BOTH (preimage rows carry the old
+    embedding); same atomic swap + version watermark as the other
+    families."""
+    import json
+    import os
+
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        refresh_sharded_graph,
+    )
+
+    mp = os.path.join(path, "_ivfserve_meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    cents = meta["centroids"]
+
+    def _write(m):
+        with open(mp, "w") as f:
+            json.dump(m, f)
+
+    def _rebuild(members, tmp):
+        build_ivf_serving_index(spark, members, tmp, centroids=cents)
+
+    return refresh_sharded_graph(
+        spark, path, changes, version, id_col, embedding_col,
+        meta, _write, _rebuild,
+        shard_col=lambda df: _ivf_shard_col(cents),
+    )
+
+
+def _ivf_answer(state, qu, k, excl):
+    """Exact cosine top-k within one pinned cell."""
+    ids, m = state
+    if len(ids) == 0:
+        return []
+    scores = m @ qu
+    rows = [
+        (int(i), float(s)) for i, s in zip(ids, scores) if int(i) not in excl
+    ]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return rows[:k]
+
+
 def _pq_answer(state, qu, k, rerank, excl):
     """ADC scan + exact re-rank on pinned arrays, deterministic ties
     by (distance, id) like ``operators.pq.topk_pq``."""
@@ -266,13 +424,15 @@ def serve_topk(
     exclude_ids: list | None = None,
     kind: str = "nsw",
     rerank: int = 50,
+    n_probe: int = 2,
 ) -> DataFrame:
     """Top-k for a BATCH of (qid, vector) queries against the pinned
-    sharded index (``kind``: ``nsw``/``hnsw`` graph walk, or ``pq``
-    ADC scan + exact re-rank with pinned codebooks).  One job: every
-    shard task answers every query from its cached state; global
-    per-qid merge.  Output ``(qid, vec_id, score)`` — ``score`` is
-    exact cosine.
+    sharded index (``kind``: ``nsw``/``hnsw`` graph walk, ``pq`` ADC
+    scan + exact re-rank with pinned codebooks, or ``ivf`` exact scan
+    of the ``n_probe`` nearest pinned cells).  One job: every shard
+    task answers every query from its cached state (IVF tasks run
+    only for probed cells); global per-qid merge.  Output
+    ``(qid, vec_id, score)`` — ``score`` is exact cosine.
 
     The query list is bounded control data (an online request batch),
     shipped in the task closure — there is deliberately no corpus-
@@ -286,9 +446,10 @@ def serve_topk(
         "nsw": "_nsw_meta.json",
         "hnsw": "_hnsw_meta.json",
         "pq": "_pqserve_meta.json",
+        "ivf": "_ivfserve_meta.json",
     }
     if kind not in metas:
-        raise ValueError(f"kind must be nsw|hnsw|pq, got {kind!r}")
+        raise ValueError(f"kind must be nsw|hnsw|pq|ivf, got {kind!r}")
     with open(os.path.join(path, metas[kind])) as f:
         meta = json.load(f)
     n_shards = meta["n_shards"]
@@ -304,6 +465,23 @@ def serve_topk(
         n = float(np.sqrt(np.dot(q, q)))
         qnorm.append((int(qid), (q / n if n > 0 else q).tolist()))
 
+    # IVF: the cells ARE the shards — compute each query's n_probe
+    # nearest cells driver-side from the pinned centroids (tiny) and
+    # schedule tasks ONLY for the probed union; per cell, answer only
+    # the queries that probed it.
+    probes: dict[int, set] = {}
+    if kind == "ivf":
+        cents = np.asarray(meta["centroids"], dtype="float64")
+        for qid, qv in qnorm:
+            dots = cents @ np.asarray(qv, dtype="float64")
+            top = sorted(
+                range(len(cents)), key=lambda ci: (-dots[ci], ci)
+            )[:n_probe]
+            probes[qid] = set(top)
+        task_shards = sorted(set().union(*probes.values())) if probes else []
+    else:
+        task_shards = list(range(n_shards))
+
     from pdf_etl_ocr_inference_spark.operators.graph_ann import (
         _greedy_search,
     )
@@ -313,7 +491,8 @@ def serve_topk(
 
         for pdf in batches:
             rows = []
-            for sh in pdf["shard"]:
+            for idx in pdf["shard"]:
+                sh = task_shards[int(idx)]
                 state = _load_shard(path, int(sh), version, kind)
                 for qid, qv in qnorm:
                     qu = np.asarray(qv, dtype="float64")
@@ -330,6 +509,11 @@ def serve_topk(
                     elif kind == "pq":
                         got = _pq_answer(state, qu, k, rerank, excl)
                         rows.extend((qid, i, s) for i, s in got)
+                    elif kind == "ivf":
+                        if sh not in probes.get(qid, ()):
+                            continue
+                        got = _ivf_answer(state, qu, k, excl)
+                        rows.extend((qid, i, s) for i, s in got)
                     else:
                         mat, layered, levels, ids_sorted = state
                         got = _hnsw_walk(
@@ -338,11 +522,13 @@ def serve_topk(
                         rows.extend((qid, i, s) for i, s in got)
             yield pd.DataFrame(rows, columns=["qid", "vec_id", "score"])
 
-    # one shard id per partition WITHOUT a shuffle: range(n) split
-    # into n partitions puts row s in partition s — the query job is
-    # a single python stage + the k-row merge (every job stage is
-    # fixed overhead on an online path)
-    shards = spark.range(0, n_shards, 1, n_shards).select(
+    # one shard per partition WITHOUT a shuffle: range(n) split into
+    # n partitions puts row i in partition i; the task maps the index
+    # through task_shards (for IVF, only the probed cells get tasks).
+    # The query job is a single python stage + the k-row merge (every
+    # job stage is fixed overhead on an online path).
+    n_tasks = max(len(task_shards), 1)
+    shards = spark.range(0, len(task_shards), 1, n_tasks).select(
         F.col("id").cast("int").alias("shard")
     )
     local = shards.mapInPandas(_answer, _OUT_SCHEMA)

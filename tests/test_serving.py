@@ -117,4 +117,4 @@ def test_refresh_invalidates_pinned_state(spark, tmp_path):
 
 def test_bad_kind_rejected(spark, tmp_path):
     with pytest.raises(ValueError):
-        serve_topk(spark, str(tmp_path), [(0, [0.0])], kind="ivf")
+        serve_topk(spark, str(tmp_path), [(0, [0.0])], kind="annoy")
