@@ -69,6 +69,45 @@ def test_served_pq_dominates_batch_and_matches_exhaustive(spark, tmp_path):
     assert served(n) == batch(n)  # exhaustive regime: exact equality
 
 
+def test_served_opq_rotation_roundtrip(spark, tmp_path):
+    """OPQ serving = PQ serving with the learned rotation persisted in
+    the meta: encode and ADC must apply the SAME rotation, and the
+    exhaustive regime equals exact top-k."""
+    from pdf_etl_ocr_inference_spark.operators.pq import train_opq
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rot, books = train_opq(emb, "embedding", "vec_id", m=8, k=16)
+    path = str(tmp_path / "opq")
+    build_pq_serving_index(spark, emb, path, books, rotation=rot,
+                           n_shards=4)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    n = emb.count()
+    served = [
+        (r["vec_id"], r["score"])
+        for r in serve_topk(
+            spark, path, [(0, qvec)], k=5, kind="pq", rerank=n
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .collect()
+    ]
+    batch = [
+        (r["vec_id"], r["score"])
+        for r in topk_pq(
+            pq_encode(emb, "embedding", books, rotation=rot),
+            "embedding",
+            qvec,
+            books,
+            k=5,
+            rerank=n,
+            rotation=rot,
+        ).collect()
+    ]
+    assert served == batch
+
+
 def test_pq_refresh_invalidates(spark, tmp_path):
     def vecs(ids, shift=0.0):
         rows = [
