@@ -547,6 +547,37 @@ def serve_topk(
     )
 
 
+def serving_refresh_fn(path: str, kind: str):
+    """Adapter: a ``refresh_fn`` for ``optimizer.sync_index_from_feed``
+    that folds change-feed commits into a SERVING index — the same
+    TRIGGERED availableNow maintenance loop the LSH/MinHash indexes
+    use (streaming checkpoint + per-index version watermark =
+    at-least-once ingestion with idempotent folds), pointed at the
+    pinned-serving layouts.  Each fold bumps ``last_version``, so
+    executor caches invalidate as commits land."""
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        refresh_nsw_index,
+    )
+    from pdf_etl_ocr_inference_spark.operators.hnsw import (
+        refresh_hnsw_index,
+    )
+
+    refreshers = {
+        "nsw": refresh_nsw_index,
+        "hnsw": refresh_hnsw_index,
+        "pq": refresh_pq_serving_index,
+        "ivf": refresh_ivf_serving_index,
+    }
+    if kind not in refreshers:
+        raise ValueError(f"kind must be one of {sorted(refreshers)}")
+    refresh = refreshers[kind]
+
+    def fn(spark, table_key, changes, version, catalog=None):
+        refresh(spark, path, changes, version)
+
+    return fn
+
+
 def _hnsw_walk(mat, layered, levels, ids_sorted, qu, k, ef, excl):
     """Layered descent + layer-0 beam on pre-parsed state (the cached
     twin of ``hnsw._search_shard``, which parses pandas rows)."""
