@@ -209,27 +209,42 @@ def shingle_cliques(
     collision budget as ``exact_dedup``'s md5) with the min id as
     survivor.
 
-    Returns ``(reps, smap)``: ``reps(id, shingles, _fp)`` one row per
-    DISTINCT shingle set (the survivor's), and the survivor map
-    ``smap(id, _fp, _keep)`` covering every input row.  This is the
-    pre-banding collapse that keeps LSH candidate volume linear under
-    mass duplication (d identical docs → one banded row, not d).
+    Returns ``(reps, smap)``: ``reps(id, shingles)`` one row per
+    DISTINCT shingle set (the survivor's), and the CHECKPOINTED
+    survivor map ``smap(id, _fp, _keep)`` covering every input row.
+    This is the pre-banding collapse that keeps LSH candidate volume
+    linear under mass duplication (d identical docs → one banded
+    row, not d).
     """
-    shingled = ensure_min_parallelism(df).select(
-        F.col(id_col),
-        F.array_sort(
-            F.array_distinct(word_ngrams(text_col, shingle_n))
-        ).alias("shingles"),
+    from pyspark.sql import Window
+
+    sh_expr = F.array_sort(
+        F.array_distinct(word_ngrams(text_col, shingle_n))
     )
-    keyed = shingled.withColumn(
-        "_fp", F.md5(F.concat_ws("\x1f", F.col("shingles")))
+    # The survivor map and the rep shingle sets feed MANY downstream
+    # branches (signature build, both verify sides, both expansion
+    # sides, the intra-clique pairs), and Spark re-computes a
+    # branch's whole subtree per reference — which would re-run the
+    # expensive shingle pass once per branch.  So: ONE pass computes
+    # (id, shingles, fingerprint, survivor) and lazily persists it
+    # (in-memory columnar, so narrow consumers prune columns on
+    # read; MEMORY_AND_DISK, so at 100 TB the blocks spill instead
+    # of OOM).  The shingle pass runs exactly once; every branch is
+    # a cache read.  The window's one wide exchange carries the
+    # shingle arrays — the price of materializing once, cheaper than
+    # the ~5 recomputed corpus scans it replaces.
+    marked = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), sh_expr.alias("shingles"))
+        .withColumn("_fp", F.md5(F.concat_ws("\x1f", F.col("shingles"))))
+        .withColumn(
+            "_keep", F.min(id_col).over(Window.partitionBy("_fp"))
+        )
+        .persist()
     )
-    groups = keyed.groupBy("_fp").agg(F.min(id_col).alias("_keep"))
-    smap = keyed.select(F.col(id_col), "_fp").join(groups, "_fp")
-    reps = keyed.join(
-        groups.withColumnRenamed("_keep", id_col).select(id_col),
-        id_col,
-        "left_semi",
+    smap = marked.select(F.col(id_col), "_fp", "_keep")
+    reps = marked.filter(F.col(id_col) == F.col("_keep")).select(
+        F.col(id_col), "shingles"
     )
     return reps, smap
 
@@ -324,7 +339,12 @@ def minhash_dedup_pairs(
         )
     )
     ia = smap.select("_fp", F.col(id_col).alias("_xa"))
-    ib = smap.select("_fp", F.col(id_col).alias("_xb"))
+    # the greater pair member is never the clique survivor (the min
+    # id), so the right side only needs NON-survivor rows — empty on
+    # a duplicate-free corpus, which AQE short-circuits to nothing
+    ib = smap.filter(F.col(id_col) != F.col("_keep")).select(
+        "_fp", F.col(id_col).alias("_xb")
+    )
     intra = (
         ia.join(ib, "_fp")
         .filter(F.col("_xa") < F.col("_xb"))
@@ -466,8 +486,20 @@ def hamming_near_pairs(
     # width=64 (num_blocks=1): 2^64-1 overflows a long literal; the
     # all-bits mask in signed-64 arithmetic is -1
     mask = (1 << width) - 1 if width < 64 else -1
+    from pyspark.sql import Window
+
     vals = fps.select(F.col(id_col), F.col(hash_col).alias("_fpv"))
-    groups = vals.groupBy("_fpv").agg(F.min(id_col).alias("_keep"))
+    # persist the (id, value, survivor) map: it feeds five downstream
+    # branches (block join, both expansion sides, both intra sides)
+    # and each reference would otherwise re-run the upstream
+    # fingerprint computation (a 64-agg shuffle for SimHash, a
+    # pandas-UDF pass for dHash).  Fixed-width columns per row; lazy
+    # persist (no extra jobs), MEMORY_AND_DISK.
+    w = Window.partitionBy("_fpv")
+    marked = vals.withColumn("_keep", F.min(id_col).over(w)).persist()
+    groups = marked.filter(F.col(id_col) == F.col("_keep")).select(
+        "_fpv", "_keep"
+    )
     blocked = groups.select(
         "_fpv",
         "_keep",
@@ -508,8 +540,14 @@ def hamming_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    ma = vals.select(F.col("_fpv").alias("fp_a"), F.col(id_col).alias("_xa"))
-    mb = vals.select(F.col("_fpv").alias("fp_b"), F.col(id_col).alias("_xb"))
+    # expansion sides derive from `marked` too, so they share the one
+    # exchange instead of recomputing the fingerprints per branch
+    ma = marked.select(
+        F.col("_fpv").alias("fp_a"), F.col(id_col).alias("_xa")
+    )
+    mb = marked.select(
+        F.col("_fpv").alias("fp_b"), F.col(id_col).alias("_xb")
+    )
     inter = (
         value_pairs.join(ma, "fp_a")
         .join(mb, "fp_b")
@@ -519,8 +557,11 @@ def hamming_near_pairs(
             "hamming",
         )
     )
-    ia = vals.select("_fpv", F.col(id_col).alias("_xa"))
-    ib = vals.select("_fpv", F.col(id_col).alias("_xb"))
+    ia = marked.select("_fpv", F.col(id_col).alias("_xa"))
+    # greater member is never the survivor — see shingle_cliques' twin
+    ib = marked.filter(F.col(id_col) != F.col("_keep")).select(
+        "_fpv", F.col(id_col).alias("_xb")
+    )
     intra = (
         ia.join(ib, "_fpv")
         .filter(F.col("_xa") < F.col("_xb"))
