@@ -40,7 +40,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pdf_etl_ocr_inference_spark.operators.graph_ann import _greedy_search
+from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+    VecStore,
+    _greedy_search,
+)
 
 HNSW_SCHEMA = T.StructType(
     [
@@ -104,11 +107,7 @@ def build_hnsw_index(
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].tolist()
-        mat = {}
-        for i, v in zip(ids, pdf["embedding"]):
-            vec = np.asarray(v, dtype="float64")
-            n = float(np.sqrt(np.dot(vec, vec)))
-            mat[i] = vec / n if n > 0 else vec
+        mat = VecStore.unit(ids, pdf["embedding"])
         levels = {i: node_level(i, m) for i in ids}
         # adj[l][i] = neighbor list of i at layer l
         adj: list[dict[int, list[int]]] = [
@@ -123,11 +122,9 @@ def build_hnsw_index(
         def prune(layer, node):
             lst = adj[layer][node]
             if len(lst) > cap(layer):
-                dd = sorted(
-                    (float(np.dot(mat[node] - mat[x], mat[node] - mat[x])), x)
-                    for x in lst
-                )
-                adj[layer][node] = [x for _, x in dd[: cap(layer)]]
+                dd = mat.dists(lst, mat[node])
+                order = np.lexsort((np.asarray(lst, dtype="int64"), dd))
+                adj[layer][node] = [lst[r] for r in order[: cap(layer)]]
 
         for i in ids:
             li = levels[i]
@@ -266,12 +263,9 @@ def _search_shard(pdf, qu, k, ef, excl):
     ids_sorted = sorted(pdf["vec_id"].tolist())
     if not ids_sorted:
         return []
-    mat = {}
+    mat = VecStore.unit(pdf["vec_id"].tolist(), pdf["embedding"])
     levels = {}
-    for i, v, layers in zip(pdf["vec_id"], pdf["embedding"], pdf["layers"]):
-        vec = np.asarray(v, dtype="float64")
-        n = float(np.sqrt(np.dot(vec, vec)))
-        mat[i] = vec / n if n > 0 else vec
+    for i, layers in zip(pdf["vec_id"], pdf["layers"]):
         levels[i] = len(layers) - 1
     adj = [
         {} for _ in range(max(levels.values(), default=0) + 1)

@@ -45,6 +45,8 @@ def _load_shard(path: str, shard: int, version: int, kind: str):
     import numpy as np
     import pyarrow.dataset as ds
 
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import VecStore
+
     key = (path, int(shard), int(version), kind)
     hit = _shard_cache.get(key)
     if hit is not None:
@@ -54,9 +56,10 @@ def _load_shard(path: str, shard: int, version: int, kind: str):
 
     shard_dir = f"{path}/shard={int(shard)}"
     if not os.path.isdir(shard_dir):  # empty shard/cell: no members
+        novecs = VecStore([], np.empty((0, 0), dtype="float64"))
         empty = {
-            "nsw": ({}, {}, []),
-            "hnsw": ({}, [], {}, []),
+            "nsw": (novecs, {}, []),
+            "hnsw": (novecs, [], {}, []),
             "pq": (
                 np.empty(0, dtype="int64"),
                 np.empty((0, 0)),
@@ -127,7 +130,9 @@ def _load_shard(path: str, shard: int, version: int, kind: str):
     norms = np.sqrt((m * m).sum(axis=1))
     norms[norms == 0] = 1.0
     m = m / norms[:, None]
-    mat = {int(i): m[r] for r, i in enumerate(ids)}
+    # contiguous VecStore (not a dict of row views): the greedy walk
+    # scores whole adjacency lists in one vectorized call
+    mat = VecStore(ids, m)
     nbcol = "neighbors" if kind == "nsw" else "layers"
     d = tbl.select(["vec_id", nbcol]).to_pydict()
     if kind == "nsw":
