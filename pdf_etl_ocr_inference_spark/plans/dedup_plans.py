@@ -205,3 +205,74 @@ def dedup_index_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_against_index(
         spark, key, batch, docs, jaccard_threshold=0.5, catalog=cat
     )
+
+
+@register(
+    "dedup_semantic_bylabel",
+    "SELECT CAST(a.label AS BIGINT) AS cluster_id, a.vec_id AS id_a, "
+    "b.vec_id AS id_b, "
+    "ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], "
+    "b.embedding::DOUBLE[]), 4) AS sim "
+    "FROM embeddings a JOIN embeddings b "
+    "ON a.label = b.label AND a.vec_id < b.vec_id "
+    "WHERE LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], "
+    "b.embedding::DOUBLE[]) >= 0.35",
+    doc="SemDeDup pair kernel, oracle-checked: near-dup pairs WITHIN "
+    "a given cluster column (here the fixture's label — the oracle "
+    "can replay a provided partition, not a learned one).  One dense "
+    "gemm per cluster; threshold 0.35 fires on the synthetic fixture "
+    "(26 pairs at sf0.01).",
+)
+def dedup_semantic_bylabel(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.semantic_dedup import (
+        semantic_near_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = semantic_near_pairs(emb, "embedding", "vec_id", "label", 0.35)
+    return pairs.select(
+        "cluster_id", "id_a", "id_b", F.round("sim", 4).alias("sim")
+    )
+
+
+@register(
+    "dedup_semantic",
+    None,  # k-means partition is engine-learned → rows-only; the pair
+    # kernel itself is oracled via dedup_semantic_bylabel and the
+    # survivors policy is pytest-replicated (tests/test_semantic_dedup)
+    doc="SemDeDup end-to-end (Abbas et al. 2023): deterministic "
+    "k-means over the embedding corpus, within-cluster cosine pairs "
+    "(threshold 0.35), greedy keep-lowest-index drop; reports "
+    "per-cluster member/drop counts.  Scale: Σ cluster² pair work "
+    "bounded by k, one shuffle on cluster_id.",
+)
+def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from pdf_etl_ocr_inference_spark.operators.semantic_dedup import (
+        semantic_near_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    res = kmeans_fit(emb, "embedding", "vec_id", k=8, rounds=2)
+    assigned = assign_clusters(emb, "embedding", res.centroids)
+    pairs = semantic_near_pairs(
+        assigned, "embedding", "vec_id", "cluster_id", 0.35
+    )
+    members = assigned.groupBy(
+        F.col("cluster_id").cast("long").alias("cluster_id")
+    ).agg(F.count("*").alias("n_members"))
+    dropped = pairs.groupBy("cluster_id").agg(
+        F.countDistinct("id_b").alias("n_dropped")
+    )
+    return (
+        members.join(dropped, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
