@@ -269,6 +269,50 @@ def incremental_dedup_speedup(spark) -> dict:
     }
 
 
+def graph_build(spark) -> dict:
+    """Sharded graph-index construction wall time at 100k x 64 over
+    32 shards — tracks the vectorized VecStore walk (r3: the insert
+    loop scores whole adjacency lists via one gemv instead of a
+    Python dot per neighbor; 12.1s -> ~9.8s NSW, 13.0s -> ~9.9s
+    HNSW on this block)."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        build_nsw_index,
+    )
+    from pdf_etl_ocr_inference_spark.operators.hnsw import build_hnsw_index
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
+    root = scratch_dir("bench_graph_build")
+    n, dim = 100_000, 64
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda p: F.sin(F.col("id") * p * 0.7),
+        ).alias("embedding"),
+    ).cache()
+    corpus.count()
+    t0 = _t.perf_counter()
+    build_nsw_index(spark, corpus, f"{root}/nsw", n_shards=32)
+    t_nsw = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    build_hnsw_index(spark, corpus, f"{root}/hnsw", n_shards=32)
+    t_hnsw = _t.perf_counter() - t0
+    corpus.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "corpus_rows": n,
+        "dim": dim,
+        "n_shards": 32,
+        "nsw_build_sec": round(t_nsw, 2),
+        "hnsw_build_sec": round(t_hnsw, 2),
+    }
+
+
 def serving_latency(spark) -> dict:
     """Pinned-index serving vs per-query shard re-read (r3 item).
 
@@ -537,6 +581,8 @@ def main() -> None:
     print(f"# pinned-index serving: {serving}", file=sys.stderr)
     km = kmeans_scale(spark)
     print(f"# kmeans round @1M: {km}", file=sys.stderr)
+    gb = graph_build(spark)
+    print(f"# graph build @100k: {gb}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -555,6 +601,7 @@ def main() -> None:
                 "dedup_mass_dup_scaling": dup_scale,
                 "pinned_serving_latency": serving,
                 "kmeans_round_1m": km,
+                "graph_build_100k": gb,
             }
         )
     )

@@ -1,0 +1,77 @@
+"""Deterministic stratified sampling for training-mixture control.
+
+Pretraining pipelines sample per-domain/per-language at different
+rates (mixture weights) and need the sample to be REPRODUCIBLE and
+AUDITABLE — so instead of ``df.sampleBy`` (seeded RNG, partition-
+order-sensitive row iteration in some engines, not expressible for an
+external auditor), membership here is a pure function of the row id:
+
+    h(id) = (id * 2654435761 + 12345) mod 2^32   (Knuth multiplicative)
+    keep  = h(id) < rate(stratum) * 2^32
+
+Properties this buys (all tested):
+- deterministic: same row → same verdict across runs, partitions,
+  engines (the oracle replays it in plain SQL);
+- NESTED: raising a stratum's rate only ADDS rows (the kept set at
+  rate r is a subset of the kept set at r' > r) — so a mixture
+  re-weight between runs reuses every already-processed row;
+- distributed: a narrow map over the scan, no shuffle, no RNG state.
+
+``stratified_fixed_n`` draws an EXACT-size per-stratum sample by
+ranking on the same hash (one window shuffle on the stratum key) —
+the eval-holdout shape where "about 10%" isn't acceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_MULT = 2654435761
+_OFFSET = 12345
+_MOD = 4294967296  # 2^32
+
+
+def sample_hash(id_col: Column) -> Column:
+    """The 32-bit multiplicative hash, exact in BIGINT arithmetic
+    (ids up to ~2^31 stay far from BIGINT overflow)."""
+    return F.pmod(
+        id_col.cast("long") * F.lit(_MULT) + F.lit(_OFFSET), F.lit(_MOD)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Bernoulli-by-hash per stratum: keep rows whose hash falls under
+    the stratum's rate threshold.  ``rates`` maps stratum value →
+    [0, 1] rate; unlisted strata use ``default_rate``."""
+    thresh = F.lit(int(default_rate * _MOD))
+    for key, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == key, F.lit(int(rate * _MOD))
+        ).otherwise(thresh)
+    return df.filter(sample_hash(F.col(id_col)) < thresh)
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer only if the
+    stratum is smaller), chosen by hash order with id tie-break —
+    deterministic and engine-replayable, unlike a seeded RNG."""
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_hash(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= n_per_stratum)
+        .drop("_srn")
+    )

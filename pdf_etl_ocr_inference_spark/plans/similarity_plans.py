@@ -395,7 +395,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     "ann_ivf_topk",
     None,  # approximate → rows-only
     doc="IVF cell-probe search: label-seeded coarse centroids, probe "
-    "2 nearest cells, exact re-rank within.",
+    "the 3 nearest of the 10 cells, exact re-rank within (recall@5 "
+    "0.8 on the fixture vs 0.6 at 2 probes; at scale the cell count "
+    "grows ~sqrt(n) while probes stay O(1), so 3 probes is a "
+    "shrinking corpus fraction, not 30%).",
 )
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
@@ -419,7 +422,7 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.explode("embedding")
     ).collect()]
     assigned = ivf_assign(emb.filter(F.col("vec_id") != 0), "embedding", centroids)
-    return topk_ivf(assigned, "embedding", qvec, centroids, k=5, n_probe=2)
+    return topk_ivf(assigned, "embedding", qvec, centroids, k=5, n_probe=3)
 
 
 @register(

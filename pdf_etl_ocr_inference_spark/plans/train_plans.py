@@ -650,3 +650,52 @@ def pipeline_incremental_corpus(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("n_new_unique", F.lit(0)).alias("n_new_unique"),
         )
     )
+
+
+_SAMPLE_HASH = "((doc_id * 2654435761 + 12345) % 4294967296)"
+
+
+@register(
+    "train_stratified_sample",
+    "SELECT doc_id, lang, source FROM documents WHERE "
+    + _SAMPLE_HASH
+    + " < CASE lang WHEN 'en' THEN CAST(0.5 * 4294967296 AS BIGINT) "
+    "WHEN 'zh' THEN CAST(0.4 * 4294967296 AS BIGINT) "
+    "ELSE CAST(0.2 * 4294967296 AS BIGINT) END",
+    doc="deterministic stratified (per-language) Bernoulli-by-hash "
+    "sample for mixture weighting: membership is a pure function of "
+    "doc_id (Knuth multiplicative hash vs a per-stratum threshold) — "
+    "reproducible, auditable in plain SQL, NESTED under rate "
+    "increases, and a narrow no-shuffle map over the scan.",
+)
+def train_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.5, "zh": 0.4}, default_rate=0.2
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "train_stratified_fixed",
+    "SELECT doc_id, lang FROM ("
+    "SELECT doc_id, lang, ROW_NUMBER() OVER ("
+    "PARTITION BY lang ORDER BY " + _SAMPLE_HASH + ", doc_id) AS rn "
+    "FROM documents) WHERE rn <= 10",
+    doc="exact-size per-stratum sample (10 per language) by ranking "
+    "on the same multiplicative hash with id tie-break — the "
+    "eval-holdout shape where approximate rates aren't acceptable; "
+    "one window shuffle on the stratum key.",
+)
+def train_stratified_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.sampling import (
+        stratified_fixed_n,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return stratified_fixed_n(docs, "lang", "doc_id", 10).select(
+        "doc_id", "lang"
+    )
