@@ -105,12 +105,36 @@ def semantic_dedup(
     threshold: float,
     pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """Survivors of the greedy keep-lowest-index policy: anti-join
-    out every id that appears as the HIGHER side of a within-cluster
-    near pair.  Pass precomputed ``pairs`` to reuse a pair scan."""
-    if pairs is None:
-        pairs = semantic_near_pairs(
-            df, vec_col, id_col, cluster_col, threshold
-        )
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(dropped, id_col, "left_anti")
+    """Survivors of the greedy keep-lowest-index policy.
+
+    Mass-duplication guard (the LSH hot-bucket lesson): identical
+    embedding vectors are pairwise sim-1 cliques that all land in ONE
+    cluster no matter how large ``k`` is, so d copies would put a
+    d×d block through the pair gemm.  Collapse each (cluster,
+    vector)-identical group to its min-id representative FIRST — the
+    kernel then sees only distinct vectors.  This is EXACT, not an
+    approximation: a non-min clique member always has a lower-id
+    sim-1 neighbor (its rep) and so always drops (any threshold
+    ≤ 1); and a rep r drops under the full policy iff some lower-id
+    row y has sim ≥ threshold, in which case y's own rep (≤ y < r,
+    identical vector to y) is a lower-id REP witness — so the greedy
+    verdict over reps alone equals the verdict over all rows.
+
+    Pass precomputed ``pairs`` (over the FULL df) to reuse a pair
+    scan instead; both paths return the same survivor set.
+    """
+    if pairs is not None:
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(dropped, id_col, "left_anti")
+    reps = df.groupBy(cluster_col, vec_col).agg(
+        F.min(id_col).alias(id_col)
+    )
+    rep_pairs = semantic_near_pairs(
+        reps, vec_col, id_col, cluster_col, threshold
+    )
+    kept = reps.join(
+        rep_pairs.select(F.col("id_b").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    ).select(id_col)
+    return df.join(kept, id_col, "left_semi")

@@ -115,3 +115,40 @@ def test_singleton_and_empty_cluster_safe(spark):
     assert pairs.count() == 0
     kept = semantic_dedup(df, "embedding", "vec_id", "c", 0.5)
     assert kept.count() == 1
+
+
+def test_collapse_path_equals_full_policy_under_mass_duplication(spark):
+    # 300 identical copies + a handful of distinct vectors: the
+    # collapse path (reps-only kernel) must return EXACTLY the
+    # full-policy survivors, while the pair gemm sees only the
+    # distinct vectors instead of a 300x300 block.
+    dup = [0.6, 0.8]
+    distinct = [
+        [float(np.cos(t)), float(np.sin(t))] for t in (0.2, 1.0, 1.8, 2.6)
+    ]
+    vecs = [dup] * 300 + distinct
+    df = _tiny(spark, vecs)
+    tau = 0.9
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(df, "embedding", "vec_id", "c", tau).collect()
+    )
+    # replica of the full greedy policy in numpy
+    V = np.array(vecs)
+    V = V / np.sqrt((V * V).sum(axis=1))[:, None]
+    S = V @ V.T
+    want = [
+        x
+        for x in range(len(vecs))
+        if not any(S[x, y] >= tau for y in range(x))
+    ]
+    assert kept == want
+    # the pairs-reuse path agrees too
+    pairs = semantic_near_pairs(df, "embedding", "vec_id", "c", tau)
+    kept2 = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", "c", tau, pairs=pairs
+        ).collect()
+    )
+    assert kept2 == want
