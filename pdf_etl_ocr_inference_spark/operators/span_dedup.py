@@ -1,0 +1,206 @@
+"""Span-level (substring) deduplication: find and scrub token n-gram
+spans that recur across documents.
+
+Doc-level dedup (exact / MinHash / SimHash, ``operators/dedup.py``)
+drops whole near-identical documents; it cannot touch the other large
+duplication mode in web/pretraining corpora — repeated *passages*
+(boilerplate paragraphs, licence headers, templated footers) embedded
+in otherwise-distinct documents.  Deduplicating those requires
+substring-level detection (Lee et al., "Deduplicating Training Data
+Makes Language Models Better", ACL 2022).  The exact suffix-array
+construction of that paper is a single-machine algorithm; the
+distributed re-expression here uses fixed-width token n-grams, which
+detect every duplicated substring of >= n tokens (any such substring
+contains a duplicated n-gram) at the cost of a fixed resolution floor.
+
+Pipeline (all native Column ops, no Python UDFs):
+
+1. tokenize -> positional n-grams              narrow map, no shuffle
+2. gram -> (distinct-doc count, occurrences)   ONE combinable shuffle
+   on the gram key; partial aggregation makes hot grams cheap
+3. occurrences of grams seen in >= min_docs docs    join back on gram
+4. merge overlapping/touching occurrences into maximal per-doc
+   intervals                 per-doc sort window (docs are bounded)
+5. optionally scrub: drop covered token positions, reassemble
+
+Scale notes (100 TB):
+- the gram aggregation is the only corpus-sized shuffle and is fully
+  combinable; the join-back fan-out equals the true result size.
+- gram keys are the shingle STRINGS so results are engine-portable
+  (DuckDB oracles replay the identical pipeline); a production run
+  would map grams through ``xxhash64`` first to shrink the shuffle —
+  that switch changes bytes moved, not semantics.
+- pathological grams ("the the the ..." across millions of docs) make
+  the *output* large, not the shuffle skewed; ``max_doc_freq`` drops
+  grams above a document-frequency ceiling with a LOGGED count
+  (no-silent-caps), mirroring the bucket_cap escape hatch in
+  ``operators/dedup.py``.
+
+Reference anchor: the reference corpus prep dedups at document
+granularity only (``02-ocr-tesseract.py:96-101`` drops exact path
+dups); span-level scrub is the training-pipeline extension the
+SURVEY scopes beyond it.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def _tokens(text_col: str):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def positional_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, pos, gram) for every token n-gram; pos is the 0-based
+    token index of the gram's first token.  Docs shorter than ``n``
+    tokens yield no grams (a doc that short IS its only span; doc-level
+    dedup owns that regime)."""
+    toks = _tokens(text_col)
+    # slice() is 1-based; guard short docs — sequence(0, negative)
+    # would count DOWN, not produce an empty array.
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram")
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 6,
+    min_docs: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Grams appearing in >= ``min_docs`` distinct docs:
+    (gram, n_docs, n_occ).  ``max_doc_freq`` drops super-common grams
+    (logged) — boilerplate miners want them, scrubbers may not."""
+    stats = (
+        positional_ngrams(df, text_col, id_col, n)
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    if max_doc_freq is not None:
+        dropped = stats.filter(F.col("n_docs") > max_doc_freq).count()
+        if dropped:
+            log.warning(
+                "dup_span_stats: max_doc_freq=%d drops %d hot grams",
+                max_doc_freq,
+                dropped,
+            )
+        stats = stats.filter(F.col("n_docs") <= max_doc_freq)
+    return stats
+
+
+def dup_span_intervals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 6,
+    min_docs: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Maximal merged per-doc intervals covered by cross-doc duplicated
+    n-grams: (id, span_start, span_end) with token positions
+    [span_start, span_end).  Overlapping AND touching occurrences merge
+    (touching spans are one duplicated region at resolution n)."""
+    occ = positional_ngrams(df, text_col, id_col, n)
+    dup = dup_span_stats(df, text_col, id_col, n, min_docs, max_doc_freq)
+    hits = occ.join(dup.select("gram"), "gram").select(
+        "id", "pos", (F.col("pos") + n).alias("end")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "new_island",
+        (F.col("pos") > F.coalesce(prev_max_end, F.lit(-1))).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return islands.groupBy("id", "island").agg(
+        F.min("pos").alias("span_start"), F.max("end").alias("span_end")
+    ).select("id", "span_start", "span_end")
+
+
+def scrub_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 6,
+    min_docs: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Remove every duplicated span from every document:
+    (id, n_kept, n_removed, scrubbed).
+
+    Policy is the aggressive symmetric one — ALL occurrences go,
+    including the "first" — because a global keep-one choice needs a
+    total order over occurrences and real pipelines pair this with
+    doc-level exact dedup anyway (compose: ``exact_dedup`` first, then
+    scrub).  Whitespace is canonicalized (single spaces) as a side
+    effect of tokenize/reassemble."""
+    toks = _tokens(text_col)
+    pos_tok = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    covered = (
+        dup_span_intervals(df, text_col, id_col, n, min_docs, max_doc_freq)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("span_start"), F.col("span_end") - 1)
+            ).alias("pos"),
+        )
+    )
+    kept = pos_tok.join(covered, ["id", "pos"], "left_anti")
+    n_tokens = df.select(
+        F.col(id_col).alias("id"), F.size(toks).alias("n_total")
+    )
+    out = (
+        kept.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("scrubbed"),
+        )
+    )
+    # docs whose every token was covered drop out of `kept` — restore
+    # them as empty strings so the op is total.
+    return (
+        n_tokens.join(out, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("scrubbed", F.lit("")).alias("scrubbed"),
+        )
+    )

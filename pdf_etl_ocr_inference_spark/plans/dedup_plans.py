@@ -276,3 +276,111 @@ def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------- #
+# Span-level (substring) dedup — operators/span_dedup.py.           #
+# Shared oracle CTE fragments: 0-based positional 6-grams over the  #
+# whitespace token stream, replayed identically in DuckDB.          #
+# ---------------------------------------------------------------- #
+
+_SPAN_TOKS = (
+    "toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t "
+    "FROM documents)"
+)
+_SPAN_OCC = (
+    "occ AS (SELECT doc_id, i AS pos, "
+    "ARRAY_TO_STRING(t[i+1:i+6], ' ') AS gram "
+    "FROM toks, UNNEST(RANGE(0, GREATEST(LEN(t) - 5, 0))) AS r(i))"
+)
+_SPAN_DUP = (
+    "dup AS (SELECT gram FROM occ GROUP BY gram "
+    "HAVING COUNT(DISTINCT doc_id) >= 2)"
+)
+_SPAN_ISLANDS = (
+    "hits AS (SELECT doc_id, pos, pos + 6 AS e FROM occ "
+    "JOIN dup USING (gram)), "
+    "isl AS (SELECT doc_id, pos, e, CASE WHEN pos > COALESCE("
+    "MAX(e) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
+    "THEN 1 ELSE 0 END AS ni FROM hits), "
+    "isl2 AS (SELECT doc_id, pos, e, SUM(ni) OVER ("
+    "PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island "
+    "FROM isl), "
+    "iv AS (SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end "
+    "FROM isl2 GROUP BY doc_id, island)"
+)
+
+
+@register(
+    "dedup_span_hotspots",
+    f"WITH {_SPAN_TOKS}, {_SPAN_OCC} "
+    "SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, "
+    "COUNT(*) AS n_occ FROM occ GROUP BY gram "
+    "HAVING COUNT(DISTINCT doc_id) >= 2",
+    doc="token 6-grams recurring across >= 2 distinct docs (the "
+    "substring-dedup candidate set, Lee et al. 2022 at fixed n): "
+    "ONE combinable shuffle on the gram key.",
+)
+def dedup_span_hotspots(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+        dup_span_stats,
+    )
+
+    return dup_span_stats(
+        _t(spark, sf, "documents"), "text", "doc_id", n=6, min_docs=2
+    )
+
+
+@register(
+    "dedup_span_intervals",
+    f"WITH {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_DUP}, {_SPAN_ISLANDS} "
+    "SELECT doc_id AS id, span_start, span_end FROM iv",
+    doc="maximal merged per-doc token intervals covered by cross-doc "
+    "duplicated 6-grams; classic island detection via a per-doc "
+    "running-max-end window (docs are bounded, so the per-doc sort "
+    "is small regardless of corpus size).",
+)
+def dedup_span_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+        dup_span_intervals,
+    )
+
+    return dup_span_intervals(
+        _t(spark, sf, "documents"), "text", "doc_id", n=6, min_docs=2
+    )
+
+
+@register(
+    "dedup_span_scrub",
+    f"WITH {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_DUP}, {_SPAN_ISLANDS}, "
+    "pos AS (SELECT doc_id, i AS pos, t[i+1] AS tok "
+    "FROM toks, UNNEST(RANGE(0, LEN(t))) AS r(i)), "
+    "cov AS (SELECT doc_id, UNNEST(RANGE(span_start, span_end)) AS pos "
+    "FROM iv), "
+    "kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p "
+    "LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos "
+    "WHERE c.pos IS NULL), "
+    "agg AS (SELECT doc_id, COUNT(*) AS n_kept, "
+    "STRING_AGG(tok, ' ' ORDER BY pos) AS scrubbed "
+    "FROM kept GROUP BY doc_id), "
+    "tot AS (SELECT doc_id, LEN(t) AS n_total FROM toks) "
+    "SELECT t.doc_id AS id, COALESCE(a.n_kept, 0) AS n_kept, "
+    "t.n_total - COALESCE(a.n_kept, 0) AS n_removed, "
+    "COALESCE(a.scrubbed, '') AS scrubbed "
+    "FROM tot t LEFT JOIN agg a USING (doc_id)",
+    doc="substring-level scrub: drop every token inside a duplicated "
+    "interval, reassemble the survivors in order (aggressive "
+    "symmetric policy — compose with doc-level exact dedup for a "
+    "keep-one-copy pipeline).  Whitespace canonicalizes to single "
+    "spaces as a side effect of tokenize/reassemble.",
+)
+def dedup_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+        scrub_dup_spans,
+    )
+
+    return scrub_dup_spans(
+        _t(spark, sf, "documents"), "text", "doc_id", n=6, min_docs=2
+    )
