@@ -465,3 +465,40 @@ def text_repeated_phrases(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= 2)
     )
+
+
+_BM25_TERMS = ("spark", "vector", "join")
+
+
+@register(
+    "text_bm25_topk",
+    "WITH toks AS (SELECT doc_id, "
+    "STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents), "
+    "dl AS (SELECT doc_id, LEN(t) AS dl FROM toks), "
+    "stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM "
+    "(SELECT doc_id, UNNEST(t) AS term FROM toks) "
+    "WHERE term IN ('spark', 'vector', 'join') GROUP BY doc_id, term), "
+    "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "scored AS (SELECT tf.doc_id AS id, "
+    "SUM(LN(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) "
+    "* tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))"
+    ") AS sc FROM tf JOIN dfq USING (term) "
+    "JOIN dl USING (doc_id) CROSS JOIN stats s GROUP BY tf.doc_id) "
+    "SELECT id, ROUND(sc, 4) AS score FROM scored "
+    "ORDER BY ROUND(sc, 6) DESC, id LIMIT 20",
+    doc="Okapi BM25 ranked retrieval (k1=1.2, b=0.75, Lucene idf "
+    "floor) for a 3-term query, top-20.  Postings are filtered to "
+    "the query's terms BEFORE any shuffle; df/corpus stats are "
+    "broadcast 1-row/|query|-row sides; rank quantized to 6 "
+    "decimals + id tie-break for cross-engine determinism.  The "
+    "lexical complement of the ann_* retrieval family (hybrid "
+    "search re-ranks the union).",
+)
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf, "documents"), "text", "doc_id",
+        list(_BM25_TERMS), k=20,
+    )
