@@ -36,14 +36,15 @@ K1 = 1.2
 B = 0.75
 
 
-def bm25_topk(
+def bm25_scores(
     df: DataFrame,
     text_col: str,
     id_col: str,
     query_terms: list[str],
-    k: int = 20,
 ) -> DataFrame:
-    """Top-k documents for a bag-of-words query: (id, score)."""
+    """Raw BM25 scores for every doc matching >= 1 query term:
+    (id, _score).  Building block for ``bm25_topk`` and hybrid
+    fusion; no ranking or rounding applied."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     docs = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
     dl = docs.select("id", F.size("_toks").alias("dl"))
@@ -80,8 +81,74 @@ def bm25_topk(
         .groupBy("id")
         .agg(F.sum("_s").alias("_score"))
     )
+    return scored
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query: (id, score)."""
     return (
-        scored.orderBy(F.round("_score", 6).desc(), "id")
+        bm25_scores(df, text_col, id_col, query_terms)
+        .orderBy(F.round("_score", 6).desc(), "id")
         .limit(k)
         .select("id", F.round("_score", 4).alias("score"))
+    )
+
+
+def _ranked_topk(scored: DataFrame, score_col: str, k: int) -> DataFrame:
+    """(id, rank) for the quantized-score top-k.  The top-k cut is a
+    distributed TakeOrderedAndProject; the rank window then runs over
+    only k rows (never the corpus)."""
+    from pyspark.sql import Window
+
+    topk = scored.orderBy(
+        F.round(score_col, 6).desc(), "id"
+    ).limit(k)
+    w = Window.orderBy(F.round(score_col, 6).desc(), "id")
+    return topk.select(
+        "id", F.row_number().over(w).alias("rank")
+    )
+
+
+def hybrid_rrf(
+    lex_scored: DataFrame,
+    vec_scored: DataFrame,
+    k_each: int = 20,
+    k_out: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a vector retrieval leg
+    (Cormack et al. SIGIR'09): score = Σ_legs 1/(c + rank), docs
+    missing from a leg contribute nothing.  Inputs are raw scored
+    sets with columns (id, _score); output (id, lex_rank, vec_rank,
+    rrf) for the fused top ``k_out``."""
+    lex = _ranked_topk(lex_scored, "_score", k_each).withColumnRenamed(
+        "rank", "lex_rank"
+    )
+    vec = _ranked_topk(vec_scored, "_score", k_each).withColumnRenamed(
+        "rank", "vec_rank"
+    )
+    fused = lex.join(vec, "id", "full_outer").select(
+        "id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(1.0 / (c + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (c + F.col("vec_rank")), F.lit(0.0))
+        ).alias("_rrf"),
+    )
+    return (
+        fused.orderBy(F.round("_rrf", 6).desc(), "id")
+        .limit(k_out)
+        .select(
+            "id",
+            "lex_rank",
+            "vec_rank",
+            F.round("_rrf", 6).alias("rrf"),
+        )
     )

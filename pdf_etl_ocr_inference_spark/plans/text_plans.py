@@ -502,3 +502,68 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "documents"), "text", "doc_id",
         list(_BM25_TERMS), k=20,
     )
+
+
+@register(
+    "text_hybrid_rrf",
+    "WITH toks AS (SELECT doc_id, "
+    "STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents), "
+    "dl AS (SELECT doc_id, LEN(t) AS dl FROM toks), "
+    "stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM "
+    "(SELECT doc_id, UNNEST(t) AS term FROM toks) "
+    "WHERE term IN ('spark', 'vector', 'join') GROUP BY doc_id, term), "
+    "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "scored AS (SELECT tf.doc_id AS id, "
+    "SUM(LN(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) "
+    "* tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))"
+    ") AS sc FROM tf JOIN dfq USING (term) "
+    "JOIN dl USING (doc_id) CROSS JOIN stats s GROUP BY tf.doc_id), "
+    "lexk AS (SELECT id, ROW_NUMBER() OVER "
+    "(ORDER BY ROUND(sc, 6) DESC, id) AS lex_rank FROM "
+    "(SELECT id, sc FROM scored ORDER BY ROUND(sc, 6) DESC, id "
+    "LIMIT 20)), "
+    "vs AS (SELECT e.vec_id AS id, LIST_COSINE_SIMILARITY("
+    "e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS v "
+    "FROM embeddings e, (SELECT embedding FROM embeddings "
+    "WHERE vec_id = 0) q WHERE e.vec_id > 0), "
+    "veck AS (SELECT id, ROW_NUMBER() OVER "
+    "(ORDER BY ROUND(v, 6) DESC, id) AS vec_rank FROM "
+    "(SELECT id, v FROM vs ORDER BY ROUND(v, 6) DESC, id LIMIT 20)), "
+    "fused AS (SELECT COALESCE(l.id, v.id) AS id, l.lex_rank, "
+    "v.vec_rank, COALESCE(1.0::DOUBLE / (60 + l.lex_rank), 0.0) + "
+    "COALESCE(1.0::DOUBLE / (60 + v.vec_rank), 0.0) AS rrf "
+    "FROM lexk l FULL OUTER JOIN veck v ON l.id = v.id) "
+    "SELECT id, lex_rank, vec_rank, ROUND(rrf, 6) AS rrf FROM fused "
+    "ORDER BY ROUND(rrf, 6) DESC, id LIMIT 10",
+    doc="hybrid retrieval: reciprocal-rank fusion (Cormack SIGIR'09, "
+    "c=60) of the BM25 lexical leg and a cosine vector leg (query = "
+    "vec_id 0 against the rest; doc_id/vec_id share the id domain). "
+    "Each leg's top-k cut is a distributed TakeOrderedAndProject; "
+    "rank windows run over k rows only; ranks quantized to 6 "
+    "decimals for cross-engine stability.",
+)
+def text_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        bm25_scores,
+        hybrid_rrf,
+    )
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    lex = bm25_scores(docs, "text", "doc_id", ["spark", "vector", "join"])
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    vec = (
+        emb.filter(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            F.col("vec_id").alias("id"),
+            cosine_similarity("embedding", "q_emb").alias("_score"),
+        )
+    )
+    return hybrid_rrf(lex, vec, k_each=20, k_out=10)

@@ -70,3 +70,36 @@ def test_ranking_properties(result):
 def test_topk_truncates(spark):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
     assert bm25_topk(df, "text", "doc_id", TERMS, k=2).count() == 2
+
+
+def test_hybrid_rrf_fuses_and_ranks(spark):
+    """RRF parity with a python replica: leg ranks, missing-leg docs,
+    fusion ordering."""
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        bm25_scores,
+        hybrid_rrf,
+    )
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    lex = bm25_scores(docs, "text", "doc_id", TERMS)
+    # synthetic vector leg: doc 3 (lexically absent) is the best
+    # vector hit; doc 0 missing from the vector leg entirely
+    vec = spark.createDataFrame(
+        [(3, 0.99), (5, 0.80), (1, 0.60), (2, 0.40), (4, 0.20)],
+        ["id", "_score"],
+    )
+    out = hybrid_rrf(lex, vec, k_each=4, k_out=10).collect()
+    got = {r["id"]: (r["lex_rank"], r["vec_rank"], r["rrf"]) for r in out}
+
+    brute_lex = _brute()
+    lex_order = sorted(brute_lex, key=lambda i: (-round(brute_lex[i], 6), i))[:4]
+    vec_order = [3, 5, 1, 2]
+    exp = {}
+    for i in set(lex_order) | set(vec_order):
+        lr = lex_order.index(i) + 1 if i in lex_order else None
+        vr = vec_order.index(i) + 1 if i in vec_order else None
+        rrf = (1 / (60 + lr) if lr else 0) + (1 / (60 + vr) if vr else 0)
+        exp[i] = (lr, vr, round(rrf, 6))
+    assert got == exp
+    # doc 3 fused in purely via the vector leg
+    assert got[3][0] is None and got[3][1] == 1
