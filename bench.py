@@ -65,6 +65,7 @@ def ann_recall(spark, sf_dir: str, specs=None) -> dict[str, float]:
         ("opq", "ann_opq_topk"),
         ("nsw", "ann_nsw_topk"),
         ("hnsw", "ann_hnsw_topk"),
+        ("ivfpq", "ann_ivfpq_topk"),
     ):
         got = {r["vec_id"] for r in specs[qname].fn(spark, sf_dir).collect()}
         out[label] = round(len(got & exact) / len(exact), 3)

@@ -688,3 +688,53 @@ def ann_served_topk(spark: SparkSession, sf: str) -> DataFrame:
         spark, path, [(0, qvec)], k=5, ef_search=32, exclude_ids=[0],
         kind="nsw",
     ).select("vec_id", "score")
+
+
+@register(
+    "ann_ivfpq_topk",
+    None,  # approximate → rows-only; recall floor + residual-gain
+    # properties in tests/test_ivfpq.py
+    doc="IVF-PQ / IVFADC (Jégou 2011 §IV): coarse label-seeded cells "
+    "+ PQ over the RESIDUAL x − c(x), probe 3 cells each with its "
+    "own residual LUT, union the cell-pruned code-column scans, "
+    "global ADC top-50, exact re-rank. Composes IVF's partition "
+    "pruning with PQ's 32× column shrink — the probe reads "
+    "n_probe/n_cells of 1/32nd of the corpus bytes; the layout "
+    "billion-scale ANN systems ship.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.pq import (
+        ivfpq_encode,
+        topk_ivfpq,
+        train_ivfpq_codebooks,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    train = emb.filter(F.col("vec_id") % 4 == 0)
+    cents_rows = (
+        train.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("vals"))
+        .select("label", F.transform("vals", lambda s: s["m"]).alias("centroid"))
+        .orderBy("label")
+        .collect()
+    )
+    centroids = [list(r["centroid"]) for r in cents_rows]
+    books = train_ivfpq_codebooks(
+        emb, "embedding", "vec_id", centroids, m=8, k=16, sample_mod=4,
+    )
+    assigned = ivf_assign(
+        emb.filter(F.col("vec_id") != 0), "embedding", centroids
+    )
+    encoded = ivfpq_encode(assigned, "embedding", centroids, books)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    rerank = max(50, emb.count() // 10)
+    return topk_ivfpq(
+        encoded, "embedding", qvec, centroids, books,
+        k=5, n_probe=3, rerank=rerank,
+    )

@@ -27,3 +27,5 @@ def test_ann_recall_floors_gate_sf(spark):
     # the hierarchical walk must hold the single-layer family's floor
     assert recalls["hnsw"] >= 0.6, recalls
     assert recalls["hnsw"] >= recalls["nsw"] - 0.2, recalls
+    # residual quantization + 3-cell probe must hold the PQ floor
+    assert recalls["ivfpq"] >= 0.6, recalls
