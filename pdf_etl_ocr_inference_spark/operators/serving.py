@@ -68,6 +68,12 @@ def _load_shard(path: str, shard: int, version: int, kind: str):
                 None,
             ),
             "ivf": (np.empty(0, dtype="int64"), np.empty((0, 0))),
+            "ivfpq": (
+                np.empty(0, dtype="int64"),
+                np.empty((0, 0)),
+                np.empty((0, 0), dtype="int64"),
+                [],
+            ),
         }[kind]
         _shard_cache[key] = empty
         return empty
@@ -84,6 +90,33 @@ def _load_shard(path: str, shard: int, version: int, kind: str):
         norms[norms == 0] = 1.0
         m = m / norms[:, None]
         state = (ids.astype("int64"), m)
+        _shard_cache[key] = state
+        if len(_shard_cache) > _CACHE_MAX:
+            _shard_cache.popitem(last=False)
+        return state
+    if kind == "ivfpq":
+        import json
+        import os
+
+        embcol = tbl["embedding"].combine_chunks()
+        flat = (
+            embcol.flatten().to_numpy(zero_copy_only=False).astype("float64")
+        )
+        dim = len(flat) // max(len(ids), 1)
+        m = flat.reshape(len(ids), dim) if len(ids) else flat.reshape(0, 0)
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0] = 1.0
+        m = m / norms[:, None]
+        codecol = tbl["pq_codes"].combine_chunks()
+        cflat = codecol.flatten().to_numpy(zero_copy_only=False)
+        nsub = len(cflat) // max(len(ids), 1)
+        codes = (
+            cflat.reshape(len(ids), nsub) if len(ids) else cflat.reshape(0, 0)
+        )
+        with open(os.path.join(path, "_ivfpqserve_meta.json")) as f:
+            meta = json.load(f)
+        books = [np.asarray(b, dtype="float64") for b in meta["codebooks"]]
+        state = (ids.astype("int64"), m, codes, books)
         _shard_cache[key] = state
         if len(_shard_cache) > _CACHE_MAX:
             _shard_cache.popitem(last=False)
@@ -378,6 +411,133 @@ def refresh_ivf_serving_index(
     )
 
 
+def build_ivfpq_serving_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    centroids: list,
+    codebooks: list,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> str:
+    """Materialize the IVF-PQ serving layout: cells are the shards
+    (like ``ivf``), rows carry RESIDUAL PQ codes (like ``pq``), and
+    both the centroids and the residual codebooks persist in the
+    meta.  A query schedules tasks only for its probed cells, and
+    each task's ADC runs against that cell's residual LUT on pinned
+    arrays — IVFADC end to end with no parquet scan per query."""
+    import json
+    import os
+
+    from pdf_etl_ocr_inference_spark.operators.pq import ivfpq_encode
+    from pdf_etl_ocr_inference_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(
+        corpus.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(embedding_col).cast("array<double>").alias("embedding"),
+        ),
+        "embedding",
+        centroids,
+        id_col="vec_id",
+    )
+    encoded = ivfpq_encode(
+        assigned, "embedding", centroids, codebooks
+    ).select(
+        F.col("cell").cast("int").alias("shard"),
+        "vec_id",
+        "embedding",
+        "pq_codes",
+    )
+    (
+        encoded.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivfpqserve_meta.json"), "w") as f:
+        json.dump(
+            {
+                "n_shards": len(centroids),
+                "centroids": centroids,
+                "codebooks": codebooks,
+                "last_version": 0,
+            },
+            f,
+        )
+    return path
+
+
+def refresh_ivfpq_serving_index(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    version: int,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+) -> list[int]:
+    """Fold one change-feed commit into the IVF-PQ layout: touched
+    cells re-encode their member sets with the PERSISTED centroids
+    and residual codebooks (quantizer retraining is a rebuild);
+    cross-cell moves touch both cells via the centroid-argmax shard
+    column; same crash-safe swap + version watermark as the other
+    serving families."""
+    import json
+    import os
+
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        refresh_sharded_graph,
+    )
+
+    mp = os.path.join(path, "_ivfpqserve_meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    cents = meta["centroids"]
+    books = meta["codebooks"]
+
+    def _write(m):
+        with open(mp, "w") as f:
+            json.dump(m, f)
+
+    def _rebuild(members, tmp):
+        build_ivfpq_serving_index(
+            spark, members, tmp, centroids=cents, codebooks=books
+        )
+
+    return refresh_sharded_graph(
+        spark, path, changes, version, id_col, embedding_col,
+        meta, _write, _rebuild,
+        shard_col=lambda df: _ivf_shard_col(cents),
+    )
+
+
+def _ivfpq_answer(state, qu, cell_centroid, k, rerank, excl):
+    """Residual ADC + exact re-rank within one pinned cell: the LUT
+    target is ``q − c_cell`` (IVFADC), everything else mirrors
+    ``_pq_answer``."""
+    import numpy as np
+
+    ids, emb, codes, books = state
+    if len(ids) == 0:
+        return []
+    qr = qu - cell_centroid
+    m = len(books)
+    sub = books[0].shape[1]
+    adc = np.zeros(len(ids), dtype="float64")
+    for j in range(m):
+        lut = ((books[j] - qr[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
+        adc += lut[codes[:, j]]
+    order = np.lexsort((ids, adc))[: max(rerank, k + len(excl))]
+    scores = emb[order] @ qu
+    rows = [
+        (int(ids[i]), float(s))
+        for i, s in zip(order, scores)
+        if int(ids[i]) not in excl
+    ]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return rows[:k]
+
+
 def _ivf_answer(state, qu, k, excl):
     """Exact cosine top-k within one pinned cell."""
     ids, m = state
@@ -452,9 +612,12 @@ def serve_topk(
         "hnsw": "_hnsw_meta.json",
         "pq": "_pqserve_meta.json",
         "ivf": "_ivfserve_meta.json",
+        "ivfpq": "_ivfpqserve_meta.json",
     }
     if kind not in metas:
-        raise ValueError(f"kind must be nsw|hnsw|pq|ivf, got {kind!r}")
+        raise ValueError(
+            f"kind must be nsw|hnsw|pq|ivf|ivfpq, got {kind!r}"
+        )
     with open(os.path.join(path, metas[kind])) as f:
         meta = json.load(f)
     n_shards = meta["n_shards"]
@@ -475,12 +638,13 @@ def serve_topk(
     # schedule tasks ONLY for the probed union; per cell, answer only
     # the queries that probed it.
     probes: dict[int, set] = {}
-    if kind == "ivf":
-        cents = np.asarray(meta["centroids"], dtype="float64")
+    cents_np = None
+    if kind in ("ivf", "ivfpq"):
+        cents_np = np.asarray(meta["centroids"], dtype="float64")
         for qid, qv in qnorm:
-            dots = cents @ np.asarray(qv, dtype="float64")
+            dots = cents_np @ np.asarray(qv, dtype="float64")
             top = sorted(
-                range(len(cents)), key=lambda ci: (-dots[ci], ci)
+                range(len(cents_np)), key=lambda ci: (-dots[ci], ci)
             )[:n_probe]
             probes[qid] = set(top)
         task_shards = sorted(set().union(*probes.values())) if probes else []
@@ -518,6 +682,13 @@ def serve_topk(
                         if sh not in probes.get(qid, ()):
                             continue
                         got = _ivf_answer(state, qu, k, excl)
+                        rows.extend((qid, i, s) for i, s in got)
+                    elif kind == "ivfpq":
+                        if sh not in probes.get(qid, ()):
+                            continue
+                        got = _ivfpq_answer(
+                            state, qu, cents_np[sh], k, rerank, excl
+                        )
                         rows.extend((qid, i, s) for i, s in got)
                     else:
                         mat, layered, levels, ids_sorted = state
@@ -572,6 +743,7 @@ def serving_refresh_fn(path: str, kind: str):
         "hnsw": refresh_hnsw_index,
         "pq": refresh_pq_serving_index,
         "ivf": refresh_ivf_serving_index,
+        "ivfpq": refresh_ivfpq_serving_index,
     }
     if kind not in refreshers:
         raise ValueError(f"kind must be one of {sorted(refreshers)}")

@@ -738,3 +738,57 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         encoded, "embedding", qvec, centroids, books,
         k=5, n_probe=3, rerank=rerank,
     )
+
+
+@register(
+    "ann_served_ivfpq",
+    None,  # approximate → rows-only; served ≡ batch asserted exactly
+    # in tests/test_serving_ivfpq.py (exhaustive-rerank regime)
+    doc="the pinned-serving IVFADC path: cells are shards, a query "
+    "schedules tasks ONLY for its probed cells, each task runs the "
+    "residual-LUT ADC + exact re-rank on arrays cached in executor "
+    "memory keyed by (path, shard, index version). Completes the "
+    "serving matrix (nsw/hnsw/pq/ivf/ivfpq) with the layout "
+    "billion-scale online ANN actually uses.",
+)
+def ann_served_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.pq import (
+        train_ivfpq_codebooks,
+    )
+    from pdf_etl_ocr_inference_spark.operators.serving import (
+        build_ivfpq_serving_index,
+        serve_topk,
+    )
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
+    emb = _t(spark, sf, "embeddings")
+    train = emb.filter(F.col("vec_id") % 4 == 0)
+    cents_rows = (
+        train.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("vals"))
+        .select("label", F.transform("vals", lambda s: s["m"]).alias("centroid"))
+        .orderBy("label")
+        .collect()
+    )
+    centroids = [list(r["centroid"]) for r in cents_rows]
+    books = train_ivfpq_codebooks(
+        emb, "embedding", "vec_id", centroids, m=8, k=16, sample_mod=4,
+    )
+    safe = sf.strip("/").replace("/", "_")
+    root = scratch_dir(f"ivfpqserve_{safe}")
+    path = f"{root}/index"
+    build_ivfpq_serving_index(
+        spark, emb.filter(F.col("vec_id") != 0), path, centroids, books
+    )
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    rerank = max(50, emb.count() // 10)
+    return serve_topk(
+        spark, path, [(0, qvec)], k=5, kind="ivfpq", n_probe=3,
+        rerank=rerank,
+    ).select("vec_id", "score")
