@@ -481,3 +481,33 @@ def op71_bloom_join(spark: SparkSession, sf: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return out
+
+
+@register(
+    "op73_skew_stats",
+    "WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events "
+    "GROUP BY user_id) "
+    "SELECT COUNT(*) AS n_keys, MAX(cnt) AS max_cnt, "
+    "ROUND(AVG(cnt), 4) AS avg_cnt, "
+    "ROUND(MAX(cnt) * 1.0 / AVG(cnt), 4) AS skew_ratio, "
+    "ROUND(QUANTILE_CONT(cnt, 0.99), 4) AS p99_cnt FROM c",
+    doc="shuffle-key skew diagnostic: per-key cardinality profile "
+    "(max/avg ratio + p99) for a prospective groupBy/join key — the "
+    "pre-flight check that tells you whether a key needs salting "
+    "(op56) or AQE skew-join before you pay for the full job.  Two "
+    "combinable aggregations; the per-key layer is exactly the "
+    "shuffle the real query would do, the summary is one row.",
+)
+def op73_skew_stats(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
+    )

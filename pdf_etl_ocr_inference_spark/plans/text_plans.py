@@ -567,3 +567,54 @@ def text_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return hybrid_rrf(lex, vec, k_each=20, k_out=10)
+
+
+@register(
+    "text_vocab_coverage",
+    "WITH toks AS (SELECT doc_id, "
+    "STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents), "
+    "term AS (SELECT doc_id, UNNEST(t) AS term FROM toks), "
+    "vocab AS (SELECT term FROM (SELECT term, COUNT(*) AS cnt "
+    "FROM term GROUP BY term ORDER BY cnt DESC, term LIMIT 50)), "
+    "hit AS (SELECT t.doc_id, COUNT(*) AS n_tokens, "
+    "COUNT(v.term) AS in_vocab FROM term t "
+    "LEFT JOIN vocab v USING (term) GROUP BY t.doc_id) "
+    "SELECT doc_id, n_tokens, "
+    "ROUND(1.0 - in_vocab * 1.0 / n_tokens, 6) AS oov_rate FROM hit",
+    doc="vocabulary coverage / OOV profiling: induce the top-50 "
+    "corpus vocabulary by frequency (tie-break on the term for "
+    "determinism) and report each doc's out-of-vocabulary token "
+    "rate — the tokenizer-design signal (vocab size vs coverage "
+    "curve) and a quality filter (high-OOV docs are noise/foreign). "
+    "One combinable term-count shuffle; the induced vocab is a "
+    "broadcast side; per-doc hit counting is the only other "
+    "shuffle.",
+)
+def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    term = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    vocab = (
+        term.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(50)
+        .select("term")
+    )
+    hit = (
+        term.join(F.broadcast(vocab.withColumn("_v", F.lit(1))), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("_v").alias("in_vocab"),
+        )
+    )
+    return hit.select(
+        "doc_id",
+        "n_tokens",
+        F.round(1.0 - F.col("in_vocab") / F.col("n_tokens"), 6).alias(
+            "oov_rate"
+        ),
+    )

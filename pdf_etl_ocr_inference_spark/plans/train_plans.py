@@ -699,3 +699,108 @@ def train_stratified_fixed(spark: SparkSession, sf: str) -> DataFrame:
     return stratified_fixed_n(docs, "lang", "doc_id", 10).select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "pipeline_span_clean_corpus",
+    f"""
+    WITH q AS (
+      SELECT doc_id, text FROM documents WHERE {_QUALITY_SQL} >= 0.5),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id FROM (
+        SELECT doc_id, MD5({_NORM_SQL}) AS f FROM q) GROUP BY f),
+    d AS (SELECT q.doc_id, q.text FROM q JOIN surv USING (doc_id)),
+    toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM d),
+    occ AS (
+      SELECT doc_id, i AS pos, ARRAY_TO_STRING(t[i+1:i+6], ' ') AS gram
+      FROM toks, UNNEST(RANGE(0, GREATEST(LEN(t) - 5, 0))) AS r(i)),
+    dup AS (
+      SELECT gram FROM occ GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT doc_id, pos, pos + 6 AS e FROM occ JOIN dup USING (gram)),
+    isl AS (
+      SELECT doc_id, pos, e, CASE WHEN pos > COALESCE(
+        MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        THEN 1 ELSE 0 END AS ni FROM hits),
+    isl2 AS (
+      SELECT doc_id, pos, e, SUM(ni) OVER (PARTITION BY doc_id
+        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS island FROM isl),
+    iv AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(e) AS e2
+      FROM isl2 GROUP BY doc_id, island),
+    cov AS (
+      SELECT doc_id, SUM(e2 - s) AS n_cov FROM iv GROUP BY doc_id),
+    kept AS (
+      SELECT t.doc_id, LEN(t.t) - COALESCE(c.n_cov, 0) AS n_tokens
+      FROM toks t LEFT JOIN cov c USING (doc_id)),
+    flt AS (SELECT * FROM kept WHERE n_tokens >= 30),
+    pos AS (
+      SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_tok
+      FROM flt)
+    SELECT shard, CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT)
+             AS seq_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+    FROM pos GROUP BY shard, seq_id
+    """,
+    doc="corpus prep with SUBSTRING-level dedup composed in, as one "
+    "lazy plan: quality filter -> exact doc dedup -> duplicated-span "
+    "interval detection (Lee et al. 2022 at 6-gram resolution) -> "
+    "drop docs left under 30 tokens after scrubbing -> sequence "
+    "packing over the SCRUBBED token counts. The packing budget "
+    "sees post-scrub lengths, so boilerplate passages stop "
+    "inflating the token ledger. Every stage replayed in the "
+    "oracle SQL — the composition stays value-checked end to end.",
+)
+def pipeline_span_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.text import quality_score
+    from pdf_etl_ocr_inference_spark.operators.dedup import exact_dedup
+    from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+        dup_span_intervals,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    q = docs.filter(quality_score("text") >= 0.5)
+    d = exact_dedup(q, "text", "doc_id")
+    cov = (
+        dup_span_intervals(d, "text", "doc_id", n=6, min_docs=2)
+        .groupBy("id")
+        .agg(F.sum(F.col("span_end") - F.col("span_start")).alias("n_cov"))
+    )
+    kept = (
+        d.select(F.col("doc_id"), token_count("text").alias("n_total"))
+        .join(cov, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id",
+            (
+                F.col("n_total") - F.coalesce("n_cov", F.lit(0))
+            ).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= 30)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        kept.withColumn("shard", F.col("doc_id") % _PACK_SHARDS)
+        .withColumn(
+            "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .withColumn(
+            "seq_id", F.floor(F.col("start_tok") / F.lit(_PACK_BUDGET))
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+    )
