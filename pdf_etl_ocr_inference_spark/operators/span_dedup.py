@@ -126,6 +126,14 @@ def dup_span_intervals(
     hits = occ.join(dup.select("gram"), "gram").select(
         "id", "pos", (F.col("pos") + n).alias("end")
     )
+    return merge_islands(hits)
+
+
+def merge_islands(hits: DataFrame) -> DataFrame:
+    """Classic interval-island merge over (id, pos, end) hit rows:
+    per-id running-max-end window, new island when a hit starts past
+    it; returns (id, span_start, span_end).  Per-id work is bounded
+    by doc length, never the corpus."""
     w = Window.partitionBy("id").orderBy("pos")
     prev_max_end = F.max("end").over(
         w.rowsBetween(Window.unboundedPreceding, -1)

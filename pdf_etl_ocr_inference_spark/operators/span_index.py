@@ -1,0 +1,160 @@
+"""Incremental span-level (substring) dedup: a persisted gram-stats
+index so new arrivals get scrubbed against the accumulated corpus
+WITHOUT re-tokenizing it.
+
+``operators/span_dedup.py`` detects duplicated token n-gram spans in
+one batch pass over the whole corpus.  A daily-ingest pipeline cannot
+afford that: the corpus side of the gram join is static, so we persist
+it once — (gram, df) rows, ``df`` = distinct-doc count — and each
+arriving batch probes with only ITS grams.
+
+Layout: partitioned by ``_pb = pmod(xxhash64(gram), 64)`` so a probe
+prunes to the batch's partitions; the gram STRING is a sorted data
+column inside each partition for row-group pruning.  (Fixture scale
+keeps the string as the join key so the DuckDB oracle can replay the
+semantics; production would key on the 64-bit hash and shrink the
+shuffle — same switch documented for ``dup_span_stats``.)
+
+Refresh appends per-batch (gram, df) deltas; probes SUM dfs per gram.
+That sum equals the true distinct-doc count under the append-only
+ingest contract: batches carry ONLY new doc ids (no doc appears in
+two batches), which is exactly what a change-feed of inserts
+provides.  Updates/deletes require compaction (``build`` again) —
+the same ANALYZE-style contract as the MinHash index stats.
+
+Incrementality semantics: the probe emits duplicated-span intervals
+for the BATCH docs only.  A corpus doc that becomes duplicated
+because the batch re-introduced its phrasing is NOT retroactively
+re-emitted — that back-scrub is a compaction-time job, the standard
+trade every at-ingest dedup makes.  For the batch itself the result
+provably equals the full recompute restricted to batch ids (a gram's
+dup status is global and the stored dfs sum to the true counts) —
+asserted in tests/test_span_index.py and by the catalog oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+    merge_islands,
+    positional_ngrams,
+)
+
+_PARTITION_BUCKETS = 64
+_META = "_spanindex_meta.json"
+
+
+def _gram_df(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return (
+        positional_ngrams(df, text_col, id_col, n)
+        .groupBy("gram")
+        .agg(F.countDistinct("id").alias("df"))
+    )
+
+
+def _with_pb(grams: DataFrame) -> DataFrame:
+    return grams.withColumn(
+        "_pb", F.pmod(F.xxhash64("gram"), F.lit(_PARTITION_BUCKETS))
+    )
+
+
+def build_span_gram_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 6,
+) -> str:
+    """Materialize the corpus gram-stats index: one combinable shuffle
+    over the corpus (the same aggregation the batch op pays), written
+    once."""
+    rows = _with_pb(_gram_df(docs, text_col, id_col, n))
+    (
+        rows.repartition("_pb")
+        .sortWithinPartitions("_pb", "gram")
+        .write.mode("overwrite")
+        .partitionBy("_pb")
+        .parquet(path)
+    )
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump({"n": n, "last_version": 0}, f)
+    return path
+
+
+def refresh_span_gram_index(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    version: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold a batch's gram dfs in, append-only.  Idempotent per
+    version (the watermark skips re-applied commits, so at-least-once
+    feeds fold exactly once); cost ∝ batch."""
+    mp = os.path.join(path, _META)
+    with open(mp) as f:
+        meta = json.load(f)
+    if version <= meta["last_version"]:
+        return
+    rows = _with_pb(_gram_df(batch, text_col, id_col, meta["n"]))
+    (
+        rows.repartition("_pb")
+        .sortWithinPartitions("_pb", "gram")
+        .write.mode("append")
+        .partitionBy("_pb")
+        .parquet(path)
+    )
+    meta["last_version"] = version
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+
+
+def incremental_span_intervals(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-span intervals for the BATCH docs, judged against
+    corpus ∪ batch: (id, span_start, span_end).
+
+    The index side is partition-pruned to the batch grams' ``_pb``
+    dirs (≤ 64, fewer for small batches) and the batch gram set joins
+    in broadcast — the corpus is never re-tokenized and never
+    shuffled; probe cost ∝ batch size + matched index rows."""
+    with open(os.path.join(path, _META)) as f:
+        n = json.load(f)["n"]
+    occ = positional_ngrams(batch, text_col, id_col, n)
+    batch_df = occ.groupBy("gram").agg(
+        F.countDistinct("id").alias("_bdf")
+    )
+    probe = _with_pb(batch_df)
+    pbs = [r["_pb"] for r in probe.select("_pb").distinct().collect()]
+    idx = (
+        spark.read.parquet(path)
+        .filter(F.col("_pb").isin(pbs))
+        .groupBy("gram")
+        .agg(F.sum("df").alias("_cdf"))
+    )
+    totals = idx.join(F.broadcast(probe.drop("_pb")), "gram").select(
+        "gram", (F.col("_cdf") + F.col("_bdf")).alias("_tdf"), "_bdf"
+    )
+    # grams absent from the index count only their batch df
+    batch_only = batch_df.join(idx.select("gram"), "gram", "left_anti").select(
+        "gram", F.col("_bdf").alias("_tdf"), "_bdf"
+    )
+    dup = totals.unionByName(batch_only).filter(F.col("_tdf") >= 2).select(
+        "gram"
+    )
+    hits = occ.join(dup, "gram").select(
+        "id", "pos", (F.col("pos") + n).alias("end")
+    )
+    return merge_islands(hits)

@@ -384,3 +384,34 @@ def dedup_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
     return scrub_dup_spans(
         _t(spark, sf, "documents"), "text", "doc_id", n=6, min_docs=2
     )
+
+
+@register(
+    "dedup_span_incremental",
+    f"WITH {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_DUP}, {_SPAN_ISLANDS} "
+    "SELECT doc_id AS id, span_start, span_end FROM iv "
+    "WHERE doc_id % 97 = 3",
+    doc="incremental substring dedup: the corpus gram-stats index "
+    "(operators/span_index.py) is built once on the base corpus "
+    "(doc_id % 97 != 3); the arriving batch (doc_id % 97 = 3) "
+    "probes with ONLY its grams — index partition-pruned by the "
+    "batch grams' _pb dirs, batch gram set broadcast — and gets its "
+    "duplicated-span intervals judged against corpus ∪ batch. The "
+    "oracle is the FULL recompute restricted to batch ids: a gram's "
+    "dup status is global, so incremental ≡ batch-restricted full — "
+    "checked value-for-value.",
+)
+def dedup_span_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.span_index import (
+        build_span_gram_index,
+        incremental_span_intervals,
+    )
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 97 != 3)
+    batch = docs.filter(F.col("doc_id") % 97 == 3)
+    safe = sf.strip("/").replace("/", "_")
+    path = f"{scratch_dir(f'spanidx_{safe}')}/index"
+    build_span_gram_index(spark, base, path, n=6)
+    return incremental_span_intervals(spark, path, batch)

@@ -167,3 +167,50 @@ def op21_scalar_udf(spark: SparkSession, sf: str) -> DataFrame:
     return _t(spark, sf, "documents").select(
         "doc_id", src_num("source").alias("src_num")
     )
+
+
+@register(
+    "op74_jsonl_roundtrip",
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+    doc="JSON-lines sink+scan round trip with explicit schema "
+    "(text/jsonl is the interchange format training corpora "
+    "actually arrive in). Schema is pinned on read — json inference "
+    "is the csv-header trap with more types. Oracle = the original "
+    "table, proving losslessness for the typed columns.",
+)
+def op74_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    path = _scratch("documents_jsonl")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
+
+
+@register(
+    "op75_orc_roundtrip",
+    "SELECT l_orderkey, l_partkey, l_quantity, l_shipdate "
+    "FROM lineitem WHERE l_orderkey < 100",
+    doc="ORC sink+scan round trip (the other columnar format large "
+    "warehouses hand over; Spark ships the reader/writer built in). "
+    "Filter applied BEFORE the write so the oracle checks the "
+    "written subset; the re-scan carries the same pruned column "
+    "set.",
+)
+def op75_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    path = _scratch("lineitem_orc")
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+    )
+    li.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
