@@ -158,3 +158,17 @@ def incremental_span_intervals(
         "id", "pos", (F.col("pos") + n).alias("end")
     )
     return merge_islands(hits)
+
+
+def span_index_refresh_fn(path: str):
+    """Adapter for ``optimizer.sync_index_from_feed``: folds a change
+    feed's insert rows into the gram index (the span index is
+    insert-only by contract; updates/deletes mean compaction)."""
+
+    def fn(spark, table_key, changes, version, catalog=None):
+        inserts = changes.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).drop("_change_type")
+        refresh_span_gram_index(spark, path, inserts, version)
+
+    return fn

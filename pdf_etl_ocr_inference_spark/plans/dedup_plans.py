@@ -415,3 +415,68 @@ def dedup_span_incremental(spark: SparkSession, sf: str) -> DataFrame:
     path = f"{scratch_dir(f'spanidx_{safe}')}/index"
     build_span_gram_index(spark, base, path, n=6)
     return incremental_span_intervals(spark, path, batch)
+
+
+@register(
+    "dedup_span_stream_sync",
+    f"WITH {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_DUP}, {_SPAN_ISLANDS} "
+    "SELECT doc_id AS id, span_start, span_end FROM iv "
+    "WHERE doc_id % 97 = 5",
+    doc="triggered streaming maintenance of the span gram index: "
+    "documents change feed (v0 base insert, v1 first-arrivals "
+    "commit) → availableNow stream folds unseen commits via "
+    "refresh_span_gram_index (checkpoint + version watermark = "
+    "at-least-once with idempotent folds) → the NEXT batch probes "
+    "the synced index. ORACLED, unlike the hash-keyed sync "
+    "entries: the full-recompute restriction to the probe batch "
+    "must match value-for-value, which proves the fold actually "
+    "carried v1's grams in.",
+)
+def dedup_span_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from pdf_etl_ocr_inference_spark.operators.span_index import (
+        build_span_gram_index,
+        incremental_span_intervals,
+        span_index_refresh_fn,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import sync_index_from_feed
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        commit_changes,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    base = docs.filter(
+        (F.col("doc_id") % 97 != 3) & (F.col("doc_id") % 97 != 5)
+    )
+    batch1 = docs.filter(F.col("doc_id") % 97 == 3)
+    batch2 = docs.filter(F.col("doc_id") % 97 == 5)
+
+    safe = sf.strip("/").replace("/", "_")
+    scratch = scratch_dir(f"spansync_{safe}")
+    feed = f"{scratch}/feed"
+    commit_changes(
+        base.withColumn("_change_type", F.lit("insert")), feed, 0
+    )
+    commit_changes(
+        batch1.withColumn("_change_type", F.lit("insert")), feed, 1
+    )
+    path = f"{scratch}/index"
+    build_span_gram_index(spark, base, path, n=6)  # v0 state
+    change_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_change_type", T.StringType()),
+        ]
+    )
+    sync_index_from_feed(
+        spark,
+        feed,
+        f"spanidx/{safe}",
+        change_schema,
+        checkpoint_dir=f"{scratch}/ckpt",
+        refresh_fn=span_index_refresh_fn(path),
+    )
+    return incremental_span_intervals(spark, path, batch2)
