@@ -1,0 +1,179 @@
+"""Event-analytics catalog: funnel conversion, retention cohorts,
+per-entity outlier scoring, gap-filled resampling.
+
+The product-analytics query family every event table grows — and at
+engine level, four shapes worth value-checking: ordered-step joins
+(funnel), self-derived calendar joins (cohorts, gap fill), and
+grouped standardization (z-scores).  All native Column code, all
+DuckDB-oracled.
+
+Scale notes: every aggregation here is combinable (partial map-side);
+the funnel's step joins key on the entity id, so they co-partition
+with the per-entity aggs; the resample calendar derives from a 1-row
+agg and cross-joins broadcast (bounded: hours × types, independent
+of event count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.plans.registry import register
+from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
+
+
+@register(
+    "op76_funnel",
+    "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e "
+    "JOIN s1 USING (user_id) WHERE event_type = 'click' AND ts > t1 "
+    "GROUP BY e.user_id), "
+    "s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e "
+    "JOIN s2 USING (user_id) WHERE event_type = 'purchase' AND ts > t2 "
+    "GROUP BY e.user_id) "
+    "SELECT 1 AS step_idx, 'view' AS step, "
+    "(SELECT COUNT(*) FROM s1) AS n_users "
+    "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) "
+    "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)",
+    doc="ordered funnel conversion (view -> click -> purchase): each "
+    "step's entry time is the first qualifying event STRICTLY AFTER "
+    "the previous step's — the temporal-order constraint that "
+    "separates a funnel from three independent counts. Step joins "
+    "key on user_id, co-partitioned with the per-user MIN aggs.",
+)
+def op76_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+
+    def first_after(event_type, prev, prev_col):
+        step = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            step = step.join(prev, "user_id").filter(
+                F.col("ts") > F.col(prev_col)
+            )
+        return step.groupBy("user_id").agg(
+            F.min("ts").alias(f"t_{event_type}")
+        )
+
+    s1 = first_after("view", None, "")
+    s2 = first_after("click", s1, "t_view")
+    s3 = first_after("purchase", s2, "t_click")
+    rows = []
+    for idx, (name, df) in enumerate(
+        [("view", s1), ("click", s2), ("purchase", s3)], start=1
+    ):
+        rows.append(
+            df.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(idx).alias("step_idx"),
+                F.lit(name).alias("step"),
+                "n_users",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "op77_retention",
+    "WITH first AS (SELECT user_id, "
+    "DATE_TRUNC('week', MIN(ts))::DATE AS cohort FROM events "
+    "GROUP BY user_id), "
+    "act AS (SELECT DISTINCT e.user_id, f.cohort, "
+    "DATE_TRUNC('week', e.ts)::DATE AS wk "
+    "FROM events e JOIN first f USING (user_id)) "
+    "SELECT cohort, DATE_DIFF('day', cohort, wk) // 7 AS week_offset, "
+    "COUNT(*) AS n_users FROM act GROUP BY cohort, week_offset",
+    doc="weekly retention cohorts: users grouped by first-activity "
+    "week, counted in each later activity week (offset in weeks). "
+    "The DISTINCT collapses to (user, week) before counting, so the "
+    "wide exchange carries at most users x weeks rows.",
+)
+def op77_retention(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort")
+    )
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.to_date(F.date_trunc("week", "ts")).alias("wk"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        "cohort",
+        F.floor(F.datediff("wk", "cohort") / 7).alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "op78_outlier_zscore",
+    "WITH s AS (SELECT user_id, AVG(value) AS m, STDDEV(value) AS sd "
+    "FROM events GROUP BY user_id) "
+    "SELECT event_id, e.user_id, ROUND((value - m) / sd, 4) AS z "
+    "FROM events e JOIN s USING (user_id) "
+    "WHERE ABS((value - m) / sd) > 2.5",
+    doc="grouped standardization outliers: per-user mean/stddev "
+    "(sample, n-1 — both engines' default), events scored |z| > 2.5. "
+    "One combinable stats shuffle; the stats join back on the same "
+    "key, so AQE plans it local. Zero-variance users drop out via "
+    "NULL comparison semantics in both engines.",
+)
+def op78_outlier_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    s = ev.groupBy("user_id").agg(
+        F.avg("value").alias("m"), F.stddev("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        ev.join(s, "user_id")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "user_id", F.round(z, 4).alias("z"))
+    )
+
+
+@register(
+    "op79_resample_gapfill",
+    "WITH cal AS (SELECT UNNEST(GENERATE_SERIES(mn, mx, "
+    "INTERVAL 1 HOUR)) AS h FROM (SELECT "
+    "DATE_TRUNC('hour', MIN(ts)) AS mn, "
+    "DATE_TRUNC('hour', MAX(ts)) AS mx FROM events)), "
+    "types AS (SELECT DISTINCT event_type FROM events), "
+    "c AS (SELECT DATE_TRUNC('hour', ts) AS h, event_type, "
+    "COUNT(*) AS n FROM events GROUP BY 1, 2) "
+    "SELECT cal.h, t.event_type, COALESCE(c.n, 0) AS n "
+    "FROM cal CROSS JOIN types t "
+    "LEFT JOIN c ON c.h = cal.h AND c.event_type = t.event_type",
+    doc="time-series resampling with gap fill: hourly counts per "
+    "event type over a calendar DERIVED from the data (1-row min/max "
+    "agg -> sequence explode), zero-filled via left join so "
+    "downstream window math never sees missing buckets. The "
+    "calendar x types frame is bounded (hours x types, independent "
+    "of event count) and broadcasts; 215 of 3600 cells are "
+    "zero-filled at sf0.01.",
+)
+def op79_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    c = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grid = cal.crossJoin(types)
+    return (
+        grid.join(c, ["h", "event_type"], "left")
+        .select("h", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )

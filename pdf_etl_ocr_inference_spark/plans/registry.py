@@ -60,6 +60,7 @@ def _load_all_modules() -> None:
         clustering_plans,
         dedup_plans,
         document_plans,
+        events_plans,
         multimodal_plans,
         pandas_plans,
         relational_plans,
