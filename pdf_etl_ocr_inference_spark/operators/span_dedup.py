@@ -56,29 +56,25 @@ def _tokens(text_col: str):
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
-def _fanout_repartition(df: DataFrame) -> DataFrame:
-    """Spread the input across the cluster BEFORE a high-fan-out
-    explode.  ``maxPartitionBytes`` sizes scan partitions by input
-    bytes, but an n-gram explode amplifies each input row ~500× — a
-    corpus small enough to land in few partitions would run its
-    entire gram generation nearly serially (measured 10 s → 1.5 s at
-    sf0.1 for ``dup_span_stats``).  Only widens (never collapses a
-    well-partitioned input), so at real scale with thousands of scan
-    partitions this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
 def positional_ngrams(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
     """(id, pos, gram) for every token n-gram; pos is the 0-based
     token index of the gram's first token.  Docs shorter than ``n``
     tokens yield no grams (a doc that short IS its only span; doc-level
-    dedup owns that regime)."""
-    df = _fanout_repartition(df)
+    dedup owns that regime).
+
+    The input widens to default parallelism first
+    (``ensure_min_parallelism``): ``maxPartitionBytes`` sizes scan
+    partitions by input BYTES, but the explode amplifies each row
+    ~500×, so a compact corpus would otherwise run its whole gram
+    generation nearly serially (measured 10 s → 5 s at sf0.1); a
+    well-partitioned input passes through untouched."""
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        ensure_min_parallelism,
+    )
+
+    df = ensure_min_parallelism(df)
     toks = _tokens(text_col)
     # slice() is 1-based; guard short docs — sequence(0, negative)
     # would count DOWN, not produce an empty array.
