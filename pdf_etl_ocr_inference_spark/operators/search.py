@@ -29,6 +29,9 @@ so engines that differ in the last float ulp still rank identically.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -151,4 +154,79 @@ def hybrid_rrf(
             "vec_rank",
             F.round("_rrf", 6).alias("rrf"),
         )
+    )
+
+
+# ------------------------------------------------------------------ #
+# Two-stage ranked retrieval: cheap candidate generation over the    #
+# corpus, expensive model scoring over candidates only — the         #
+# retrieve -> rerank split every production search stack uses        #
+# (the reranker sees k docs, not the corpus, so its cost is O(k)     #
+# regardless of corpus size).                                        #
+# ------------------------------------------------------------------ #
+
+
+def make_rerank_udf(query_terms: list[str], score_fn=None):
+    """Iterator pandas UDF scoring (query, doc-text) relevance — the
+    OP-23 inference template (client init once per iterator, Arrow
+    batches).  ``score_fn(texts) -> list[float]`` is the injection
+    point for a real cross-encoder; the default is the deterministic
+    stub ``stub_cross_score`` so results are reproducible and
+    SQL-replayable (the catalog oracle depends on that)."""
+    from pyspark.sql import types as T
+
+    fn = score_fn or (lambda texts: stub_cross_score(query_terms, texts))
+
+    @F.pandas_udf(T.DoubleType())
+    def rerank(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # a real client would be constructed HERE, once per iterator
+        for series in it:
+            yield pd.Series(fn(series.tolist()))
+
+    return rerank
+
+
+def stub_cross_score(query_terms: list[str], texts: list[str]) -> list[float]:
+    """Deterministic stand-in for a cross-encoder: query-term
+    occurrence count normalized by sqrt(doc length).  Favors
+    term-dense short docs — a DIFFERENT ranking than BM25 (no idf, no
+    tf saturation), so the rerank stage visibly reorders."""
+    import math
+
+    out = []
+    for t in texts:
+        toks = t.strip().split()
+        hits = sum(toks.count(q) for q in query_terms)
+        out.append(hits / math.sqrt(len(toks)) if toks else 0.0)
+    return out
+
+
+def rerank_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    candidates_k: int = 50,
+    k: int = 10,
+    score_fn=None,
+) -> DataFrame:
+    """BM25 top-``candidates_k`` -> model rerank -> top-``k``:
+    (id, bm25_rank, score).  The candidate cut is a distributed
+    TakeOrderedAndProject; only ``candidates_k`` rows cross the
+    Python boundary."""
+    cand = _ranked_topk(
+        bm25_scores(df, text_col, id_col, query_terms),
+        "_score",
+        candidates_k,
+    ).withColumnRenamed("rank", "bm25_rank")
+    texts = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("_text")
+    )
+    scored = cand.join(texts, "id").withColumn(
+        "_rr", make_rerank_udf(query_terms, score_fn)("_text")
+    )
+    return (
+        scored.orderBy(F.round("_rr", 6).desc(), "id")
+        .limit(k)
+        .select("id", "bm25_rank", F.round("_rr", 4).alias("score"))
     )

@@ -618,3 +618,47 @@ def text_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
             "oov_rate"
         ),
     )
+
+
+@register(
+    "text_rerank_pipeline",
+    "WITH toks AS (SELECT doc_id, "
+    "STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents), "
+    "dl AS (SELECT doc_id, LEN(t) AS dl FROM toks), "
+    "stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM "
+    "(SELECT doc_id, UNNEST(t) AS term FROM toks) "
+    "WHERE term IN ('spark', 'vector', 'join') GROUP BY doc_id, term), "
+    "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "scored AS (SELECT tf.doc_id AS id, "
+    "SUM(LN(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) "
+    "* tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))"
+    ") AS sc FROM tf JOIN dfq USING (term) "
+    "JOIN dl USING (doc_id) CROSS JOIN stats s GROUP BY tf.doc_id), "
+    "cand AS (SELECT id, ROW_NUMBER() OVER "
+    "(ORDER BY ROUND(sc, 6) DESC, id) AS bm25_rank FROM "
+    "(SELECT id, sc FROM scored ORDER BY ROUND(sc, 6) DESC, id "
+    "LIMIT 50)), "
+    "rr AS (SELECT c.id, c.bm25_rank, "
+    "(LEN(LIST_FILTER(t.t, x -> x = 'spark')) + "
+    "LEN(LIST_FILTER(t.t, x -> x = 'vector')) + "
+    "LEN(LIST_FILTER(t.t, x -> x = 'join'))) / SQRT(LEN(t.t)) AS r "
+    "FROM cand c JOIN toks t ON t.doc_id = c.id) "
+    "SELECT id, bm25_rank, ROUND(r, 4) AS score FROM rr "
+    "ORDER BY ROUND(r, 6) DESC, id LIMIT 10",
+    doc="two-stage retrieval: BM25 top-50 candidate generation "
+    "(distributed, corpus-wide) -> cross-encoder rerank over ONLY "
+    "the candidates via the OP-23 iterator pandas UDF template "
+    "(client init once per stream; the stub scorer is deterministic "
+    "and SQL-replayed by the oracle, a real model drops into "
+    "score_fn) -> top-10. The reranker's cost is O(candidates) "
+    "regardless of corpus size — the split that makes expensive "
+    "models affordable at retrieval time.",
+)
+def text_rerank_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.search import rerank_topk
+
+    return rerank_topk(
+        _t(spark, sf, "documents"), "text", "doc_id",
+        ["spark", "vector", "join"], candidates_k=50, k=10,
+    )

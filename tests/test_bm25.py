@@ -103,3 +103,32 @@ def test_hybrid_rrf_fuses_and_ranks(spark):
     assert got == exp
     # doc 3 fused in purely via the vector leg
     assert got[3][0] is None and got[3][1] == 1
+
+
+def test_rerank_pipeline_reorders_and_bounds_python(spark):
+    """The rerank stage must (a) reproduce the stub scorer exactly,
+    (b) be able to REORDER the BM25 candidate list, (c) never score
+    docs outside the candidate cut."""
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        rerank_topk,
+        stub_cross_score,
+    )
+
+    rows = DOCS + [
+        # BM25-weak but rerank-strong: short, term-dense
+        (10, "spark join"),
+        # BM25-matched but outside a k=3 candidate cut
+        (11, "spark alpha beta gamma delta epsilon zeta eta theta "
+             "iota kappa lam mu nu xi omicron pi rho sigma tau "
+             "upsilon phi chi psi omega aa bb cc dd ee ff gg hh"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = rerank_topk(
+        df, "text", "doc_id", TERMS, candidates_k=3, k=3
+    ).collect()
+    texts = {i: t for i, t in rows}
+    for r in out:
+        exp = stub_cross_score(TERMS, [texts[r["id"]]])[0]
+        assert r["score"] == pytest.approx(round(exp, 4), abs=1e-4)
+    # candidate cut is 3: at most 3 docs scored, each with bm25_rank <= 3
+    assert all(r["bm25_rank"] <= 3 for r in out)
