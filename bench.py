@@ -44,6 +44,13 @@ BENCH_QUERIES = [
     "op51_sessionize",
     "mm_frame_sample",
     "op45_stream_tumbling",
+    # round-3 continuation additions: substring dedup, lexical +
+    # two-stage retrieval, event analytics
+    "dedup_span_intervals",
+    "text_bm25_topk",
+    "text_rerank_pipeline",
+    "op76_funnel",
+    "pipeline_span_clean_corpus",
 ]
 
 

@@ -230,3 +230,161 @@ def rerank_topk(
         .limit(k)
         .select("id", "bm25_rank", F.round("_rr", 4).alias("score"))
     )
+
+
+# ------------------------------------------------------------------ #
+# Persisted postings index: BM25 without re-tokenizing the corpus    #
+# per query.  Layout mirrors the other incremental indexes           #
+# (span_index / dedup_index): term-keyed rows partitioned by         #
+# _pb = pmod(xxhash64(term), 64) so a query scans only its terms'    #
+# partition dirs; corpus stats (N, Σdl) ride the meta and are        #
+# maintained by every refresh, so scoring needs NO corpus pass.      #
+# Append-only contract like the span index: batches carry new doc    #
+# ids only; updates/deletes are a compaction (rebuild).              #
+# ------------------------------------------------------------------ #
+
+_POSTINGS_PB = 64
+_POSTINGS_META = "_postings_meta.json"
+
+
+def _postings_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    docs = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    return (
+        docs.select("id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term"))
+        .groupBy("term", "id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("_pb", F.pmod(F.xxhash64("term"), F.lit(_POSTINGS_PB)))
+    )
+
+
+def build_postings_index(
+    spark, df: DataFrame, path: str, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Materialize (term, id, dl, tf) postings partitioned by the
+    term-hash bucket, plus corpus stats in the meta.  One combinable
+    shuffle over the corpus, written once."""
+    import json
+    import os
+
+    rows = _postings_rows(df, text_col, id_col)
+    (
+        rows.repartition("_pb")
+        .sortWithinPartitions("_pb", "term", "id")
+        .write.mode("overwrite")
+        .partitionBy("_pb")
+        .parquet(path)
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    stats = df.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ).first()
+    with open(os.path.join(path, _POSTINGS_META), "w") as f:
+        json.dump(
+            {
+                "n_docs": int(stats["n"]),
+                "sum_dl": int(stats["sum_dl"]),
+                "last_version": 0,
+            },
+            f,
+        )
+    return path
+
+
+def refresh_postings_index(
+    spark, path: str, batch: DataFrame, version: int,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> None:
+    """Fold a new-arrivals batch in: append its postings, bump the
+    corpus stats (N, Σdl) in the meta.  Idempotent per version."""
+    import json
+    import os
+
+    mp = os.path.join(path, _POSTINGS_META)
+    with open(mp) as f:
+        meta = json.load(f)
+    if version <= meta["last_version"]:
+        return
+    rows = _postings_rows(batch, text_col, id_col)
+    (
+        rows.repartition("_pb")
+        .sortWithinPartitions("_pb", "term", "id")
+        .write.mode("append")
+        .partitionBy("_pb")
+        .parquet(path)
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    stats = batch.select(F.size(toks).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ).first()
+    meta["n_docs"] += int(stats["n"] or 0)
+    meta["sum_dl"] += int(stats["sum_dl"] or 0)
+    meta["last_version"] = version
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+
+
+def bm25_topk_indexed(
+    spark, path: str, query_terms: list[str], k: int = 20
+) -> DataFrame:
+    """BM25 top-k served FROM the postings index: the scan touches
+    only the query terms' ``_pb`` partition dirs and the matching
+    term rows inside them (min/max row-group pruning on the sorted
+    ``term`` column); corpus stats come from the meta — no corpus
+    pass, no full-index scan.  Scores are identical to the batch
+    ``bm25_topk`` by construction (same formula, same stats) —
+    asserted in tests and by the catalog oracle."""
+    import json
+    import os
+
+    with open(os.path.join(path, _POSTINGS_META)) as f:
+        meta = json.load(f)
+    n_docs = meta["n_docs"]
+    avgdl = meta["sum_dl"] / max(n_docs, 1)
+    pbs = sorted(
+        {
+            # replicate pmod(xxhash64) via a 1-row plan — cheaper than
+            # shipping a python xxhash implementation
+            r["_pb"]
+            for r in spark.createDataFrame(
+                [(t,) for t in query_terms], "term string"
+            )
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(_POSTINGS_PB)).alias("_pb")
+            )
+            .collect()
+        }
+    )
+    post = (
+        spark.read.parquet(path)
+        .filter(F.col("_pb").isin(pbs))
+        .filter(F.col("term").isin(query_terms))
+    )
+    dfq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        post.join(F.broadcast(dfq), "term")
+        .select(
+            "id",
+            (
+                F.log(
+                    1.0
+                    + (F.lit(n_docs) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("id")
+        .agg(F.sum("_s").alias("_score"))
+    )
+    return (
+        scored.orderBy(F.round("_score", 6).desc(), "id")
+        .limit(k)
+        .select("id", F.round("_score", 4).alias("score"))
+    )

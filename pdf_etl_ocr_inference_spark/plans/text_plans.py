@@ -469,9 +469,10 @@ def text_repeated_phrases(spark: SparkSession, sf: str) -> DataFrame:
 
 _BM25_TERMS = ("spark", "vector", "join")
 
-
-@register(
-    "text_bm25_topk",
+# Shared BM25 oracle: the same SQL verifies the batch scorer, the
+# postings-index-served scorer, and the incrementally-refreshed
+# index — all three must produce the identical ranked list.
+_BM25_ORACLE = (
     "WITH toks AS (SELECT doc_id, "
     "STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents), "
     "dl AS (SELECT doc_id, LEN(t) AS dl FROM toks), "
@@ -486,7 +487,13 @@ _BM25_TERMS = ("spark", "vector", "join")
     ") AS sc FROM tf JOIN dfq USING (term) "
     "JOIN dl USING (doc_id) CROSS JOIN stats s GROUP BY tf.doc_id) "
     "SELECT id, ROUND(sc, 4) AS score FROM scored "
-    "ORDER BY ROUND(sc, 6) DESC, id LIMIT 20",
+    "ORDER BY ROUND(sc, 6) DESC, id LIMIT 20"
+)
+
+
+@register(
+    "text_bm25_topk",
+    _BM25_ORACLE,
     doc="Okapi BM25 ranked retrieval (k1=1.2, b=0.75, Lucene idf "
     "floor) for a 3-term query, top-20.  Postings are filtered to "
     "the query's terms BEFORE any shuffle; df/corpus stats are "
@@ -662,3 +669,55 @@ def text_rerank_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "documents"), "text", "doc_id",
         ["spark", "vector", "join"], candidates_k=50, k=10,
     )
+
+
+@register(
+    "text_bm25_indexed",
+    _BM25_ORACLE,
+    doc="BM25 served FROM the persisted postings index: (term, id, "
+    "dl, tf) rows partitioned by pmod(xxhash64(term), 64), corpus "
+    "stats (N, sum dl) in the index meta. The query scans only its "
+    "terms' partition dirs + matching sorted term rows — no corpus "
+    "pass, no full-index scan. SAME oracle as text_bm25_topk: the "
+    "served ranking must equal the batch ranking exactly.",
+)
+def text_bm25_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        bm25_topk_indexed,
+        build_postings_index,
+    )
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
+    docs = _t(spark, sf, "documents")
+    safe = sf.strip("/").replace("/", "_")
+    path = f"{scratch_dir(f'postings_{safe}')}/index"
+    build_postings_index(spark, docs, path)
+    return bm25_topk_indexed(spark, path, list(_BM25_TERMS), k=20)
+
+
+@register(
+    "text_bm25_index_incremental",
+    _BM25_ORACLE,
+    doc="incrementally-maintained postings index: built on the base "
+    "corpus (doc_id % 97 != 3), the arrivals batch folds in via "
+    "refresh_postings_index (postings append + N/sum-dl stat bump "
+    "under a version watermark). SAME oracle as the batch scorer "
+    "over the FULL corpus — passing proves the refresh maintained "
+    "both the postings and the global stats exactly.",
+)
+def text_bm25_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        bm25_topk_indexed,
+        build_postings_index,
+        refresh_postings_index,
+    )
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
+    docs = _t(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") % 97 != 3)
+    batch = docs.filter(F.col("doc_id") % 97 == 3)
+    safe = sf.strip("/").replace("/", "_")
+    path = f"{scratch_dir(f'postings_inc_{safe}')}/index"
+    build_postings_index(spark, base, path)
+    refresh_postings_index(spark, path, batch, version=1)
+    return bm25_topk_indexed(spark, path, list(_BM25_TERMS), k=20)

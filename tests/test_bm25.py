@@ -132,3 +132,34 @@ def test_rerank_pipeline_reorders_and_bounds_python(spark):
         assert r["score"] == pytest.approx(round(exp, 4), abs=1e-4)
     # candidate cut is 3: at most 3 docs scored, each with bm25_rank <= 3
     assert all(r["bm25_rank"] <= 3 for r in out)
+
+
+def test_postings_index_serves_and_refreshes(spark, tmp_path):
+    """Indexed BM25 == batch BM25; refresh folds a batch (stats AND
+    postings) and the version guard makes redelivery a no-op."""
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        bm25_topk_indexed,
+        build_postings_index,
+        refresh_postings_index,
+    )
+
+    base = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(50, "spark vector spark vector join"),
+         (51, "nothing relevant here at all")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "postings")
+    build_postings_index(spark, base, path)
+    served = bm25_topk_indexed(spark, path, TERMS, k=10).collect()
+    batch_ref = bm25_topk(base, "text", "doc_id", TERMS, k=10).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in batch_ref]
+
+    refresh_postings_index(spark, path, batch, version=1)
+    refresh_postings_index(spark, path, batch, version=1)  # redelivery
+    after = bm25_topk_indexed(spark, path, TERMS, k=10).collect()
+    full = bm25_topk(
+        base.unionByName(batch), "text", "doc_id", TERMS, k=10
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in full]
+    assert any(r["id"] == 50 for r in after)
