@@ -134,8 +134,22 @@ def dup_span_intervals(
     [span_start, span_end).  Overlapping AND touching occurrences merge
     (touching spans are one duplicated region at resolution n)."""
     occ = positional_ngrams(df, text_col, id_col, n)
-    dup = dup_span_stats(df, text_col, id_col, n, min_docs, max_doc_freq)
-    hits = occ.join(dup.select("gram"), "gram").select(
+    if min_docs == 2 and max_doc_freq is None:
+        # fast path: ">= 2 distinct docs" ⟺ min(id) < max(id) — one
+        # plain combinable agg instead of countDistinct's two-phase
+        # distinct expansion (one exchange fewer on the corpus-sized
+        # gram stream)
+        dup = (
+            occ.groupBy("gram")
+            .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
+            .filter(F.col("_mn") < F.col("_mx"))
+            .select("gram")
+        )
+    else:
+        dup = dup_span_stats(
+            df, text_col, id_col, n, min_docs, max_doc_freq
+        ).select("gram")
+    hits = occ.join(dup, "gram").select(
         "id", "pos", (F.col("pos") + n).alias("end")
     )
     return merge_islands(hits)
