@@ -650,3 +650,74 @@ def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "op80_null_handling",
+    "WITH withnulls AS (SELECT c_custkey, "
+    "CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal, "
+    "CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL "
+    "ELSE c_mktsegment END AS seg FROM customer) "
+    "SELECT COALESCE(seg, 'UNKNOWN') AS seg, "
+    "COUNT(*) AS n, "
+    "SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS n_null_bal, "
+    "ROUND(AVG(COALESCE(bal, 0.0)), 4) AS avg_filled, "
+    "SUM(CASE WHEN bal IS NOT NULL THEN 1 ELSE 0 END) AS n_dropna "
+    "FROM withnulls GROUP BY 1",
+    doc="missing-data surface: nullify deterministically (the TPC-H "
+    "fixture has no NULLs), then fillna (COALESCE default), dropna "
+    "(IS NOT NULL count), and null-count profiling per group — the "
+    "df.na.fill / na.drop API family, all codegen'd expressions.",
+)
+def op80_null_handling(spark: SparkSession, sf: str) -> DataFrame:
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.when(F.col("c_mktsegment") == "MACHINERY", None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    filled = cust.na.fill({"seg": "UNKNOWN"})
+    return filled.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("bal").isNull().cast("long")).alias("n_null_bal"),
+        F.round(F.avg(F.coalesce("bal", F.lit(0.0))), 4).alias(
+            "avg_filled"
+        ),
+        F.sum(F.col("bal").isNotNull().cast("long")).alias("n_dropna"),
+    )
+
+
+@register(
+    "op81_unpivot",
+    "SELECT n_nationkey, 'customers' AS metric, CAST(c AS DOUBLE) AS v "
+    "FROM (SELECT n_nationkey, COUNT(DISTINCT c_custkey) AS c, "
+    "ROUND(SUM(c_acctbal), 2) AS b FROM nation "
+    "JOIN customer ON c_nationkey = n_nationkey GROUP BY n_nationkey) "
+    "UNION ALL "
+    "SELECT n_nationkey, 'balance', b "
+    "FROM (SELECT n_nationkey, COUNT(DISTINCT c_custkey) AS c, "
+    "ROUND(SUM(c_acctbal), 2) AS b FROM nation "
+    "JOIN customer ON c_nationkey = n_nationkey GROUP BY n_nationkey)",
+    doc="unpivot/melt (the inverse of op59's pivot): wide per-nation "
+    "metrics to long (key, metric, value) rows via DataFrame.unpivot "
+    "— narrow row-local expansion, no shuffle beyond the input agg.",
+)
+def op81_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    wide = (
+        _t(spark, sf, "nation")
+        .join(
+            _t(spark, sf, "customer"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_nationkey")
+        .agg(
+            F.countDistinct("c_custkey").cast("double").alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("balance"),
+        )
+    )
+    return wide.unpivot(
+        ["n_nationkey"], ["customers", "balance"], "metric", "v"
+    )
