@@ -93,13 +93,41 @@ def bm25_topk(
     id_col: str,
     query_terms: list[str],
     k: int = 20,
+    table_key: str | None = None,
 ) -> DataFrame:
-    """Top-k documents for a bag-of-words query: (id, score)."""
+    """Top-k documents for a bag-of-words query: (id, score).
+
+    ``table_key`` declares that ``df`` is exactly the corpus whose
+    postings index is registered under that key: the BM25 hint rides
+    the score column's metadata and ``optimizer.rewrite_bm25_topk``
+    may substitute the postings-index probe for this corpus-wide
+    scan — same contract as ``topk_exact``'s similarity hint.  The
+    hinted plan ranks on the ROUNDED-4 score attribute itself (so
+    the rewrite rule can match the sort key structurally); the
+    unhinted path keeps the finer 6-decimal rank."""
+    scored = bm25_scores(df, text_col, id_col, query_terms)
+    if table_key is None:
+        return (
+            scored.orderBy(F.round("_score", 6).desc(), "id")
+            .limit(k)
+            .select("id", F.round("_score", 4).alias("score"))
+        )
+    import json as _json
+
+    from pdf_etl_ocr_inference_spark.optimizer import BM25_HINT_KEY
+
+    hint = _json.dumps(
+        {"query_terms": list(query_terms), "table_key": table_key}
+    )
     return (
-        bm25_scores(df, text_col, id_col, query_terms)
-        .orderBy(F.round("_score", 6).desc(), "id")
+        scored.select(
+            "id",
+            F.round("_score", 4).alias(
+                "score", metadata={BM25_HINT_KEY: hint}
+            ),
+        )
+        .orderBy(F.desc("score"), "id")
         .limit(k)
-        .select("id", F.round("_score", 4).alias("score"))
     )
 
 
@@ -326,7 +354,8 @@ def refresh_postings_index(
 
 
 def bm25_topk_indexed(
-    spark, path: str, query_terms: list[str], k: int = 20
+    spark, path: str, query_terms: list[str], k: int = 20,
+    rank_decimals: int = 6,
 ) -> DataFrame:
     """BM25 top-k served FROM the postings index: the scan touches
     only the query terms' ``_pb`` partition dirs and the matching
@@ -384,7 +413,7 @@ def bm25_topk_indexed(
         .agg(F.sum("_s").alias("_score"))
     )
     return (
-        scored.orderBy(F.round("_score", 6).desc(), "id")
+        scored.orderBy(F.round("_score", rank_decimals).desc(), "id")
         .limit(k)
         .select("id", F.round("_score", 4).alias("score"))
     )

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 HINT_KEY = "spark_graft.similarity_hint"
+BM25_HINT_KEY = "spark_graft.bm25_hint"
 
 # Per-process root (see scratch.py): concurrent gate/bench sessions
 # on one machine get private index trees instead of racing on a
@@ -821,4 +822,53 @@ def knn_join(
             F.round("_score", 4).alias("score"),
             "rank",
         )
+    )
+
+
+# ------------------------------------------------------------------
+# BM25 rewrite: corpus-scan lexical top-k -> postings-index probe
+# ------------------------------------------------------------------
+
+
+def rewrite_bm25_topk(
+    df: DataFrame, catalog: IndexCatalog | None = None
+) -> DataFrame:
+    """Lexical twin of :func:`rewrite_similarity_topk`: a hinted BM25
+    top-k plan (``bm25_topk(..., table_key=...)``) over a corpus whose
+    POSTINGS index is registered under that key rewrites to
+    ``bm25_topk_indexed`` — the probe scans only the query terms'
+    partition dirs and scores from the index meta's corpus stats, no
+    corpus pass.  Same guard rails: the plan must structurally match
+    GlobalLimit > LocalLimit > Sort(score DESC, ...) on the hinted
+    attribute, and the catalog must hold a ``postings``-kind index —
+    otherwise ``df`` returns unchanged (object-identical)."""
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        bm25_topk_indexed,
+    )
+
+    field = None
+    for f in df.schema.fields:
+        if f.metadata and BM25_HINT_KEY in f.metadata:
+            field = f
+            break
+    if field is None:
+        return df
+    hint = json.loads(field.metadata[BM25_HINT_KEY])
+    if not hint.get("table_key") or not hint.get("query_terms"):
+        return df
+    k = _plan_matches_topk(df, field.name)
+    if k is None:
+        return df
+    cat = catalog or IndexCatalog()
+    idx = cat.lookup(hint["table_key"])
+    if idx is None or idx.get("kind") != "postings" or "path" not in idx:
+        return df
+    # the hinted plan ranks on the rounded-4 score attribute; the
+    # served plan must rank identically for exact equivalence
+    return bm25_topk_indexed(
+        df.sparkSession,
+        idx["path"],
+        list(hint["query_terms"]),
+        k=k,
+        rank_decimals=4,
     )

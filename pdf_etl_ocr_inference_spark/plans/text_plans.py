@@ -721,3 +721,45 @@ def text_bm25_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
     build_postings_index(spark, base, path)
     refresh_postings_index(spark, path, batch, version=1)
     return bm25_topk_indexed(spark, path, list(_BM25_TERMS), k=20)
+
+
+@register(
+    "text_bm25_rewrite",
+    # the hinted plan ranks on the ROUNDED-4 score attribute (so the
+    # rewrite rule can match the sort key structurally) — the oracle
+    # replays that exact ordering
+    _BM25_ORACLE.replace(
+        "ORDER BY ROUND(sc, 6) DESC, id", "ORDER BY ROUND(sc, 4) DESC, id"
+    ),
+    doc="the ENGINE REWRITE routing lexical top-k onto the postings "
+    "index: bm25_topk(table_key=...) rides a hint on the score "
+    "column; rewrite_bm25_topk matches the analyzed "
+    "GlobalLimit>LocalLimit>Sort plan and substitutes the "
+    "partition-pruned postings probe (scored from index-meta corpus "
+    "stats — no corpus pass). Guard rails leave unhinted/unindexed "
+    "plans object-identical. Lexical twin of ann_rewrite_topk; "
+    "oracled because the probe must reproduce the scan's ranking "
+    "exactly.",
+)
+def text_bm25_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        bm25_topk,
+        build_postings_index,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        IndexCatalog,
+        rewrite_bm25_topk,
+    )
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
+    docs = _t(spark, sf, "documents")
+    safe = sf.strip("/").replace("/", "_")
+    path = f"{scratch_dir(f'postings_rw_{safe}')}/index"
+    build_postings_index(spark, docs, path)
+    cat = IndexCatalog()
+    key = f"postings/documents/{safe}"
+    cat.register(key, {"kind": "postings", "path": path})
+    plan = bm25_topk(
+        docs, "text", "doc_id", list(_BM25_TERMS), k=20, table_key=key
+    )
+    return rewrite_bm25_topk(plan, catalog=cat)
