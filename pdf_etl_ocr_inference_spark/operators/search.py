@@ -296,12 +296,12 @@ def build_postings_index(
     import json
     import os
 
-    rows = _postings_rows(df, text_col, id_col)
+    rows = _postings_rows(df, text_col, id_col).withColumn("v", F.lit(0))
     (
         rows.repartition("_pb")
         .sortWithinPartitions("_pb", "term", "id")
         .write.mode("overwrite")
-        .partitionBy("_pb")
+        .partitionBy("v", "_pb")
         .parquet(path)
     )
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
@@ -324,22 +324,29 @@ def refresh_postings_index(
     spark, path: str, batch: DataFrame, version: int,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> None:
-    """Fold a new-arrivals batch in: append its postings, bump the
-    corpus stats (N, Σdl) in the meta.  Idempotent per version."""
+    """Fold a new-arrivals batch in: append its postings under a
+    ``v=<version>`` partition, bump the corpus stats (N, Σdl) in the
+    meta.  Idempotent per version: the watermark skips re-applied
+    commits AND a retry clears its own version dir first, so a crash
+    between the append and the meta bump cannot double-count."""
     import json
     import os
+    import shutil
 
     mp = os.path.join(path, _POSTINGS_META)
     with open(mp) as f:
         meta = json.load(f)
     if version <= meta["last_version"]:
         return
-    rows = _postings_rows(batch, text_col, id_col)
+    shutil.rmtree(os.path.join(path, f"v={version}"), ignore_errors=True)
+    rows = _postings_rows(batch, text_col, id_col).withColumn(
+        "v", F.lit(version)
+    )
     (
         rows.repartition("_pb")
         .sortWithinPartitions("_pb", "term", "id")
         .write.mode("append")
-        .partitionBy("_pb")
+        .partitionBy("v", "_pb")
         .parquet(path)
     )
     toks = F.split(F.trim(F.col(text_col)), r"\s+")

@@ -74,12 +74,14 @@ def build_span_gram_index(
     """Materialize the corpus gram-stats index: one combinable shuffle
     over the corpus (the same aggregation the batch op pays), written
     once."""
-    rows = _with_pb(_gram_df(docs, text_col, id_col, n))
+    rows = _with_pb(_gram_df(docs, text_col, id_col, n)).withColumn(
+        "v", F.lit(0)
+    )
     (
         rows.repartition("_pb")
         .sortWithinPartitions("_pb", "gram")
         .write.mode("overwrite")
-        .partitionBy("_pb")
+        .partitionBy("v", "_pb")
         .parquet(path)
     )
     with open(os.path.join(path, _META), "w") as f:
@@ -96,19 +98,30 @@ def refresh_span_gram_index(
     id_col: str = "doc_id",
 ) -> None:
     """Fold a batch's gram dfs in, append-only.  Idempotent per
-    version (the watermark skips re-applied commits, so at-least-once
-    feeds fold exactly once); cost ∝ batch."""
+    version: the meta watermark skips re-applied commits, AND the
+    rows land under a ``v=<version>`` partition that a retry first
+    clears — so a crash BETWEEN the parquet append and the meta bump
+    cannot double-count the batch (the failure mode version-column-
+    free append-then-watermark schemes have)."""
+    import shutil
+
     mp = os.path.join(path, _META)
     with open(mp) as f:
         meta = json.load(f)
     if version <= meta["last_version"]:
         return
-    rows = _with_pb(_gram_df(batch, text_col, id_col, meta["n"]))
+    # clear any partial/orphaned copy of THIS version from a crashed
+    # previous attempt before re-appending
+    vdir = os.path.join(path, f"v={version}")
+    shutil.rmtree(vdir, ignore_errors=True)
+    rows = _with_pb(
+        _gram_df(batch, text_col, id_col, meta["n"])
+    ).withColumn("v", F.lit(version))
     (
         rows.repartition("_pb")
         .sortWithinPartitions("_pb", "gram")
         .write.mode("append")
-        .partitionBy("_pb")
+        .partitionBy("v", "_pb")
         .parquet(path)
     )
     meta["last_version"] = version

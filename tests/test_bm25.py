@@ -163,3 +163,42 @@ def test_postings_index_serves_and_refreshes(spark, tmp_path):
     ).collect()
     assert [tuple(r) for r in after] == [tuple(r) for r in full]
     assert any(r["id"] == 50 for r in after)
+
+
+def test_postings_refresh_crash_retry_heals(spark, tmp_path):
+    """Crash between postings append and meta bump: the retry clears
+    its own version dir, so postings are not duplicated (stats would
+    double-drift silently otherwise)."""
+    import json
+    import os
+
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        bm25_topk_indexed,
+        build_postings_index,
+        refresh_postings_index,
+    )
+
+    base = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(50, "spark vector spark vector join")], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "postings")
+    build_postings_index(spark, base, path)
+    refresh_postings_index(spark, path, batch, version=1)
+    clean = [
+        tuple(r) for r in bm25_topk_indexed(spark, path, TERMS).collect()
+    ]
+    mp = os.path.join(path, "_postings_meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    meta["last_version"] = 0
+    # roll stats back too, as the crashed attempt never bumped them
+    meta["n_docs"] -= 1
+    meta["sum_dl"] -= 5
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    refresh_postings_index(spark, path, batch, version=1)
+    healed = [
+        tuple(r) for r in bm25_topk_indexed(spark, path, TERMS).collect()
+    ]
+    assert healed == clean

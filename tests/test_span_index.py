@@ -97,3 +97,29 @@ def test_refresh_version_idempotent(spark, tmp_path):
         incremental_span_intervals(spark, path, _docs(spark, BATCH2))
     )
     assert before == after
+
+
+def test_refresh_crash_between_append_and_meta_heals(spark, tmp_path):
+    """Simulate the crash window: rows appended but meta not bumped.
+    The retry must NOT double-count the batch's dfs."""
+    import json
+    import os
+
+    path = str(tmp_path / "idx")
+    build_span_gram_index(spark, _docs(spark, CORPUS), path, n=6)
+    refresh_span_gram_index(spark, path, _docs(spark, BATCH1), version=1)
+    clean = _ivals(
+        incremental_span_intervals(spark, path, _docs(spark, BATCH2))
+    )
+    # roll the watermark back as if the process died pre-bump
+    mp = os.path.join(path, "_spanindex_meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    meta["last_version"] = 0
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    refresh_span_gram_index(spark, path, _docs(spark, BATCH1), version=1)
+    healed = _ivals(
+        incremental_span_intervals(spark, path, _docs(spark, BATCH2))
+    )
+    assert healed == clean
