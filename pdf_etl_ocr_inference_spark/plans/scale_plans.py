@@ -511,3 +511,76 @@ def op73_skew_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
         F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_cnt"),
     )
+
+
+_PR_GRAPH = (
+    "toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') "
+    "AS t FROM documents), "
+    "occ AS (SELECT doc_id, ARRAY_TO_STRING(t[i+1:i+6], ' ') AS gram "
+    "FROM toks, UNNEST(RANGE(0, GREATEST(LEN(t) - 5, 0))) AS r(i)), "
+    "dup AS (SELECT gram FROM occ GROUP BY gram "
+    "HAVING COUNT(DISTINCT doc_id) >= 2), "
+    "dp AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib "
+    "FROM occ a JOIN occ b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+    "JOIN dup d ON d.gram = a.gram), "
+    "edges AS (SELECT ia AS s, ib AS t FROM dp "
+    "UNION ALL SELECT ib, ia FROM dp), "
+    "deg AS (SELECT s, COUNT(*) AS outd FROM edges GROUP BY s), "
+    "nn AS (SELECT COUNT(DISTINCT s) AS c FROM edges)"
+)
+
+_PR_STEP = (
+    "{next} AS (SELECT e.t AS id, "
+    "0.15::DOUBLE / (SELECT c FROM nn) + 0.85::DOUBLE * "
+    "SUM(r.r / d.outd) AS r FROM edges e "
+    "JOIN {prev} r ON r.id = e.s JOIN deg d ON d.s = e.s GROUP BY e.t)"
+)
+
+
+@register(
+    "graph_pagerank",
+    "WITH " + _PR_GRAPH + ", "
+    "r0 AS (SELECT DISTINCT s AS id, "
+    "1.0::DOUBLE / (SELECT c FROM nn) AS r FROM edges), "
+    + _PR_STEP.format(next="r1", prev="r0") + ", "
+    + _PR_STEP.format(next="r2", prev="r1") + ", "
+    + _PR_STEP.format(next="r3", prev="r2") + " "
+    "SELECT id, ROUND(r, 6) AS rank_score FROM r3",
+    doc="PageRank (3 fixed power iterations, d=0.85) over the "
+    "span-share graph: docs are linked when they share a cross-doc "
+    "duplicated 6-gram — reuse-centrality for corpus curation (a "
+    "doc whose passages echo through many others is boilerplate-"
+    "like even below pair-dedup thresholds). Per iteration: one "
+    "edge-list shuffle + one combinable agg; the corpus never "
+    "enters the loop. Oracle unrolls the identical 3 iterations.",
+)
+def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.graph import pagerank
+    from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+        positional_ngrams,
+    )
+
+    docs = _t(spark, sf, "documents")
+    occ = positional_ngrams(docs, "text", "doc_id", 6).select(
+        "id", "gram"
+    )
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
+        .filter(F.col("_mn") < F.col("_mx"))
+        .select("gram")
+    )
+    a = occ.join(dup, "gram").select("gram", F.col("id").alias("ia"))
+    b = occ.join(dup, "gram").select("gram", F.col("id").alias("ib"))
+    dp = (
+        a.join(b, "gram")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    edges = dp.select(
+        F.col("ia").alias("src"), F.col("ib").alias("dst")
+    ).unionByName(
+        dp.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
+    )
+    return pagerank(edges, iterations=3, damping=0.85)

@@ -1,0 +1,64 @@
+"""PageRank: parity with a dense numpy power iteration, hub-node
+centrality, and determinism across partition layouts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pdf_etl_ocr_inference_spark.operators.graph import pagerank
+
+# star (0 is hub of 1-4) + a separate triangle (10, 11, 12)
+UNDIRECTED = [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (11, 12), (10, 12)]
+
+
+def _edges(spark, pairs, parts=1):
+    sym = pairs + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(sym, ["src", "dst"])
+    return df.repartition(parts) if parts > 1 else df
+
+
+def _numpy_pr(pairs, iters=3, d=0.85):
+    sym = pairs + [(b, a) for a, b in pairs]
+    ids = sorted({x for e in sym for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out = np.zeros(n)
+    for s, _ in sym:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - d) / n)
+        for s, t in sym:
+            nxt[idx[t]] += d * r[idx[s]] / out[idx[s]]
+        r = nxt
+    return {v: r[idx[v]] for v in ids}
+
+
+def test_matches_numpy_power_iteration(spark):
+    got = {
+        r["id"]: r["rank_score"]
+        for r in pagerank(_edges(spark, UNDIRECTED)).collect()
+    }
+    exp = _numpy_pr(UNDIRECTED)
+    assert set(got) == set(exp)
+    for v, r in exp.items():
+        assert got[v] == pytest.approx(round(r, 6), abs=1e-6)
+
+
+def test_hub_outranks_leaves_and_triangle_uniform(spark):
+    got = {
+        r["id"]: r["rank_score"]
+        for r in pagerank(_edges(spark, UNDIRECTED)).collect()
+    }
+    assert got[0] > got[1]  # star hub beats its leaves
+    assert got[1] == got[2] == got[3] == got[4]  # leaves symmetric
+    assert got[10] == got[11] == got[12]  # regular triangle uniform
+
+
+def test_partition_layout_invariance(spark):
+    a = sorted(map(tuple, pagerank(_edges(spark, UNDIRECTED)).collect()))
+    b = sorted(
+        map(tuple, pagerank(_edges(spark, UNDIRECTED, parts=7)).collect())
+    )
+    assert a == b
