@@ -61,9 +61,19 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     strict: bool = False,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the latest right row with
-    ``right_ts <= left_ts`` (``<`` when ``strict``) for the same key.
+    ``right_ts <= left_ts`` (``<`` when ``strict``) for the same key —
+    or, with ``direction="forward"``, the EARLIEST right row with
+    ``right_ts >= left_ts`` (``>`` when strict).
+
+    ``tolerance_seconds`` nulls the match when the matched row is
+    farther than the tolerance from ``left_ts``.  That equals
+    "nearest within tolerance": the as-of match is the nearest
+    qualifying row, and every other candidate is farther out, so a
+    too-far match means NO candidate is in range.
 
     Spark has no native as-of join; the naive formulation (range join +
     per-left-row max) explodes quadratically per key.  This is the
@@ -80,12 +90,18 @@ def asof_join(
     Output: all left columns + ``value_cols`` from the matched right
     row (null when no prior right row exists).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     # Within one timestamp the carry window includes rows up to and
     # including the current one, so visibility of a same-ts right row
-    # is decided by sort order: non-strict → right first (visible),
-    # strict → left first (not yet visible).
-    side_order = 0 if strict else 1  # left's tag; right gets the other
+    # is decided by sort order.  Backward (carry PAST values forward):
+    # non-strict → right first (visible), strict → left first.
+    # Forward (carry FUTURE values backward) mirrors it.
+    if direction == "backward":
+        side_order = 0 if strict else 1  # left's tag; right gets the other
+    else:
+        side_order = 1 if strict else 0
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
@@ -102,23 +118,49 @@ def asof_join(
         ).alias("_l"),
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    carry_ts = [pick("_rts").alias("_rv__ts")] if tolerance_seconds is not None else []
+    if tolerance_seconds is not None:
+        l_tagged = l_tagged.withColumn("_rts", F.lit(None).cast("timestamp"))
+        r_tagged = r_tagged.withColumn("_rts", F.col("_ts"))
     carried = l_tagged.unionByName(r_tagged).select(
         "_l",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
-            for c in value_cols
-        ],
+        F.col("_ts").alias("_lts"),
+        *[pick(f"_r_{c}").alias(f"_rv_{c}") for c in value_cols],
+        *carry_ts,
     )
-    out = carried.filter(F.col("_l").isNotNull()).select(
+    out = carried.filter(F.col("_l").isNotNull())
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("_lts").cast("double") - F.col("_rv__ts").cast("double")
+        )
+        in_tol = F.col("_rv__ts").isNotNull() & (gap <= tolerance_seconds)
+        out = out.select(
+            "_l",
+            *[
+                F.when(in_tol, F.col(f"_rv_{c}"))
+                .otherwise(F.lit(None))
+                .alias(f"_rv_{c}")
+                for c in value_cols
+            ],
+        )
+    return out.select(
         *[F.col(f"_l.{c}").alias(c) for c in lcols],
         *[F.col(f"_rv_{c}").alias(c) for c in value_cols],
     )
-    return out
 
 
 def range_join(

@@ -721,3 +721,70 @@ def op81_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     return wide.unpivot(
         ["n_nationkey"], ["customers", "balance"], "metric", "v"
     )
+
+
+@register(
+    "op82_fuzzy_join",
+    "WITH dirty AS (SELECT p_partkey AS d_id, "
+    "SUBSTR(p_name, 1, p_partkey % LENGTH(p_name)) || "
+    "SUBSTR(p_name, p_partkey % LENGTH(p_name) + 2) AS d_name "
+    "FROM part WHERE p_partkey < 500), "
+    "dt AS (SELECT d_id, d_name, UNNEST(STRING_SPLIT(d_name, ' ')) "
+    "AS tok FROM dirty), "
+    "ct AS (SELECT p_partkey, p_name, UNNEST(STRING_SPLIT(p_name, ' ')) "
+    "AS tok FROM part), "
+    "cand AS (SELECT DISTINCT d.d_id, d.d_name, c.p_partkey, c.p_name "
+    "FROM dt d JOIN ct c USING (tok)), "
+    "ver AS (SELECT d_id, p_partkey, p_name, "
+    "LEVENSHTEIN(d_name, p_name) AS lev FROM cand "
+    "WHERE LEVENSHTEIN(d_name, p_name) <= 2), "
+    "agg AS (SELECT d_id, MIN(lev) AS best_lev, COUNT(*) AS n_matches "
+    "FROM ver GROUP BY d_id) "
+    "SELECT a.d_id, a.best_lev, a.n_matches, MIN(v.p_name) AS best_name "
+    "FROM agg a JOIN ver v ON v.d_id = a.d_id AND v.lev = a.best_lev "
+    "GROUP BY a.d_id, a.best_lev, a.n_matches",
+    doc="approximate string join (entity resolution): a deterministic "
+    "one-char-dropped 'dirty' side re-links to the clean catalog via "
+    "token BLOCKING (explode tokens, equi-join — candidates are "
+    "pairs sharing a token, never the n² cross product) + "
+    "levenshtein <= 2 verification on candidates only, then per-"
+    "dirty-row best-match aggregation. The standard scalable ER "
+    "shape: blocking bounds the shuffle, the expensive distance "
+    "runs on candidates.",
+)
+def op82_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
+    part = _t(spark, sf, "part")
+    dirty = part.filter(F.col("p_partkey") < 500).select(
+        F.col("p_partkey").alias("d_id"),
+        F.expr(
+            "concat(substring(p_name, 1, cast(p_partkey % length(p_name) "
+            "as int)), substring(p_name, cast(p_partkey % length(p_name) "
+            "as int) + 2, length(p_name)))"
+        ).alias("d_name"),
+    )
+    dt = dirty.select(
+        "d_id", "d_name", F.explode(F.split("d_name", " ")).alias("tok")
+    )
+    ct = part.select(
+        "p_partkey", "p_name", F.explode(F.split("p_name", " ")).alias("tok")
+    )
+    cand = (
+        dt.join(ct, "tok")
+        .select("d_id", "d_name", "p_partkey", "p_name")
+        .distinct()
+    )
+    ver = cand.select(
+        "d_id",
+        "p_partkey",
+        "p_name",
+        F.levenshtein("d_name", "p_name").alias("lev"),
+    ).filter(F.col("lev") <= 2)
+    agg = ver.groupBy("d_id").agg(
+        F.min("lev").alias("best_lev"), F.count(F.lit(1)).alias("n_matches")
+    )
+    return (
+        agg.join(ver, "d_id")
+        .filter(F.col("lev") == F.col("best_lev"))
+        .groupBy("d_id", "best_lev", "n_matches")
+        .agg(F.min("p_name").alias("best_name"))
+    )

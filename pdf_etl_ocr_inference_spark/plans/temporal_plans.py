@@ -196,3 +196,78 @@ def op54_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.approx_percentile("value", 0.5, 10000), 4).alias("ap50"),
         F.approx_count_distinct("user_id").alias("approx_users"),
     )
+
+
+@register(
+    "op49b_asof_forward",
+    "SELECT p.event_id, p.user_id, p.value AS purchase_value, "
+    "e.value AS next_error_value "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e "
+    "ON p.user_id = e.user_id AND e.ts >= p.ts",
+    doc="FORWARD as-of join: each purchase picks up the EARLIEST "
+    "error at-or-after it per user (did the flow break right after "
+    "checkout?). Same union-scan construction as op49 mirrored — "
+    "first(ignorenulls) over a current-row→following frame; one "
+    "shuffle on the key, linear per key.",
+)
+def op49b_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    events = _t(spark, sf, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("next_error_value")
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["next_error_value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_value", "next_error_value"
+    )
+
+
+@register(
+    "op49c_asof_tolerance",
+    "SELECT event_id, user_id, purchase_value, "
+    "CASE WHEN last_click_ts IS NOT NULL AND "
+    "ts - last_click_ts <= INTERVAL 1 HOUR THEN last_click_value "
+    "END AS last_click_value FROM ("
+    "SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value, "
+    "c.value AS last_click_value, c.ts AS last_click_ts "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+    "ON p.user_id = c.user_id AND c.ts <= p.ts)",
+    doc="as-of join with a TOLERANCE: the latest click counts only "
+    "within 1 hour of the purchase (attribution-window semantics). "
+    "Equivalent to nearest-within-tolerance: every non-matched "
+    "candidate is even farther out, so a too-far match means no "
+    "candidate is in range — the match nulls rather than the row "
+    "dropping.",
+)
+def op49c_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    events = _t(spark, sf, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("last_click_value")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["last_click_value"],
+        tolerance_seconds=3600.0,
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_value", "last_click_value"
+    )

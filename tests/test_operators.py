@@ -306,3 +306,38 @@ def test_minhash_lsh_subset_of_exact(spark):
     # on the fixture's near-dup pairs (jaccard >= 0.5) recall is high
     if exact:
         assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_asof_forward_and_tolerance(spark):
+    """Forward picks the earliest at-or-after; tolerance nulls the
+    match (row survives) when the nearest candidate is too far."""
+    from datetime import datetime
+
+    from pdf_etl_ocr_inference_spark.operators.joins import asof_join
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [(1, "k", ts(10)), (2, "k", ts(40))], ["lid", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("k", ts(9), 9.0), ("k", ts(12), 12.0), ("k", ts(30), 30.0)],
+        ["k", "ts", "v"],
+    )
+    fwd = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "ts", "ts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: 12.0, 2: None}  # earliest at-or-after; none after 40
+    tol = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "ts", "ts", ["v"], tolerance_seconds=120.0
+        ).collect()
+    }
+    # lid 1: latest-before is 9 (1 min gap, in tolerance); lid 2:
+    # latest-before is 30 (10 min gap) -> nulled, row kept
+    assert tol == {1: 9.0, 2: None}
