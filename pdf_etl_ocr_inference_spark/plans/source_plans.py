@@ -214,3 +214,31 @@ def op75_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     li.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@register(
+    "op83_compaction",
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "ROUND(SUM(o_totalprice), 2) AS total FROM orders GROUP BY 1",
+    doc="small-file compaction: a deliberately fragmented table "
+    "(64 tiny files — the debris streaming sinks and incremental "
+    "refreshes leave behind) rewrites to row-budgeted files sorted "
+    "on the scan key, swapped in atomically. Oracle = the same "
+    "aggregate over the source table, proving the rewrite is "
+    "lossless; the file-count collapse is asserted in pytest.",
+)
+def op83_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.sources.writers import compact_parquet
+
+    path = _scratch("orders_fragmented")
+    orders = _t(spark, sf, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(path)
+    compact_parquet(
+        spark, path, target_rows_per_file=200_000,
+        sort_cols=["o_orderstatus"],
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

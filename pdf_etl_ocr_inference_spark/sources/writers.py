@@ -69,3 +69,42 @@ def collect_small(df: DataFrame, max_rows: int = 100_000) -> list:
             "use a distributed sink instead"
         )
     return rows
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(rows / target_rows_per_file)`` files, optionally sorted
+    within files for row-group min/max pruning.  Returns the new
+    file count.
+
+    Small files are the silent killer of 100 TB scans (per-file open
+    cost + scheduler pressure + broken row-group statistics);
+    streaming sinks and fine-grained incremental refreshes produce
+    them constantly, so compaction is scheduled maintenance, not an
+    anomaly.  The rewrite goes to a sibling directory first and swaps
+    in with the park-old/rename-new dance (reader sees whole-old or
+    whole-new, never a mix; the parked copy survives a crash)."""
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    out = df.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = path.rstrip("/") + "_compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "_precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_files

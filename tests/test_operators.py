@@ -341,3 +341,27 @@ def test_asof_forward_and_tolerance(spark):
     # lid 1: latest-before is 9 (1 min gap, in tolerance); lid 2:
     # latest-before is 30 (10 min gap) -> nulled, row kept
     assert tol == {1: 9.0, 2: None}
+
+
+def test_compact_parquet_collapses_files_losslessly(spark, tmp_path):
+    import glob
+
+    from pdf_etl_ocr_inference_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn(
+        "k", (F.col("id") % 7).cast("int")
+    )
+    df.repartition(32).write.parquet(path)
+    before = len(glob.glob(f"{path}/part-*.parquet"))
+    assert before >= 32
+    n_files = compact_parquet(spark, path, target_rows_per_file=5_000)
+    after = len(glob.glob(f"{path}/part-*.parquet"))
+    assert n_files == 2 and after == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).first()[0] == 10_000 * 9_999 // 2
+    # crash debris cleaned up
+    assert not glob.glob(f"{path}_precompact") and not glob.glob(
+        f"{path}_compacting"
+    )
