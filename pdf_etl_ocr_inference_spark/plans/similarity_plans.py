@@ -792,3 +792,96 @@ def ann_served_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
         spark, path, [(0, qvec)], k=5, kind="ivfpq", n_probe=3,
         rerank=rerank,
     ).select("vec_id", "score")
+
+
+@register(
+    "ann_served_stream_sync",
+    None,  # approximate → rows-only; fold/invalidation equivalences
+    # in tests/test_serving_sync.py and test_serving_ivfpq.py
+    doc="triggered streaming maintenance of the IVF-PQ SERVING index: "
+    "embeddings change feed (v0 corpus insert, v1 new arrivals) → "
+    "availableNow stream folds unseen commits via "
+    "refresh_ivfpq_serving_index (touched cells re-encode with the "
+    "persisted quantizers; version bump invalidates pinned executor "
+    "state) → pinned-path top-5 against the synced index. Closes "
+    "the loop: every serving kind is maintainable from the same "
+    "feed machinery the batch indexes use.",
+)
+def ann_served_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from pdf_etl_ocr_inference_spark.operators.pq import (
+        train_ivfpq_codebooks,
+    )
+    from pdf_etl_ocr_inference_spark.operators.serving import (
+        build_ivfpq_serving_index,
+        serve_topk,
+        serving_refresh_fn,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import sync_index_from_feed
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        commit_changes,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    base = emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 10 != 7))
+    arrivals = emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 10 == 7))
+
+    train = emb.filter(F.col("vec_id") % 4 == 0)
+    cents_rows = (
+        train.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("vals"))
+        .select("label", F.transform("vals", lambda s: s["m"]).alias("centroid"))
+        .orderBy("label")
+        .collect()
+    )
+    centroids = [list(r["centroid"]) for r in cents_rows]
+    books = train_ivfpq_codebooks(
+        emb, "embedding", "vec_id", centroids, m=8, k=16, sample_mod=4,
+    )
+    safe = sf.strip("/").replace("/", "_")
+    scratch = scratch_dir(f"ivfpqsync_{safe}")
+    feed = f"{scratch}/feed"
+    sel = base.select("vec_id", "embedding")
+    commit_changes(
+        sel.withColumn("_change_type", F.lit("insert")), feed, 0
+    )
+    commit_changes(
+        arrivals.select("vec_id", "embedding").withColumn(
+            "_change_type", F.lit("insert")
+        ),
+        feed,
+        1,
+    )
+    path = f"{scratch}/index"
+    build_ivfpq_serving_index(spark, base, path, centroids, books)  # v0
+    change_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.FloatType())
+            ),
+            T.StructField("_change_type", T.StringType()),
+        ]
+    )
+    sync_index_from_feed(
+        spark,
+        feed,
+        f"ivfpqserve/{safe}",
+        change_schema,
+        checkpoint_dir=f"{scratch}/ckpt",
+        refresh_fn=serving_refresh_fn(path, "ivfpq"),
+    )
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    rerank = max(50, emb.count() // 10)
+    return serve_topk(
+        spark, path, [(0, qvec)], k=5, kind="ivfpq", n_probe=3,
+        rerank=rerank,
+    ).select("vec_id", "score")

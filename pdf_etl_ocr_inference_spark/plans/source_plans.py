@@ -242,3 +242,60 @@ def op83_compaction(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "op84_corrupt_tolerance",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="corrupt-file tolerance: a garbage .parquet file planted in "
+    "the table directory is SKIPPED under "
+    "the per-read ignoreCorruptFiles option (plan-scoped — no "
+    "session conf leaks) instead of failing the job — at 100 TB a "
+    "partially-written file from a dead writer is a when, not an "
+    "if. Oracle = the clean table: tolerance must not drop or "
+    "mangle valid rows.",
+)
+def op84_corrupt_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    path = _scratch("nation_corrupt")
+    nation = _t(spark, sf, "nation")
+    nation.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+    # per-READ option (not session conf): the tolerance rides with
+    # this plan only, so it is still in force whenever the caller
+    # materializes, and no other query inherits it
+    return (
+        spark.read.schema(TABLES["nation"])
+        .option("ignoreCorruptFiles", "true")
+        .parquet(path)
+    )
+
+
+@register(
+    "op85_schema_evolution",
+    "SELECT r_regionkey, r_name, NULL::VARCHAR AS r_comment "
+    "FROM region WHERE r_regionkey < 3 "
+    "UNION ALL "
+    "SELECT r_regionkey, r_name, 'evolved-' || r_name AS r_comment "
+    "FROM region WHERE r_regionkey >= 3",
+    doc="schema evolution on read: generation 1 files lack a column "
+    "that generation 2 adds; mergeSchema=true unifies them with "
+    "NULLs for the old files — additive evolution without a table "
+    "rewrite, the only evolution shape plain parquet supports (a "
+    "rename or type change IS a rewrite; that contract is the doc). "
+    "Oracle replays the union with the explicit NULL fill.",
+)
+def op85_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    path = _scratch("region_evolving")
+    region = _t(spark, sf, "region")
+    gen1 = region.filter(F.col("r_regionkey") < 3)
+    gen2 = region.filter(F.col("r_regionkey") >= 3).withColumn(
+        "r_comment", F.concat(F.lit("evolved-"), F.col("r_name"))
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(path, "g=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(path, "g=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("r_regionkey", "r_name", "r_comment")
+    )
