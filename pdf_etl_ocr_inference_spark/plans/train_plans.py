@@ -804,3 +804,65 @@ def pipeline_span_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tokens").alias("seq_tokens"),
         )
     )
+
+
+@register(
+    "train_curriculum_packing",
+    f"""
+    WITH q AS (
+      SELECT doc_id, text, {_QUALITY_SQL} AS quality FROM documents),
+    toks AS (
+      SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id,
+             ROUND(quality, 6) AS quality,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+      FROM q),
+    pos AS (
+      SELECT shard, doc_id, quality, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard
+               ORDER BY ROUND(quality, 6) DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_tok
+      FROM toks)
+    SELECT shard, CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT)
+             AS seq_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+           ROUND(AVG(quality), 4) AS avg_quality
+    FROM pos GROUP BY shard, seq_id
+    """,
+    doc="curriculum-ordered sequence packing: docs pack in QUALITY-"
+    "descending order within each shard (quantized to 6 decimals + "
+    "doc_id tie-break for a cross-engine-total order), so early "
+    "training sequences carry the cleanest data — the curriculum "
+    "knob a mixture scheduler actually turns. Identical shuffle "
+    "shape to id-ordered packing (the window just sorts by a "
+    "different key); per-sequence avg_quality exposes the "
+    "monotone-ish decay for downstream schedulers.",
+)
+def train_curriculum_packing(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.text import quality_score
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("quality"),
+        token_count("text").alias("n_tokens"),
+    )
+    toks = docs.withColumn("shard", F.col("doc_id") % _PACK_SHARDS)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn(
+            "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .withColumn(
+            "seq_id", F.floor(F.col("start_tok") / F.lit(_PACK_BUDGET))
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
