@@ -191,3 +191,60 @@ def test_unigram_logprob_broadcasts_scalar_total(spark):
     plan = _explain(spark, df)
     assert "BroadcastExchange" in plan, plan
     assert "partial_avg" in plan, plan
+
+
+def test_bm25_filters_terms_before_shuffle(spark):
+    """The exploded token stream must filter to the query's terms
+    BEFORE any exchange — non-query postings never shuffle."""
+    import re
+
+    df = _SPECS["text_bm25_topk"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    # detail section: every '(N) Generate' must be consumed by a
+    # '(N+1) Filter' whose condition restricts the exploded term
+    gens = [
+        int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) Generate", plan, re.M)
+    ]
+    assert gens, plan
+    for g in gens:
+        m = re.search(
+            rf"^\({g + 1}\) Filter\n(?:.*\n)*?Condition : (.*)$",
+            plan,
+            re.M,
+        )
+        assert m and "term" in m.group(1) and " IN " in m.group(1), plan
+
+
+def test_bm25_indexed_probe_prunes_partitions(spark, tmp_path):
+    """The postings probe must reach the scan as a PartitionFilters
+    entry on _pb — the query reads its terms' directories only."""
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        bm25_topk_indexed,
+        build_postings_index,
+    )
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    path = str(tmp_path / "postings")
+    build_postings_index(spark, docs, path)
+    df = bm25_topk_indexed(spark, path, ["spark", "vector", "join"], k=5)
+    plan = _explain(spark, df)
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part and "_pb" in part[0], plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """The induced top-50 vocabulary must join back as the broadcast
+    side (the corpus-sized term stream never reshuffles for it)."""
+    df = _SPECS["text_vocab_coverage"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_span_intervals_single_corpus_agg_shape(spark):
+    """Dup-gram detection must be a plain partial+final aggregate
+    (min/max fast path) — no two-phase distinct expansion."""
+    df = _SPECS["dedup_span_intervals"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    # countDistinct would appear as 'count(distinct' in the plan
+    assert "count(distinct" not in plan.lower(), plan
