@@ -218,3 +218,83 @@ def pipeline_chunk_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
         .limit(10)
         .select("doc_id", "chunk_idx", F.round("_raw", 4).alias("score"))
     )
+
+
+@register(
+    "pipeline_rag_context",
+    """
+    WITH tokd AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')
+        AS toks FROM documents
+    ), exploded AS (
+      SELECT doc_id,
+             UNNEST(GENERATE_SERIES(0,
+               CAST(CEIL(LEN(toks) / 20.0) AS INT) - 1)) AS chunk_idx,
+             toks
+      FROM tokd WHERE LEN(toks) > 0
+    ), chunks AS (
+      SELECT doc_id * 100000 + chunk_idx AS cid,
+             ARRAY_TO_STRING(
+               toks[chunk_idx * 20 + 1 : chunk_idx * 20 + 20], ' ')
+               AS chunk
+      FROM exploded
+      WHERE LENGTH(ARRAY_TO_STRING(
+        toks[chunk_idx * 20 + 1 : chunk_idx * 20 + 20], ' ')) > 50
+    ), t2 AS (
+      SELECT cid, chunk, STRING_SPLIT_REGEX(TRIM(chunk), '\\s+') AS t
+      FROM chunks
+    ), dl AS (SELECT cid, LEN(t) AS dl FROM t2),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT cid, term, COUNT(*) AS tf FROM
+      (SELECT cid, UNNEST(t) AS term FROM t2)
+      WHERE term IN ('spark', 'vector', 'join') GROUP BY cid, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (SELECT tf.cid AS cid,
+      SUM(LN(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+      ) AS sc FROM tf JOIN dfq USING (term)
+      JOIN dl USING (cid) CROSS JOIN stats s GROUP BY tf.cid),
+    topc AS (SELECT cid, sc FROM scored
+      ORDER BY ROUND(sc, 6) DESC, cid LIMIT 5),
+    ordered AS (SELECT c.chunk, ROW_NUMBER() OVER
+      (ORDER BY ROUND(t.sc, 6) DESC, t.cid) AS rnk
+      FROM topc t JOIN chunks c USING (cid))
+    SELECT STRING_AGG(chunk, CHR(10) || CHR(10) ORDER BY rnk)
+             AS context,
+           COUNT(*) AS n_chunks, SUM(LENGTH(chunk)) AS total_chars
+    FROM ordered
+    """,
+    doc="RAG context assembly end-to-end as ONE lazy plan: token-"
+    "window chunking (op24's semantics) -> BM25 retrieval over the "
+    "CHUNK corpus for the query -> top-5 chunks -> rank-ordered "
+    "context string (double-newline separated) + stats. The "
+    "retrieval granularity is the chunk, the unit the reference's "
+    "similarity index serves (ocr:145-170); every stage replays in "
+    "the oracle, so the assembled context is value-checked "
+    "byte-for-byte.",
+)
+def pipeline_rag_context(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        _ranked_topk,
+        bm25_scores,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    chunks = chunk_native(docs, "text", window=20, min_chars=50).select(
+        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("cid"),
+        "chunk",
+    )
+    scored = bm25_scores(chunks, "chunk", "cid", ["spark", "vector", "join"])
+    top = _ranked_topk(scored, "_score", 5).withColumnRenamed("id", "cid")
+    ordered = top.join(chunks, "cid").select("rank", "chunk")
+    return ordered.agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("context"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.length("chunk")).alias("total_chars"),
+    )
