@@ -866,3 +866,45 @@ def train_curriculum_packing(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
     )
+
+
+@register(
+    "op72c_ivm_minmax",
+    "SELECT user_id, ROUND(MIN(value), 4) AS min_v, "
+    "ROUND(MAX(value), 4) AS max_v FROM events GROUP BY user_id",
+    doc="insert-only MIN/MAX materialized-aggregate maintenance: the "
+    "base extremes fold a new-arrivals batch via LEAST/GREATEST "
+    "merge (aggregate-table-sized join), equaling the full-corpus "
+    "recompute the oracle runs. MIN/MAX are NOT maintainable "
+    "through deletes (the runner-up lives only in the base data) — "
+    "minmax_delta raises on removal change types rather than "
+    "drifting silently; recompute is the documented escape hatch.",
+)
+def op72c_ivm_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.streaming.ivm import (
+        merge_minmax,
+        minmax_delta,
+    )
+
+    ev = _t(spark, sf, "events")
+    base_rows = ev.filter(F.col("event_id") % 10 != 7)
+    batch = ev.filter(F.col("event_id") % 10 == 7).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    base = base_rows.groupBy("user_id").agg(
+        F.min("value").alias("min_v"), F.max("value").alias("max_v")
+    )
+    delta = minmax_delta(
+        batch,
+        ["user_id"],
+        min_cols={"min_v": "value"},
+        max_cols={"max_v": "value"},
+    )
+    merged = merge_minmax(
+        base, delta, ["user_id"], min_cols=["min_v"], max_cols=["max_v"]
+    )
+    return merged.select(
+        "user_id",
+        F.round("min_v", 4).alias("min_v"),
+        F.round("max_v", 4).alias("max_v"),
+    )

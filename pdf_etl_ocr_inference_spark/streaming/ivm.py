@@ -97,3 +97,63 @@ def merge_delta(
         ],
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+def minmax_delta(
+    changes: DataFrame,
+    keys: Sequence[str],
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Keyed MIN/MAX delta from an INSERT-ONLY change batch.
+
+    MIN/MAX are not signed-delta maintainable: a delete of the current
+    extreme needs the runner-up, which only the base data knows.  They
+    ARE monotonically maintainable under inserts (the new extreme is
+    min/max of old and batch), which covers append-only corpora — the
+    common case for ingest pipelines.  Any delete / update_preimage in
+    the batch raises: silently wrong extremes are worse than a
+    recompute, and the caller is told which escape hatch to take
+    (full recompute is the compaction, same contract as the index
+    stats).
+    """
+    removes = changes.filter(
+        F.col("_change_type").isin(*_REMOVES)
+    ).limit(1).count()
+    if removes:
+        raise ValueError(
+            "minmax_delta: change batch contains deletes/update_preimages;"
+            " MIN/MAX cannot be delta-maintained through removals —"
+            " recompute the aggregate from the snapshot instead"
+        )
+    aggs = []
+    for out, src in (min_cols or {}).items():
+        aggs.append(F.min(src).alias(out))
+    for out, src in (max_cols or {}).items():
+        aggs.append(F.max(src).alias(out))
+    if not aggs:
+        raise ValueError("minmax_delta: no min_cols/max_cols given")
+    return changes.groupBy(*keys).agg(*aggs)
+
+
+def merge_minmax(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge an insert-only MIN/MAX delta: full-outer join on the
+    group key, LEAST/GREATEST of the two sides (nulls fall through to
+    the surviving side).  Aggregate-table sized, like merge_delta."""
+    cols = [*min_cols, *max_cols]
+    b = base.select(*keys, *[F.col(c).alias(f"_b_{c}") for c in cols])
+    d = delta.select(*keys, *[F.col(c).alias(f"_d_{c}") for c in cols])
+    picks = []
+    for c in min_cols:
+        picks.append(F.least(F.col(f"_b_{c}"), F.col(f"_d_{c}")).alias(c))
+    for c in max_cols:
+        picks.append(
+            F.greatest(F.col(f"_b_{c}"), F.col(f"_d_{c}")).alias(c)
+        )
+    return b.join(d, on=list(keys), how="full_outer").select(*keys, *picks)

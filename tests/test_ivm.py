@@ -158,3 +158,45 @@ def test_random_commit_sequence(spark, cdf_dir):
         mat = merge_delta(mat, delta, KEYS, value_cols=["total"])
         expected = _recompute(snapshot(spark, cdf_dir, "id", as_of_version=v))
         assert _rows(mat) == _rows(expected), f"diverged at v{v}"
+
+
+def test_minmax_delta_refuses_removals(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.streaming.ivm import minmax_delta
+
+    changes = spark.createDataFrame(
+        [(1, 5.0, "insert"), (1, 9.0, "delete")],
+        ["k", "v", "_change_type"],
+    )
+    with _pytest.raises(ValueError, match="cannot be delta-maintained"):
+        minmax_delta(changes, ["k"], min_cols={"mn": "v"})
+
+
+def test_minmax_merge_handles_new_and_existing_groups(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.streaming.ivm import (
+        merge_minmax,
+        minmax_delta,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 2.0, 8.0), (2, 1.0, 4.0)], ["k", "mn", "mx"]
+    )
+    batch = spark.createDataFrame(
+        [(1, 0.5, "insert"), (3, 7.0, "insert")],
+        ["k", "v", "_change_type"],
+    )
+    delta = minmax_delta(
+        batch, ["k"], min_cols={"mn": "v"}, max_cols={"mx": "v"}
+    )
+    got = {
+        r["k"]: (r["mn"], r["mx"])
+        for r in merge_minmax(
+            base, delta, ["k"], min_cols=["mn"], max_cols=["mx"]
+        ).collect()
+    }
+    # k=1: new lower min, max unchanged; k=2: untouched; k=3: new group
+    assert got == {1: (0.5, 8.0), 2: (1.0, 4.0), 3: (7.0, 7.0)}
