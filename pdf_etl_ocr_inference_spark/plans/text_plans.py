@@ -763,3 +763,92 @@ def text_bm25_rewrite(spark: SparkSession, sf: str) -> DataFrame:
         docs, "text", "doc_id", list(_BM25_TERMS), k=20, table_key=key
     )
     return rewrite_bm25_topk(plan, catalog=cat)
+
+
+@register(
+    "train_length_buckets",
+    "WITH lens AS (SELECT doc_id, "
+    "LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens "
+    "FROM documents), "
+    "b AS (SELECT doc_id, n_tokens, NTILE(4) OVER "
+    "(ORDER BY n_tokens, doc_id) AS bucket FROM lens) "
+    "SELECT bucket, COUNT(*) AS n_docs, MIN(n_tokens) AS min_len, "
+    "MAX(n_tokens) AS max_len, ROUND(AVG(n_tokens), 4) AS avg_len "
+    "FROM b GROUP BY bucket",
+    doc="length-bucketed inference layout: quartile buckets over "
+    "token counts (tie-free order) so Arrow batches entering a "
+    "model UDF see near-uniform sequence lengths — padding waste in "
+    "a batch is set by its LONGEST member, so mixing a 2k-token doc "
+    "into a batch of 100-token docs wastes ~95%% of the compute; "
+    "bucketing is the standard fix. Reports per-bucket length "
+    "stats; repartition by bucket before the UDF to apply it.",
+)
+def train_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    lens = _t(spark, sf, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    b = lens.withColumn("bucket", F.ntile(4).over(w))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_len"),
+        F.max("n_tokens").alias("max_len"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_len"),
+    )
+
+
+@register(
+    "text_zipf_spectrum",
+    "WITH tf AS (SELECT term, COUNT(*) AS freq FROM ("
+    "SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS term "
+    "FROM documents) GROUP BY term), "
+    "ranked AS (SELECT term, freq, ROW_NUMBER() OVER "
+    "(ORDER BY freq DESC, term) AS rnk FROM tf), "
+    "top AS (SELECT * FROM ranked WHERE rnk <= 100), "
+    "fit AS (SELECT COUNT(*) AS n, SUM(LN(rnk)) AS sx, "
+    "SUM(LN(freq)) AS sy, SUM(LN(rnk) * LN(freq)) AS sxy, "
+    "SUM(LN(rnk) * LN(rnk)) AS sxx FROM top) "
+    "SELECT n AS n_terms, "
+    "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope "
+    "FROM fit",
+    doc="corpus Zipf diagnostic: least-squares slope of the log-log "
+    "rank-frequency curve over the top-100 terms. Natural-language "
+    "corpora sit near -1; a flat slope flags synthetic/templated "
+    "text, a cliff flags boilerplate domination — a one-row corpus "
+    "health check. One combinable term-count shuffle; the fit runs "
+    "on 100 rows.",
+)
+def text_zipf_spectrum(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tf = (
+        _t(spark, sf, "documents")
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "term")
+    top = tf.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 100
+    )
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("freq").cast("double"))
+    fit = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    return fit.select(
+        F.col("n").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
+    )
