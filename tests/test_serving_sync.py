@@ -105,3 +105,61 @@ def test_stream_sync_maintains_serving_index(spark, tmp_path):
         refresh_fn=serving_refresh_fn(path, "nsw"),
     )
     assert canon(path) == canon(full)
+
+
+def test_stream_sync_ivfpq_fold_changes_results(spark, tmp_path):
+    """The ivfpq serving kind through the SAME sync loop: an arrival
+    vector identical to the query lands via the stream fold and must
+    win the served top-1 — proving the fold materially changed the
+    pinned index (not just ran without error)."""
+    from pdf_etl_ocr_inference_spark.operators.pq import (
+        train_ivfpq_codebooks,
+    )
+    from pdf_etl_ocr_inference_spark.operators.serving import (
+        build_ivfpq_serving_index,
+    )
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    base = spark.createDataFrame(
+        [(i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(8)]
+        + [(100 + i, [0.02 * i, 1.0, 0.0, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    books = train_ivfpq_codebooks(
+        base, "embedding", "vec_id", cents, m=2, k=4, sample_mod=1
+    )
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_serving_index(spark, base, path, cents, books)
+
+    qvec = [0.6, 0.8, 0.0, 0.0]
+    before = serve_topk(
+        spark, path, [(0, qvec)], k=1, kind="ivfpq", n_probe=2, rerank=100,
+    ).collect()
+    assert before[0]["score"] < 1.0
+
+    feed = str(tmp_path / "feed")
+    arrival = spark.createDataFrame(
+        [(500, qvec)], "vec_id long, embedding array<double>"
+    ).withColumn("_change_type", F.lit("insert"))
+    # v=1: the freshly built index's watermark is 0, so a v=0 commit
+    # would (correctly) be skipped as already-applied state
+    commit_changes(arrival, feed, 1)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("_change_type", T.StringType()),
+        ]
+    )
+    sync_index_from_feed(
+        spark,
+        feed,
+        "ivfpq/test",
+        schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        refresh_fn=serving_refresh_fn(path, "ivfpq"),
+    )
+    after = serve_topk(
+        spark, path, [(0, qvec)], k=1, kind="ivfpq", n_probe=2, rerank=100,
+    ).collect()
+    assert after[0]["vec_id"] == 500 and after[0]["score"] == 1.0
