@@ -175,13 +175,29 @@ def incremental_span_intervals(
 
 def span_index_refresh_fn(path: str):
     """Adapter for ``optimizer.sync_index_from_feed``: folds a change
-    feed's insert rows into the gram index (the span index is
-    insert-only by contract; updates/deletes mean compaction)."""
+    feed's INSERT rows into the gram index.
+
+    The index is insert-only by contract — an update's postimage is a
+    RE-insert of an existing doc id, which would double-count that
+    doc's grams (the stored dfs sum), and a delete needs gram
+    decrements only a full rebuild can supply.  Both raise here
+    instead of drifting silently; rebuild is the compaction escape
+    hatch (the ``minmax_delta`` contract)."""
 
     def fn(spark, table_key, changes, version, catalog=None):
-        inserts = changes.filter(
-            F.col("_change_type").isin("insert", "update_postimage")
-        ).drop("_change_type")
-        refresh_span_gram_index(spark, path, inserts, version)
+        bad = (
+            changes.filter(F.col("_change_type") != "insert")
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                "span gram index is insert-only: updates/deletes in the"
+                " feed require a rebuild (build_span_gram_index), not a"
+                " fold — refusing to drift the stored df counts"
+            )
+        refresh_span_gram_index(
+            spark, path, changes.drop("_change_type"), version
+        )
 
     return fn
