@@ -465,6 +465,69 @@ def dedup_dup_scaling(spark) -> dict:
     return out
 
 
+
+def bm25_index_speedup(spark) -> dict:
+    """Postings-index BM25 vs the corpus-scan path on a synthetic
+    200k-doc corpus: the scan re-tokenizes every document per query;
+    the probe reads only the query terms' partition dirs and scores
+    from the index meta.  Headline = per-query scan/probe ratio over
+    5 repeated queries (the served-search workload shape)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_postings_index,
+    )
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
+    n = 200_000
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "spark vector join filter merge sort scan hash".split())
+    corpus = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda j: F.element_at(
+                    F.array(*[F.lit(w) for w in words]),
+                    (F.pmod(F.xxhash64(F.col("id"), j), F.lit(len(words)))
+                     + 1).cast("int"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    corpus = corpus.cache()
+    corpus.count()
+    path = f"{scratch_dir('postings_bench')}/index"
+    t0 = _t.monotonic()
+    build_postings_index(spark, corpus, path)
+    build_s = _t.monotonic() - t0
+    terms = ["spark", "vector", "join"]
+
+    t0 = _t.monotonic()
+    for _ in range(5):
+        bm25_topk(corpus, "text", "doc_id", terms, k=10).collect()
+    scan_s = (_t.monotonic() - t0) / 5
+
+    bm25_topk_indexed(spark, path, terms, k=10).collect()  # warm cache
+    t0 = _t.monotonic()
+    for _ in range(5):
+        bm25_topk_indexed(spark, path, terms, k=10).collect()
+    probe_s = (_t.monotonic() - t0) / 5
+    corpus.unpersist()
+    return {
+        "corpus_rows": n,
+        "build_s": round(build_s, 2),
+        "scan_per_query_s": round(scan_s, 3),
+        "probe_per_query_s": round(probe_s, 3),
+        "speedup": round(scan_s / probe_s, 1),
+    }
+
+
 def kmeans_scale(spark) -> dict:
     """One deterministic Lloyd round on the cached 1M×64 corpus (built
     by probe_speedup): times the per-round assignment scan and the
@@ -589,6 +652,8 @@ def main() -> None:
     print(f"# pinned-index serving: {serving}", file=sys.stderr)
     km = kmeans_scale(spark)
     print(f"# kmeans round @1M: {km}", file=sys.stderr)
+    bmidx = bm25_index_speedup(spark)
+    print(f"# bm25 postings index @200k: {bmidx}", file=sys.stderr)
     gb = graph_build(spark)
     print(f"# graph build @100k: {gb}", file=sys.stderr)
 
@@ -609,6 +674,7 @@ def main() -> None:
                 "dedup_mass_dup_scaling": dup_scale,
                 "pinned_serving_latency": serving,
                 "kmeans_round_1m": km,
+                "bm25_index_speedup_200k": bmidx,
                 "graph_build_100k": gb,
             }
         )

@@ -273,6 +273,7 @@ def rerank_topk(
 
 _POSTINGS_PB = 64
 _POSTINGS_META = "_postings_meta.json"
+_PB_CACHE: dict[tuple, list[int]] = {}
 
 
 def _postings_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -378,20 +379,31 @@ def bm25_topk_indexed(
         meta = json.load(f)
     n_docs = meta["n_docs"]
     avgdl = meta["sum_dl"] / max(n_docs, 1)
-    pbs = sorted(
-        {
-            # replicate pmod(xxhash64) via a 1-row plan — cheaper than
-            # shipping a python xxhash implementation
-            r["_pb"]
-            for r in spark.createDataFrame(
-                [(t,) for t in query_terms], "term string"
-            )
-            .select(
-                F.pmod(F.xxhash64("term"), F.lit(_POSTINGS_PB)).alias("_pb")
-            )
-            .collect()
-        }
-    )
+    # STATIC partition pruning: resolve the query terms' _pb buckets
+    # up front and filter with a literal IN-list, which lands in the
+    # scan's PartitionFilters unconditionally.  (A broadcast join on
+    # (_pb, term) was tried — dynamic partition pruning did not
+    # engage for the tiny local-relation side, so the scan read every
+    # directory.)  The bucket of a term is a pure function, so the
+    # one-row derivation job memoizes per term set.
+    key = tuple(sorted(query_terms))
+    pbs = _PB_CACHE.get(key)
+    if pbs is None:
+        pbs = sorted(
+            {
+                r["_pb"]
+                for r in spark.createDataFrame(
+                    [(t,) for t in query_terms], "term string"
+                )
+                .select(
+                    F.pmod(
+                        F.xxhash64("term"), F.lit(_POSTINGS_PB)
+                    ).alias("_pb")
+                )
+                .collect()
+            }
+        )
+        _PB_CACHE[key] = pbs
     post = (
         spark.read.parquet(path)
         .filter(F.col("_pb").isin(pbs))
