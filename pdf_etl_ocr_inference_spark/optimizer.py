@@ -872,3 +872,8 @@ def rewrite_bm25_topk(
         k=k,
         rank_decimals=4,
     )
+
+
+# registered after definition; ``optimize`` reads the module global at
+# call time, so the single entry point applies the lexical rule too
+_RULES = (*_RULES, rewrite_bm25_topk)

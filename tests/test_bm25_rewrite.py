@@ -68,3 +68,15 @@ def test_guard_wrong_shape_object_identical(spark, tmp_path):
     # a filter on top breaks the GlobalLimit>...>Sort root shape
     wrapped = hinted.filter(F.col("id") >= 0)
     assert rewrite_bm25_topk(wrapped, catalog=cat) is wrapped
+
+
+def test_optimize_entry_point_applies_bm25_rule(spark, tmp_path):
+    from pdf_etl_ocr_inference_spark.optimizer import optimize
+
+    key = "postings/test4"
+    docs, cat = _setup(spark, tmp_path, key)
+    plan = bm25_topk(docs, "text", "doc_id", TERMS, k=10, table_key=key)
+    rewritten = optimize(plan, catalog=cat)
+    assert rewritten is not plan
+    phys = rewritten._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in phys
