@@ -93,6 +93,11 @@ def compact_parquet(
     import os
     import shutil
 
+    old = path.rstrip("/") + "_precompact"
+    if not os.path.exists(path) and os.path.exists(old):
+        # a previous attempt died between the two swap renames: the
+        # parked copy IS the table — restore it before proceeding
+        os.replace(old, path)
     df = spark.read.parquet(path)
     n = df.count()
     n_files = max(1, math.ceil(n / target_rows_per_file))
@@ -102,7 +107,6 @@ def compact_parquet(
     tmp = path.rstrip("/") + "_compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     out.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "_precompact"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(path, old)
     os.replace(tmp, path)

@@ -365,3 +365,22 @@ def test_compact_parquet_collapses_files_losslessly(spark, tmp_path):
     assert not glob.glob(f"{path}_precompact") and not glob.glob(
         f"{path}_compacting"
     )
+
+
+def test_compact_parquet_heals_interrupted_swap(spark, tmp_path):
+    """Crash between the two swap renames leaves only _precompact;
+    the next compaction restores it before proceeding."""
+    import glob
+    import os
+
+    from pdf_etl_ocr_inference_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(0, 1000).write.parquet(path)
+    # simulate the crash window: table parked, new copy never moved in
+    os.replace(path, path + "_precompact")
+    assert not os.path.exists(path)
+    compact_parquet(spark, path, target_rows_per_file=1000)
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert not glob.glob(f"{path}_precompact")
