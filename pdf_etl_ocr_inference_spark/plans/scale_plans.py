@@ -514,8 +514,18 @@ def op73_skew_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _PR_GRAPH = (
+    # exact-duplicate docs collapse to their min-id survivor BEFORE
+    # pair derivation: d identical docs would otherwise contribute
+    # d^2/2 edges per shared gram (the LSH hot-bucket regime); clique
+    # members are interchangeable for reuse-centrality, so the
+    # survivor represents them
+    "surv AS (SELECT MIN(doc_id) AS doc_id FROM ("
+    "SELECT doc_id, MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp "
+    "FROM documents) GROUP BY fp), "
+    "d AS (SELECT doc_id, text FROM documents JOIN surv USING (doc_id)), "
     "toks AS (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') "
-    "AS t FROM documents), "
+    "AS t FROM d), "
     "occ AS (SELECT doc_id, ARRAY_TO_STRING(t[i+1:i+6], ' ') AS gram "
     "FROM toks, UNNEST(RANGE(0, GREATEST(LEN(t) - 5, 0))) AS r(i)), "
     "dup AS (SELECT gram FROM occ GROUP BY gram "
@@ -550,7 +560,10 @@ _PR_STEP = (
     "span-share graph: docs are linked when they share a cross-doc "
     "duplicated 6-gram — reuse-centrality for corpus curation (a "
     "doc whose passages echo through many others is boilerplate-"
-    "like even below pair-dedup thresholds). Per iteration: one "
+    "like even below pair-dedup thresholds). Exact-dup cliques "
+    "collapse to their survivor BEFORE pair derivation, so mass "
+    "duplication cannot go quadratic in the edge build (the LSH "
+    "hot-bucket lesson, applied here too). Per iteration: one "
     "edge-list shuffle + one combinable agg; the corpus never "
     "enters the loop. Oracle unrolls the identical 3 iterations.",
 )
@@ -560,7 +573,13 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         positional_ngrams,
     )
 
-    docs = _t(spark, sf, "documents")
+    from pdf_etl_ocr_inference_spark.operators.dedup import exact_dedup
+
+    docs = exact_dedup(
+        _t(spark, sf, "documents").select("doc_id", "text"),
+        "text",
+        "doc_id",
+    )
     occ = positional_ngrams(docs, "text", "doc_id", 6).select(
         "id", "gram"
     )

@@ -62,3 +62,50 @@ def test_partition_layout_invariance(spark):
         map(tuple, pagerank(_edges(spark, UNDIRECTED, parts=7)).collect())
     )
     assert a == b
+
+
+def test_mass_duplication_stays_linear(spark):
+    """The entry's edge derivation collapses exact-dup cliques to a
+    survivor before pairing — verify at operator level: with d
+    identical docs planted, the span-share pair count on SURVIVORS is
+    independent of d (no quadratic edge blowup)."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.dedup import exact_dedup
+    from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+        positional_ngrams,
+    )
+
+    boiler = "common boilerplate sentence repeated across many documents"
+
+    def pairs(n_dups):
+        rows = [(i, boiler) for i in range(n_dups)]
+        rows += [
+            (1000, f"unique one with {boiler} inside it"),
+            (1001, "totally unrelated text that matches nothing at all"),
+        ]
+        docs = exact_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            "text",
+            "doc_id",
+        )
+        occ = positional_ngrams(docs, "text", "doc_id", 6).select(
+            "id", "gram"
+        )
+        dup = (
+            occ.groupBy("gram")
+            .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
+            .filter(F.col("_mn") < F.col("_mx"))
+            .select("gram")
+        )
+        a = occ.join(dup, "gram").select("gram", F.col("id").alias("ia"))
+        b = occ.join(dup, "gram").select("gram", F.col("id").alias("ib"))
+        return (
+            a.join(b, "gram")
+            .filter(F.col("ia") < F.col("ib"))
+            .select("ia", "ib")
+            .distinct()
+            .count()
+        )
+
+    assert pairs(5) == pairs(50)  # clique depth doesn't grow edges
