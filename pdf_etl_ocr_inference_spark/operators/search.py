@@ -436,3 +436,160 @@ def bm25_topk_indexed(
         .limit(k)
         .select("id", F.round("_score", 4).alias("score"))
     )
+
+
+# ------------------------------------------------------------------ #
+# Pinned lexical serving: the search-engine sharding (postings       #
+# sharded BY TERM bucket, pinned in executor memory) applied to the  #
+# BM25 index — the lexical twin of serving.serve_topk.  A term's     #
+# postings live wholly inside one _pb shard, so each shard task can  #
+# compute COMPLETE per-term score contributions locally (df is the   #
+# shard-local posting count); the global merge is a per-query sum +  #
+# top-k over candidate rows only.                                    #
+# ------------------------------------------------------------------ #
+
+_POSTINGS_CACHE: dict = {}
+_POSTINGS_CACHE_MAX = 64
+
+
+def _load_postings_shard(path: str, pb: int, version: int):
+    """Parse one _pb shard's postings into {term: (ids, dls, tfs)}
+    numpy arrays, cached per worker process keyed by (path, pb,
+    version) — a refresh bumps the version and invalidates, same
+    contract as serving._load_shard."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    key = (path, int(pb), int(version))
+    hit = _POSTINGS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    files = _glob.glob(f"{path}/v=*/_pb={int(pb)}/*.parquet")
+    by_term: dict = {}
+    if files:
+        tbl = ds.dataset(files, format="parquet").to_table(
+            columns=["term", "id", "dl", "tf"]
+        )
+        terms = tbl["term"].to_pylist()
+        ids = tbl["id"].to_numpy(zero_copy_only=False)
+        dls = tbl["dl"].to_numpy(zero_copy_only=False)
+        tfs = tbl["tf"].to_numpy(zero_copy_only=False)
+        order = np.argsort(np.asarray(terms, dtype=object), kind="stable")
+        sorted_terms = [terms[i] for i in order]
+        ids, dls, tfs = ids[order], dls[order], tfs[order]
+        start = 0
+        for i in range(1, len(sorted_terms) + 1):
+            if i == len(sorted_terms) or sorted_terms[i] != sorted_terms[start]:
+                by_term[sorted_terms[start]] = (
+                    ids[start:i],
+                    dls[start:i],
+                    tfs[start:i],
+                )
+                start = i
+    _POSTINGS_CACHE[key] = by_term
+    if len(_POSTINGS_CACHE) > _POSTINGS_CACHE_MAX:
+        _POSTINGS_CACHE.pop(next(iter(_POSTINGS_CACHE)))
+    return by_term
+
+
+def serve_bm25(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k BM25 for a BATCH of (qid, terms) queries against the
+    pinned postings index: tasks are scheduled ONLY for the queried
+    terms' _pb shards, each task answers from its worker-cached
+    postings dict (query 2..n never touches parquet), and the merge
+    sums per-(qid, doc) contributions then takes per-qid top-k.
+    Output (qid, id, score); scores match ``bm25_topk_indexed``
+    (same formula, same meta stats)."""
+    import json
+    import math
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    with open(os.path.join(path, _POSTINGS_META)) as f:
+        meta = json.load(f)
+    n_docs = meta["n_docs"]
+    avgdl = meta["sum_dl"] / max(n_docs, 1)
+    version = meta.get("last_version", 0)
+
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    key = tuple(all_terms)
+    pbs_by_term = _PB_CACHE.get(("serve", key))
+    if pbs_by_term is None:
+        rows = (
+            spark.createDataFrame([(t,) for t in all_terms], "term string")
+            .select(
+                "term",
+                F.pmod(F.xxhash64("term"), F.lit(_POSTINGS_PB)).alias("_pb"),
+            )
+            .collect()
+        )
+        pbs_by_term = {r["term"]: int(r["_pb"]) for r in rows}
+        _PB_CACHE[("serve", key)] = pbs_by_term
+    task_shards = sorted({pb for pb in pbs_by_term.values()})
+    qnorm = [(int(qid), list(ts)) for qid, ts in queries]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("_s", T.DoubleType()),
+        ]
+    )
+
+    def _answer(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for idx in pdf["shard"]:
+                pb = task_shards[int(idx)]
+                post = _load_postings_shard(path, pb, version)
+                for qid, terms in qnorm:
+                    for term in terms:
+                        if pbs_by_term.get(term) != pb:
+                            continue
+                        hit = post.get(term)
+                        if hit is None:
+                            continue
+                        ids, dls, tfs = hit
+                        df_t = len(ids)
+                        idf = math.log(
+                            1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)
+                        )
+                        s = (
+                            idf
+                            * tfs
+                            * (K1 + 1.0)
+                            / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+                        )
+                        rows.extend(
+                            (qid, int(i), float(v))
+                            for i, v in zip(ids, s)
+                        )
+            yield pd.DataFrame(rows, columns=["qid", "id", "_s"])
+
+    n_tasks = max(len(task_shards), 1)
+    shards = spark.range(0, len(task_shards), 1, n_tasks).select(
+        F.col("id").cast("int").alias("shard")
+    )
+    local = shards.mapInPandas(_answer, out_schema)
+    w = Window.partitionBy("qid").orderBy(
+        F.round("_score", 6).desc(), F.asc("id")
+    )
+    return (
+        local.repartition(1)
+        .groupBy("qid", "id")
+        .agg(F.sum("_s").alias("_score"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "id", F.round("_score", 4).alias("score"))
+    )

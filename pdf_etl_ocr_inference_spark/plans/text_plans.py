@@ -852,3 +852,33 @@ def text_zipf_spectrum(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "text_bm25_served",
+    _BM25_ORACLE,
+    doc="the PINNED lexical serving path: postings sharded BY TERM "
+    "bucket parse once per executor worker (keyed by path/shard/"
+    "index version — a refresh invalidates by key), a query batch "
+    "schedules tasks ONLY for its terms' shards, each task computes "
+    "complete per-term score contributions locally (a term's "
+    "postings live wholly in one shard, so df is shard-local), and "
+    "the merge sums candidates per (query, doc). Query 2..n never "
+    "touches parquet — the search-engine term-sharded serving "
+    "shape, lexical twin of ann_served_topk. SAME oracle as the "
+    "batch scorer: served ranking must equal it exactly.",
+)
+def text_bm25_served(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        build_postings_index,
+        serve_bm25,
+    )
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
+    docs = _t(spark, sf, "documents")
+    safe = sf.strip("/").replace("/", "_")
+    path = f"{scratch_dir(f'postings_srv_{safe}')}/index"
+    build_postings_index(spark, docs, path)
+    return serve_bm25(spark, path, [(0, list(_BM25_TERMS))], k=20).select(
+        "id", "score"
+    )

@@ -202,3 +202,37 @@ def test_postings_refresh_crash_retry_heals(spark, tmp_path):
         tuple(r) for r in bm25_topk_indexed(spark, path, TERMS).collect()
     ]
     assert healed == clean
+
+
+def test_serve_bm25_matches_indexed_and_invalidates(spark, tmp_path):
+    """Pinned lexical serving: batch of queries equals the indexed
+    scorer per query; a refresh bumps the version and the served path
+    sees the new doc without a rebuild."""
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        bm25_topk_indexed,
+        build_postings_index,
+        refresh_postings_index,
+        serve_bm25,
+    )
+
+    base = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    path = str(tmp_path / "postings")
+    build_postings_index(spark, base, path)
+    queries = [(0, TERMS), (1, ["spark"])]
+    served = serve_bm25(spark, path, queries, k=10).collect()
+    by_q = {}
+    for r in served:
+        by_q.setdefault(r["qid"], []).append((r["id"], r["score"]))
+    for qid, terms in queries:
+        ref = [
+            (r["id"], r["score"])
+            for r in bm25_topk_indexed(spark, path, terms, k=10).collect()
+        ]
+        assert by_q[qid] == ref, (qid, by_q[qid], ref)
+
+    batch = spark.createDataFrame(
+        [(50, "spark vector spark vector join")], ["doc_id", "text"]
+    )
+    refresh_postings_index(spark, path, batch, version=1)
+    after = serve_bm25(spark, path, [(0, TERMS)], k=10).collect()
+    assert any(r["id"] == 50 for r in after)
