@@ -484,21 +484,29 @@ def bm25_index_speedup(spark) -> dict:
     from pdf_etl_ocr_inference_spark.scratch import scratch_dir
 
     n = 200_000
+    # filler vocabulary EXCLUDES the query terms; ~2% of docs carry
+    # them as a suffix — selective-term retrieval, the workload shape
+    # an index exists for (a stopword query degenerates every path to
+    # corpus-sized candidate sets and benchmarks nothing)
     words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
-             "spark vector join filter merge sort scan hash".split())
+             "filter merge sort scan hash".split())
+    body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda j: F.element_at(
+                F.array(*[F.lit(w) for w in words]),
+                (F.pmod(F.xxhash64(F.col("id"), j), F.lit(len(words)))
+                 + 1).cast("int"),
+            ),
+        ),
+    )
     corpus = spark.range(n).select(
         F.col("id").alias("doc_id"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(39)),
-                lambda j: F.element_at(
-                    F.array(*[F.lit(w) for w in words]),
-                    (F.pmod(F.xxhash64(F.col("id"), j), F.lit(len(words)))
-                     + 1).cast("int"),
-                ),
-            ),
-        ).alias("text"),
+        F.when(
+            F.col("id") % 53 == 0,
+            F.concat(body, F.lit(" spark vector join")),
+        ).otherwise(body).alias("text"),
     )
     corpus = corpus.cache()
     corpus.count()
@@ -518,13 +526,23 @@ def bm25_index_speedup(spark) -> dict:
     for _ in range(5):
         bm25_topk_indexed(spark, path, terms, k=10).collect()
     probe_s = (_t.monotonic() - t0) / 5
+
+    from pdf_etl_ocr_inference_spark.operators.search import serve_bm25
+
+    serve_bm25(spark, path, [(0, terms)], k=10).collect()  # pin shards
+    t0 = _t.monotonic()
+    for _ in range(5):
+        serve_bm25(spark, path, [(0, terms)], k=10).collect()
+    served_s = (_t.monotonic() - t0) / 5
     corpus.unpersist()
     return {
         "corpus_rows": n,
         "build_s": round(build_s, 2),
         "scan_per_query_s": round(scan_s, 3),
         "probe_per_query_s": round(probe_s, 3),
-        "speedup": round(scan_s / probe_s, 1),
+        "served_warm_per_query_s": round(served_s, 3),
+        "probe_speedup": round(scan_s / probe_s, 1),
+        "served_speedup": round(scan_s / served_s, 1),
     }
 
 
