@@ -352,3 +352,48 @@ def op46_incremental_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "op10c_time_travel",
+    # as-of v0 must reproduce the ORIGINAL table exactly, even though
+    # v1 later updated %10==3 and deleted %10==7 — the oracle is the
+    # untouched source restricted to the same columns
+    "SELECT doc_id, text, n_chars FROM documents",
+    doc="time travel on the engine-native change feed: "
+    "snapshot(as_of_version=0) reconstructs the table as of commit "
+    "v0 by pruning later commit directories — read cost ∝ history "
+    "up to N, not total history. The feed's v1 commit updated and "
+    "deleted rows, so a leak of any later directory into the read "
+    "would break the value-for-value match with the pristine "
+    "source (the oracle).",
+)
+def op10c_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        commit_changes,
+        diff_snapshots,
+        snapshot,
+    )
+
+    safe = sf.strip("/").replace("/", "_")
+    cdf_dir = f"{scratch_dir(f'timetravel_{safe}')}/feed"
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    commit_changes(
+        docs.withColumn("_change_type", F.lit("insert")), cdf_dir, 0
+    )
+    after = (
+        docs.filter(F.col("doc_id") % 10 != 7)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 3,
+                F.concat(F.col("text"), F.lit(" v2")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    commit_changes(diff_snapshots(docs, after, "doc_id"), cdf_dir, 1)
+    return snapshot(spark, cdf_dir, "doc_id", as_of_version=0)
