@@ -480,3 +480,61 @@ def dedup_span_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
         refresh_fn=span_index_refresh_fn(path),
     )
     return incremental_span_intervals(spark, path, batch2)
+
+
+@register(
+    "dedup_corpus_report",
+    f"WITH {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_DUP}, {_SPAN_ISLANDS}, "
+    "cov AS (SELECT SUM(span_end - span_start) AS covered FROM iv), "
+    "tot AS (SELECT COUNT(*) AS n_docs, "
+    "SUM(LEN(t)) AS total_tokens FROM toks), "
+    "ex AS (SELECT COUNT(*) - COUNT(DISTINCT "
+    "MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), "
+    "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))) AS exact_dups "
+    "FROM documents) "
+    "SELECT tot.n_docs, ex.exact_dups, tot.total_tokens, "
+    "COALESCE(cov.covered, 0) AS span_covered_tokens, "
+    "ROUND(COALESCE(cov.covered, 0) * 1.0 / tot.total_tokens, 6) "
+    "AS span_coverage FROM tot, ex, cov",
+    doc="one-row corpus duplication report: doc count, exact-"
+    "duplicate doc count (canonical-fingerprint), total tokens, "
+    "tokens inside cross-doc duplicated 6-gram spans, and the span "
+    "coverage ratio — the before/after scorecard a curation run "
+    "reports. Composes the exact and substring dedup machinery; "
+    "cost is their two combinable shuffles plus 1-row aggs.",
+)
+def dedup_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.text import (
+        doc_fingerprint,
+        token_count,
+    )
+    from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+        dup_span_intervals,
+    )
+
+    docs = _t(spark, sf, "documents")
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+    ex = docs.agg(
+        (
+            F.count(F.lit(1)) - F.countDistinct(doc_fingerprint("text"))
+        ).alias("exact_dups")
+    )
+    cov = dup_span_intervals(docs, "text", "doc_id", n=6, min_docs=2).agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("covered")
+    )
+    return (
+        tot.crossJoin(ex)
+        .crossJoin(cov)
+        .select(
+            "n_docs",
+            "exact_dups",
+            "total_tokens",
+            F.coalesce("covered", F.lit(0)).alias("span_covered_tokens"),
+            F.round(
+                F.coalesce("covered", F.lit(0)) / F.col("total_tokens"), 6
+            ).alias("span_coverage"),
+        )
+    )
