@@ -165,3 +165,31 @@ def op43b_index_refresh(spark: SparkSession, sf: str) -> DataFrame:
     return existing.unionByName(embedded).groupBy("status").agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "op86_variant_json",
+    "SELECT event_type, COUNT(*) AS n, "
+    "ROUND(AVG(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)), 4) "
+    "AS avg_k, MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) "
+    "AS max_k FROM events GROUP BY event_type",
+    doc="semi-structured VARIANT handling (Spark 4 parse_json + "
+    "try_variant_get): the JSON props column parses once into the "
+    "binary variant encoding and fields extract WITHOUT a declared "
+    "schema — the open-schema complement of op48b's fixed-struct "
+    "from_json (evolving event payloads keep querying as producers "
+    "add fields). Extraction is native columnar; the shuffle is the "
+    "one grouped agg.",
+)
+def op86_variant_json(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

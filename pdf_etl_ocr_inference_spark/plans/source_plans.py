@@ -299,3 +299,36 @@ def op85_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
         .parquet(path)
         .select("r_regionkey", "r_name", "r_comment")
     )
+
+
+@register(
+    "op87_python_datasource",
+    "SELECT bucket, COUNT(*) AS n, ROUND(SUM(score), 3) AS total "
+    "FROM (SELECT i AS doc_id, i % 7 AS bucket, "
+    "ROUND((i * 37 % 1000) / 1000.0, 3) AS score "
+    "FROM (SELECT UNNEST(RANGE(0, 5000)) AS i)) GROUP BY bucket",
+    doc="custom Python DataSource (Spark 4 extension API): a "
+    "registered format string whose reader plans its own partitions "
+    "and generates rows per task — the connector surface for "
+    "upstream SYSTEMS (feed APIs, queues, proprietary stores) as "
+    "opposed to the mapInPandas fetcher's URL-list shape. The demo "
+    "source is a pure function of the row id (failed tasks "
+    "regenerate identical rows), so the oracle replays the "
+    "generation rule arithmetically.",
+)
+def op87_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.sources.custom_source import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("graft_synth")
+        .option("n", 5000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("score"), 3).alias("total"),
+    )
