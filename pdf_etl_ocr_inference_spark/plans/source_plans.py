@@ -332,3 +332,46 @@ def op87_python_datasource(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("score"), 3).alias("total"),
     )
+
+
+@register(
+    "op88_streaming_datasource",
+    "SELECT bucket, COUNT(*) AS n, ROUND(SUM(score), 3) AS total "
+    "FROM (SELECT i % 7 AS bucket, "
+    "ROUND((i * 37 % 1000) / 1000.0, 3) AS score "
+    "FROM (SELECT UNNEST(RANGE(0, 1000)) AS i)) GROUP BY bucket",
+    doc="custom STREAMING Python DataSource (Spark 4 "
+    "SimpleDataSourceStreamReader): the source advances a monotonic "
+    "offset, micro-batches replay exactly between committed offsets "
+    "(read is a pure function of the offset range — the exactly-once "
+    "contract a queue/feed connector must honor), and the run drains "
+    "4 micro-batches into a sink before aggregating. Oracle replays "
+    "the generation arithmetic over the full offset range.",
+)
+def op88_streaming_datasource(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+    from pdf_etl_ocr_inference_spark.sources.custom_source import (
+        register_synthetic_stream_source,
+    )
+
+    register_synthetic_stream_source(spark)
+    out_dir = scratch_dir("synth_stream_sink")
+    stream = (
+        spark.readStream.format("graft_synth_stream")
+        .option("rows_per_batch", 300)
+        .option("max_rows", 1000)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(f"{out_dir}/data")
+    return back.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("score"), 3).alias("total"),
+    )

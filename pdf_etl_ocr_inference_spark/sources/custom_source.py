@@ -66,3 +66,62 @@ def register_synthetic_source(spark) -> None:
     """Idempotent registration (re-registering the same class is a
     no-op for readers)."""
     spark.dataSource.register(SyntheticCorpusDataSource)
+
+
+# ------------------------------------------------------------------ #
+# Streaming side of the same extension API: a custom STREAM source.  #
+# The reader advances a monotonically increasing offset (row id);    #
+# re-reads between committed offsets are exact (pure function of     #
+# the id range) — the replayability Structured Streaming's exactly-  #
+# once contract asks of a source.  A real connector would map        #
+# offsets to a queue cursor / feed position.                         #
+# ------------------------------------------------------------------ #
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        s = int(start["pos"])
+        e = min(s + self.rows_per_batch, self.max_rows)
+        return (self._gen(s, e), {"pos": e})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._gen(int(start["pos"]), int(end["pos"]))
+
+    @staticmethod
+    def _gen(s: int, e: int):
+        # a list_iterator, not a generator: the simple-reader wrapper
+        # both advances the result with next() (so a bare list fails)
+        # and pickles it for prefetch/replay (so a generator fails);
+        # builtin list iterators satisfy both, and batches are
+        # rows_per_batch-bounded anyway
+        return iter(
+            [
+                (i, i % 7, round((i * 37 % 1000) / 1000.0, 3))
+                for i in range(s, e)
+            ]
+        )
+
+
+class SyntheticStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "graft_synth_stream"
+
+    def schema(self) -> str:
+        return "doc_id bigint, bucket int, score double"
+
+    def simpleStreamReader(self, schema: StructType):
+        return SyntheticStreamReader(self.options)
+
+
+def register_synthetic_stream_source(spark) -> None:
+    spark.dataSource.register(SyntheticStreamDataSource)
