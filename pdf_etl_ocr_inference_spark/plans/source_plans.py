@@ -375,3 +375,42 @@ def op88_streaming_datasource(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("score"), 3).alias("total"),
     )
+
+
+@register(
+    "op89_datasource_sink",
+    "SELECT doc_id, lang, n_chars FROM documents",
+    doc="custom Python DataSource SINK (Spark 4 writer API) with the "
+    "task-file + driver-commit protocol: tasks stage uniquely named "
+    "files and return commit messages, the driver publishes an "
+    "atomic manifest, and the read-back honors ONLY manifest-listed "
+    "files — debris from failed/speculated attempts is invisible "
+    "(job-level exactly-once). Oracle = the source table: the "
+    "write→manifest→read round trip must be lossless.",
+)
+def op89_datasource_sink(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+    from pdf_etl_ocr_inference_spark.sources.custom_source import (
+        read_jsonl_sink,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    path = scratch_dir("jsonl_sink")
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    (
+        docs.write.format("graft_jsonl_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.IntegerType()),
+        ]
+    )
+    return read_jsonl_sink(spark, path, schema)

@@ -125,3 +125,97 @@ class SyntheticStreamDataSource(DataSource):
 
 def register_synthetic_stream_source(spark) -> None:
     spark.dataSource.register(SyntheticStreamDataSource)
+
+
+# ------------------------------------------------------------------ #
+# Writer side of the extension API: a custom SINK with the task-     #
+# file + driver-commit protocol.  Tasks write to uniquely named      #
+# staging files and return commit messages; the driver's commit()    #
+# publishes them with an atomic manifest — failed/speculated task    #
+# attempts leave only unreferenced staging files (abort() sweeps     #
+# them), so the sink is exactly-once at the job level.  A real       #
+# connector swaps the jsonl encoding for its wire format; the        #
+# protocol is the point.                                             #
+# ------------------------------------------------------------------ #
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        # unique per task ATTEMPT: speculative/retried attempts never
+        # collide, and only committed filenames enter the manifest
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(filename=name, n_rows=n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "graft_jsonl_sink"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return JsonlSinkWriter(self.options, overwrite)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+def read_jsonl_sink(spark, path: str, schema):
+    """Read back ONLY manifest-committed files (uncommitted staging
+    debris from failed attempts is invisible, which is the protocol's
+    exactly-once guarantee)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, n) for n in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)

@@ -35,3 +35,32 @@ def test_cli_unknown_query():
     r = _cli("oracle", "no_such_query")
     assert r.returncode == 2
     assert "unknown query" in r.stderr
+
+
+def test_jsonl_sink_manifest_hides_uncommitted_debris(spark, tmp_path):
+    """The custom sink's exactly-once story: a staged file NOT in the
+    manifest (a failed/speculated attempt) must be invisible to the
+    read-back."""
+    from pyspark.sql import types as T
+
+    from pdf_etl_ocr_inference_spark.sources.custom_source import (
+        read_jsonl_sink,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    path = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    df.write.format("graft_jsonl_sink").option("path", path).mode(
+        "append"
+    ).save()
+    # plant debris from a "failed attempt"
+    with open(f"{path}/part-deadbeef.jsonl", "w") as f:
+        f.write('{"k": 99, "v": "ghost"}\n')
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in read_jsonl_sink(spark, path, schema).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]
