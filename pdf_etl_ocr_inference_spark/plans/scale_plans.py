@@ -603,3 +603,45 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         dp.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
     )
     return pagerank(edges, iterations=3, damping=0.85)
+
+
+@register(
+    "op90_recursive_cte",
+    _CC_ORACLE,
+    doc="recursive CTE (Spark 4 WITH RECURSIVE): exact-duplicate "
+    "cluster reachability expressed as pure SQL recursion — the "
+    "declarative twin of dedup_clusters' iterative DataFrame "
+    "propagation, and the THIRD engine-checked expression of the "
+    "same semantics (DataFrame loop, DuckDB recursive oracle, now "
+    "Spark recursion). Spark supports UNION ALL recursion only, so "
+    "the depth is bounded by a level counter sized to the component "
+    "diameter (exact-dup components are cliques: diameter 1, bound "
+    "2 with margin) — UNION-fixpoint semantics need the operator or "
+    "a dedup step per level. At 100 TB the recursion iterates the "
+    "pair graph like the operator does, with the engine managing "
+    "the loop.",
+)
+def op90_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    safe = sf.strip("/").replace("/", "_").replace(".", "_")
+    view = f"docs_rcte_{safe}"
+    docs.createOrReplaceTempView(view)
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9\\\\s]', ''), '\\\\s+', ' '))"
+    )
+    return spark.sql(f"""
+      WITH RECURSIVE reach(doc_id, root, lvl) AS (
+        SELECT doc_id, doc_id AS root, 0 AS lvl FROM {view}
+        UNION ALL
+        SELECT p.id_a AS doc_id, r.root, r.lvl + 1 FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM
+            (SELECT doc_id, md5({norm}) AS fp FROM {view}) a
+          JOIN
+            (SELECT doc_id, md5({norm}) AS fp FROM {view}) b
+          ON a.fp = b.fp AND a.doc_id <> b.doc_id
+        ) p JOIN reach r ON p.id_b = r.doc_id
+        WHERE r.lvl < 2
+      )
+      SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
+    """)
