@@ -326,3 +326,51 @@ def op30e_argminmax(spark: SparkSession, sf: str) -> DataFrame:
         F.max_by("c_name", tie_free).alias("richest"),
         F.min_by("c_name", tie_free).alias("poorest"),
     )
+
+
+@register(
+    "op92_udtf_analyze",
+    "SELECT doc_id, lang AS f_lang, source AS f_source FROM documents",
+    doc="Python UDTF with analyze() (Spark 4 dynamic output schema): "
+    "the table function's columns are COMPUTED from a constant "
+    "argument at plan time (a 'lang,source' field list becomes "
+    "f_lang/f_source string columns) — the polymorphic-TVF surface "
+    "schema-on-read connectors need, vs op65's fixed returnType. "
+    "The kv payload round-trips through the parser, so the oracle "
+    "is the source projection.",
+)
+def op92_udtf_analyze(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class ParseKv:
+        @staticmethod
+        def analyze(kv: AnalyzeArgument, fields: AnalyzeArgument):
+            if not fields.isConstantExpression:
+                raise ValueError("fields must be a constant string")
+            st = StructType()
+            for name in str(fields.value).split(","):
+                st = st.add(f"f_{name.strip()}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, kv: str, fields: str):
+            d = dict(
+                pair.split("=", 1) for pair in (kv or "").split(",") if pair
+            )
+            yield tuple(
+                d.get(name.strip()) for name in fields.split(",")
+            )
+
+    spark.udtf.register("parse_kv", ParseKv)
+    safe = sf.strip("/").replace("/", "_").replace(".", "_")
+    view = f"docs_kv_{safe}"
+    _t(spark, sf, "documents").selectExpr(
+        "doc_id",
+        "concat('lang=', lang, ',source=', source) AS kv",
+    ).createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT doc_id, f_lang, f_source FROM {view}, "
+        "LATERAL parse_kv(kv, 'lang,source')"
+    )

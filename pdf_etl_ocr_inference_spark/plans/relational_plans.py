@@ -788,3 +788,30 @@ def op82_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("d_id", "best_lev", "n_matches")
         .agg(F.min("p_name").alias("best_name"))
     )
+
+
+@register(
+    "op91_pipe_syntax",
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "ROUND(SUM(o_totalprice), 2) AS total, "
+    "ROUND(AVG(o_totalprice), 4) AS avg_price "
+    "FROM orders WHERE o_orderstatus = 'O' "
+    "GROUP BY o_orderpriority",
+    doc="SQL pipe syntax (Spark 4 |> operators): the linear "
+    "FROM |> WHERE |> AGGREGATE form of a classic filtered group-by "
+    "— same Catalyst plan, analytics-notebook-friendly reading "
+    "order. The oracle is the classic-SQL spelling, proving the "
+    "two dialects are semantically identical.",
+)
+def op91_pipe_syntax(spark: SparkSession, sf: str) -> DataFrame:
+    safe = sf.strip("/").replace("/", "_").replace(".", "_")
+    view = f"orders_pipe_{safe}"
+    _t(spark, sf, "orders").createOrReplaceTempView(view)
+    return spark.sql(f"""
+      FROM {view}
+      |> WHERE o_orderstatus = 'O'
+      |> AGGREGATE COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+         GROUP BY o_orderpriority
+    """)
