@@ -815,3 +815,34 @@ def op91_pipe_syntax(spark: SparkSession, sf: str) -> DataFrame:
            ROUND(AVG(o_totalprice), 4) AS avg_price
          GROUP BY o_orderpriority
     """)
+
+
+@register(
+    "op93_collation",
+    # mixed-case segment values planted identically on both engines;
+    # the oracle lower-cases explicitly where Spark groups under a
+    # case-insensitive collation
+    "SELECT LOWER(seg) AS seg, COUNT(*) AS n FROM ("
+    "SELECT CASE WHEN c_custkey % 3 = 0 THEN LOWER(c_mktsegment) "
+    "WHEN c_custkey % 3 = 1 THEN c_mktsegment "
+    "ELSE CONCAT(SUBSTR(c_mktsegment, 1, 1), "
+    "LOWER(SUBSTR(c_mktsegment, 2))) END AS seg FROM customer) "
+    "GROUP BY LOWER(seg)",
+    doc="collation-aware grouping (Spark 4 COLLATE UTF8_LCASE): "
+    "mixed-case segment spellings (planted deterministically) group "
+    "as ONE key under the case-insensitive collation — declared "
+    "comparison semantics instead of LOWER() scattered through "
+    "every predicate. The oracle lower-cases explicitly; grouped "
+    "keys normalize to lowercase for cross-engine comparison.",
+)
+def op93_collation(spark: SparkSession, sf: str) -> DataFrame:
+    cust = _t(spark, sf, "customer").selectExpr(
+        "CASE WHEN c_custkey % 3 = 0 THEN LOWER(c_mktsegment) "
+        "WHEN c_custkey % 3 = 1 THEN c_mktsegment "
+        "ELSE CONCAT(SUBSTR(c_mktsegment, 1, 1), "
+        "LOWER(SUBSTR(c_mktsegment, 2))) END "
+        "COLLATE UTF8_LCASE AS seg"
+    )
+    return cust.groupBy("seg").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lower("seg").alias("seg"), "n"
+    )
