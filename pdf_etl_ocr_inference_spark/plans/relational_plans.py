@@ -846,3 +846,30 @@ def op93_collation(spark: SparkSession, sf: str) -> DataFrame:
     return cust.groupBy("seg").agg(F.count(F.lit(1)).alias("n")).select(
         F.lower("seg").alias("seg"), "n"
     )
+
+
+@register(
+    "op94_lateral_subquery",
+    "SELECT c.c_custkey, t.o_orderkey, t.o_totalprice FROM "
+    "(SELECT * FROM customer WHERE c_custkey < 50) c, "
+    "LATERAL (SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_custkey = c.c_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t",
+    doc="correlated LATERAL subquery: top-2 orders PER customer as a "
+    "per-row dependent subquery — the SQL spelling of the grouped "
+    "top-k window (op34's shape); Catalyst decorrelates it into a "
+    "ranked join rather than executing per-row. Tie-free inner "
+    "ORDER BY keeps the LIMIT deterministic on both engines.",
+)
+def op94_lateral_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    safe = sf.strip("/").replace("/", "_").replace(".", "_")
+    cv, ov = f"cust_lat_{safe}", f"ord_lat_{safe}"
+    _t(spark, sf, "customer").createOrReplaceTempView(cv)
+    _t(spark, sf, "orders").createOrReplaceTempView(ov)
+    return spark.sql(f"""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice FROM
+      (SELECT * FROM {cv} WHERE c_custkey < 50) c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM {ov}
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """)
