@@ -873,3 +873,31 @@ def op94_lateral_subquery(spark: SparkSession, sf: str) -> DataFrame:
                WHERE o_custkey = c.c_custkey
                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
     """)
+
+
+@register(
+    "op95_dynamic_sql",
+    "SELECT n_name, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal "
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE s_acctbal > 0 GROUP BY n_name",
+    doc="parameterized dynamic SQL (Spark 4 EXECUTE IMMEDIATE + "
+    "IDENTIFIER + named parameters + GROUP BY ALL): the table name "
+    "binds through IDENTIFIER() and the threshold through a named "
+    "parameter — injection-safe templating instead of f-string SQL "
+    "assembly, the surface metadata-driven pipelines (one query, N "
+    "tables) actually need. Oracle is the fully-bound classic "
+    "spelling.",
+)
+def op95_dynamic_sql(spark: SparkSession, sf: str) -> DataFrame:
+    safe = sf.strip("/").replace("/", "_").replace(".", "_")
+    sv, nv = f"supp_dyn_{safe}", f"nat_dyn_{safe}"
+    _t(spark, sf, "supplier").createOrReplaceTempView(sv)
+    _t(spark, sf, "nation").createOrReplaceTempView(nv)
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT n_name, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal "
+        "FROM IDENTIFIER(:s) JOIN IDENTIFIER(:n) "
+        "ON s_nationkey = n_nationkey "
+        "WHERE s_acctbal > :lo GROUP BY ALL' "
+        f"USING '{sv}' AS s, '{nv}' AS n, 0 AS lo"
+    )
