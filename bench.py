@@ -677,6 +677,24 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Detail blocks go on their own stdout line: the driver keeps only
+    # the last ~2 KB of stdout and parses the FINAL line as the metric
+    # JSON, so that line must stay small (r3's combined line overflowed
+    # the tail buffer and recorded parsed=null).
+    print(
+        json.dumps(
+            {
+                "metric": "measurement_blocks",
+                "ann_probe_speedup_1m": probe,
+                "incremental_dedup_speedup_200k": inc_dedup,
+                "dedup_mass_dup_scaling": dup_scale,
+                "pinned_serving_latency": serving,
+                "kmeans_round_1m": km,
+                "bm25_index_speedup_200k": bmidx,
+                "graph_build_100k": gb,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -687,14 +705,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ocr_stub_parallel_speedup_32x_ideal": ocr_speedup,
                 "ann_recall_at_5": recalls,
-                "ann_probe_speedup_1m": probe,
-                "incremental_dedup_speedup_200k": inc_dedup,
-                "dedup_mass_dup_scaling": dup_scale,
-                "pinned_serving_latency": serving,
-                "kmeans_round_1m": km,
-                "bm25_index_speedup_200k": bmidx,
-                "graph_build_100k": gb,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

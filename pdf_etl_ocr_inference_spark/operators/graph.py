@@ -37,16 +37,26 @@ def pagerank(
 ) -> DataFrame:
     """Fixed-iteration power PageRank: (id, rank_score).
 
-    ``edges`` is DIRECTED; symmetrize first for undirected graphs
-    (every node then has out-degree >= 1, so no dangling mass).  The
-    node count is a bounded driver scalar (one count job over the
-    distinct node set, the same control-data class as k-means'
-    centroid count)."""
+    ``edges`` is DIRECTED.  The node universe is src UNION dst, so
+    sink nodes (dst-only) rank and source-only nodes keep emitting
+    mass every iteration; dangling (no-out-edge) mass is
+    redistributed uniformly, the standard treatment.  On a
+    symmetrized edge list there are no dangling nodes and every node
+    receives contributions, so this reduces exactly to the plain
+    base + d·Σ update the in-repo callers rely on.  The node count is
+    a bounded driver scalar (one count job over the distinct node
+    set, the same control-data class as k-means' centroid count); the
+    per-iteration dangling total stays distributed (1-row broadcast
+    crossJoin, no driver round-trip)."""
     from pdf_etl_ocr_inference_spark.operators.layout import (
         truncate_lineage,
     )
 
-    nodes = edges.select(F.col(src).alias("id")).distinct()
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_score", F.lit(0.0))
@@ -62,8 +72,24 @@ def pagerank(
                 (F.col("_r") / F.col("_outd")).alias("_c"),
             )
         )
-        ranks = contribs.groupBy("id").agg(
-            (F.lit(base) + F.lit(damping) * F.sum("_c")).alias("_r")
+        summed = contribs.groupBy("id").agg(F.sum("_c").alias("_sc"))
+        dangling = ranks.join(
+            deg.select(F.col(src).alias("id")), "id", "left_anti"
+        ).agg(F.coalesce(F.sum("_r"), F.lit(0.0)).alias("_dm"))
+        ranks = (
+            nodes.join(summed, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_sc"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n))
+                    )
+                ).alias("_r"),
+            )
         )
         ranks = truncate_lineage(ranks)
     return ranks.select("id", F.round("_r", 6).alias("rank_score"))

@@ -87,6 +87,13 @@ def asof_join(
     unless ``strict`` (right sorts before left within a timestamp via
     the side tag).
 
+    The right side is carried as ONE struct (timestamp + all value
+    columns), so every emitted value comes from the SAME matched right
+    row: a NULL value on the matched row stays NULL (DuckDB-ASOF
+    semantics) instead of falling back to an older row, and the
+    tolerance gap is always measured against the row the values came
+    from.
+
     Output: all left columns + ``value_cols`` from the matched right
     row (null when no prior right row exists).
     """
@@ -102,21 +109,26 @@ def asof_join(
         side_order = 0 if strict else 1  # left's tag; right gets the other
     else:
         side_order = 1 if strict else 0
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1 - side_order).alias("_side"),
+        F.lit(None)
+        .cast(
+            left.select(F.struct(*lcols).alias("_l")).schema["_l"].dataType
+        )
+        .alias("_l"),
+        F.struct(
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("_rv"),
+    )
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(side_order).alias("_side"),
         F.struct(*lcols).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-    )
-    r_tagged = right.select(
-        F.col(key).alias("_k"),
-        F.col(right_ts).alias("_ts"),
-        F.lit(1 - side_order).alias("_side"),
-        F.lit(None).cast(
-            l_tagged.schema["_l"].dataType
-        ).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(r_tagged.schema["_rv"].dataType).alias("_rv"),
     )
     if direction == "backward":
         w = (
@@ -124,42 +136,32 @@ def asof_join(
             .orderBy("_ts", "_side")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        matched = F.last("_rv", ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy("_k")
             .orderBy("_ts", "_side")
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-    carry_ts = [pick("_rts").alias("_rv__ts")] if tolerance_seconds is not None else []
-    if tolerance_seconds is not None:
-        l_tagged = l_tagged.withColumn("_rts", F.lit(None).cast("timestamp"))
-        r_tagged = r_tagged.withColumn("_rts", F.col("_ts"))
+        matched = F.first("_rv", ignorenulls=True).over(w)
     carried = l_tagged.unionByName(r_tagged).select(
         "_l",
         F.col("_ts").alias("_lts"),
-        *[pick(f"_r_{c}").alias(f"_rv_{c}") for c in value_cols],
-        *carry_ts,
+        matched.alias("_m"),
     )
     out = carried.filter(F.col("_l").isNotNull())
     if tolerance_seconds is not None:
         gap = F.abs(
-            F.col("_lts").cast("double") - F.col("_rv__ts").cast("double")
+            F.col("_lts").cast("double") - F.col("_m._rts").cast("double")
         )
-        in_tol = F.col("_rv__ts").isNotNull() & (gap <= tolerance_seconds)
+        in_tol = F.col("_m").isNotNull() & (gap <= tolerance_seconds)
         out = out.select(
             "_l",
-            *[
-                F.when(in_tol, F.col(f"_rv_{c}"))
-                .otherwise(F.lit(None))
-                .alias(f"_rv_{c}")
-                for c in value_cols
-            ],
+            F.when(in_tol, F.col("_m")).otherwise(F.lit(None)).alias("_m"),
         )
     return out.select(
         *[F.col(f"_l.{c}").alias(c) for c in lcols],
-        *[F.col(f"_rv_{c}").alias(c) for c in value_cols],
+        *[F.col(f"_m.{c}").alias(c) for c in value_cols],
     )
 
 

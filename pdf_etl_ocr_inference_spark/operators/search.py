@@ -131,16 +131,21 @@ def bm25_topk(
     )
 
 
-def _ranked_topk(scored: DataFrame, score_col: str, k: int) -> DataFrame:
+def _ranked_topk(
+    scored: DataFrame, score_col: str, k: int, quant: int = 6
+) -> DataFrame:
     """(id, rank) for the quantized-score top-k.  The top-k cut is a
     distributed TakeOrderedAndProject; the rank window then runs over
-    only k rows (never the corpus)."""
+    only k rows (never the corpus).  ``quant`` sets the score-rounding
+    used as the ordering key (ties broken by id): coarser quantization
+    makes the selection robust to last-ulp float differences between
+    engines / reduction orders at the cost of more id-order ties."""
     from pyspark.sql import Window
 
     topk = scored.orderBy(
-        F.round(score_col, 6).desc(), "id"
+        F.round(score_col, quant).desc(), "id"
     ).limit(k)
-    w = Window.orderBy(F.round(score_col, 6).desc(), "id")
+    w = Window.orderBy(F.round(score_col, quant).desc(), "id")
     return topk.select(
         "id", F.row_number().over(w).alias("rank")
     )

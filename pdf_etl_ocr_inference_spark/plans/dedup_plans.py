@@ -494,14 +494,18 @@ def dedup_span_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
     "FROM documents) "
     "SELECT tot.n_docs, ex.exact_dups, tot.total_tokens, "
     "COALESCE(cov.covered, 0) AS span_covered_tokens, "
-    "ROUND(COALESCE(cov.covered, 0) * 1.0 / tot.total_tokens, 6) "
-    "AS span_coverage FROM tot, ex, cov",
+    "COALESCE(cov.covered, 0) * 1000000 // tot.total_tokens "
+    "AS span_coverage_ppm FROM tot, ex, cov",
     doc="one-row corpus duplication report: doc count, exact-"
     "duplicate doc count (canonical-fingerprint), total tokens, "
     "tokens inside cross-doc duplicated 6-gram spans, and the span "
-    "coverage ratio — the before/after scorecard a curation run "
-    "reports. Composes the exact and substring dedup machinery; "
-    "cost is their two combinable shuffles plus 1-row aggs.",
+    "coverage as integer parts-per-million — the before/after "
+    "scorecard a curation run reports. Coverage is exact integer "
+    "math (covered*1e6 div total) so the row is float-free and "
+    "hash-stable under any float normalization; covered*1e6 fits "
+    "int64 below ~9.2e12 duplicated tokens. Composes the exact and "
+    "substring dedup machinery; cost is their two combinable "
+    "shuffles plus 1-row aggs.",
 )
 def dedup_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.functions.text import (
@@ -533,8 +537,8 @@ def dedup_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
             "exact_dups",
             "total_tokens",
             F.coalesce("covered", F.lit(0)).alias("span_covered_tokens"),
-            F.round(
-                F.coalesce("covered", F.lit(0)) / F.col("total_tokens"), 6
-            ).alias("span_coverage"),
+            F.expr(
+                "(coalesce(covered, 0L) * 1000000L) div total_tokens"
+            ).alias("span_coverage_ppm"),
         )
     )

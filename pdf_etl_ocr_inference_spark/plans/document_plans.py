@@ -255,9 +255,9 @@ def pipeline_chunk_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
       ) AS sc FROM tf JOIN dfq USING (term)
       JOIN dl USING (cid) CROSS JOIN stats s GROUP BY tf.cid),
     topc AS (SELECT cid, sc FROM scored
-      ORDER BY ROUND(sc, 6) DESC, cid LIMIT 5),
+      ORDER BY ROUND(sc, 4) DESC, cid LIMIT 5),
     ordered AS (SELECT c.chunk, ROW_NUMBER() OVER
-      (ORDER BY ROUND(t.sc, 6) DESC, t.cid) AS rnk
+      (ORDER BY ROUND(t.sc, 4) DESC, t.cid) AS rnk
       FROM topc t JOIN chunks c USING (cid))
     SELECT STRING_AGG(chunk, CHR(10) || CHR(10) ORDER BY rnk)
              AS context,
@@ -285,7 +285,11 @@ def pipeline_rag_context(spark: SparkSession, sf: str) -> DataFrame:
         "chunk",
     )
     scored = bm25_scores(chunks, "chunk", "cid", ["spark", "vector", "join"])
-    top = _ranked_topk(scored, "_score", 5).withColumnRenamed("id", "cid")
+    # quant=4: selection must survive last-ulp score differences
+    # between the JVM and the oracle engine (driver hash gate r3)
+    top = _ranked_topk(scored, "_score", 5, quant=4).withColumnRenamed(
+        "id", "cid"
+    )
     ordered = top.join(chunks, "cid").select("rank", "chunk")
     return ordered.agg(
         F.concat_ws(

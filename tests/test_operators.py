@@ -136,6 +136,46 @@ def test_asof_join_tie_semantics(spark):
     assert strict == {(100, None), (200, 15.0)}
 
 
+def test_asof_join_null_value_comes_from_matched_row(spark):
+    """The matched (nearest) right row's NULL value must be emitted as
+    NULL — not backfilled from an older row — and the tolerance gap
+    must be measured against the row the values came from (ADVICE r3:
+    values and matched timestamp carried as one struct)."""
+    left = spark.createDataFrame([(1, 210)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 100, 5.0), (1, 200, None)], "k long, ts long, v double"
+    )
+    # no tolerance: match is ts=200 whose v IS NULL → emit NULL
+    plain = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"],
+    ).collect()
+    assert [r["v"] for r in plain] == [None]
+    # tolerance=30: matched row ts=200 is in range (gap 10) but its
+    # value is NULL; the old per-column carry emitted 5.0 (gap 110)
+    tol = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        value_cols=["v"], tolerance_seconds=30,
+    ).collect()
+    assert [r["v"] for r in tol] == [None]
+    # tolerance still nulls a too-far match: second value column
+    # proves all columns come from the same row
+    right2 = spark.createDataFrame(
+        [(1, 100, 5.0, "a"), (1, 200, None, "b")],
+        "k long, ts long, v double, tag string",
+    )
+    both = asof_join(
+        left, right2, key="k", left_ts="ts", right_ts="ts",
+        value_cols=["v", "tag"], tolerance_seconds=30,
+    ).collect()
+    assert [(r["v"], r["tag"]) for r in both] == [(None, "b")]
+    far = asof_join(
+        left, right2, key="k", left_ts="ts", right_ts="ts",
+        value_cols=["v", "tag"], tolerance_seconds=5,
+    ).collect()
+    assert [(r["v"], r["tag"]) for r in far] == [(None, None)]
+
+
 def test_session_window_boundary_merges_inclusively(spark):
     """An event EXACTLY gap after the previous one still merges into
     the session (verified Spark behavior); only a strictly larger gap

@@ -56,6 +56,42 @@ def test_hub_outranks_leaves_and_triangle_uniform(spark):
     assert got[10] == got[11] == got[12]  # regular triangle uniform
 
 
+def _numpy_pr_directed(pairs, iters=3, d=0.85):
+    """Dense reference for DIRECTED edges: node universe src ∪ dst,
+    dangling mass redistributed uniformly."""
+    ids = sorted({x for e in pairs for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out = np.zeros(n)
+    for s, _ in pairs:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[out == 0].sum()
+        nxt = np.full(n, (1 - d) / n) + d * dangling / n
+        for s, t in pairs:
+            nxt[idx[t]] += d * r[idx[s]] / out[idx[s]]
+        r = nxt
+    return {v: r[idx[v]] for v in ids}
+
+
+# chain into a sink plus a source-only feeder: 0→1→2 (2 is a sink,
+# dst-only), 3→1 (3 is src-only, no in-edges)
+DIRECTED = [(0, 1), (1, 2), (3, 1)]
+
+
+def test_directed_sinks_and_sources(spark):
+    """dst-only sinks are IN the universe and ranked; src-only nodes
+    keep contributing after iteration 1; total mass is conserved."""
+    df = spark.createDataFrame(DIRECTED, ["src", "dst"])
+    got = {r["id"]: r["rank_score"] for r in pagerank(df).collect()}
+    exp = _numpy_pr_directed(DIRECTED)
+    assert set(got) == {0, 1, 2, 3}  # sink 2 present, source 3 present
+    for v, r in exp.items():
+        assert got[v] == pytest.approx(round(r, 6), abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
 def test_partition_layout_invariance(spark):
     a = sorted(map(tuple, pagerank(_edges(spark, UNDIRECTED)).collect()))
     b = sorted(
