@@ -299,8 +299,12 @@ def build_postings_index(
     """Materialize (term, id, dl, tf) postings partitioned by the
     term-hash bucket, plus corpus stats in the meta.  One combinable
     shuffle over the corpus, written once."""
-    import json
     import os
+
+    from pdf_etl_ocr_inference_spark.scratch import (
+        atomic_write_json,
+        new_build_id,
+    )
 
     rows = _postings_rows(df, text_col, id_col).withColumn("v", F.lit(0))
     (
@@ -314,15 +318,17 @@ def build_postings_index(
     stats = df.select(F.size(toks).alias("dl")).agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
     ).first()
-    with open(os.path.join(path, _POSTINGS_META), "w") as f:
-        json.dump(
-            {
-                "n_docs": int(stats["n"]),
-                "sum_dl": int(stats["sum_dl"]),
-                "last_version": 0,
-            },
-            f,
-        )
+    atomic_write_json(
+        os.path.join(path, _POSTINGS_META),
+        {
+            "n_docs": int(stats["n"]),
+            "sum_dl": int(stats["sum_dl"]),
+            "last_version": 0,
+            # unique per build: versions restart at 0 on a rebuild at
+            # the same path, so worker caches key on this nonce too
+            "build_id": new_build_id(),
+        },
+    )
     return path
 
 
@@ -362,8 +368,9 @@ def refresh_postings_index(
     meta["n_docs"] += int(stats["n"] or 0)
     meta["sum_dl"] += int(stats["sum_dl"] or 0)
     meta["last_version"] = version
-    with open(mp, "w") as f:
-        json.dump(meta, f)
+    from pdf_etl_ocr_inference_spark.scratch import atomic_write_json
+
+    atomic_write_json(mp, meta)
 
 
 def bm25_topk_indexed(
@@ -457,17 +464,19 @@ _POSTINGS_CACHE: dict = {}
 _POSTINGS_CACHE_MAX = 64
 
 
-def _load_postings_shard(path: str, pb: int, version: int):
+def _load_postings_shard(path: str, pb: int, token):
     """Parse one _pb shard's postings into {term: (ids, dls, tfs)}
     numpy arrays, cached per worker process keyed by (path, pb,
-    version) — a refresh bumps the version and invalidates, same
-    contract as serving._load_shard."""
+    token) where token is ``"<build_id>:<last_version>"`` — a refresh
+    bumps the version and a REBUILD at the same path changes the
+    build nonce, so both invalidate (same contract as
+    serving._load_shard)."""
     import glob as _glob
 
     import numpy as np
     import pyarrow.dataset as ds
 
-    key = (path, int(pb), int(version))
+    key = (path, int(pb), str(token))
     hit = _POSTINGS_CACHE.get(key)
     if hit is not None:
         return hit
@@ -523,7 +532,7 @@ def serve_bm25(
         meta = json.load(f)
     n_docs = meta["n_docs"]
     avgdl = meta["sum_dl"] / max(n_docs, 1)
-    version = meta.get("last_version", 0)
+    token = f"{meta.get('build_id', '')}:{meta.get('last_version', 0)}"
 
     all_terms = sorted({t for _, ts in queries for t in ts})
     key = tuple(all_terms)
@@ -557,7 +566,7 @@ def serve_bm25(
             rows = []
             for idx in pdf["shard"]:
                 pb = task_shards[int(idx)]
-                post = _load_postings_shard(path, pb, version)
+                post = _load_postings_shard(path, pb, token)
                 for qid, terms in qnorm:
                     for term in terms:
                         if pbs_by_term.get(term) != pb:

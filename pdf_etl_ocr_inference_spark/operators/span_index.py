@@ -44,6 +44,7 @@ from pdf_etl_ocr_inference_spark.operators.span_dedup import (
     merge_islands,
     positional_ngrams,
 )
+from pdf_etl_ocr_inference_spark.scratch import atomic_write_json
 
 _PARTITION_BUCKETS = 64
 _META = "_spanindex_meta.json"
@@ -84,8 +85,7 @@ def build_span_gram_index(
         .partitionBy("v", "_pb")
         .parquet(path)
     )
-    with open(os.path.join(path, _META), "w") as f:
-        json.dump({"n": n, "last_version": 0}, f)
+    atomic_write_json(os.path.join(path, _META), {"n": n, "last_version": 0})
     return path
 
 
@@ -125,8 +125,7 @@ def refresh_span_gram_index(
         .parquet(path)
     )
     meta["last_version"] = version
-    with open(mp, "w") as f:
-        json.dump(meta, f)
+    atomic_write_json(mp, meta)
 
 
 def incremental_span_intervals(

@@ -386,20 +386,38 @@ def dedup_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SPAN_INC_DOCS = (
+    # natural batch (doc_id % 97 = 3) PLUS planted mirrors: every
+    # base doc with doc_id % 97 = 10 and >= 6 tokens re-arrives
+    # verbatim under a fresh id — guarantees the incremental probe
+    # has real cross-corpus duplicated spans at EVERY sf (the
+    # natural batch alone had none at sf0.01, which made the
+    # driver's check vacuous: 0 rows proves nothing)
+    "docs2 AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT 1000000000 + doc_id AS doc_id, text FROM documents "
+    "WHERE doc_id % 97 = 10 AND "
+    "LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) >= 6)"
+)
+
+
 @register(
     "dedup_span_incremental",
-    f"WITH {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_DUP}, {_SPAN_ISLANDS} "
+    f"WITH {_SPAN_INC_DOCS}, "
+    + _SPAN_TOKS.replace("FROM documents", "FROM docs2")
+    + f", {_SPAN_OCC}, {_SPAN_DUP}, {_SPAN_ISLANDS} "
     "SELECT doc_id AS id, span_start, span_end FROM iv "
-    "WHERE doc_id % 97 = 3",
+    "WHERE doc_id % 97 = 3 OR doc_id >= 1000000000",
     doc="incremental substring dedup: the corpus gram-stats index "
     "(operators/span_index.py) is built once on the base corpus "
-    "(doc_id % 97 != 3); the arriving batch (doc_id % 97 = 3) "
-    "probes with ONLY its grams — index partition-pruned by the "
-    "batch grams' _pb dirs, batch gram set broadcast — and gets its "
-    "duplicated-span intervals judged against corpus ∪ batch. The "
-    "oracle is the FULL recompute restricted to batch ids: a gram's "
-    "dup status is global, so incremental ≡ batch-restricted full — "
-    "checked value-for-value.",
+    "(doc_id % 97 != 3); the arriving batch (doc_id % 97 = 3, plus "
+    "planted verbatim re-arrivals of base docs under fresh ids so "
+    "the check is non-vacuous at every sf) probes with ONLY its "
+    "grams — index partition-pruned by the batch grams' _pb dirs, "
+    "batch gram set broadcast — and gets its duplicated-span "
+    "intervals judged against corpus ∪ batch. The oracle is the "
+    "FULL recompute restricted to batch ids: a gram's dup status "
+    "is global, so incremental ≡ batch-restricted full — checked "
+    "value-for-value.",
 )
 def dedup_span_incremental(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.span_index import (
@@ -410,7 +428,13 @@ def dedup_span_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     base = docs.filter(F.col("doc_id") % 97 != 3)
-    batch = docs.filter(F.col("doc_id") % 97 == 3)
+    mirrors = docs.filter(
+        (F.col("doc_id") % 97 == 10)
+        & (F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 6)
+    ).select(
+        (F.lit(1000000000) + F.col("doc_id")).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 97 == 3).unionAll(mirrors)
     safe = sf.strip("/").replace("/", "_")
     path = f"{scratch_dir(f'spanidx_{safe}')}/index"
     build_span_gram_index(spark, base, path, n=6)

@@ -62,3 +62,30 @@ def scratch_dir(tag: str, wipe: bool = True) -> str:
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def atomic_write_json(path: str, obj) -> None:
+    """Crash-safe JSON publish: write to a sibling temp file, fsync,
+    then ``os.replace`` over the target — a reader never sees
+    truncated JSON (ADVICE r3: in-place meta rewrites could strand an
+    index behind unparseable metadata until manual repair).  Same
+    pattern as ``compact_parquet`` / the JSONL sink manifest."""
+    import json
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def new_build_id() -> str:
+    """Unique nonce stamped into an index meta at build time and
+    included in worker shard-cache keys: rebuilding an index at the
+    SAME path restarts versions at 0, so without the nonce a
+    long-lived executor would keep serving the pre-rebuild cache
+    entry keyed (path, shard, 0) (ADVICE r3)."""
+    import uuid
+
+    return uuid.uuid4().hex[:12]

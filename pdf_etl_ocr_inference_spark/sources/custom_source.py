@@ -182,6 +182,23 @@ class JsonlSinkWriter(DataSourceWriter):
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))
+        if self.overwrite:
+            # the manifest swap above is the atomic publish; stale
+            # generations' data files are no longer referenced, so
+            # physically remove them — a direct directory listing,
+            # disk accounting, or non-manifest-aware consumer would
+            # otherwise see every previous overwrite's files forever
+            live = set(manifest["files"])
+            for name in os.listdir(self.path):
+                if (
+                    name.endswith(".jsonl")
+                    and name.startswith("part-")
+                    and name not in live
+                ):
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
 
     def abort(self, messages):
         import os

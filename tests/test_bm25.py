@@ -236,3 +236,52 @@ def test_serve_bm25_matches_indexed_and_invalidates(spark, tmp_path):
     refresh_postings_index(spark, path, batch, version=1)
     after = serve_bm25(spark, path, [(0, TERMS)], k=10).collect()
     assert any(r["id"] == 50 for r in after)
+
+
+def test_serve_bm25_rebuild_same_path_invalidates(spark, tmp_path):
+    """ADVICE r3: rebuilding an index at the SAME path restarts
+    last_version at 0, so the worker shard cache — formerly keyed
+    (path, pb, version) — would keep serving the pre-rebuild
+    postings from long-lived executors.  The build_id nonce in the
+    cache key must force a miss after a rebuild."""
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        build_postings_index,
+        serve_bm25,
+    )
+
+    base = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    path = str(tmp_path / "postings")
+    build_postings_index(spark, base, path)
+    # warm the worker caches
+    before = serve_bm25(spark, path, [(0, TERMS)], k=10).collect()
+    assert before
+
+    # full rebuild at the same path: doc 7 replaces the corpus
+    rebuilt = spark.createDataFrame(
+        [(7, "spark vector join spark vector join")], ["doc_id", "text"]
+    )
+    build_postings_index(spark, rebuilt, path)
+    after = serve_bm25(spark, path, [(0, TERMS)], k=10).collect()
+    assert [r["id"] for r in after] == [7], after
+
+
+def test_postings_meta_has_build_nonce(spark, tmp_path):
+    import json
+
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        build_postings_index,
+    )
+
+    base = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    p1 = str(tmp_path / "a")
+    p2 = str(tmp_path / "b")
+    build_postings_index(spark, base, p1)
+    build_postings_index(spark, base, p2)
+    ids = []
+    for p in (p1, p2):
+        import glob
+
+        (mp,) = glob.glob(f"{p}/_postings_meta.json")
+        with open(mp) as f:
+            ids.append(json.load(f)["build_id"])
+    assert ids[0] and ids[1] and ids[0] != ids[1]

@@ -64,3 +64,49 @@ def test_jsonl_sink_manifest_hides_uncommitted_debris(spark, tmp_path):
         (r["k"], r["v"]) for r in read_jsonl_sink(spark, path, schema).collect()
     )
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_jsonl_sink_overwrite_removes_stale_generations(spark, tmp_path):
+    """ADVICE r3: mode('overwrite') previously left every prior
+    generation's data files on disk forever (hidden only by the
+    manifest).  commit() must physically sweep files absent from the
+    new manifest."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from pdf_etl_ocr_inference_spark.sources.custom_source import (
+        read_jsonl_sink,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    path = str(tmp_path / "sink")
+    gen1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    gen1.write.format("graft_jsonl_sink").option("path", path).mode(
+        "overwrite"
+    ).save()
+    n_gen1 = len(
+        [f for f in os.listdir(path) if f.endswith(".jsonl")]
+    )
+    assert n_gen1 >= 1
+
+    gen2 = spark.createDataFrame([(3, "c")], ["k", "v"])
+    gen2.write.format("graft_jsonl_sink").option("path", path).mode(
+        "overwrite"
+    ).save()
+    import json
+
+    with open(f"{path}/_MANIFEST.json") as f:
+        manifest = json.load(f)
+    on_disk = sorted(f for f in os.listdir(path) if f.endswith(".jsonl"))
+    assert on_disk == sorted(manifest["files"])
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    got = sorted(
+        (r["k"], r["v"])
+        for r in read_jsonl_sink(spark, path, schema).collect()
+    )
+    assert got == [(3, "c")]
