@@ -58,6 +58,43 @@ def stratified_sample(
     return df.filter(sample_hash(F.col(id_col)) < thresh)
 
 
+def weighted_sample_topn(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, inclusion
+    probability proportional to weight (PPS): Efraimidis–Spirakis
+    A-ES [Inf. Process. Lett. 2006] — draw u_i uniform per row, rank
+    by u_i^(1/w_i), keep the top n.  Here u_i is the same Knuth
+    multiplicative hash of the id the stratified sampler uses (mapped
+    to (0, 1]), so the draw is a pure function of the row id:
+    reproducible, auditable, engine-replayable.
+
+    The rank key is ln(u)/w (monotone in u^(1/w)), QUANTIZED to six
+    decimals with an id tie-break: ln() is a libm call whose last ulp
+    may differ across engines, and the repo's oracle contract needs
+    cross-engine-identical selection (same precedent as the RAG
+    pipeline's quantized BM25 ranking).  Ties are totally ordered by
+    id, so the cut at n is deterministic in both engines.
+
+    Scale: rows with w <= 0 are excluded (A-ES domain); the top-n is
+    ``orderBy().limit(n)`` → TakeOrderedAndProject (per-partition
+    heap + driver merge of n·parts rows), never a global sort
+    shuffle.  Nested: the top-n sample is a prefix of the top-n'
+    sample for n' > n, so growing a sample reuses every row."""
+    u = (sample_hash(F.col(id_col)) + F.lit(1)) / F.lit(float(_MOD))
+    key = F.round(
+        F.log(u) / F.col(weight_col).cast("double"), 6
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .orderBy(F.desc(key), F.col(id_col))
+        .limit(n)
+    )
+
+
 def stratified_fixed_n(
     df: DataFrame,
     strata_col: str,

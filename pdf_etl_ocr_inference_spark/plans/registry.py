@@ -67,6 +67,7 @@ def _load_all_modules() -> None:
         scale_plans,
         setop_plans,
         similarity_plans,
+        sketch_plans,
         source_plans,
         streaming_plans,
         temporal_plans,

@@ -248,3 +248,20 @@ def test_span_intervals_single_corpus_agg_shape(spark):
     plan = _explain(spark, df)
     # countDistinct would appear as 'count(distinct' in the plan
     assert "count(distinct" not in plan.lower(), plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """The A-ES top-n must compile to TakeOrderedAndProject
+    (per-partition heap + driver merge), never a global Sort
+    exchange — the property that keeps the sample O(n) at 100 TB."""
+    df = _SPECS["train_weighted_sample"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_heavy_hitters_broadcasts_candidates(spark):
+    """Phase 2 must semi-join the corpus to the BROADCAST candidate
+    set — the full key space never shuffles."""
+    df = _SPECS["sketch_heavy_hitters"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan

@@ -65,3 +65,63 @@ def test_fixed_n_exact_sizes_and_determinism(spark):
         ).collect()
     )
     assert a == b  # partition-layout invariant
+
+
+def test_weighted_sample_nested_and_deterministic(spark):
+    from pdf_etl_ocr_inference_spark.operators.sampling import (
+        weighted_sample_topn,
+    )
+
+    docs = _docs(spark)
+    top50 = [
+        r["doc_id"]
+        for r in weighted_sample_topn(docs, "doc_id", "n_chars", 50)
+        .select("doc_id")
+        .collect()
+    ]
+    top100 = [
+        r["doc_id"]
+        for r in weighted_sample_topn(docs, "doc_id", "n_chars", 100)
+        .select("doc_id")
+        .collect()
+    ]
+    assert len(top50) == 50 and len(top100) == 100
+    assert set(top50) <= set(top100)  # nested: growing n only adds
+    again = [
+        r["doc_id"]
+        for r in weighted_sample_topn(
+            docs.repartition(7), "doc_id", "n_chars", 50
+        )
+        .select("doc_id")
+        .collect()
+    ]
+    assert sorted(again) == sorted(top50)  # partition-layout invariant
+
+
+def test_weighted_sample_pps_bias(spark):
+    """A-ES inclusion probability is proportional to weight: with a
+    planted 10x-weight minority, the sample must overrepresent it by
+    a wide margin vs its population share."""
+    from pdf_etl_ocr_inference_spark.operators.sampling import (
+        weighted_sample_topn,
+    )
+
+    rows = [(i, 1000 if i % 10 == 0 else 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = weighted_sample_topn(df, "id", "w", 200).collect()
+    heavy = sum(1 for r in got if r["id"] % 10 == 0)
+    # population share of heavy ids is 10%; PPS share of total weight
+    # is 1000*200/(1000*200+100*1800) = 52.6%
+    assert heavy > 60, heavy
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from pdf_etl_ocr_inference_spark.operators.sampling import (
+        weighted_sample_topn,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, 9)], ["id", "w"]
+    )
+    got = {r["id"] for r in weighted_sample_topn(df, "id", "w", 10).collect()}
+    assert got == {1, 4}
