@@ -882,3 +882,52 @@ def text_bm25_served(spark: SparkSession, sf: str) -> DataFrame:
     return serve_bm25(spark, path, [(0, list(_BM25_TERMS))], k=20).select(
         "id", "score"
     )
+
+
+@register(
+    "text_bpe_vocab",
+    None,  # merge learning is an iterative driver loop → rows-only;
+    # parity vs an independent naive reference + determinism in
+    # tests/test_bpe.py
+    doc="BPE vocabulary induction (Sennrich 2016) with the 100 TB "
+    "shape: ONE combinable shuffle to the word histogram (capped "
+    "top-5000 with a LOGGED drop count — merge decisions are "
+    "frequency-driven, so the tail can't flip a ranking), then the "
+    "classic merge loop over that bounded driver state. "
+    "Deterministic: count ties break lexicographically "
+    "(operators/bpe.py).",
+)
+def text_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.bpe import learn_bpe
+
+    return learn_bpe(
+        spark,
+        _t(spark, sf, "documents"),
+        num_merges=80,
+        top_v=5000,
+    )
+
+
+@register(
+    "text_bpe_fertility",
+    None,  # segmentation applies the learned ranks in Python →
+    # rows-only; invariants (pieces >= words, untokenized upper
+    # bound) and determinism in tests/test_bpe.py
+    doc="tokenize with the corpus-learned BPE merges: per-doc word "
+    "and piece counts (fertility = pieces/words, the vocab-quality "
+    "metric). Merge ranks ship in the UDF closure (bounded by "
+    "num_merges); each Arrow batch memoizes per DISTINCT word so "
+    "hot words segment once per batch (operators/bpe.py).",
+)
+def text_bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.bpe import (
+        apply_bpe,
+        learn_bpe,
+        word_histogram,
+        learn_bpe_from_histogram,
+    )
+
+    docs = _t(spark, sf, "documents")
+    hist = word_histogram(docs, "text", top_v=5000)
+    merges = learn_bpe_from_histogram(hist, num_merges=80)
+    return apply_bpe(docs, merges)
