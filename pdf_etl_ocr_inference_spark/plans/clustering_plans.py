@@ -104,3 +104,58 @@ def train_epoch_replication(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+
+
+_PCA_DIMS = 8
+_PCA_PAIRS = ", ".join(
+    f"({i}, {j})"
+    for i in range(_PCA_DIMS)
+    for j in range(_PCA_DIMS)
+    if i <= j
+)
+
+
+@register(
+    "ann_pca_gram",
+    "SELECT p.i AS i, p.j AS j, "
+    "CAST(SUM("
+    "CAST(FLOOR(list_extract(embedding, p.i + 1)::DOUBLE * 1048576.0) AS BIGINT) * "
+    "CAST(FLOOR(list_extract(embedding, p.j + 1)::DOUBLE * 1048576.0) AS BIGINT)"
+    ") AS BIGINT) AS s "
+    f"FROM embeddings CROSS JOIN (VALUES {_PCA_PAIRS}) AS p(i, j) "
+    "GROUP BY p.i, p.j",
+    doc="the ORACLED slice of the deterministic PCA covariance pass: "
+    "integer-exact upper-triangle Gram sums of floor(x*2^20)-"
+    "quantized embeddings over the first 8 dims — the exact "
+    "integers the full-dim fit aggregates, replayed value-for-"
+    "value by DuckDB (floor + IEEE double multiply are bit-"
+    "identical across engines; round() would not be). One narrow "
+    "mapInPandas pass, one tiny partial per partition "
+    "(operators/pca.py).",
+)
+def ann_pca_gram(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.pca import gram_table
+
+    return gram_table(_t(spark, sf, "embeddings"), "embedding", _PCA_DIMS)
+
+
+@register(
+    "ann_pca_project",
+    None,  # eigendecomposition is a driver step → rows-only;
+    # numpy-replica parity + partition-invariance in tests/test_pca.py
+    doc="deterministic distributed PCA: integer-exact quantized "
+    "covariance (one narrow pass, partition-count-sized driver "
+    "traffic), driver eigh with sign canonicalization, Arrow-"
+    "batched projection onto the broadcast top-4 components. "
+    "Bit-identical for ANY partitioning of the corpus "
+    "(operators/pca.py).",
+)
+def ann_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.pca import (
+        fit_pca,
+        project_pca,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    comps, _evals, mean = fit_pca(emb, "embedding", k=4)
+    return project_pca(emb, "embedding", "vec_id", comps, mean)
