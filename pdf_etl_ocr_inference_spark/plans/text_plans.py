@@ -931,3 +931,68 @@ def text_bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
     hist = word_histogram(docs, "text", top_v=5000)
     merges = learn_bpe_from_histogram(hist, num_merges=80)
     return apply_bpe(docs, merges)
+
+
+def _lr_feats(spark, sf):
+    from pdf_etl_ocr_inference_spark.operators.quality_model import (
+        feature_frame,
+    )
+
+    docs = _t(spark, sf, "documents")
+    # weak labels: treat English docs as in-domain positives — the
+    # standard bootstrap for a fastText-style quality classifier
+    return feature_frame(
+        docs, "text", (F.col("lang") == "en").cast("int"), "doc_id"
+    )
+
+
+@register(
+    "text_quality_lr_train",
+    None,  # iterative driver loop → rows-only; exact numpy-replica
+    # parity + partition invariance in tests/test_quality_model.py
+    doc="trainable quality classifier (fastText-style): full-batch "
+    "logistic regression where each gradient step is ONE narrow "
+    "pass emitting floor(g*2^24)-quantized int64 partial sums per "
+    "partition — learned weights are bit-identical for any corpus "
+    "layout, same numeric doctrine as the deterministic k-means "
+    "and PCA. Emits (feature, weight) + bias "
+    "(operators/quality_model.py).",
+)
+def text_quality_lr_train(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.quality_model import (
+        FEATURE_NAMES,
+        fit_quality_lr,
+    )
+
+    feats = _lr_feats(spark, sf).cache()
+    try:
+        w, b, _hist = fit_quality_lr(feats, iterations=10)
+    finally:
+        feats.unpersist()
+    rows = [(name, round(float(wi), 6)) for name, wi in zip(FEATURE_NAMES, w)]
+    rows.append(("bias", round(float(b), 6)))
+    return spark.createDataFrame(rows, ["feature", "weight"])
+
+
+@register(
+    "text_quality_lr_score",
+    None,  # weights come from the iterative trainer → rows-only;
+    # scoring itself is a native Column sigmoid (deployable as a
+    # plain predicate), determinism via the catalog checker
+    doc="score every document with the corpus-trained quality "
+    "classifier: native-expression sigmoid over the learned "
+    "weights — no Python in the scoring path, so the trained "
+    "filter composes into any pipeline as a Column predicate.",
+)
+def text_quality_lr_score(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.quality_model import (
+        fit_quality_lr,
+        score_quality_lr,
+    )
+
+    feats = _lr_feats(spark, sf).cache()
+    try:
+        w, b, _hist = fit_quality_lr(feats, iterations=10)
+        return score_quality_lr(feats, w, b, "doc_id")
+    finally:
+        feats.unpersist()
