@@ -93,3 +93,81 @@ def pagerank(
         )
         ranks = truncate_lineage(ranks)
     return ranks.select("id", F.round("_r", 6).alias("rank_score"))
+
+
+def triangle_count(
+    pairs: DataFrame, a_col: str = "ia", b_col: str = "ib"
+) -> DataFrame:
+    """Exact global triangle count by DEGREE ORIENTATION — the
+    standard scalable formulation [Chiba–Nishizeki 1985; the
+    node-iterator++ of Schank 2007].
+
+    Input: undirected edges as distinct (a, b) pairs with a != b
+    (one row per edge, either order).  Naively joining the edge list
+    with itself explodes on high-degree nodes (a degree-D hub yields
+    D^2 wedge rows).  Orienting every edge from its lower-(degree,
+    id) endpoint to the higher one turns the graph into a DAG whose
+    max out-degree is O(sqrt(m)) — so the wedge self-join is bounded
+    by m^1.5 total work regardless of hub size, the property that
+    survives power-law degree distributions at 100 TB.  Each triangle
+    x<y<z (by the (deg, id) total order) is counted exactly once: as
+    the wedge (y, z) at its minimum vertex x, closed by the oriented
+    edge y->z.
+
+    Returns one row: (n_triangles, n_edges, n_nodes)."""
+    und = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        und.join(
+            deg.select(
+                F.col("node").alias("a"), F.col("deg").alias("da")
+            ),
+            "a",
+        ).join(
+            deg.select(
+                F.col("node").alias("b"), F.col("deg").alias("db")
+            ),
+            "b",
+        )
+    )
+    swap = (F.col("db") < F.col("da")) | (
+        (F.col("db") == F.col("da")) & (F.col("b") < F.col("a"))
+    )
+    oriented = e.select(
+        F.when(swap, F.col("b")).otherwise(F.col("a")).alias("src"),
+        F.when(swap, F.col("a")).otherwise(F.col("b")).alias("dst"),
+        F.when(swap, F.col("da")).otherwise(F.col("db")).alias("ddst"),
+    )
+    o1 = oriented.select(
+        "src", F.col("dst").alias("v"), F.col("ddst").alias("dv")
+    )
+    o2 = oriented.select(
+        "src", F.col("dst").alias("w"), F.col("ddst").alias("dw")
+    )
+    wedges = o1.join(o2, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closed = wedges.join(
+        oriented.select(
+            F.col("src").alias("v"), F.col("dst").alias("w")
+        ),
+        ["v", "w"],
+        "leftsemi",
+    )
+    stats = und.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    ).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return (
+        closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(stats)
+    )

@@ -47,6 +47,17 @@ operator here:
 
 The result is EXACT (keys and counts), which is what lets the
 catalog entry be fully oracled against the naive SQL.
+
+Honest local measurement (local[32], 4M rows / 2.4M distinct keys):
+the naive JVM hash-aggregate WINS (1.8 s vs 3.7 s) — map-side combine
+over a few million keys is cheap, and the two-phase pays a Python
+scan.  The crossover is where the two-phase is designed to live: when
+the distinct-key space is too large for executor hash maps /
+shuffle-spills dominate (billions of keys at 100 TB), phase 1's
+output stays bounded at parts/eps while the naive plan's shuffle
+grows with the key space.  Use the naive aggregate until the key
+cardinality hurts; this operator is the escape hatch, not the
+default.
 """
 
 from __future__ import annotations

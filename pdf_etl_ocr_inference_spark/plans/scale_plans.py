@@ -645,3 +645,57 @@ def op90_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
       )
       SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
     """)
+
+
+@register(
+    "graph_triangles",
+    "WITH " + _PR_GRAPH + " "
+    "SELECT "
+    "(SELECT COUNT(*) FROM dp e1 "
+    " JOIN dp e2 ON e2.ia = e1.ib "
+    " JOIN dp e3 ON e3.ia = e1.ia AND e3.ib = e2.ib) AS n_triangles, "
+    "(SELECT COUNT(*) FROM dp) AS n_edges, "
+    "(SELECT COUNT(DISTINCT x) FROM "
+    " (SELECT ia AS x FROM dp UNION SELECT ib FROM dp)) AS n_nodes",
+    doc="exact triangle census of the span-share graph via DEGREE "
+    "ORIENTATION (Chiba-Nishizeki): edges orient from the lower-"
+    "(degree, id) endpoint, bounding the wedge self-join at "
+    "O(m^1.5) total work even under power-law hubs — the naive "
+    "edge^3 join the ORACLE runs explodes quadratically on a hub's "
+    "D^2 wedges. Same exact-dup clique collapse before pair "
+    "derivation as PageRank. Triangle density is the curation "
+    "signal: tightly inter-quoting doc clusters are template "
+    "families (operators/graph.py).",
+)
+def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.dedup import exact_dedup
+    from pdf_etl_ocr_inference_spark.operators.graph import (
+        triangle_count,
+    )
+    from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+        positional_ngrams,
+    )
+
+    docs = exact_dedup(
+        _t(spark, sf, "documents").select("doc_id", "text"),
+        "text",
+        "doc_id",
+    )
+    occ = positional_ngrams(docs, "text", "doc_id", 6).select(
+        "id", "gram"
+    )
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
+        .filter(F.col("_mn") < F.col("_mx"))
+        .select("gram")
+    )
+    a = occ.join(dup, "gram").select("gram", F.col("id").alias("ia"))
+    b = occ.join(dup, "gram").select("gram", F.col("id").alias("ib"))
+    dp = (
+        a.join(b, "gram")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    return triangle_count(dp)

@@ -145,3 +145,35 @@ def test_mass_duplication_stays_linear(spark):
         )
 
     assert pairs(5) == pairs(50)  # clique depth doesn't grow edges
+
+
+def test_triangle_count_brute_force_parity(spark):
+    """Degree-oriented count must equal a brute-force triple check on
+    a deterministic pseudo-random graph with planted hubs."""
+    import itertools
+
+    from pdf_etl_ocr_inference_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # 60 nodes; edge iff (i*31 + j*17) % 7 == 0 — plus a hub joined
+    # to everyone (degree-orientation's worst case)
+    nodes = list(range(60))
+    edges = {
+        (i, j)
+        for i, j in itertools.combinations(nodes, 2)
+        if (i * 31 + j * 17) % 7 == 0
+    }
+    edges |= {(i, 99) for i in nodes}
+    eset = edges
+    ref = sum(
+        1
+        for x, y, z in itertools.combinations(sorted({n for e in eset for n in e}), 3)
+        if ((x, y) in eset or (y, x) in eset)
+        and ((y, z) in eset or (z, y) in eset)
+        and ((x, z) in eset or (z, x) in eset)
+    )
+    df = spark.createDataFrame(sorted(eset), ["ia", "ib"])
+    got = triangle_count(df).first()
+    assert got["n_triangles"] == ref
+    assert got["n_edges"] == len(eset)
