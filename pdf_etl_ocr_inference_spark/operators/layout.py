@@ -58,6 +58,258 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def collect_file_stats(spark, path: str, cols: list[str]):
+    """Per-FILE min/max statistics for ``cols``, computed from parquet
+    FOOTERS only — the data-skipping sidecar open table formats (Delta,
+    Iceberg) maintain, rebuilt here for a plain parquet directory.
+
+    Distributed and footer-bound: the file listing fans out over
+    executors and each task calls ``pyarrow.parquet.read_metadata``
+    (a seek to the footer — no column pages are read), so cost scales
+    with FILE COUNT, not data volume; at 100 TB with ~1 GB files
+    that is ~100k footer reads across the cluster, seconds not hours.
+
+    Values are normalized to doubles (timestamps → epoch seconds) so
+    one schema serves every numeric/temporal column; exact-integer
+    semantics survive below 2^53.  Returns a DataFrame
+    ``(file, col, vmin, vmax)`` with one row per (file, column).
+    """
+    import datetime as _dt
+    import os as _os
+
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    files = [
+        f"{path}/{f}"
+        for f in _os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    want = list(cols)
+
+    def _norm(v):
+        # naive timestamps → epoch seconds WITHOUT consulting the host
+        # timezone (datetime.timestamp() would): stats must mean the
+        # same thing on every executor.
+        epoch = _dt.datetime(1970, 1, 1)
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                return v.timestamp()
+            return (v - epoch).total_seconds()
+        if isinstance(v, _dt.date):
+            return (_dt.datetime(v.year, v.month, v.day) - epoch).total_seconds()
+        return float(v)
+
+    def _footer_stats(batches):
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            out = {"file": [], "col": [], "vmin": [], "vmax": []}
+            for fpath in pdf["file"]:
+                md = _pq.read_metadata(fpath)
+                names = md.schema.names
+                idx = {c: names.index(c) for c in want}
+                lo: dict[str, float] = {}
+                hi: dict[str, float] = {}
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for c, i in idx.items():
+                        st = g.column(i).statistics
+                        if st is None or not st.has_min_max:
+                            lo[c], hi[c] = float("-inf"), float("inf")
+                            continue
+                        mn, mx = _norm(st.min), _norm(st.max)
+                        lo[c] = min(lo.get(c, mn), mn)
+                        hi[c] = max(hi.get(c, mx), mx)
+                for c in want:
+                    out["file"].append(fpath)
+                    out["col"].append(c)
+                    out["vmin"].append(lo.get(c, float("-inf")))
+                    out["vmax"].append(hi.get(c, float("inf")))
+            yield _pd.DataFrame(out)
+
+    listing = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(min(len(files), 32) or 1, F.col("file"))
+    return listing.mapInPandas(
+        _footer_stats, schema="file string, col string, vmin double, vmax double"
+    )
+
+
+def scan_with_skipping(
+    spark, path: str, ranges: dict[str, tuple[float, float]],
+    stats=None,
+):
+    """Data-skipping scan: read ONLY the files whose per-file min/max
+    ranges overlap every ``col: (lo, hi)`` predicate, then re-apply the
+    exact predicates to the surviving rows.
+
+    The stats sidecar is bounded control data (one row per file per
+    column — ~100k files × few cols at 100 TB ≈ MBs), so collecting the
+    keep-list to the driver is the same bounded pattern as the
+    partition IN-list probe (dedup_index).  Returns
+    ``(DataFrame, files_read, files_total)``; correctness never depends
+    on the stats — a file wrongly kept is filtered row-by-row, and the
+    sidecar is rebuilt from footers so it cannot go stale silently.
+    """
+    from pyspark.sql import functions as F
+
+    if stats is None:
+        stats = collect_file_stats(spark, path, list(ranges))
+    keep_expr = None
+    for c, (lo, hi) in ranges.items():
+        e = (
+            (F.col("col") == c)
+            & (F.col("vmax") >= float(lo))
+            & (F.col("vmin") <= float(hi))
+        )
+        keep_expr = e if keep_expr is None else keep_expr | e
+    n_cols = len(ranges)
+    kept = (
+        stats.filter(keep_expr)
+        .groupBy("file")
+        .count()
+        .filter(F.col("count") == n_cols)
+        .select("file")
+        .collect()
+    )
+    total = stats.select("file").distinct().count()
+    files = [r["file"] for r in kept]
+    if not files:
+        empty = spark.read.parquet(path).limit(0)
+        return empty, 0, total
+    return spark.read.parquet(*files), len(files), total
+
+
+def _splitmix64(x):
+    """Deterministic 64-bit mix (splitmix64, public domain) — numpy
+    uint64 in, uint64 out, wrap-around semantics."""
+    import numpy as np
+
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _bloom_positions(vals, k: int, m: int):
+    """Bit positions (k per value) via Kirsch–Mitzenmacher double
+    hashing: pos_j = (h1 + j·h2) mod m.  ``vals`` is a 1-D numpy
+    int64/uint64 array; returns a (len(vals)·k,) position array."""
+    import numpy as np
+
+    v = vals.astype("uint64")
+    h1 = _splitmix64(v)
+    h2 = _splitmix64(v ^ np.uint64(0xA076_1D64_78BD_642F)) | np.uint64(1)
+    j = np.arange(k, dtype="uint64")
+    return ((h1[:, None] + j[None, :] * h2[:, None]) % np.uint64(m)).ravel()
+
+
+def build_file_bloom(
+    spark, path: str, col: str, fpp: float = 0.01
+) -> str:
+    """Per-FILE Bloom-filter sidecar over an integer column — the
+    point-lookup complement of :func:`collect_file_stats`: min/max
+    ranges prune RANGE predicates on clustered columns, but for a
+    point lookup on a column the layout does NOT cluster (e.g. find
+    5 order ids in a table laid out by customer) every file's range
+    covers the probe and nothing skips.  A per-file Bloom answers
+    "might this file contain value v" in O(k) bit probes with ~fpp
+    false positives — the file-skipping index Delta/Iceberg attach to
+    parquet, rebuilt here for a plain directory.
+
+    Distributed one-column scan: each task reads ONLY ``col`` of its
+    files (columnar projection — payload columns untouched) and sets
+    k bits per value in an m-bit array sized from the file's row count
+    and ``fpp``.  The sidecar lands under ``{path}/_bloom_{col}`` (the
+    ``_`` prefix hides it from Spark's table listing).  Cost ∝ the
+    one column's bytes; at 100 TB that is the same shape as a stats
+    collection pass and embarrassingly parallel.
+    """
+    import math
+    import os as _os
+
+    import numpy as _np
+    import pandas as _pd
+
+    from pyspark.sql import functions as F
+
+    files = [
+        f"{path}/{f}"
+        for f in _os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+
+    def _build(batches):
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            out = {"file": [], "m": [], "k": [], "bits": []}
+            for fpath in pdf["file"]:
+                arr = _pq.read_table(fpath, columns=[col])[col]
+                vals = arr.to_numpy(zero_copy_only=False).astype("int64")
+                n = max(len(vals), 1)
+                m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+                k = max(1, round(m / n * math.log(2)))
+                bits = _np.zeros(m, dtype=bool)
+                if len(vals):
+                    bits[_bloom_positions(vals, k, m)] = True
+                out["file"].append(fpath)
+                out["m"].append(m)
+                out["k"].append(k)
+                out["bits"].append(_np.packbits(bits).tobytes())
+            yield _pd.DataFrame(out)
+
+    listing = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(min(len(files), 32) or 1, F.col("file"))
+    sidecar = listing.mapInPandas(
+        _build, schema="file string, m long, k long, bits binary"
+    )
+    out_path = f"{path}/_bloom_{col}"
+    sidecar.coalesce(1).write.mode("overwrite").parquet(out_path)
+    return out_path
+
+
+def scan_point_lookup(
+    spark, path: str, col: str, values: list[int]
+):
+    """Bloom-pruned point lookup: read ONLY the files whose sidecar
+    Bloom filter (``build_file_bloom``) might contain ANY of
+    ``values``, then re-apply the exact IN predicate row-wise.
+
+    Same bounded-control-data shape as :func:`scan_with_skipping`
+    (sidecar rows = file count); false positives cost one extra file
+    read, never a wrong row — correctness is carried entirely by the
+    re-applied predicate.  Returns ``(DataFrame, files_read,
+    files_total)``.
+    """
+    import numpy as _np
+
+    probe = _np.asarray(sorted(set(int(v) for v in values)), dtype="int64")
+    side = spark.read.parquet(f"{path}/_bloom_{col}").collect()
+    keep = []
+    for r in side:
+        m, k = int(r["m"]), int(r["k"])
+        bits = _np.unpackbits(
+            _np.frombuffer(r["bits"], dtype="uint8"), count=m
+        ).astype(bool)
+        if bits[_bloom_positions(probe, k, m)].reshape(len(probe), k).all(
+            axis=1
+        ).any():
+            keep.append(r["file"])
+    total = len(side)
+    if not keep:
+        empty = spark.read.parquet(path).limit(0)
+        return empty, 0, total
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*sorted(keep)).filter(
+        F.col(col).isin([int(v) for v in values])
+    )
+    return df, len(keep), total
+
+
 def zorder_key(cols, bits: int = 12):
     """Morton (Z-order) key: interleave the low ``bits`` bits of each
     column, column ``i`` occupying bit positions ``i, i+n, i+2n, ...``.

@@ -217,6 +217,61 @@ def op63_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op63b_correlation",
+    "SELECT pair, ROUND(r, 4) AS r, ROUND(cov_s, 4) AS cov_s, n FROM ("
+    "  SELECT 'quantity_extendedprice' AS pair, "
+    "  CORR(l_quantity, l_extendedprice) AS r, "
+    "  COVAR_SAMP(l_quantity, l_extendedprice) AS cov_s, "
+    "  COUNT(*) AS n FROM lineitem "
+    "  UNION ALL SELECT 'quantity_discount', "
+    "  CORR(l_quantity, l_discount), COVAR_SAMP(l_quantity, l_discount), "
+    "  COUNT(*) FROM lineitem "
+    "  UNION ALL SELECT 'extendedprice_discount', "
+    "  CORR(l_extendedprice, l_discount), "
+    "  COVAR_SAMP(l_extendedprice, l_discount), COUNT(*) FROM lineitem)",
+    doc="pairwise correlation profile (Pearson r + sample covariance "
+    "for every column pair) in ONE scan: all three pairs' moments are "
+    "partial-aggregatable, so the profile costs one map-side-combined "
+    "pass regardless of how many pairs are requested — the "
+    "feature-selection / drift-detection preflight over a numeric "
+    "table. At 100 TB the alternative (one scan per pair, or a "
+    "driver-side pandas corr) is respectively O(p²) scans and a "
+    "non-starter.",
+)
+def op63b_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    pairs = [
+        ("quantity_extendedprice", "l_quantity", "l_extendedprice"),
+        ("quantity_discount", "l_quantity", "l_discount"),
+        ("extendedprice_discount", "l_extendedprice", "l_discount"),
+    ]
+    stats = li.agg(
+        *[
+            agg
+            for name, a, b in pairs
+            for agg in (
+                F.corr(a, b).alias(f"r_{name}"),
+                F.covar_samp(a, b).alias(f"c_{name}"),
+            )
+        ],
+        F.count("*").alias("n"),
+    )
+    rows = [
+        stats.select(
+            F.lit(name).alias("pair"),
+            F.round(F.col(f"r_{name}"), 4).alias("r"),
+            F.round(F.col(f"c_{name}"), 4).alias("cov_s"),
+            F.col("n"),
+        )
+        for name, _, _ in pairs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
     "op64_train_test_split",
     "SELECT split, lang, COUNT(*) AS n FROM ("
     "  SELECT lang, CASE WHEN "

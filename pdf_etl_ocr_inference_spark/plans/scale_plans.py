@@ -427,6 +427,132 @@ def op70_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op70b_stats_pruned_scan",
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "ROUND(SUM(o_totalprice), 2) AS total "
+    "FROM orders WHERE o_custkey BETWEEN 100 AND 299 "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY o_orderpriority",
+    doc="FILE-level data skipping over the Z-ordered layout: a per-file "
+    "min/max sidecar is rebuilt from parquet FOOTERS only (distributed "
+    "mapInPandas over the listing — cost ∝ file count, not bytes; the "
+    "skipping index Delta/Iceberg maintain, for plain parquet), then "
+    "the 2-D box predicate schedules scan tasks ONLY for overlapping "
+    "files and re-applies the exact filters to surviving rows. "
+    "Correctness never rests on the stats (kept files re-filter "
+    "row-wise; oracle = same predicate on the pristine table); "
+    "tests/test_zorder.py asserts files_read < files_total, i.e. the "
+    "skip actually engages on the clustered copy. At 100 TB this is "
+    "the difference between touching ~1% of files and listing-scanning "
+    "all of them when the query's box is small.",
+)
+def op70b_stats_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime as dt
+    import os
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        collect_file_stats,
+        scan_with_skipping,
+        zorder_key,
+    )
+    from pdf_etl_ocr_inference_spark.scratch import scratch_root
+
+    orders = _t(spark, sf, "orders")
+    x = F.col("o_custkey").bitwiseAND(F.lit(4095))
+    y = (
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))
+        ).bitwiseAND(F.lit(4095))
+    )
+    tag = os.path.basename(os.path.normpath(sf))
+    path = os.path.join(scratch_root(), f"zorder_stats_orders_{tag}")
+    (
+        orders.withColumn("_z", zorder_key([x, y], bits=12))
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    stats = collect_file_stats(spark, path, ["o_custkey", "o_orderdate"])
+    epoch = dt.datetime(1970, 1, 1)
+    lo = (dt.datetime(1996, 1, 1) - epoch).total_seconds()
+    hi = (dt.datetime(1997, 1, 1) - epoch).total_seconds()
+    pruned, _n_read, _n_total = scan_with_skipping(
+        spark, path,
+        {"o_custkey": (100, 299), "o_orderdate": (lo, hi)},
+        stats=stats,
+    )
+    return (
+        pruned.filter(
+            F.col("o_custkey").between(100, 299)
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "op70c_bloom_point_lookup",
+    "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total "
+    "FROM orders WHERE o_orderkey IN "
+    "(SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)",
+    doc="per-FILE Bloom-filter point lookup — the skipping index for "
+    "the case min/max stats cannot serve: the table is laid out by "
+    "customer, the probe is 5 order ids, so every file's orderkey "
+    "RANGE covers the probe and range-skipping keeps all of them; the "
+    "Bloom sidecar (distributed one-column build, k-bit membership "
+    "per file, ~1% fpp) keeps only files that might contain a probed "
+    "id. False positives cost an extra file read, never a wrong row — "
+    "the exact IN predicate re-applies row-wise (oracle = the same "
+    "IN on the pristine table). tests/test_zorder.py asserts the "
+    "bloom prunes where min/max provably cannot. The 5 probe ids are "
+    "the 5 lowest orderkeys (driver-side bounded control data, the "
+    "IN-list-probe precedent), so the entry is SF-independent.",
+)
+def op70c_bloom_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        build_file_bloom,
+        scan_point_lookup,
+    )
+    from pdf_etl_ocr_inference_spark.scratch import scratch_root
+
+    orders = _t(spark, sf, "orders")
+    tag = os.path.basename(os.path.normpath(sf))
+    path = os.path.join(scratch_root(), f"bloom_orders_{tag}")
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    build_file_bloom(spark, path, "o_orderkey")
+    probe = [
+        r["o_orderkey"]
+        for r in orders.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .collect()
+    ]
+    hit, _n_read, _n_total = scan_point_lookup(
+        spark, path, "o_orderkey", probe
+    )
+    return hit.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+
+
+@register(
     "op71_bloom_join",
     "SELECT o_orderpriority, COUNT(*) AS n, "
     "ROUND(SUM(l_extendedprice), 2) AS total "

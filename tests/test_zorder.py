@@ -146,6 +146,125 @@ def test_zorder_prunes_both_dimensions(layouts):
     assert days <= 0.5, f"zorder days overlap {days}"
 
 
+def test_file_skipping_scan_prunes_and_preserves_results(spark, tmp_path):
+    """op70b's mechanism end-to-end: the footer-stats sidecar matches
+    pyarrow ground truth, the pruned scan reads STRICTLY fewer files
+    than the directory holds, and the filtered result is identical to
+    the unpruned scan (correctness never rests on the stats)."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        collect_file_stats,
+        scan_with_skipping,
+    )
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+
+    path = str(tmp_path / "orders_by_cust")
+    orders = load_table(spark, SF0001, "orders")
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    stats = collect_file_stats(spark, path, ["o_custkey"]).collect()
+    truth = _stats_ranges(path + "/*.parquet", ["o_custkey"])
+    got = sorted((r["vmin"], r["vmax"]) for r in stats)
+    want = sorted((float(t["o_custkey"][0]), float(t["o_custkey"][1])) for t in truth)
+    assert got == want
+
+    lo, hi = 100, 140
+    pruned, n_read, n_total = scan_with_skipping(
+        spark, path, {"o_custkey": (lo, hi)}
+    )
+    assert n_total == 16
+    assert 0 < n_read < n_total, f"no pruning: {n_read}/{n_total}"
+    pred = F.col("o_custkey").between(lo, hi)
+    got_keys = sorted(
+        r["o_orderkey"] for r in pruned.filter(pred).select("o_orderkey").collect()
+    )
+    want_keys = sorted(
+        r["o_orderkey"] for r in orders.filter(pred).select("o_orderkey").collect()
+    )
+    assert got_keys == want_keys and len(want_keys) > 0
+
+
+def test_file_skipping_empty_keeplist(spark, tmp_path):
+    """A box disjoint from every file yields an empty (but
+    schema-stable) result, not an error."""
+    from pdf_etl_ocr_inference_spark.operators.layout import scan_with_skipping
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+
+    path = str(tmp_path / "orders_flat")
+    load_table(spark, SF0001, "orders").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(path)
+    df, n_read, n_total = scan_with_skipping(
+        spark, path, {"o_custkey": (-500, -100)}
+    )
+    assert n_read == 0 and n_total == 2
+    assert df.count() == 0
+    assert "o_orderkey" in df.columns
+
+
+def test_bloom_point_lookup_prunes_where_minmax_cannot(spark, tmp_path):
+    """op70c's mechanism: table laid out by o_custkey, probe by
+    o_orderkey.  Every file's orderkey RANGE covers the probe (min/max
+    skipping keeps 16/16), the Bloom sidecar keeps only a few files,
+    and the looked-up rows are exactly the IN-predicate rows."""
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        build_file_bloom,
+        scan_point_lookup,
+        scan_with_skipping,
+    )
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+
+    path = str(tmp_path / "orders_by_cust_bloom")
+    orders = load_table(spark, SF0001, "orders")
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    build_file_bloom(spark, path, "o_orderkey")
+    keys = sorted(r["o_orderkey"] for r in orders.select("o_orderkey").collect())
+    probe = [keys[0], keys[len(keys) // 2], keys[-1]]
+
+    # min/max skipping on the un-clustered column keeps everything
+    _, mm_read, mm_total = scan_with_skipping(
+        spark, path, {"o_orderkey": (min(probe), max(probe))}
+    )
+    assert mm_read == mm_total == 16
+
+    hit, n_read, n_total = scan_point_lookup(spark, path, "o_orderkey", probe)
+    assert n_total == 16
+    assert n_read < 16, f"bloom did not prune: {n_read}/{n_total}"
+    got = sorted(r["o_orderkey"] for r in hit.select("o_orderkey").collect())
+    assert got == sorted(probe)
+
+
+def test_bloom_no_hit_reads_nothing(spark, tmp_path):
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        build_file_bloom,
+        scan_point_lookup,
+    )
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+
+    path = str(tmp_path / "orders_bloom_miss")
+    load_table(spark, SF0001, "orders").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    build_file_bloom(spark, path, "o_orderkey")
+    df, n_read, n_total = scan_point_lookup(
+        spark, path, "o_orderkey", [-7, -9]
+    )
+    assert n_total == 4
+    # fpp ~1% per (file, value): 8 membership tests → overwhelmingly 0
+    assert n_read <= 1
+    assert df.count() == 0
+
+
 def test_linear_sort_serves_only_leading_column(layouts):
     _, lr, dom = layouts
     cust = _overlap_frac(lr, "o_custkey", *_box(dom.c_lo, dom.c_hi, 0.30, 0.36))
