@@ -427,6 +427,49 @@ def op70_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op96_result_cache",
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "ROUND(AVG(o_totalprice), 2) AS avg_total "
+    "FROM orders GROUP BY o_orderpriority",
+    doc="persistent query-result cache (the warehouse result-reuse "
+    "feature, engine-native): the aggregate's result is keyed by a "
+    "semantic fingerprint — Catalyst's CANONICALIZED plan + "
+    "semanticHash + the source file inventory with sizes/mtimes — and "
+    "published atomically (manifest last). The entry computes through "
+    "the cache twice in-process: the second call is a HIT (asserted) "
+    "and serves the identical rows from the result parquet without "
+    "re-running the plan. Any rewrite of any input file changes the "
+    "key, so a stale hit is impossible by construction "
+    "(tests/test_result_cache.py proves plan-spelling invariance, "
+    "mtime invalidation, and crash-safe publish). At 100 TB this "
+    "turns repeated dashboard/agg queries into one small parquet "
+    "read; the fingerprint is driver-side metadata work.",
+)
+def op96_result_cache(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.result_cache import (
+        cached_result,
+        invalidate,
+    )
+
+    def q():
+        return (
+            _t(spark, sf, "orders")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.avg("o_totalprice"), 2).alias("avg_total"),
+            )
+        )
+
+    invalidate(q())  # hermetic: prior runs of this entry don't leak in
+    first, hit1 = cached_result(q())
+    first.count()
+    again, hit2 = cached_result(q())
+    assert not hit1 and hit2, (hit1, hit2)
+    return again
+
+
+@register(
     "op70b_stats_pruned_scan",
     "SELECT o_orderpriority, COUNT(*) AS n, "
     "ROUND(SUM(o_totalprice), 2) AS total "
