@@ -877,3 +877,20 @@ def rewrite_bm25_topk(
 # registered after definition; ``optimize`` reads the module global at
 # call time, so the single entry point applies the lexical rule too
 _RULES = (*_RULES, rewrite_bm25_topk)
+
+
+def rewrite_matview(df: DataFrame, catalog=None) -> DataFrame:
+    """Rule #4: answer a query from a registered materialized view
+    when its semantic fingerprint matches (operators/matview.py).
+    Unlike the hint-triggered similarity/lexical rules this one keys
+    on the canonicalized plan itself; the fingerprint check is
+    driver-side metadata work, and a miss returns ``df``
+    object-identical (the shared guard-rail contract)."""
+    from pdf_etl_ocr_inference_spark.operators.matview import (
+        matview_rewrite,
+    )
+
+    return matview_rewrite(df)
+
+
+_RULES = (*_RULES, rewrite_matview)

@@ -54,6 +54,95 @@ def _documents_change_feed(spark: SparkSession, sf: str, tag: str) -> str:
 
 
 @register(
+    "op97_matview_rewrite",
+    """
+    SELECT lang, COUNT(*) AS n_rows,
+           SUM(CASE WHEN doc_id % 10 = 3 THEN n_chars + 17
+                    ELSE n_chars END) AS sum_chars
+    FROM documents WHERE doc_id % 10 != 7 GROUP BY lang
+    """,
+    doc="materialized view with AUTOMATIC query rewrite (the "
+    "warehouse aggregate navigator, composed from the engine's own "
+    "pieces): the per-lang aggregate over the base table is "
+    "registered under a semantic fingerprint (canonicalized plan + "
+    "base file inventory); when the base evolves (v1: update %10==3, "
+    "delete %10==7) the view refreshes via the IVM signed-delta "
+    "merge — change-volume cost, no base rescan — and re-stamps its "
+    "fingerprint. The user's query DECLARES the full aggregation "
+    "over the current base; matview_rewrite routes it onto the "
+    "maintained store (asserted: the returned plan is not the "
+    "declared one). Stale serving is impossible: an unrefreshed "
+    "view's fingerprint no longer matches the rewritten base files, "
+    "so the query falls through to direct computation "
+    "(tests/test_matview.py). Oracle recomputes the final snapshot "
+    "aggregate — matching proves served state ≡ recompute.",
+)
+def op97_matview_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pdf_etl_ocr_inference_spark.operators.matview import (
+        create_materialized_view,
+        matview_rewrite,
+        refresh_materialized_view,
+    )
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        diff_snapshots,
+    )
+
+    safe = sf.strip("/").replace("/", "_")
+    scratch = scratch_dir(f"mv_{safe}")
+    base_dir = f"{scratch}/base"
+    mv_root = f"{scratch}/views"
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").parquet(base_dir)
+
+    def define() -> DataFrame:
+        return (
+            spark.read.parquet(base_dir)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+        )
+
+    create_materialized_view(spark, define(), "doclang", root=mv_root)
+
+    # the base evolves: same v1 scenario as the op72 family
+    before = spark.read.parquet(base_dir)
+    after = before.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 10 == 3, F.col("n_chars") + F.lit(17)
+        ).otherwise(F.col("n_chars")),
+    )
+    changes_dir = f"{scratch}/changes_v1"
+    diff_snapshots(before, after, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(changes_dir)
+    new_base = f"{scratch}/base_v1"
+    after.write.mode("overwrite").parquet(new_base)
+    shutil.rmtree(base_dir)
+    os.replace(new_base, base_dir)
+
+    refresh_materialized_view(
+        spark,
+        "doclang",
+        define(),
+        spark.read.parquet(changes_dir),
+        keys=["lang"],
+        sum_cols={"sum_chars": "n_chars"},
+        root=mv_root,
+    )
+    q = define()
+    served = matview_rewrite(q, root=mv_root)
+    assert served is not q, "matview rewrite did not fire"
+    return served
+
+
+@register(
     "train_pack_sequences",
     f"""
     WITH toks AS (
