@@ -248,6 +248,86 @@ def op45d_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op45g_stream_left_outer_join",
+    "SELECT p.event_id AS purchase_id, c.event_id AS click_id "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+    "ON p.user_id = c.user_id "
+    "AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts",
+    doc="stream-stream LEFT OUTER interval join — the semantics that "
+    "only exist across micro-batch boundaries: an unmatched purchase "
+    "emits its NULL-completed row only when BOTH sides' watermarks "
+    "pass its join window (before that, a matching click could still "
+    "arrive). The fixture replays as ordered micro-batches "
+    "(maxFilesPerTrigger=1 over mtime-ordered files) with two "
+    "far-future sentinel batches (user_id −1, filtered from the "
+    "result) that push the watermark past every real event, so the "
+    "availableNow run deterministically flushes ALL pending state "
+    "and the result equals the batch LEFT JOIN (the oracle) exactly "
+    "— matched rows AND null completions.",
+)
+def op45g_stream_left_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime as dt
+
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+    from pdf_etl_ocr_inference_spark.streaming.incremental import (
+        stage_ordered_files_stream,
+    )
+
+    events = load_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    maxts = events.agg(F.max("ts")).first()[0]
+    sentinels = [
+        spark.createDataFrame(
+            [
+                (-(2 * i), maxts + dt.timedelta(days=days), -1, "purchase", 0.0),
+                (-(2 * i + 1), maxts + dt.timedelta(days=days), -1, "click", 0.0),
+            ],
+            schema=events.schema,
+        )
+        for i, days in enumerate((10, 20), start=1)
+    ]
+    safe = sf.strip("/").replace("/", "_")
+    staged = f"{scratch_dir(f'louter_{safe}')}/feed"
+    stage_ordered_files_stream(spark, [events, *sentinels], staged)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id")
+    out = run_available_now(joined, output_mode="append")
+    return out.filter(F.col("purchase_id") >= 0)
+
+
+@register(
     "op45e_stream_static_join",
     "SELECT e.event_id, u.first_seen FROM events e JOIN ("
     "  SELECT user_id, STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen "

@@ -151,6 +151,38 @@ def stream_events_sliding(
     )
 
 
+def stage_ordered_files_stream(
+    spark: SparkSession, dfs: list[DataFrame], path: str
+) -> None:
+    """Write each DataFrame as exactly ONE parquet file under ``path``
+    with strictly increasing names AND mtimes, so a file stream read
+    with ``maxFilesPerTrigger=1`` replays them as ordered
+    micro-batches — the harness for semantics that only materialize
+    across batch BOUNDARIES (watermark advancement, state eviction,
+    outer-join NULL completion).
+
+    All DataFrames must share a schema; callers append sentinel
+    batches (far-future rows on the watermark column) to push the
+    watermark past the real data deterministically — without them an
+    availableNow run ends with real rows still pending in state.
+    """
+    import glob
+    import shutil
+    import time as _time
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    for i, df in enumerate(dfs):
+        tmp = f"{path}/_stage_{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{path}/batch_{i:05d}.parquet")
+        shutil.rmtree(tmp)
+    now = _time.time()
+    for i, f in enumerate(sorted(os.listdir(path))):
+        os.utime(f"{path}/{f}", (now + i, now + i))
+
+
 def run_available_now(
     streaming_df: DataFrame,
     output_mode: str = "complete",

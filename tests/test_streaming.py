@@ -145,3 +145,69 @@ def test_stateful_totals_accumulate_across_batches(spark, stream_dir):
         (r["n_events"], r["total_value"]) for r in rows if r["user_id"] == 7
     )
     assert emitted == [(2, 3.0), (3, 7.0)]
+
+
+def test_left_outer_null_completion_waits_for_watermark(spark, stream_dir):
+    """Outer-join state semantics across micro-batches: an unmatched
+    left row NULL-completes only after both watermarks pass its join
+    window; rows the watermark never passes stay pending (which is why
+    op45g's fixture appends far-future sentinel batches)."""
+    from pdf_etl_ocr_inference_spark.streaming.incremental import (
+        stage_ordered_files_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("side", T.StringType()),
+            T.StructField("k", T.LongType()),
+        ]
+    )
+    b0 = spark.createDataFrame(
+        [
+            (_ts("2024-01-01T10:00:00"), "L", 1),  # will match
+            (_ts("2024-01-01T10:00:00"), "L", 2),  # never matches
+            (_ts("2024-01-01T10:00:30"), "R", 1),
+        ],
+        schema,
+    )
+    # sentinel far past b0 (watermark pushes past every b0 row), then
+    # a second sentinel so the first one's watermark effect flushes
+    b1 = spark.createDataFrame([(_ts("2024-01-02T10:00:00"), "X", -1)], schema)
+    b2 = spark.createDataFrame([(_ts("2024-01-03T10:00:00"), "X", -1)], schema)
+    stage_ordered_files_stream(spark, [b0, b1, b2], stream_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    left = (
+        stream.filter(F.col("side") != "R")
+        .select(F.col("k").alias("lk"), F.col("ts").alias("l_ts"))
+        .withWatermark("l_ts", "1 second")
+    )
+    right = (
+        stream.filter(F.col("side") != "L")
+        .select(F.col("k").alias("rk"), F.col("ts").alias("r_ts"))
+        .withWatermark("r_ts", "1 second")
+    )
+    joined = left.join(
+        right,
+        (F.col("lk") == F.col("rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") < F.col("l_ts") + F.expr("INTERVAL 1 MINUTE")),
+        "left_outer",
+    ).select("lk", "rk")
+
+    name = f"lo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r["lk"], r["rk"]) for r in spark.table(name).collect() if r["lk"] > 0}
+    assert rows == {(1, 1), (2, None)}
