@@ -546,6 +546,92 @@ def bm25_index_speedup(spark) -> dict:
     }
 
 
+def file_skipping_speedup(spark) -> dict:
+    """File-level data skipping at 4M rows × 64 files: a range box on
+    the CLUSTERED column via the footer-stats sidecar, and a 5-id
+    point lookup on an UNCLUSTERED column via the per-file Bloom
+    sidecar (min/max provably keeps all 64 files there — every file
+    spans ~the full id range).  Reports files read and wall-time
+    ratios vs the full scan; the file-count ratio is the number that
+    scales (at 100 TB the same plan reads ~1/16 resp. ~1/64 of the
+    files)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        build_file_bloom,
+        collect_file_stats,
+        scan_point_lookup,
+        scan_with_skipping,
+    )
+
+    n, n_files = 4_000_000, 64
+    path = "/tmp/spark_graft_scratch/skipping_table_4m"
+    if not os.path.exists(path):
+        (
+            spark.range(0, n, 1, 32)
+            .select(
+                F.col("id"),
+                F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("ckey"),
+                (F.col("id") % 997).cast("double").alias("val"),
+            )
+            .repartitionByRange(n_files, "ckey")
+            .sortWithinPartitions("ckey")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    stats = collect_file_stats(spark, path, ["ckey"])
+    stats.cache().count()
+    build_file_bloom(spark, path, "id")
+    probe_ids = [7, 1_234_567, 2_000_001, 3_333_333, 3_999_999]
+
+    def best(fn, reps=3):
+        out = []
+        for _ in range(reps):
+            t0 = _t.perf_counter()
+            fn()
+            out.append(_t.perf_counter() - t0)
+        return round(min(out), 3)
+
+    box = (F.col("ckey") >= 500_000) & (F.col("ckey") < 562_500)  # 1/16
+    t_full_range = best(
+        lambda: spark.read.parquet(path)
+        .filter(box)
+        .agg(F.sum("val"))
+        .collect()
+    )
+    pruned, range_read, range_total = scan_with_skipping(
+        spark, path, {"ckey": (500_000, 562_499)}, stats=stats
+    )
+    t_pruned_range = best(
+        lambda: pruned.filter(box).agg(F.sum("val")).collect()
+    )
+
+    t_full_point = best(
+        lambda: spark.read.parquet(path)
+        .filter(F.col("id").isin(probe_ids))
+        .collect()
+    )
+    hit, bloom_read, bloom_total = scan_point_lookup(
+        spark, path, "id", probe_ids
+    )
+    t_bloom_point = best(lambda: hit.collect())
+    stats.unpersist()
+    return {
+        "rows": n,
+        "n_files": n_files,
+        "range_files_read": range_read,
+        "range_scan_sec": t_full_range,
+        "range_pruned_sec": t_pruned_range,
+        "range_speedup": round(t_full_range / t_pruned_range, 1),
+        "bloom_files_read": bloom_read,
+        "point_scan_sec": t_full_point,
+        "point_bloom_sec": t_bloom_point,
+        "point_speedup": round(t_full_point / t_bloom_point, 1),
+    }
+
+
 def kmeans_scale(spark) -> dict:
     """One deterministic Lloyd round on the cached 1M×64 corpus (built
     by probe_speedup): times the per-round assignment scan and the
@@ -672,6 +758,8 @@ def main() -> None:
     print(f"# kmeans round @1M: {km}", file=sys.stderr)
     bmidx = bm25_index_speedup(spark)
     print(f"# bm25 postings index @200k: {bmidx}", file=sys.stderr)
+    fskip = file_skipping_speedup(spark)
+    print(f"# file skipping @4M/64 files: {fskip}", file=sys.stderr)
     gb = graph_build(spark)
     print(f"# graph build @100k: {gb}", file=sys.stderr)
 
@@ -691,6 +779,7 @@ def main() -> None:
                 "pinned_serving_latency": serving,
                 "kmeans_round_1m": km,
                 "bm25_index_speedup_200k": bmidx,
+                "file_skipping_4m": fskip,
                 "graph_build_100k": gb,
             }
         )
