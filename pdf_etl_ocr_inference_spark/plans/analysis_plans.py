@@ -217,6 +217,78 @@ def op63_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op92b_udtf_table_arg",
+    "SELECT user_id, COUNT(*) AS n_events, "
+    "MIN(first_type) AS first_type, MIN(last_type) AS last_type, "
+    "COALESCE(ROUND(MAX(gap_s), 3), 0.0) AS max_gap_s FROM ("
+    "  SELECT user_id, "
+    "  FIRST_VALUE(event_type) OVER w AS first_type, "
+    "  LAST_VALUE(event_type) OVER w AS last_type, "
+    "  EPOCH(ts - LAG(ts) OVER (PARTITION BY user_id "
+    "    ORDER BY ts, event_id)) AS gap_s FROM events "
+    "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) "
+    "GROUP BY user_id",
+    doc="Python UDTF with a TABLE argument (Spark 4 table-valued "
+    "function over a relation): the per-user event profile streams "
+    "through `profile(TABLE(events) PARTITION BY user_id ORDER BY "
+    "ts, event_id)` — the engine shuffles by the partition key, "
+    "ORDERS rows within each partition, and feeds them to one UDTF "
+    "instance per key (eval per row, terminate emits the summary). "
+    "This is the per-key ordered-iteration surface applyInPandas "
+    "cannot give without materializing the whole group as one pandas "
+    "frame — the UDTF sees rows one at a time, O(1) state here. "
+    "Oracle replays first/last/ max-gap with window functions.",
+)
+def op92b_udtf_table_arg(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="user_id bigint, n_events bigint, first_type string, "
+        "last_type string, max_gap_s double"
+    )
+    class UserProfile:
+        def __init__(self):
+            self.user = None
+            self.n = 0
+            self.first = None
+            self.last = None
+            self.prev_ts = None
+            self.max_gap = 0.0
+
+        def eval(self, row):
+            self.user = row["user_id"]
+            self.n += 1
+            if self.first is None:
+                self.first = row["event_type"]
+            self.last = row["event_type"]
+            ts = row["ts"]
+            if self.prev_ts is not None:
+                gap = (ts - self.prev_ts).total_seconds()
+                self.max_gap = max(self.max_gap, gap)
+            self.prev_ts = ts
+
+        def terminate(self):
+            if self.user is not None:
+                yield (
+                    self.user,
+                    self.n,
+                    self.first,
+                    self.last,
+                    round(self.max_gap, 3),
+                )
+
+    spark.udtf.register("user_profile_tvf", UserProfile)
+    safe = sf.strip("/").replace("/", "_").replace(".", "_")
+    view = f"events_tvf_{safe}"
+    _t(spark, sf, "events").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT * FROM user_profile_tvf(TABLE({view}) "
+        "PARTITION BY user_id ORDER BY (ts, event_id))"
+    )
+
+
+@register(
     "op63b_correlation",
     "SELECT pair, ROUND(r, 4) AS r, ROUND(cov_s, 4) AS cov_s, n FROM ("
     "  SELECT 'quantity_extendedprice' AS pair, "
@@ -269,6 +341,42 @@ def op63b_correlation(spark: SparkSession, sf: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "op63c_entropy_profile",
+    "SELECT 'lang' AS col, COUNT(DISTINCT lang) AS n_distinct, "
+    "ROUND(ENTROPY(lang), 4) AS h_bits FROM documents "
+    "UNION ALL SELECT 'source', COUNT(DISTINCT source), "
+    "ROUND(ENTROPY(source), 4) FROM documents",
+    doc="Shannon-entropy column profile (bits): the categorical-skew "
+    "diagnostic for prospective partition/join keys — near-zero "
+    "entropy flags a column whose hash partitions will collapse onto "
+    "few reducers no matter the partition count (complements "
+    "op73_skew_stats' per-key counts with a single scale-free "
+    "number). Two-phase: per-value counts (map-side combinable), "
+    "then -Σ p·log2 p over the value histogram — the second phase "
+    "aggregates value-cardinality-sized data, not the corpus.",
+)
+def op63c_entropy_profile(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+
+    def h(col: str) -> DataFrame:
+        counts = docs.groupBy(col).count()
+        return counts.agg(
+            F.lit(col).alias("col"),
+            F.count("*").alias("n_distinct"),
+            F.round(
+                (
+                    F.log2(F.sum("count"))
+                    - F.sum(F.col("count") * F.log2("count"))
+                    / F.sum("count")
+                ),
+                4,
+            ).alias("h_bits"),
+        )
+
+    return h("lang").unionByName(h("source"))
 
 
 @register(
