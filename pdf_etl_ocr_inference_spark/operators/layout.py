@@ -150,8 +150,11 @@ def scan_with_skipping(
     partition IN-list probe (dedup_index).  Returns
     ``(DataFrame, files_read, files_total)``; correctness never depends
     on the stats — a file wrongly kept is filtered row-by-row, and the
-    sidecar is rebuilt from footers so it cannot go stale silently.
+    keep-list is reconciled against the live listing so a stale
+    caller-cached sidecar can only cost extra reads, never rows.
     """
+    import os as _os
+
     from pyspark.sql import functions as F
 
     if stats is None:
@@ -173,8 +176,20 @@ def scan_with_skipping(
         .select("file")
         .collect()
     )
-    total = stats.select("file").distinct().count()
-    files = [r["file"] for r in kept]
+    # Reconcile against the LIVE listing: a caller-cached sidecar may
+    # predate a compaction/append.  Files the sidecar does not cover
+    # are kept CONSERVATIVELY (their rows must not silently vanish);
+    # sidecar rows for files no longer on disk are dropped.
+    current = {
+        f"{path}/{f}"
+        for f in _os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    }
+    covered = {r["file"] for r in stats.select("file").distinct().collect()}
+    files = sorted(
+        ({r["file"] for r in kept} | (current - covered)) & current
+    )
+    total = len(current)
     if not files:
         empty = spark.read.parquet(path).limit(0)
         return empty, 0, total
@@ -281,14 +296,18 @@ def scan_point_lookup(
     Same bounded-control-data shape as :func:`scan_with_skipping`
     (sidecar rows = file count); false positives cost one extra file
     read, never a wrong row — correctness is carried entirely by the
-    re-applied predicate.  Returns ``(DataFrame, files_read,
+    re-applied predicate, and files the sidecar does not cover (added
+    after the build) are kept conservatively so their rows can never
+    silently vanish.  Returns ``(DataFrame, files_read,
     files_total)``.
     """
+    import os as _os
+
     import numpy as _np
 
     probe = _np.asarray(sorted(set(int(v) for v in values)), dtype="int64")
     side = spark.read.parquet(f"{path}/_bloom_{col}").collect()
-    keep = []
+    keep = set()
     for r in side:
         m, k = int(r["m"]), int(r["k"])
         bits = _np.unpackbits(
@@ -297,17 +316,24 @@ def scan_point_lookup(
         if bits[_bloom_positions(probe, k, m)].reshape(len(probe), k).all(
             axis=1
         ).any():
-            keep.append(r["file"])
-    total = len(side)
-    if not keep:
+            keep.add(r["file"])
+    current = {
+        f"{path}/{f}"
+        for f in _os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    }
+    covered = {r["file"] for r in side}
+    files = sorted((keep | (current - covered)) & current)
+    total = len(current)
+    if not files:
         empty = spark.read.parquet(path).limit(0)
         return empty, 0, total
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(*sorted(keep)).filter(
+    df = spark.read.parquet(*files).filter(
         F.col(col).isin([int(v) for v in values])
     )
-    return df, len(keep), total
+    return df, len(files), total
 
 
 def zorder_key(cols, bits: int = 12):

@@ -265,6 +265,57 @@ def test_bloom_no_hit_reads_nothing(spark, tmp_path):
     assert df.count() == 0
 
 
+def test_stale_sidecar_never_loses_rows(spark, tmp_path):
+    """Files added AFTER a sidecar build must still be read: a cached
+    stats DataFrame and an on-disk bloom sidecar both predate an
+    append; the reconciliation keeps uncovered files conservatively,
+    so results stay complete (extra reads, never missing rows)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        build_file_bloom,
+        collect_file_stats,
+        scan_point_lookup,
+        scan_with_skipping,
+    )
+
+    path = str(tmp_path / "growing")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).repartition(2).write.mode("overwrite").parquet(path)
+    stats = collect_file_stats(spark, path, ["id"])
+    stats = spark.createDataFrame(stats.collect(), stats.schema)  # frozen
+    build_file_bloom(spark, path, "id")
+
+    # append a new file the sidecars know nothing about
+    extra = str(tmp_path / "extra")
+    spark.range(1000, 1010).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(extra)
+    import glob
+
+    part = glob.glob(f"{extra}/part-*.parquet")[0]
+    shutil.move(part, f"{path}/appended.parquet")
+
+    df, n_read, n_total = scan_with_skipping(
+        spark, path, {"id": (1000, 1009)}, stats=stats
+    )
+    assert n_total == 3
+    got = sorted(
+        r["id"] for r in df.filter(F.col("id").between(1000, 1009)).collect()
+    )
+    assert got == list(range(1000, 1010)), "appended rows lost"
+
+    hit, n_read2, n_total2 = scan_point_lookup(
+        spark, path, "id", [1005, 7]
+    )
+    assert n_total2 == 3
+    got2 = sorted(r["id"] for r in hit.collect())
+    assert got2 == [7, 1005], "bloom-uncovered file skipped"
+
+
 def test_linear_sort_serves_only_leading_column(layouts):
     _, lr, dom = layouts
     cust = _overlap_frac(lr, "o_custkey", *_box(dom.c_lo, dom.c_hi, 0.30, 0.36))
