@@ -56,13 +56,16 @@ def _mv_root(root: str | None) -> str:
 
 
 def _publish(entry: str, df: DataFrame, meta: dict) -> None:
-    data, tmp = os.path.join(entry, "data"), os.path.join(entry, "_tmp")
+    import uuid
+
+    nonce = uuid.uuid4().hex[:8]  # racing publishers stage independently
+    data = os.path.join(entry, "data")
+    tmp = os.path.join(entry, f"_tmp_{nonce}")
     os.makedirs(entry, exist_ok=True)
-    shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(data, ignore_errors=True)
     os.replace(tmp, data)
-    mtmp = os.path.join(entry, "meta.json.tmp")
+    mtmp = os.path.join(entry, f"meta.json.tmp_{nonce}")
     with open(mtmp, "w") as f:
         json.dump(meta, f)
     os.replace(mtmp, os.path.join(entry, "meta.json"))  # publish LAST

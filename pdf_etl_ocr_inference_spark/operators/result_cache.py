@@ -87,13 +87,17 @@ def cached_result(
     if os.path.exists(manifest):
         return spark.read.parquet(data), True
 
+    import uuid
+
     os.makedirs(entry, exist_ok=True)
-    tmp = os.path.join(entry, "_data_tmp")
-    shutil.rmtree(tmp, ignore_errors=True)
+    # unique tmp: two racing computations of the SAME query (threads,
+    # or non-PID-keyed roots) stage independently; last publish wins
+    # with identical bytes
+    tmp = os.path.join(entry, f"_data_tmp_{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(data, ignore_errors=True)
     os.replace(tmp, data)
-    mtmp = manifest + ".tmp"
+    mtmp = manifest + f".tmp_{uuid.uuid4().hex[:8]}"
     with open(mtmp, "w") as f:
         json.dump({"fingerprint": fp, "schema": df.schema.jsonValue()}, f)
     os.replace(mtmp, manifest)
