@@ -123,3 +123,44 @@ def test_salted_agg_equals_plain_agg(spark, rows):
         .collect()
     }
     assert salted == plain
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=200,
+        unique=True,
+    ),
+    st.integers(min_value=64, max_value=4096),
+    st.integers(min_value=1, max_value=8),
+)
+def test_bloom_membership_has_no_false_negatives(members, m, k):
+    """The file-skipping Bloom (layout._bloom_positions) must NEVER
+    miss a present value — a false negative would silently drop rows
+    from the pruned scan; false positives only cost an extra read."""
+    import numpy as np
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        _bloom_positions,
+    )
+
+    vals = np.asarray(members, dtype="int64")
+    bits = np.zeros(m, dtype=bool)
+    bits[_bloom_positions(vals, k, m)] = True
+    hit = bits[_bloom_positions(vals, k, m)].reshape(len(vals), k).all(axis=1)
+    assert hit.all()
+
+
+def test_bloom_positions_deterministic_across_calls():
+    import numpy as np
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        _bloom_positions,
+    )
+
+    v = np.asarray([0, 1, -1, 2**62, -(2**62)], dtype="int64")
+    a = _bloom_positions(v, 5, 1024)
+    b = _bloom_positions(v.copy(), 5, 1024)
+    assert (a == b).all()
+    assert a.max() < 1024 and a.min() >= 0
