@@ -202,18 +202,26 @@ def op63_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
             )
         ]
     )
-    rows = [
-        stats.select(
-            F.lit(c).alias("col"),
-            F.col(f"n_{c}").alias("n"),
-            F.col(f"mean_{c}").alias("mean"),
-            F.col(f"std_{c}").alias("std"),
-            F.col(f"min_{c}").alias("min_v"),
-            F.col(f"max_{c}").alias("max_v"),
-        )
-        for c in ("l_quantity", "l_discount")
-    ]
-    return rows[0].unionByName(rows[1])
+    # explode, not union: a union of per-column selects re-computes
+    # the aggregate subtree per branch (2 scans); exploding the 1-row
+    # aggregate keeps the doc's one-pass claim true in the PLAN too
+    return stats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(f"n_{c}").alias("n"),
+                        F.col(f"mean_{c}").alias("mean"),
+                        F.col(f"std_{c}").alias("std"),
+                        F.col(f"min_{c}").alias("min_v"),
+                        F.col(f"max_{c}").alias("max_v"),
+                    )
+                    for c in ("l_quantity", "l_discount")
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.*")
 
 
 @register(
@@ -328,19 +336,26 @@ def op63b_correlation(spark: SparkSession, sf: str) -> DataFrame:
         ],
         F.count("*").alias("n"),
     )
-    rows = [
-        stats.select(
-            F.lit(name).alias("pair"),
-            F.round(F.col(f"r_{name}"), 4).alias("r"),
-            F.round(F.col(f"c_{name}"), 4).alias("cov_s"),
-            F.col("n"),
-        )
-        for name, _, _ in pairs
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # explode the 1-row aggregate into one row per pair INSTEAD of a
+    # union of three selects: a union re-computes the whole aggregate
+    # subtree per branch (Catalyst does not CSE across Union children
+    # — 3 scans), while the explode keeps ONE scan + ONE aggregate
+    # (asserted in tests/test_plans_physical.py)
+    return stats.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("pair"),
+                        F.round(F.col(f"r_{name}"), 4).alias("r"),
+                        F.round(F.col(f"c_{name}"), 4).alias("cov_s"),
+                        F.col("n").alias("n"),
+                    )
+                    for name, _, _ in pairs
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.*")
 
 
 @register(
@@ -360,23 +375,31 @@ def op63b_correlation(spark: SparkSession, sf: str) -> DataFrame:
 )
 def op63c_entropy_profile(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents")
-
-    def h(col: str) -> DataFrame:
-        counts = docs.groupBy(col).count()
-        return counts.agg(
-            F.lit(col).alias("col"),
-            F.count("*").alias("n_distinct"),
-            F.round(
-                (
-                    F.log2(F.sum("count"))
-                    - F.sum(F.col("count") * F.log2("count"))
-                    / F.sum("count")
+    # one scan for ALL profiled columns: explode to (col, val) pairs,
+    # one combinable (col, val) count shuffle, then a value-histogram-
+    # sized per-col aggregate — vs one scan+shuffle per column
+    pairs = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lang").alias("col"), F.col("lang").alias("val")
                 ),
-                4,
-            ).alias("h_bits"),
-        )
-
-    return h("lang").unionByName(h("source"))
+                F.struct(
+                    F.lit("source").alias("col"),
+                    F.col("source").alias("val"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.*")
+    counts = pairs.groupBy("col", "val").count()
+    return counts.groupBy("col").agg(
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.log2(F.sum("count"))
+            - F.sum(F.col("count") * F.log2("count")) / F.sum("count"),
+            4,
+        ).alias("h_bits"),
+    )
 
 
 @register(

@@ -265,3 +265,32 @@ def test_heavy_hitters_broadcasts_candidates(spark):
     df = _SPECS["sketch_heavy_hitters"].fn(spark, SF0001)
     plan = _explain(spark, df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_correlation_profile_single_scan(spark):
+    """op63b: all three pairs' moments ride ONE pass over lineitem —
+    the plan must contain exactly one parquet scan however many pairs
+    are profiled (the union branches read the same 1-row aggregate)."""
+    df = _SPECS["op63b_correlation"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    # formatted plans render each node twice (tree + details)
+    assert plan.count("(1) Scan parquet") == 1
+    assert plan.count("Scan parquet") <= 2
+    assert "Join" not in plan
+
+
+def test_span_clean_pipeline_stages_shared_frontier(spark):
+    """The staged span-clean pipeline reads the deduped frontier from
+    its scratch parquet: the documents table itself must appear at
+    most twice (inside exact_dedup), not six times as pre-staging."""
+    df = _SPECS["pipeline_span_clean_corpus"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    doc_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln and "documents" in ln
+    ]
+    assert len(doc_scans) == 0, (
+        "post-staging plan must read the staged frontier, "
+        f"not documents directly: {doc_scans}"
+    )
