@@ -50,6 +50,61 @@ WHERE LENGTH(ARRAY_TO_STRING(toks[chunk_idx * 20 + 1 : chunk_idx * 20 + 20],
 
 
 @register(
+    "op24b_chunk_sentences",
+    """
+    WITH s AS (
+      SELECT doc_id, STRING_SPLIT(
+        REGEXP_REPLACE(TRIM(text), '([.!?])\\s+', '\\1' || CHR(1), 'g'),
+        CHR(1)) AS sents
+      FROM documents),
+    c AS (
+      SELECT doc_id, i AS chunk_idx,
+             ARRAY_TO_STRING(sents[2*i+1 : 2*i+3], ' ') AS chunk
+      FROM s, UNNEST(RANGE(0,
+        CASE WHEN LEN(sents) <= 3 THEN 1
+             ELSE 1 + CAST(CEIL((LEN(sents) - 3) / 2.0) AS BIGINT) END))
+        AS r(i))
+    SELECT doc_id, chunk_idx, MD5(chunk) AS chunk_md5,
+           LENGTH(chunk) AS n_chars
+    FROM c
+    """,
+    doc="SENTENCE-window chunker with overlap (the RAG-prep "
+    "alternative to op24's token windows): sentences split on "
+    "punctuation boundaries (marker-insert + split — the spelling "
+    "both engines' RE2/Java regexes agree on, no lookbehind), then "
+    "3-sentence chunks at stride 2 so consecutive chunks share one "
+    "sentence — retrieval context never cuts mid-thought and "
+    "boundary-straddling answers stay findable. All native "
+    "(regexp_replace/split/slice/posexplode); chunk content "
+    "value-checked via md5.",
+)
+def op24b_chunk_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    sents = F.split(
+        F.regexp_replace(F.trim("text"), r"([.!?])\s+", "$1"),
+        "",
+    )
+    n = F.size("sents")
+    n_chunks = F.when(n <= 3, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(3)) / F.lit(2.0))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("long") - 1),
+        lambda i: F.concat_ws(" ", F.slice("sents", i * 2 + 1, 3)),
+    )
+    return (
+        docs.withColumn("sents", sents)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.md5("chunk").alias("chunk_md5"),
+            F.length("chunk").alias("n_chars"),
+        )
+    )
+
+
+@register(
     "op24_chunk_native",
     _CHUNK_SQL,
     doc="token-window chunker, JVM-native (sequence/slice/concat_ws) + "

@@ -328,6 +328,87 @@ def op45g_stream_left_outer_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op45h_stream_full_outer_join",
+    "SELECT p.event_id AS purchase_id, c.event_id AS click_id "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+    "ON p.user_id = c.user_id "
+    "AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts",
+    doc="stream-stream FULL OUTER interval join — both sides "
+    "NULL-complete: an unmatched purchase emits (id, NULL) and an "
+    "unmatched click emits (NULL, id), each only once BOTH "
+    "watermarks pass its join window. Same sentinel-batch replay "
+    "harness as op45g; the availableNow catch-up equals the batch "
+    "FULL JOIN exactly. Completes the streaming join matrix "
+    "(inner / left-outer / full-outer / stream-static).",
+)
+def op45h_stream_full_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime as dt
+
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+    from pdf_etl_ocr_inference_spark.streaming.incremental import (
+        stage_ordered_files_stream,
+    )
+
+    events = load_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    maxts = events.agg(F.max("ts")).first()[0]
+    sentinels = [
+        spark.createDataFrame(
+            [
+                (-(2 * i), maxts + dt.timedelta(days=days), -1, "purchase", 0.0),
+                (-(2 * i + 1), maxts + dt.timedelta(days=days), -1, "click", 0.0),
+            ],
+            schema=events.schema,
+        )
+        for i, days in enumerate((10, 20), start=1)
+    ]
+    safe = sf.strip("/").replace("/", "_")
+    staged = f"{scratch_dir(f'fouter_{safe}')}/feed"
+    stage_ordered_files_stream(spark, [events, *sentinels], staged)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "full_outer",
+    ).select("purchase_id", "click_id")
+    out = run_available_now(joined, output_mode="append")
+    # drop sentinel emissions from EITHER side (they are unmatched by
+    # construction, so they surface as single-sided rows)
+    return out.filter(
+        (F.coalesce(F.col("purchase_id"), F.lit(0)) >= 0)
+        & (F.coalesce(F.col("click_id"), F.lit(0)) >= 0)
+    )
+
+
+@register(
     "op45e_stream_static_join",
     "SELECT e.event_id, u.first_seen FROM events e JOIN ("
     "  SELECT user_id, STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_seen "

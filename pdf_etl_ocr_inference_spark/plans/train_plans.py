@@ -198,6 +198,84 @@ def train_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "train_pack_split",
+    f"""
+    WITH toks AS (
+      SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+      FROM documents),
+    pos AS (
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_tok
+      FROM toks WHERE n_tokens > 0),
+    span AS (
+      SELECT shard, doc_id, start_tok, start_tok + n_tokens AS end_tok,
+             CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT) AS s0,
+             CAST(FLOOR((start_tok + n_tokens - 1) / {_PACK_BUDGET}.0)
+               AS BIGINT) AS s1
+      FROM pos),
+    ex AS (
+      SELECT shard, doc_id, start_tok, end_tok, i AS seq_id
+      FROM span, UNNEST(RANGE(s0, s1 + 1)) AS r(i))
+    SELECT shard, seq_id, COUNT(*) AS n_docs,
+           SUM(LEAST(end_tok, (seq_id + 1) * {_PACK_BUDGET})
+               - GREATEST(start_tok, seq_id * {_PACK_BUDGET}))
+             AS seq_tokens
+    FROM ex GROUP BY shard, seq_id
+    """,
+    doc="concat-and-pack WITH document splitting (the actual GPT "
+    "pretraining layout): the shard-local token stream is chopped at "
+    f"every {_PACK_BUDGET}-token boundary, so a long document SPANS "
+    "sequences instead of leaving tail slack — every sequence except "
+    "each shard's last carries exactly the budget (asserted by the "
+    "oracle's seq_tokens). A doc's covered-sequence range explodes "
+    "via sequence(s0, s1) — rows grow by ceil(n/budget), not "
+    "quadratically — and the per-seq token share is interval "
+    "arithmetic, all native. Same sharded-window scale shape as "
+    "train_pack_sequences (no global cumulative sum).",
+)
+def train_pack_split(spark: SparkSession, sf: str) -> DataFrame:
+    toks = (
+        _t(spark, sf, "documents")
+        .select(
+            (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = F.lit(_PACK_BUDGET)
+    span = (
+        toks.withColumn(
+            "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .withColumn("end_tok", F.col("start_tok") + F.col("n_tokens"))
+        .withColumn("s0", F.floor(F.col("start_tok") / b))
+        .withColumn("s1", F.floor((F.col("end_tok") - 1) / b))
+    )
+    ex = span.select(
+        "shard",
+        "start_tok",
+        "end_tok",
+        F.explode(F.sequence("s0", "s1")).alias("seq_id"),
+    )
+    return ex.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.least(F.col("end_tok"), (F.col("seq_id") + 1) * b)
+            - F.greatest(F.col("start_tok"), F.col("seq_id") * b)
+        ).alias("seq_tokens"),
+    )
+
+
+@register(
     "text_unigram_logprob",
     """
     WITH tok AS (
