@@ -321,6 +321,87 @@ def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM tok, UNNEST(RANGE(1, GREATEST(LEN(t), 1))) AS r(i)),
+    uni AS (
+      SELECT w1 AS w, COUNT(*) AS uf FROM (
+        SELECT doc_id, UNNEST(t) AS w1 FROM tok) GROUP BY w1),
+    v AS (SELECT COUNT(*) AS vocab FROM uni),
+    bf AS (SELECT w1, w2, COUNT(*) AS bf FROM bg GROUP BY w1, w2)
+    SELECT doc_id,
+           ROUND(AVG(LN((bf + 1.0) / (uf + (SELECT vocab FROM v)))), 4)
+             AS avg_logprob,
+           COUNT(*) AS n_bigrams
+    FROM bg JOIN bf USING (w1, w2) JOIN uni ON uni.w = bg.w1
+    GROUP BY doc_id
+    """,
+    doc="corpus-BIGRAM language-model scoring with add-one smoothing "
+    "(the next rung above text_unigram_logprob on the CCNet-style "
+    "perplexity-filter ladder — a bigram LM separates scrambled "
+    "boilerplate from fluent text where unigrams cannot): "
+    "P(w2|w1) = (B(w1,w2)+1)/(U(w1)+V), scored as the per-document "
+    "mean log-prob over its bigrams. Counts are two combinable "
+    "shuffles (bigram, unigram) + the scoring join keyed on the "
+    "bigram — hot stopword pairs spread by the compound key; V rides "
+    "in as a broadcast scalar. Docs with <2 tokens drop out "
+    "(no bigrams), matching the oracle's join semantics.",
+)
+def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    tok = _t(spark, sf, "documents").select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("t")
+    )
+    # guard size<2 BEFORE sequence(): Spark's sequence(1, 0) counts
+    # DOWN ([1, 0]) instead of returning empty like DuckDB's RANGE
+    bg = (
+        tok.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("_b"),
+        )
+        .select("doc_id", "_b.w1", "_b.w2")
+    )
+    uni = (
+        tok.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("uf"))
+    )
+    v = uni.agg(F.count("*").alias("vocab"))
+    bf = bg.groupBy("w1", "w2").agg(F.count("*").alias("bf"))
+    return (
+        bg.join(bf, ["w1", "w2"])
+        .join(uni, bg["w1"] == uni["w"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("bf") + F.lit(1.0))
+                        / (F.col("uf") + F.col("vocab"))
+                    )
+                ),
+                4,
+            ).alias("avg_logprob"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
+@register(
     "op72_incremental_agg",
     # final snapshot after v0 insert-all, v1 (n_chars += 17 where
     # doc_id%10==3, delete %10==7) — aggregated by lang, maintained
