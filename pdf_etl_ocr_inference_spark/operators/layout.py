@@ -73,6 +73,12 @@ def collect_file_stats(spark, path: str, cols: list[str]):
     one schema serves every numeric/temporal column; exact-integer
     semantics survive below 2^53.  Returns a DataFrame
     ``(file, col, vmin, vmax)`` with one row per (file, column).
+
+    The listing here is a local ``os.listdir`` (this module targets
+    posix paths; the pyarrow footer read is the same either way).  On
+    an object store, swap the listing for the distributed
+    ``binaryFile`` source (op07's path) and give pyarrow the store's
+    filesystem — the sidecar schema and pruning logic are unchanged.
     """
     import datetime as _dt
     import os as _os

@@ -126,6 +126,81 @@ def op08_catalog_ddl(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op98_analyze_cbo",
+    "SELECT n_name, COUNT(*) AS n_orders, "
+    "ROUND(SUM(o_totalprice), 2) AS total "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE o_orderpriority = '1-URGENT' "
+    "GROUP BY n_name",
+    doc="statistics-driven planning (ANALYZE TABLE + cost-based "
+    "optimizer): the join's tables are saved as managed tables, "
+    "ANALYZE ... COMPUTE STATISTICS FOR ALL COLUMNS writes "
+    "row/column stats into the metastore, and with spark.sql.cbo "
+    "enabled the optimized plan carries a derived rowCount at the "
+    "ROOT (asserted in-entry: filter+join+agg selectivities "
+    "propagate through the tree — None without ANALYZE). This is "
+    "the same ANALYZE contract the engine's own index statistics "
+    "follow (optimizer.plan_hamming_radius); at 100 TB "
+    "statistics-bearing metastores are what let the planner choose "
+    "broadcast sides and join orders without scanning. Result "
+    "oracled against the raw tables; confs saved/restored.",
+)
+def op98_analyze_cbo(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.sources.writers import (
+        drop_managed_table,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS engine_cbo")
+    for name, src in (
+        ("orders_t", "orders"),
+        ("customer_t", "customer"),
+        ("nation_t", "nation"),
+    ):
+        drop_managed_table(spark, "engine_cbo", name)
+        (
+            _t(spark, sf, src)
+            .write.mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"engine_cbo.{name}")
+        )
+        spark.sql(
+            f"ANALYZE TABLE engine_cbo.{name} "
+            "COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    }
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        out = spark.sql(
+            "SELECT n_name, COUNT(*) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS total "
+            "FROM engine_cbo.orders_t o "
+            "JOIN engine_cbo.customer_t c ON o.o_custkey = c.c_custkey "
+            "JOIN engine_cbo.nation_t n ON c.c_nationkey = n.n_nationkey "
+            "WHERE o.o_orderpriority = '1-URGENT' "
+            "GROUP BY n_name"
+        )
+        stats = out._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined(), (
+            "CBO did not derive a row count — ANALYZE statistics "
+            "not reaching the planner"
+        )
+        # force plan + stats resolution BEFORE confs restore
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
+@register(
     "op02b_sql_api",
     "SELECT n_name, COUNT(*) AS n_suppliers, "
     "ROUND(AVG(s_acctbal), 4) AS avg_bal "
