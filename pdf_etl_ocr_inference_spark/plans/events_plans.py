@@ -77,6 +77,46 @@ def op76_funnel(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op99_ewma",
+    "SELECT user_id, COUNT(*) AS n_events, "
+    "ROUND(LIST_REDUCE(LIST(CAST(value AS DOUBLE) "
+    "ORDER BY ts, event_id), (acc, x) -> 0.3*x + 0.7*acc), 4) AS ewma "
+    "FROM events GROUP BY user_id",
+    doc="per-key RECURSIVE fold — exponentially weighted moving "
+    "average (alpha 0.3) of each user's value stream in event order: "
+    "the sequential-state shape window functions cannot express "
+    "(EWMA_t depends on EWMA_{t-1}) and the closed-form rewrite "
+    "overflows ((1-a)^-t) — done natively via aggregate() over the "
+    "time-ordered value array, identical fold order in both engines "
+    "so the doubles agree bitwise. Per-key state is the key's own "
+    "history (op61's collect_list caveat): bounded by per-user "
+    "activity, not the corpus; unbounded keys take the "
+    "applyInPandasWithState path (op55) instead.",
+)
+def op99_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    events = _t(spark, sf, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+    vals = F.transform("s", lambda r: r["value"].cast("double"))
+    per_user = per_user.withColumn("v", vals)
+    first = F.element_at("v", 1)
+    rest = F.slice("v", 2, F.greatest(F.size("v") - 1, F.lit(0)))
+    ew = F.aggregate(
+        rest,
+        first,
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return per_user.select(
+        "user_id",
+        F.size("v").alias("n_events"),
+        F.round(ew, 4).alias("ewma"),
+    )
+
+
+@register(
     "op77_retention",
     "WITH first AS (SELECT user_id, "
     "DATE_TRUNC('week', MIN(ts))::DATE AS cohort FROM events "
