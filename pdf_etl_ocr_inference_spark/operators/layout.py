@@ -80,17 +80,29 @@ def collect_file_stats(spark, path: str, cols: list[str]):
     ``binaryFile`` source (op07's path) and give pyarrow the store's
     filesystem — the sidecar schema and pruning logic are unchanged.
     """
-    import datetime as _dt
     import os as _os
-
-    import pandas as _pd
-    from pyspark.sql import functions as F
 
     files = [
         f"{path}/{f}"
         for f in _os.listdir(path)
         if f.endswith(".parquet") and not f.startswith((".", "_"))
     ]
+    return _footer_stats(spark, files, cols)
+
+
+def _footer_stats(spark, files: list[str], cols: list[str]):
+    """Footer-only min/max stats for an EXPLICIT file list — the core
+    both the full build (:func:`collect_file_stats`) and the
+    incremental refresh (:func:`load_or_refresh_file_stats`, which
+    passes only uncovered files) share."""
+    import datetime as _dt
+
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    schema = "file string, col string, vmin double, vmax double"
+    if not files:
+        return spark.createDataFrame([], schema)
     want = list(cols)
 
     def _norm(v):
@@ -106,7 +118,7 @@ def collect_file_stats(spark, path: str, cols: list[str]):
             return (_dt.datetime(v.year, v.month, v.day) - epoch).total_seconds()
         return float(v)
 
-    def _footer_stats(batches):
+    def _read_footers(batches):
         import pyarrow.parquet as _pq
 
         for pdf in batches:
@@ -137,9 +149,61 @@ def collect_file_stats(spark, path: str, cols: list[str]):
     listing = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(min(len(files), 32) or 1, F.col("file"))
-    return listing.mapInPandas(
-        _footer_stats, schema="file string, col string, vmin double, vmax double"
+    return listing.mapInPandas(_read_footers, schema=schema)
+
+
+def load_or_refresh_file_stats(spark, path: str, cols: list[str]):
+    """Persisted, INCREMENTALLY maintained stats sidecar: the per-file
+    min/max rows live under ``{path}/_stats`` and a refresh reads
+    footers ONLY for files the sidecar does not cover yet — the
+    maintenance shape every index family in this engine follows
+    (cost ∝ new files, not table size).  Rows for vanished files are
+    dropped on the same pass (compaction heals the sidecar), and a
+    changed column set forces a full rebuild.
+
+    Returns the up-to-date stats as a DataFrame.  Publication is
+    atomic (tmp + os.replace of the whole sidecar dir), and readers
+    of a mid-refresh or torn sidecar are safe regardless: the
+    scan-side reconciliation treats uncovered files conservatively.
+    """
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    side_dir = f"{path}/_stats"
+    current = sorted(
+        f"{path}/{f}"
+        for f in _os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
     )
+    have = None
+    if _os.path.isdir(side_dir):
+        have = spark.read.parquet(side_dir)
+        seen_cols = {
+            r["col"] for r in have.select("col").distinct().collect()
+        }
+        if seen_cols != set(cols):
+            have = None  # column set changed: full rebuild
+    if have is not None:
+        covered = {
+            r["file"] for r in have.select("file").distinct().collect()
+        }
+        fresh_files = [f for f in current if f not in covered]
+        kept = have.filter(F.col("file").isin(current))
+        if not fresh_files and covered <= set(current):
+            return kept
+        merged = kept.unionByName(
+            _footer_stats(spark, fresh_files, cols)
+        )
+    else:
+        merged = _footer_stats(spark, current, cols)
+    tmp = f"{path}/_stats_tmp_{_uuid.uuid4().hex[:8]}"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _shutil.rmtree(side_dir, ignore_errors=True)
+    _os.replace(tmp, side_dir)
+    return spark.read.parquet(side_dir)
 
 
 def scan_with_skipping(

@@ -316,6 +316,63 @@ def test_stale_sidecar_never_loses_rows(spark, tmp_path):
     assert got2 == [7, 1005], "bloom-uncovered file skipped"
 
 
+def test_incremental_stats_sidecar_equals_rebuild(spark, tmp_path):
+    """load_or_refresh_file_stats: the persisted sidecar folds ONLY
+    new files' footers in, drops vanished files' rows, and always
+    equals a from-scratch rebuild."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        collect_file_stats,
+        load_or_refresh_file_stats,
+        scan_with_skipping,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select("id").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    def norm(df):
+        return sorted(map(tuple, df.collect()))
+
+    s1 = load_or_refresh_file_stats(spark, path, ["id"])
+    assert norm(s1) == norm(collect_file_stats(spark, path, ["id"]))
+    assert os.path.isdir(f"{path}/_stats")
+
+    # append a file: refresh must fold it in and equal a full rebuild
+    extra = str(tmp_path / "x")
+    spark.range(500, 520).select("id").coalesce(1).write.parquet(extra)
+    shutil.move(
+        glob.glob(f"{extra}/part-*.parquet")[0], f"{path}/new.parquet"
+    )
+    s2 = load_or_refresh_file_stats(spark, path, ["id"])
+    assert norm(s2) == norm(collect_file_stats(spark, path, ["id"]))
+    assert len(norm(s2)) == 3
+
+    # vanish a file: rows for it drop on the next refresh
+    os.remove(f"{path}/new.parquet")
+    s3 = load_or_refresh_file_stats(spark, path, ["id"])
+    assert len(norm(s3)) == 2
+    assert norm(s3) == norm(collect_file_stats(spark, path, ["id"]))
+
+    # changed column set forces a clean rebuild (id+v table)
+    spark.range(0, 10).select(
+        "id", (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "y"))
+
+    # and the maintained sidecar serves the pruned scan unchanged
+    pruned, n_read, n_total = scan_with_skipping(
+        spark, path, {"id": (0, 10)}, stats=s3
+    )
+    assert n_total == 2 and n_read >= 1
+    assert pruned.filter(F.col("id") <= 10).count() == 11
+
+
 def test_linear_sort_serves_only_leading_column(layouts):
     _, lr, dom = layouts
     cust = _overlap_frac(lr, "o_custkey", *_box(dom.c_lo, dom.c_hi, 0.30, 0.36))
