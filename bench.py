@@ -632,6 +632,41 @@ def file_skipping_speedup(spark) -> dict:
     }
 
 
+def sf_scaling_sweep(spark) -> dict:
+    """Wall time of four representative shapes across the three
+    fixture scales (100× data span): the ratio t(sf0.1)/t(sf0.01)
+    against the 10× data growth is the measured answer to "does this
+    plan survive a scale-up" — ~10 means data-bound linear scaling,
+    ≪10 means the local run is still fixed-overhead-bound (headroom,
+    not danger). Best-of-2 per point; the sweep reuses the shared
+    session so JVM/codegen warmup is amortized like production."""
+    import time as _t
+
+    from pdf_etl_ocr_inference_spark.plans import all_specs
+
+    specs = all_specs()
+    names = ["tpch_q1", "dedup_exact", "dedup_minhash_lsh", "op51_sessionize"]
+    sfs = ["sf0.001", "sf0.01", "sf0.1"]
+    out: dict = {}
+    for name in names:
+        row = {}
+        for sf in sfs:
+            d = f"/root/testdata/{sf}"
+            if not os.path.isdir(d):
+                continue
+            best = None
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                specs[name].fn(spark, d).count()
+                el = _t.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            row[sf] = round(best, 3)
+        if "sf0.1" in row and "sf0.01" in row and row["sf0.01"] > 0:
+            row["ratio_10x_data"] = round(row["sf0.1"] / row["sf0.01"], 1)
+        out[name] = row
+    return out
+
+
 def kmeans_scale(spark) -> dict:
     """One deterministic Lloyd round on the cached 1M×64 corpus (built
     by probe_speedup): times the per-round assignment scan and the
@@ -760,6 +795,8 @@ def main() -> None:
     print(f"# bm25 postings index @200k: {bmidx}", file=sys.stderr)
     fskip = file_skipping_speedup(spark)
     print(f"# file skipping @4M/64 files: {fskip}", file=sys.stderr)
+    sweep = sf_scaling_sweep(spark)
+    print(f"# sf scaling sweep: {sweep}", file=sys.stderr)
     gb = graph_build(spark)
     print(f"# graph build @100k: {gb}", file=sys.stderr)
 
@@ -780,6 +817,7 @@ def main() -> None:
                 "kmeans_round_1m": km,
                 "bm25_index_speedup_200k": bmidx,
                 "file_skipping_4m": fskip,
+                "sf_scaling_sweep": sweep,
                 "graph_build_100k": gb,
             }
         )
