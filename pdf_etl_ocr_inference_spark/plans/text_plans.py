@@ -996,3 +996,146 @@ def text_quality_lr_score(spark: SparkSession, sf: str) -> DataFrame:
         return score_quality_lr(feats, w, b, "doc_id")
     finally:
         feats.unpersist()
+
+
+@register(
+    "text_ccnet_buckets",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok),
+    total AS (SELECT SUM(tf) AS n FROM freq),
+    lp AS (
+      SELECT doc_id, AVG(LN(tf / (SELECT n FROM total))) AS logprob
+      FROM tok JOIN freq USING (tok) GROUP BY doc_id),
+    b AS (
+      SELECT d.lang, lp.logprob,
+             NTILE(3) OVER (PARTITION BY d.lang
+               ORDER BY ROUND(lp.logprob, 6) DESC, lp.doc_id) AS t
+      FROM lp JOIN documents d USING (doc_id))
+    SELECT lang,
+           CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs, ROUND(AVG(logprob), 4) AS avg_lp
+    FROM b GROUP BY lang, t
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): "
+    "per-LANGUAGE terciles of the corpus-LM document score — 'head' "
+    "is the most-fluent third each language keeps preferentially, "
+    "'tail' the candidate discard. Buckets cut on the score ROUNDED "
+    "to 6 decimals with a doc_id tie-break so both engines' float "
+    "accumulation orders agree on the boundary. One corpus-LM "
+    "scoring pass + a per-language ntile window (bounded partitions "
+    "— languages, not docs).",
+)
+def text_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pdf_etl_ocr_inference_spark.functions.text import tokens
+
+    docs = _t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n"))
+    lp = (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(F.col("tf") / F.col("n"))).alias("logprob"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.round("logprob", 6).desc(), F.col("doc_id")
+    )
+    b = (
+        lp.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("t", F.ntile(3).over(w))
+    )
+    return b.groupBy("lang", "t").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("logprob"), 4).alias("avg_lp"),
+    ).select(
+        "lang",
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "n_docs",
+        "avg_lp",
+    )
+
+
+@register(
+    "text_gopher_rules",
+    """
+    WITH f AS (
+      SELECT doc_id,
+        LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS ntok,
+        LENGTH(text) AS n,
+        LENGTH(REGEXP_REPLACE(text, '[a-zA-Z]', '', 'g')) AS nonalpha,
+        CASE WHEN LOWER(text) LIKE '% the %' OR LOWER(text) LIKE '% and %'
+             OR LOWER(text) LIKE '% to %' OR LOWER(text) LIKE '% of %'
+             THEN 1 ELSE 0 END AS has_stopword
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+        CASE WHEN ntok BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS word_count_ok,
+        CASE WHEN (n - ntok + 1.0) / GREATEST(ntok, 1) BETWEEN 3 AND 10
+             THEN 1 ELSE 0 END AS mean_word_len_ok,
+        CASE WHEN nonalpha * 1.0 / GREATEST(n, 1) <= 0.6 THEN 1 ELSE 0 END
+          AS symbol_ratio_ok,
+        has_stopword AS stopword_ok
+      FROM f)
+    SELECT COUNT(*) AS n_docs,
+           SUM(word_count_ok) AS pass_word_count,
+           SUM(mean_word_len_ok) AS pass_mean_word_len,
+           SUM(symbol_ratio_ok) AS pass_symbol_ratio,
+           SUM(stopword_ok) AS pass_stopword,
+           SUM(word_count_ok * mean_word_len_ok * symbol_ratio_ok
+               * stopword_ok) AS pass_all
+    FROM r
+    """,
+    doc="Gopher-style quality rule set (Rae et al. 2021, Table A1 "
+    "family) as individual per-rule pass counts + the all-rules "
+    "survivor count, in ONE conditional-aggregate scan (op66's "
+    "shape): word-count bounds, mean-word-length bounds, "
+    "symbol-to-text ratio, must-contain-a-stopword. The per-rule "
+    "breakdown is what a curation run actually reads — which rule "
+    "is eating the corpus — vs the single fused score of "
+    "text_quality_score.",
+)
+def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    text = F.col("text")
+    ntok = token_count(text)
+    n = F.length(text)
+    nonalpha = F.length(F.regexp_replace(text, "[a-zA-Z]", ""))
+    mean_wl = (n - ntok + F.lit(1.0)) / F.greatest(ntok, F.lit(1))
+    low = F.lower(text)
+    has_stop = (
+        low.contains(" the ")
+        | low.contains(" and ")
+        | low.contains(" to ")
+        | low.contains(" of ")
+    ).cast("int")
+    r = docs.select(
+        F.when(ntok.between(50, 100_000), 1).otherwise(0).alias("wc"),
+        F.when(mean_wl.between(3, 10), 1).otherwise(0).alias("mwl"),
+        F.when(nonalpha / F.greatest(n, F.lit(1)) <= 0.6, 1)
+        .otherwise(0)
+        .alias("sym"),
+        has_stop.alias("stw"),
+    )
+    return r.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("wc").alias("pass_word_count"),
+        F.sum("mwl").alias("pass_mean_word_len"),
+        F.sum("sym").alias("pass_symbol_ratio"),
+        F.sum("stw").alias("pass_stopword"),
+        F.sum(
+            F.col("wc") * F.col("mwl") * F.col("sym") * F.col("stw")
+        ).alias("pass_all"),
+    )
