@@ -159,3 +159,86 @@ def ann_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     comps, _evals, mean = fit_pca(emb, "embedding", k=4)
     return project_pca(emb, "embedding", "vec_id", comps, mean)
+
+
+@register(
+    "pipeline_domain_mixture",
+    """
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id < 8),
+    a AS (SELECT vec_id, cid AS cluster_id FROM (
+        SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY LIST_DISTANCE(e.embedding::DOUBLE[], c.ce), c.cid) AS rn
+        FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+    j AS (SELECT a.cluster_id, d.doc_id,
+            ((LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g'))
+              / GREATEST(LENGTH(text), 1))
+             + (CASE WHEN LENGTH(text) BETWEEN 50 AND 100000
+                THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN
+                  (LENGTH(text) - LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+                    + 1)
+                  / GREATEST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')), 1)
+                  BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0 AS q
+          FROM a JOIN documents d ON a.vec_id = d.doc_id),
+    cw AS (SELECT cluster_id, ROUND(AVG(q), 6) AS aq FROM j
+           GROUP BY cluster_id),
+    ck AS (SELECT cluster_id, CASE WHEN ROW_NUMBER() OVER
+             (ORDER BY aq DESC, cluster_id) <= 4 THEN 15 ELSE 5 END AS quota
+           FROM cw),
+    s AS (SELECT j.cluster_id, j.doc_id, ROW_NUMBER() OVER (
+            PARTITION BY j.cluster_id
+            ORDER BY ((doc_id * 2654435761 + 12345) % 4294967296), doc_id)
+            AS rn
+          FROM j)
+    SELECT s.cluster_id, s.doc_id
+    FROM s JOIN ck USING (cluster_id) WHERE rn <= quota
+    """,
+    doc="domain-mixture construction end-to-end (the DoReMi-shaped "
+    "curation loop, composed from oracled pieces): k-means round-0 "
+    "assignment clusters the embedding corpus into domains; each "
+    "domain's mean heuristic quality (rounded to 6 decimals, "
+    "cluster-id tie-break) ranks it; the top half earns a 15-doc "
+    "quota, the bottom half 5 (rank-based quotas avoid the "
+    "float-floor boundary a proportional split would put between "
+    "the engines); the quota fills by the deterministic "
+    "multiplicative-hash order (train_stratified_fixed's recipe). "
+    "Every stage replays in SQL — cluster assignment, quality, "
+    "ranking, sampling — so the emitted (cluster, doc) set is "
+    "value-checked end to end. One embedding scan + one documents "
+    "scan + bounded window shuffles.",
+)
+def pipeline_domain_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pdf_etl_ocr_inference_spark.functions.text import quality_score
+    from pdf_etl_ocr_inference_spark.operators.sampling import sample_hash
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = init_centroids(emb, "embedding", "vec_id", _K)
+    assign = assign_clusters(emb, "embedding", centroids).select(
+        F.col("vec_id"), F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", quality_score("text").alias("q")
+    )
+    j = assign.join(docs, assign["vec_id"] == docs["doc_id"]).select(
+        "cluster_id", "doc_id", "q"
+    )
+    cw = j.groupBy("cluster_id").agg(F.round(F.avg("q"), 6).alias("aq"))
+    wq = Window.orderBy(F.col("aq").desc(), F.col("cluster_id"))
+    ck = cw.select(
+        "cluster_id",
+        F.when(F.row_number().over(wq) <= _K // 2, F.lit(15))
+        .otherwise(F.lit(5))
+        .alias("quota"),
+    )
+    ws = Window.partitionBy("cluster_id").orderBy(
+        sample_hash(F.col("doc_id")), F.col("doc_id")
+    )
+    s = j.withColumn("rn", F.row_number().over(ws))
+    return (
+        s.join(F.broadcast(ck), "cluster_id")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("cluster_id", "doc_id")
+    )
