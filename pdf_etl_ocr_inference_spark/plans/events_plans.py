@@ -217,3 +217,59 @@ def op79_resample_gapfill(spark: SparkSession, sf: str) -> DataFrame:
         grid.join(c, ["h", "event_type"], "left")
         .select("h", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
     )
+
+
+@register(
+    "op76b_funnel_windowed",
+    "WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e "
+    "JOIN s1 USING (user_id) WHERE event_type = 'click' "
+    "AND ts > t1 AND ts <= t1 + INTERVAL 24 HOURS GROUP BY e.user_id), "
+    "s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e "
+    "JOIN s2 USING (user_id) WHERE event_type = 'purchase' "
+    "AND ts > t2 AND ts <= t2 + INTERVAL 24 HOURS GROUP BY e.user_id) "
+    "SELECT 1 AS step_idx, 'view' AS step, "
+    "(SELECT COUNT(*) FROM s1) AS n_users "
+    "UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2) "
+    "UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)",
+    doc="CONVERSION-WINDOW funnel (op76 with the constraint real "
+    "funnel analytics always carry): each step must happen within 24 "
+    "hours of the previous step's entry, so stale cross-session "
+    "coincidences stop counting as conversions. Same co-partitioned "
+    "step-join shape; the window is one extra predicate riding the "
+    "existing join, not a new shuffle.",
+)
+def op76b_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    win = F.expr("INTERVAL 24 HOURS")
+
+    def first_within(event_type, prev, prev_col):
+        step = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            step = step.join(prev, "user_id").filter(
+                (F.col("ts") > F.col(prev_col))
+                & (F.col("ts") <= F.col(prev_col) + win)
+            )
+        return step.groupBy("user_id").agg(
+            F.min("ts").alias(f"t_{event_type}")
+        )
+
+    s1 = first_within("view", None, "")
+    s2 = first_within("click", s1, "t_view")
+    s3 = first_within("purchase", s2, "t_click")
+    rows = []
+    for idx, (name, df) in enumerate(
+        [("view", s1), ("click", s2), ("purchase", s3)], start=1
+    ):
+        rows.append(
+            df.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(idx).alias("step_idx"),
+                F.lit(name).alias("step"),
+                "n_users",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
