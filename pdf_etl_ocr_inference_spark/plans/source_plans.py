@@ -245,6 +245,32 @@ def op21_scalar_udf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op21b_arrow_udf",
+    "SELECT doc_id, TRY_CAST(REGEXP_EXTRACT(source, '([0-9]+)$', 1) "
+    "AS BIGINT) AS src_num FROM documents",
+    doc="Arrow-optimized scalar Python UDF (Spark 4 useArrow=True): "
+    "op21's exact semantics through the ArrowEvalPython boundary "
+    "instead of pickled BatchEvalPython — rows cross to the worker "
+    "as Arrow record batches (columnar, zero-copy-ish) rather than "
+    "one pickled row at a time, the ~2-5× cheaper serialization for "
+    "scalar UDFs that genuinely must stay Python. Same oracle as "
+    "op21, proving the boundary swap is semantics-preserving "
+    "(incl. the None-on-no-match nullability).",
+)
+def op21b_arrow_udf(spark: SparkSession, sf: str) -> DataFrame:
+    import re
+
+    @F.udf(returnType=T.LongType(), useArrow=True)
+    def src_num_arrow(source):
+        m = re.search(r"(\d+)$", source or "")
+        return int(m.group(1)) if m else None
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", src_num_arrow("source").alias("src_num")
+    )
+
+
+@register(
     "op74_jsonl_roundtrip",
     "SELECT doc_id, lang, source, n_chars FROM documents",
     doc="JSON-lines sink+scan round trip with explicit schema "
