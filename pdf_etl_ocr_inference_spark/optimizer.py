@@ -894,3 +894,198 @@ def rewrite_matview(df: DataFrame, catalog=None) -> DataFrame:
 
 
 _RULES = (*_RULES, rewrite_matview)
+
+
+# ------------------------------------------------------------------
+# Skipping-scan rewrite: route range scans onto a registered
+# clustered layout + footer-stats sidecar
+# ------------------------------------------------------------------
+
+
+def _foldable_value(e):
+    """(normalized float, ok) for a foldable literal-ish expression —
+    Literal or Cast(Literal) — on the epoch-seconds/float axis the
+    stats sidecar uses (layout._footer_stats normalization)."""
+    try:
+        if not e.foldable():
+            return None
+        t = e.dataType().typeName()
+        v = e.eval(None)
+        if v is None:
+            return None
+        if t in ("timestamp", "timestamp_ntz"):
+            return float(v) / 1e6  # catalyst stores micros
+        if t == "date":
+            return float(v) * 86400.0  # days since epoch
+        if t in ("integer", "long", "short", "byte", "double", "float"):
+            return float(v)
+        if t.startswith("decimal"):
+            return float(str(v))
+        return None
+    except Exception:
+        return None
+
+
+def _conjuncts(e):
+    if e.nodeName() == "And":
+        yield from _conjuncts(e.left())
+        yield from _conjuncts(e.right())
+    else:
+        yield e
+
+
+def _attr_name(e):
+    """Column name of an attribute-ish side (AttributeReference,
+    possibly under one Cast — safe for pruning because the stats
+    normalization puts every numeric/temporal type on one axis)."""
+    if e.nodeName() == "Cast":
+        e = e.child()
+    if e.nodeName() == "AttributeReference":
+        return e.name()
+    return None
+
+
+def _extract_ranges(cond, cols: list[str]) -> dict:
+    """Conjunctive ``col op literal`` bounds over ``cols`` →
+    ``{col: (lo, hi)}``; strict comparisons widen to closed intervals
+    (pruning may only over-keep, never over-drop — the exact
+    predicate re-applies row-wise).  Unparseable conjuncts are simply
+    not used for pruning."""
+    lo: dict[str, float] = {}
+    hi: dict[str, float] = {}
+    _GE = {"GreaterThanOrEqual", "GreaterThan"}
+    _LE = {"LessThanOrEqual", "LessThan"}
+    for c in _conjuncts(cond):
+        nn = c.nodeName()
+        if nn not in _GE | _LE | {"EqualTo"}:
+            continue
+        try:
+            left, right = c.left(), c.right()
+        except Exception:
+            continue
+        name, val, flipped = _attr_name(left), _foldable_value(right), False
+        if name is None or val is None:
+            name, val, flipped = (
+                _attr_name(right), _foldable_value(left), True,
+            )
+        if name is None or val is None or name not in cols:
+            continue
+        # col >= v  |  v <= col   → lower bound; mirrored for upper
+        is_lower = (nn in _GE) != flipped if nn != "EqualTo" else None
+        if nn == "EqualTo":
+            lo[name] = max(lo.get(name, float("-inf")), val)
+            hi[name] = min(hi.get(name, float("inf")), val)
+        elif is_lower:
+            lo[name] = max(lo.get(name, float("-inf")), val)
+        else:
+            hi[name] = min(hi.get(name, float("inf")), val)
+    out = {}
+    for name in set(lo) | set(hi):
+        out[name] = (
+            lo.get(name, float("-inf")), hi.get(name, float("inf"))
+        )
+    return out
+
+
+def rewrite_skipping_scan(
+    df: DataFrame, catalog: IndexCatalog | None = None
+) -> DataFrame:
+    """Optimizer rule #5: a range-predicate scan of a table with a
+    REGISTERED clustered layout (``layout.register_clustered_layout``)
+    is answered from the Z-ordered copy through its footer-stats
+    sidecar — scan tasks are scheduled only for min/max-overlapping
+    files, then the ORIGINAL predicate re-applies row-wise and the
+    original projection is restored, so the rewrite is semantically
+    invisible.
+
+    No hint needed: like the matview rule, this one keys on the plan
+    itself — ``[pure-attribute Project]* / Filter+ / LogicalRelation``
+    whose root path has a layout registered.  Guard rails, in order:
+
+    - any other plan shape, or a projection that computes/renames     → no-op
+    - no registered layout / wrong format version                     → no-op
+    - source inventory (sizes+mtimes) drifted since registration      → no-op
+      (a lagging layout degrades to the brute scan — NEVER stale)
+    - no extractable bound on any clustered column                    → no-op
+      (nothing to prune; the brute scan is already the right plan)
+
+    At 100 TB this is the optimize()-integrated form of op70b: the
+    user keeps writing ``scan.filter(box)``; registering a layout
+    turns it into a ~1%-of-files read with zero query changes.
+    """
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        LAYOUT_FORMAT_VERSION,
+        _source_inventory,
+        layout_key,
+        load_or_refresh_file_stats,
+        scan_with_skipping,
+    )
+
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        conds = []
+        while True:
+            nn = node.nodeName()
+            if nn == "Project":
+                it = node.projectList().iterator()
+                while it.hasNext():
+                    if it.next().nodeName() != "AttributeReference":
+                        return df
+                node = node.children().head()
+            elif nn == "Filter":
+                conds.append(node.condition())
+                node = node.children().head()
+            elif nn == "LogicalRelation":
+                break
+            else:
+                return df
+        if not conds:
+            return df
+        paths = node.relation().location().rootPaths()
+        if paths.size() != 1:
+            return df
+        src = paths.head().toString()
+    except Exception:
+        return df
+    if src.startswith("file:"):
+        src = src[len("file:"):]
+    cat = catalog or IndexCatalog()
+    meta = cat.lookup(layout_key(src))
+    if (
+        meta is None
+        or meta.get("kind") != "layout"
+        or meta.get("format_version") != LAYOUT_FORMAT_VERSION
+    ):
+        return df
+    try:
+        if _source_inventory(src) != [
+            list(r) for r in meta["inventory"]
+        ]:
+            return df  # layout lags its source: fall through, never stale
+    except OSError:
+        return df
+    ranges: dict = {}
+    for cond in conds:
+        for col, (lo, hi) in _extract_ranges(cond, meta["cols"]).items():
+            plo, phi = ranges.get(col, (float("-inf"), float("inf")))
+            ranges[col] = (max(plo, lo), min(phi, hi))
+    if not ranges:
+        return df
+    try:
+        cond_sqls = [c.sql() for c in conds]
+    except Exception:
+        return df
+    spark = df.sparkSession
+    stats = load_or_refresh_file_stats(
+        spark, meta["layout_path"], meta["cols"]
+    )
+    pruned, _n_read, _n_total = scan_with_skipping(
+        spark, meta["layout_path"], ranges, stats=stats
+    )
+    out = pruned
+    for sql in reversed(cond_sqls):  # innermost filter first
+        out = out.filter(F.expr(sql))
+    return out.select(*df.columns)
+
+
+_RULES = (*_RULES, rewrite_skipping_scan)

@@ -80,6 +80,17 @@ WHERE LENGTH(ARRAY_TO_STRING(toks[chunk_idx * 20 + 1 : chunk_idx * 20 + 20],
 )
 def op24b_chunk_sentences(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return _sentence_chunks(docs).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk").alias("chunk_md5"),
+        F.length("chunk").alias("n_chars"),
+    )
+
+
+def _sentence_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, chunk): 3-sentence windows at stride 2 —
+    the shared chunker behind op24b and the sentence-RAG pipeline."""
     sents = F.split(
         F.regexp_replace(F.trim("text"), r"([.!?])\s+", "$1"),
         "",
@@ -92,15 +103,8 @@ def op24b_chunk_sentences(spark: SparkSession, sf: str) -> DataFrame:
         F.sequence(F.lit(0), n_chunks.cast("long") - 1),
         lambda i: F.concat_ws(" ", F.slice("sents", i * 2 + 1, 3)),
     )
-    return (
-        docs.withColumn("sents", sents)
-        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.md5("chunk").alias("chunk_md5"),
-            F.length("chunk").alias("n_chars"),
-        )
+    return docs.withColumn("sents", sents).select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
     )
 
 
@@ -342,6 +346,90 @@ def pipeline_rag_context(spark: SparkSession, sf: str) -> DataFrame:
     scored = bm25_scores(chunks, "chunk", "cid", ["spark", "vector", "join"])
     # quant=4: selection must survive last-ulp score differences
     # between the JVM and the oracle engine (driver hash gate r3)
+    top = _ranked_topk(scored, "_score", 5, quant=4).withColumnRenamed(
+        "id", "cid"
+    )
+    ordered = top.join(chunks, "cid").select("rank", "chunk")
+    return ordered.agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("context"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.length("chunk")).alias("total_chars"),
+    )
+
+
+@register(
+    "pipeline_rag_sentence",
+    """
+    WITH s AS (
+      SELECT doc_id, STRING_SPLIT(
+        REGEXP_REPLACE(TRIM(text), '([.!?])\\s+', '\\1' || CHR(1), 'g'),
+        CHR(1)) AS sents
+      FROM documents),
+    c AS (
+      SELECT doc_id, i AS chunk_idx,
+             ARRAY_TO_STRING(sents[2*i+1 : 2*i+3], ' ') AS chunk
+      FROM s, UNNEST(RANGE(0,
+        CASE WHEN LEN(sents) <= 3 THEN 1
+             ELSE 1 + CAST(CEIL((LEN(sents) - 3) / 2.0) AS BIGINT) END))
+        AS r(i)),
+    chunks AS (
+      SELECT doc_id * 100000 + chunk_idx AS cid, chunk
+      FROM c WHERE LENGTH(chunk) > 20
+    ), t2 AS (
+      SELECT cid, chunk, STRING_SPLIT_REGEX(TRIM(chunk), '\\s+') AS t
+      FROM chunks
+    ), dl AS (SELECT cid, LEN(t) AS dl FROM t2),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT cid, term, COUNT(*) AS tf FROM
+      (SELECT cid, UNNEST(t) AS term FROM t2)
+      WHERE term IN ('spark', 'vector', 'join') GROUP BY cid, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (SELECT tf.cid AS cid,
+      SUM(LN(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+      ) AS sc FROM tf JOIN dfq USING (term)
+      JOIN dl USING (cid) CROSS JOIN stats s GROUP BY tf.cid),
+    topc AS (SELECT cid, sc FROM scored
+      ORDER BY ROUND(sc, 4) DESC, cid LIMIT 5),
+    ordered AS (SELECT c.chunk, ROW_NUMBER() OVER
+      (ORDER BY ROUND(t.sc, 4) DESC, t.cid) AS rnk
+      FROM topc t JOIN chunks c USING (cid))
+    SELECT STRING_AGG(chunk, CHR(10) || CHR(10) ORDER BY rnk)
+             AS context,
+           COUNT(*) AS n_chunks, SUM(LENGTH(chunk)) AS total_chars
+    FROM ordered
+    """,
+    doc="sentence-granularity RAG assembly end-to-end (the op24b -> "
+    "BM25 -> assemble composition, ONE lazy plan): overlapping "
+    "3-sentence chunks (stride 2, so boundary-straddling answers "
+    "stay findable) -> BM25 retrieval over the chunk corpus -> top-5 "
+    "-> rank-ordered double-newline context + stats. Same retrieval "
+    "shape as pipeline_rag_context but with retrieval units that "
+    "never cut mid-sentence; every stage replays in the oracle, so "
+    "the assembled context is value-checked byte-for-byte.",
+)
+def pipeline_rag_sentence(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        _ranked_topk,
+        bm25_scores,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    chunks = (
+        _sentence_chunks(docs)
+        .filter(F.length("chunk") > 20)
+        .select(
+            (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("cid"),
+            "chunk",
+        )
+    )
+    scored = bm25_scores(chunks, "chunk", "cid", ["spark", "vector", "join"])
     top = _ranked_topk(scored, "_score", 5, quant=4).withColumnRenamed(
         "id", "cid"
     )

@@ -868,3 +868,65 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(dp)
+
+
+@register(
+    "op70d_skipping_rewrite",
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "ROUND(SUM(o_totalprice), 2) AS total "
+    "FROM orders WHERE o_custkey BETWEEN 100 AND 299 "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY o_orderpriority",
+    doc="OPTIMIZER-integrated data skipping (optimizer rule #5, "
+    "rewrite_skipping_scan): the user writes the plain brute "
+    "scan.filter(box) — no helper call — and because a clustered "
+    "layout is REGISTERED for the table "
+    "(layout.register_clustered_layout: Z-ordered copy + footer-stats "
+    "sidecar + source-inventory fingerprint), optimize() rewrites the "
+    "scan onto the clustered copy with file-level pruning, re-applies "
+    "the exact original predicate row-wise, and restores the original "
+    "projection. The entry ASSERTS the rule fired and a stale-guard "
+    "property backs it (tests/test_skipping_rewrite.py: inventory "
+    "drift → brute-scan fall-through, never a stale answer; "
+    "append-only refresh re-syncs at cost ∝ new files). Oracle = the "
+    "same predicate+agg on the pristine table, proving the rewrite "
+    "is semantically invisible. At 100 TB this is op70b's ~1%-of-"
+    "files scan behind the same zero-query-change entry point as the "
+    "similarity/BM25/matview rules.",
+)
+def op70d_skipping_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        layout_key,
+        register_clustered_layout,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        IndexCatalog,
+        optimize,
+    )
+
+    src = os.path.join(sf, "orders.parquet")
+    cat = IndexCatalog()
+    if cat.lookup(layout_key(src)) is None:
+        register_clustered_layout(
+            spark,
+            src,
+            [
+                {"col": "o_custkey", "kind": "int"},
+                {"col": "o_orderdate", "kind": "days",
+                 "origin": "1995-01-01"},
+            ],
+        )
+    brute = spark.read.parquet(src).filter(
+        F.col("o_custkey").between(100, 299)
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    routed = optimize(brute)
+    assert routed is not brute, "skipping rewrite did not fire"
+    return routed.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
