@@ -273,3 +273,42 @@ def op76b_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "op100_scd2_history",
+    "SELECT user_id, ts AS valid_from, "
+    "LEAD(ts) OVER w AS valid_to, "
+    "ROUND(value, 2) AS v, "
+    "(LEAD(ts) OVER w IS NULL) AS is_current, "
+    "ROW_NUMBER() OVER w AS version "
+    "FROM events WHERE event_type = 'purchase' "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)",
+    doc="SCD Type-2 history build: each user's purchase stream becomes "
+    "versioned dimension rows with [valid_from, valid_to) validity "
+    "intervals — valid_to = LEAD(ts), the open current version keeps "
+    "NULL, plus a per-user version number. ONE window over the "
+    "(user_id)-partitioned stream: the shuffle keys on the entity id "
+    "and each partition sorts locally, so the history build is a "
+    "single pass at any scale — the warehouse pattern for "
+    "slowly-changing dimensions built from an append-only change "
+    "log (composes with the engine's change feed: op10's CDF rows "
+    "are exactly this input shape). Tie-safe ordering (ts, event_id) "
+    "keeps versions deterministic under equal timestamps.",
+)
+def op100_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.round("value", 2).alias("v"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+            F.row_number().over(w).alias("version"),
+        )
+    )

@@ -154,3 +154,106 @@ def train_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_sample_topn(docs, "doc_id", "n_chars", 50).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+_CMS_P, _CMS_W = 2147483647, 512
+_CMS_H = (
+    (0, 1103515245, 12345),
+    (1, 69069, 362437),
+    (2, 1664525, 1013904223),
+    (3, 22695477, 54321),
+)
+_CMS_H_SQL = ",".join(f"({j},{a},{b})" for j, a, b in _CMS_H)
+
+
+@register(
+    "sketch_countmin",
+    f"WITH hc(j,a,b) AS (VALUES {_CMS_H_SQL}), "
+    f"cells AS (SELECT j, ((user_id*a+b) % {_CMS_P}) % {_CMS_W} AS cx, "
+    f"COUNT(*) AS c FROM events CROSS JOIN hc GROUP BY j, cx), "
+    "exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events "
+    "GROUP BY user_id), "
+    "top AS (SELECT user_id, exact_n FROM exact "
+    "ORDER BY exact_n DESC, user_id LIMIT 10) "
+    "SELECT t.user_id, t.exact_n, MIN(c.c) AS cms_est "
+    "FROM top t CROSS JOIN hc JOIN cells c ON c.j = hc.j "
+    f"AND c.cx = ((t.user_id*hc.a+hc.b) % {_CMS_P}) % {_CMS_W} "
+    "GROUP BY t.user_id, t.exact_n ORDER BY exact_n DESC, user_id",
+    doc="Count-Min sketch (Cormode-Muthukrishnan 2005) built as ONE "
+    "combinable groupBy: each event lands in d=4 hash cells "
+    "(universal-hash rows (a*k+b) mod p mod w, w=512), so the sketch "
+    "is a <=d*w-cell table REGARDLESS of key cardinality — the "
+    "bounded-state frequency summary for streams/shards, merged by "
+    "cell-wise ADD (a plain union+re-agg, unlike the exact "
+    "heavy-hitter pass which must re-scan). Probing the 10 true "
+    "heaviest users shows est >= exact (CMS only over-counts). The "
+    "hash is exact int64 arithmetic — products stay < 2^62 — so "
+    "both engines replay the SAME sketch cell-for-cell and the "
+    "entry is fully value-checked, not just row-counted.",
+)
+def sketch_countmin(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    hc = spark.createDataFrame(list(_CMS_H), "j int, a long, b long")
+    cell = ((F.col("user_id") * F.col("a") + F.col("b")) % _CMS_P) % _CMS_W
+    cells = (
+        ev.crossJoin(F.broadcast(hc))
+        .select("j", cell.alias("cx"))
+        .groupBy("j", "cx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    return (
+        top.crossJoin(F.broadcast(hc))
+        .withColumn("cx", cell)
+        .join(cells, ["j", "cx"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
+
+
+@register(
+    "sketch_hll_union",
+    None,  # datasketches HLL: engine-specific registers, not SQL-replayable
+    doc="HLL sketch COLUMNS (Spark 4 datasketches built-ins): distinct "
+    "users are sketched per (event_type, day) with hll_sketch_agg, "
+    "then rolled up per type by hll_union_agg — the pre-aggregate-"
+    "then-merge shape that answers 'distinct over ANY date range' "
+    "from day-level state at 100 TB, where countDistinct would "
+    "re-shuffle raw events per query. Register merge is a MAX, so "
+    "the estimate is partition-order independent (verified "
+    "deterministic under repartition in tests/test_sketch.py); "
+    "rows-only here because the estimator is engine-specific, with "
+    "the exact distinct joined alongside and a pytest relative-error "
+    "floor.",
+)
+def sketch_hll_union(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "approx_users",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

@@ -86,3 +86,80 @@ def test_heavy_hitters_planted_skew(spark):
     df = spark.createDataFrame(rows, ["i", "k"]).repartition(16)
     got = heavy_hitters(df, "k", 0.1).collect()
     assert [(r["k"], r["n_rows"]) for r in got] == [(777, 2001)]
+
+
+def test_countmin_overestimates_only(spark):
+    """CMS guarantee: min-over-rows estimate never under-counts, and
+    with w=512 cells per row the slack on this corpus stays small."""
+    from pdf_etl_ocr_inference_spark.plans.sketch_plans import (
+        sketch_countmin,
+    )
+
+    rows = sketch_countmin(spark, SF).collect()
+    assert len(rows) == 10
+    n_total = _events(spark).count()
+    for r in rows:
+        assert r["cms_est"] >= r["exact_n"], r
+        # standard CMS bound: overshoot <= e/w * N per row (d=4 rows
+        # make exceeding it astronomically unlikely); 3x for slack
+        assert r["cms_est"] - r["exact_n"] <= 3 * math.e / 512 * n_total, r
+
+
+def test_countmin_merge_is_cellwise_add(spark):
+    """Sketching two halves separately and adding cells equals
+    sketching the whole — the property that makes CMS shard-mergeable
+    at 100 TB (union + re-agg, no raw re-scan)."""
+    from pdf_etl_ocr_inference_spark.plans.sketch_plans import (
+        _CMS_H,
+        _CMS_P,
+        _CMS_W,
+    )
+
+    ev = _events(spark)
+    hc = spark.createDataFrame(list(_CMS_H), "j int, a long, b long")
+    cell = ((F.col("user_id") * F.col("a") + F.col("b")) % _CMS_P) % _CMS_W
+
+    def cms(df):
+        return (
+            df.crossJoin(F.broadcast(hc))
+            .select("j", cell.alias("cx"))
+            .groupBy("j", "cx")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    whole = {(r["j"], r["cx"]): r["c"] for r in cms(ev).collect()}
+    h1 = cms(ev.filter("event_id % 2 = 0"))
+    h2 = cms(ev.filter("event_id % 2 = 1"))
+    merged_df = (
+        h1.unionByName(h2)
+        .groupBy("j", "cx")
+        .agg(F.sum("c").alias("c"))
+    )
+    merged = {(r["j"], r["cx"]): r["c"] for r in merged_df.collect()}
+    assert merged == whole
+
+
+def test_hll_union_accuracy_and_order_independence(spark):
+    """The day-sketch → union rollup stays within HLL's error band of
+    the exact distinct, and repartitioning the input (different
+    update order) changes nothing — register merge is a max."""
+    from pdf_etl_ocr_inference_spark.plans.sketch_plans import (
+        sketch_hll_union,
+    )
+
+    rows = sketch_hll_union(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["rel_err"] <= 0.05, r
+
+    ev = _events(spark).repartition(13)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    re = {
+        r["event_type"]: r["u"]
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u"))
+        .collect()
+    }
+    assert re == {r["event_type"]: r["approx_users"] for r in rows}
