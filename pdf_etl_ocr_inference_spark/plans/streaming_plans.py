@@ -558,3 +558,44 @@ def op10c_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     )
     commit_changes(diff_snapshots(docs, after, "doc_id"), cdf_dir, 1)
     return snapshot(spark, cdf_dir, "doc_id", as_of_version=0)
+
+
+@register(
+    "op45i_dedup_within_watermark",
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    doc="exactly-once ingestion from an AT-LEAST-ONCE feed: the whole "
+    "events fixture replays as a SECOND micro-batch (duplicate "
+    "delivery, the failure mode every queue/retry pipeline has) and "
+    "dropDuplicatesWithinWatermark(event_id) collapses it — state "
+    "keeps one entry per id only within the watermark horizon "
+    "(bounded, unlike dropDuplicates' forever-state on an unbounded "
+    "stream), and replayed rows older than the watermark are "
+    "dropped as late rather than re-emitted, so EITHER path yields "
+    "exactly one copy. Oracle = per-type counts of the ORIGINAL "
+    "events: if dedup failed the stream would emit 2x and the "
+    "row-count/hash check would catch it.",
+)
+def op45i_dedup_within_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+    from pdf_etl_ocr_inference_spark.streaming.incremental import (
+        stage_ordered_files_stream,
+    )
+
+    events = load_table(spark, sf, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    safe = sf.strip("/").replace("/", "_")
+    staged = f"{scratch_dir(f'dedup_wm_{safe}')}/feed"
+    # batch 0: the feed; batch 1: the SAME feed again (replay)
+    stage_ordered_files_stream(spark, [events, events], staged)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = run_available_now(stream, output_mode="append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n"))
