@@ -1174,3 +1174,103 @@ def op72c_ivm_minmax(spark: SparkSession, sf: str) -> DataFrame:
         F.round("min_v", 4).alias("min_v"),
         F.round("max_v", 4).alias("max_v"),
     )
+
+
+_DSIR_TARGET = ("src0", "src1", "src2", "src3", "src4")
+_DSIR_V = 1024
+
+
+def _dsir_oracle() -> str:
+    from pdf_etl_ocr_inference_spark.operators.sketch import md5_u48_sql
+
+    tgt = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    b = f"({md5_u48_sql('tok')} % {_DSIR_V})"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS tok
+      FROM documents),
+    tb AS (SELECT doc_id, source, {b} AS b FROM tok),
+    t AS (SELECT b, COUNT(*) AS ct FROM tb
+          WHERE source IN ({tgt}) GROUP BY b),
+    nt AS (SELECT SUM(ct) AS n FROM t),
+    r AS (SELECT b, COUNT(*) AS cr FROM tb
+          WHERE source NOT IN ({tgt}) GROUP BY b),
+    nr AS (SELECT SUM(cr) AS n FROM r),
+    lam AS (
+      SELECT tb.doc_id AS doc_id, tb.source AS source,
+             ROUND(SUM(
+               LN((COALESCE(t.ct, 0) + 1.0)
+                  / ((SELECT n FROM nt) + {_DSIR_V}))
+               - LN((r.cr + 1.0)
+                  / ((SELECT n FROM nr) + {_DSIR_V}))), 4) AS log_ratio
+      FROM tb LEFT JOIN t USING (b) JOIN r USING (b)
+      WHERE tb.source NOT IN ({tgt})
+      GROUP BY tb.doc_id, tb.source)
+    SELECT doc_id, source, log_ratio FROM (
+      SELECT doc_id, source, log_ratio,
+             ROUND(log_ratio - LN(-LN(
+               ((doc_id * 2654435761 + 12345) % 4294967296 + 1)
+               / 4294967296.0)), 6) AS score
+      FROM lam)
+    ORDER BY score DESC, doc_id LIMIT 100
+    """
+
+
+@register(
+    "train_dsir_sample",
+    _dsir_oracle(),
+    doc="DSIR-style importance resampling (Data Selection via "
+    "Importance Resampling, Xie et al. 2023): raw-pool documents are "
+    "scored by the log-likelihood ratio of their hashed-unigram "
+    "features under a TARGET-domain bucket LM vs the RAW-pool bucket "
+    "LM (1024 md5-fold buckets, add-one smoothing), then sampled "
+    "without replacement proportionally to exp(ratio) via "
+    "Gumbel-top-k — the Gumbel noise is a pure function of doc_id "
+    "(the engine's Knuth-hash uniform), so the draw is reproducible "
+    "and fully oracle-replayable. The 100 TB shape: both bucket LMs "
+    "are <=V rows REGARDLESS of corpus size (broadcast joins), the "
+    "per-doc ratio is one combinable token-explode aggregation, and "
+    "the top-k is TakeOrdered — no global sort. Selection keys are "
+    "quantized (ratio 4dp, score 6dp, id tie-break) so libm/"
+    "reduction-order ulps cannot diverge the engines' cut.",
+)
+def train_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.sampling import (
+        _MOD,
+        sample_hash,
+    )
+    from pdf_etl_ocr_inference_spark.operators.sketch import md5_u48
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    tokb = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
+    ).select("doc_id", "source", (md5_u48(F.col("tok")) % _DSIR_V).alias("b"))
+    is_target = F.col("source").isin(list(_DSIR_TARGET))
+    t = tokb.filter(is_target).groupBy("b").agg(F.count("*").alias("ct"))
+    nt = t.agg(F.sum("ct").alias("n_t"))
+    r = tokb.filter(~is_target).groupBy("b").agg(F.count("*").alias("cr"))
+    nr = r.agg(F.sum("cr").alias("n_r"))
+    term = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+        / (F.col("n_t") + _DSIR_V)
+    ) - F.log((F.col("cr") + 1.0) / (F.col("n_r") + _DSIR_V))
+    lam = (
+        tokb.filter(~is_target)
+        .join(F.broadcast(t), "b", "left")
+        .join(F.broadcast(r), "b")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum(term), 4).alias("log_ratio"))
+    )
+    u = (sample_hash(F.col("doc_id")) + 1) / F.lit(float(_MOD))
+    score = F.round(F.col("log_ratio") - F.log(-F.log(u)), 6)
+    return (
+        lam.withColumn("score", score)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(100)
+        .select("doc_id", "source", "log_ratio")
+    )
