@@ -312,3 +312,34 @@ def op100_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
             F.row_number().over(w).alias("version"),
         )
     )
+
+
+@register(
+    "op101_range_frame",
+    "SELECT event_id, user_id, "
+    "ROUND(SUM(value) OVER w, 2) AS v30, COUNT(*) OVER w AS n30 "
+    "FROM events WINDOW w AS (PARTITION BY user_id "
+    "ORDER BY epoch_us(ts) RANGE BETWEEN 1800000000 PRECEDING "
+    "AND CURRENT ROW)",
+    doc="time-RANGE window frame: per-user trailing-30-minute sum and "
+    "count — the frame is bounded by event-TIME distance (RANGE "
+    "BETWEEN on epoch micros), not row count, so it is insensitive "
+    "to event density and totally determined by values (equal "
+    "timestamps share one frame — no tie-break needed, unlike ROWS "
+    "frames). Complements op34b's ROWS-based moving aggregates and "
+    "op99's EWMA; one entity-partitioned window pass at any scale.",
+)
+def op101_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-1_800_000_000, 0)
+    )
+    return _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("v30"),
+        F.count("*").over(w).alias("n30"),
+    )

@@ -1139,3 +1139,28 @@ def text_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
             F.col("wc") * F.col("mwl") * F.col("sym") * F.col("stw")
         ).alias("pass_all"),
     )
+
+
+@register(
+    "text_k_anonymity",
+    "SELECT lang, source, CAST(FLOOR(n_chars / 500) AS BIGINT) "
+    "AS len_bucket, COUNT(*) AS n, (COUNT(*) < 5) AS at_risk "
+    "FROM documents GROUP BY lang, source, "
+    "CAST(FLOOR(n_chars / 500) AS BIGINT)",
+    doc="k-anonymity audit over quasi-identifiers (lang, source, "
+    "length bucket): every combination occurring fewer than k=5 "
+    "times is flagged — the re-identification risk screen a "
+    "training-data release runs next to PII scrubbing "
+    "(text_pii_scrub): a rare QI combination can identify a "
+    "contributor even with direct identifiers removed (Sweeney "
+    "2002). ONE combinable groupBy on the QI tuple at any scale; "
+    "generalization (coarser buckets) re-runs the same plan.",
+)
+def text_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    bucket = F.floor(F.col("n_chars") / 500).cast("long").alias("len_bucket")
+    return (
+        d.groupBy("lang", "source", bucket)
+        .agg(F.count("*").alias("n"))
+        .withColumn("at_risk", F.col("n") < 5)
+    )
