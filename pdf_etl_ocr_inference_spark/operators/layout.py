@@ -531,6 +531,7 @@ def register_clustered_layout(
     specs: list[dict],
     bits: int = 12,
     n_files: int = 16,
+    bloom_cols: list[str] | None = None,
     catalog=None,
 ):
     """Build and REGISTER a Z-order-clustered copy of ``source_path``
@@ -571,6 +572,8 @@ def register_clustered_layout(
     _cluster_to(spark, files, dest, specs, bits, n_files, "overwrite")
     cols = [s["col"] for s in specs]
     load_or_refresh_file_stats(spark, dest, cols)
+    for bc in bloom_cols or []:
+        build_file_bloom(spark, dest, bc)
     meta = {
         "kind": "layout",
         "format_version": LAYOUT_FORMAT_VERSION,
@@ -580,6 +583,7 @@ def register_clustered_layout(
         "specs": specs,
         "bits": bits,
         "n_files": n_files,
+        "bloom_cols": list(bloom_cols or []),
         "inventory": _source_inventory(source_path),
     }
     cat.register(key, meta)
@@ -623,11 +627,16 @@ def refresh_clustered_layout(spark, source_path: str, catalog=None):
         load_or_refresh_file_stats(
             spark, meta["layout_path"], meta["cols"]
         )
+        # Bloom sidecars are NOT rebuilt here: the point-lookup scan
+        # keeps sidecar-uncovered (appended) layout files
+        # conservatively, so a lagging bloom costs extra reads, never
+        # rows — rebuild happens on the next full rebuild.
         meta["inventory"] = _source_inventory(source_path)
         cat.register(key, meta)
         return {"mode": "incremental", "new_files": len(appended)}
     new_meta = register_clustered_layout(
         spark, source_path, meta["specs"], bits=meta["bits"],
-        n_files=meta["n_files"], catalog=cat,
+        n_files=meta["n_files"], bloom_cols=meta.get("bloom_cols"),
+        catalog=cat,
     )
     return {"mode": "rebuild", "new_files": len(new_meta["inventory"])}

@@ -987,6 +987,39 @@ def _extract_ranges(cond, cols: list[str]) -> dict:
     return out
 
 
+def _extract_in_lists(cond, cols: list[str]) -> dict:
+    """Conjunctive ``col IN (literals)`` integer probe lists over
+    ``cols`` → ``{col: [values]}`` — the shape the per-file Bloom
+    sidecar serves.  Non-integer or non-foldable lists are ignored
+    (they still re-apply row-wise)."""
+    out: dict[str, list[int]] = {}
+    _INT = {"integer", "long", "short", "byte"}
+    for c in _conjuncts(cond):
+        if c.nodeName() != "In":
+            continue
+        try:
+            name = _attr_name(c.value())
+            if name is None or name not in cols:
+                continue
+            vals = []
+            it = c.list().iterator()
+            while it.hasNext():
+                e = it.next()
+                if not e.foldable() or e.dataType().typeName() not in _INT:
+                    vals = None
+                    break
+                v = e.eval(None)
+                if v is None:
+                    vals = None
+                    break
+                vals.append(int(v))
+            if vals:
+                out.setdefault(name, []).extend(vals)
+        except Exception:
+            continue
+    return out
+
+
 def rewrite_skipping_scan(
     df: DataFrame, catalog: IndexCatalog | None = None
 ) -> DataFrame:
@@ -1018,6 +1051,7 @@ def rewrite_skipping_scan(
         _source_inventory,
         layout_key,
         load_or_refresh_file_stats,
+        scan_point_lookup,
         scan_with_skipping,
     )
 
@@ -1065,23 +1099,37 @@ def rewrite_skipping_scan(
     except OSError:
         return df
     ranges: dict = {}
+    in_lists: dict = {}
     for cond in conds:
         for col, (lo, hi) in _extract_ranges(cond, meta["cols"]).items():
             plo, phi = ranges.get(col, (float("-inf"), float("inf")))
             ranges[col] = (max(plo, lo), min(phi, hi))
-    if not ranges:
+        for col, vals in _extract_in_lists(
+            cond, meta.get("bloom_cols") or []
+        ).items():
+            in_lists.setdefault(col, []).extend(vals)
+    if not ranges and not in_lists:
         return df
     try:
         cond_sqls = [c.sql() for c in conds]
     except Exception:
         return df
     spark = df.sparkSession
-    stats = load_or_refresh_file_stats(
-        spark, meta["layout_path"], meta["cols"]
-    )
-    pruned, _n_read, _n_total = scan_with_skipping(
-        spark, meta["layout_path"], ranges, stats=stats
-    )
+    if in_lists:
+        # point-lookup path: an IN-list on a Bloom-indexed column is
+        # more selective than any range box on the clustered axes —
+        # probe the per-file Bloom sidecar (op70c's mechanism)
+        col = sorted(in_lists)[0]
+        pruned, _n_read, _n_total = scan_point_lookup(
+            spark, meta["layout_path"], col, in_lists[col]
+        )
+    else:
+        stats = load_or_refresh_file_stats(
+            spark, meta["layout_path"], meta["cols"]
+        )
+        pruned, _n_read, _n_total = scan_with_skipping(
+            spark, meta["layout_path"], ranges, stats=stats
+        )
     out = pruned
     for sql in reversed(cond_sqls):  # innermost filter first
         out = out.filter(F.expr(sql))

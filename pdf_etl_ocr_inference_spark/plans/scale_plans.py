@@ -930,3 +930,64 @@ def op70d_skipping_rewrite(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "op70e_bloom_rewrite",
+    "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total "
+    "FROM orders WHERE o_orderkey IN "
+    "(SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)",
+    doc="IN-list point lookups through the SAME optimizer rule as "
+    "op70d: the registered layout also carries a per-file Bloom "
+    "sidecar (bloom_cols), and a plain scan.filter(isin(...)) on "
+    "that column — which min/max range stats provably cannot serve, "
+    "since the layout clusters by customer/date — is routed onto the "
+    "Bloom-pruned point-lookup scan (op70c's mechanism) with the "
+    "exact IN predicate re-applied row-wise. The entry ASSERTS the "
+    "rule fired; probe ids are the 5 lowest orderkeys (bounded "
+    "driver-side control data, SF-independent). Same stale-inventory "
+    "guard as the range path; an append-only refresh safely lags the "
+    "bloom (uncovered files are kept conservatively).",
+)
+def op70e_bloom_rewrite(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        layout_key,
+        register_clustered_layout,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        IndexCatalog,
+        optimize,
+    )
+
+    src = os.path.join(sf, "orders.parquet")
+    cat = IndexCatalog()
+    meta = cat.lookup(layout_key(src))
+    if meta is None or not meta.get("bloom_cols"):
+        register_clustered_layout(
+            spark,
+            src,
+            [
+                {"col": "o_custkey", "kind": "int"},
+                {"col": "o_orderdate", "kind": "days",
+                 "origin": "1995-01-01"},
+            ],
+            bloom_cols=["o_orderkey"],
+        )
+    orders = spark.read.parquet(src)
+    probe = [
+        r["o_orderkey"]
+        for r in orders.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .collect()
+    ]
+    brute = orders.filter(F.col("o_orderkey").isin(probe))
+    routed = optimize(brute)
+    assert routed is not brute, "bloom rewrite did not fire"
+    return routed.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total"),
+    )

@@ -195,3 +195,45 @@ def test_stale_layout_falls_through_then_refresh_resyncs(
     df3 = spark.read.parquet(src_dir).filter(_box())
     opt3 = rewrite_skipping_scan(df3)
     assert opt3 is not df3 and _keys(opt3) == _keys(df3)
+
+
+def test_bloom_in_list_path(spark, src_dir):
+    """An integer IN-list on a bloom_cols column routes through the
+    Bloom point-lookup scan; string IN-lists and un-bloomed columns
+    never do."""
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        register_clustered_layout,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import rewrite_skipping_scan
+
+    register_clustered_layout(
+        spark, src_dir, SPECS, n_files=16, bloom_cols=["o_orderkey"]
+    )
+    probe = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(src_dir)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .collect()
+    ]
+    df = spark.read.parquet(src_dir).filter(
+        F.col("o_orderkey").isin(probe)
+    )
+    opt = rewrite_skipping_scan(df)
+    assert opt is not df
+    assert _keys(opt) == _keys(df) == sorted(probe)
+    assert _scan_file_count(opt) < 16  # the bloom actually prunes
+
+    # combined IN + residual predicate still re-applies everything
+    df2 = spark.read.parquet(src_dir).filter(
+        F.col("o_orderkey").isin(probe) & (F.col("o_totalprice") > 0)
+    )
+    opt2 = rewrite_skipping_scan(df2)
+    assert opt2 is not df2 and _keys(opt2) == _keys(df2)
+
+    # string IN-list: no bloom for that column -> no-op
+    df3 = spark.read.parquet(src_dir).filter(
+        F.col("o_orderpriority").isin(["1-URGENT"])
+    )
+    assert rewrite_skipping_scan(df3) is df3
