@@ -1020,6 +1020,42 @@ def _extract_in_lists(cond, cols: list[str]) -> dict:
     return out
 
 
+def _match_scan_filter(df: DataFrame):
+    """Structural match for the single-table filtered-scan shape
+    ``[pure-attribute Project]* / Filter+ / LogicalRelation``; returns
+    ``(source_path, [condition exprs])`` or None.  Shared by the
+    skipping rewrite and the workload layout advisor."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        conds = []
+        while True:
+            nn = node.nodeName()
+            if nn == "Project":
+                it = node.projectList().iterator()
+                while it.hasNext():
+                    if it.next().nodeName() != "AttributeReference":
+                        return None
+                node = node.children().head()
+            elif nn == "Filter":
+                conds.append(node.condition())
+                node = node.children().head()
+            elif nn == "LogicalRelation":
+                break
+            else:
+                return None
+        if not conds:
+            return None
+        paths = node.relation().location().rootPaths()
+        if paths.size() != 1:
+            return None
+        src = paths.head().toString()
+    except Exception:
+        return None
+    if src.startswith("file:"):
+        src = src[len("file:"):]
+    return src, conds
+
+
 def rewrite_skipping_scan(
     df: DataFrame, catalog: IndexCatalog | None = None
 ) -> DataFrame:
@@ -1055,34 +1091,10 @@ def rewrite_skipping_scan(
         scan_with_skipping,
     )
 
-    try:
-        node = df._jdf.queryExecution().analyzed()
-        conds = []
-        while True:
-            nn = node.nodeName()
-            if nn == "Project":
-                it = node.projectList().iterator()
-                while it.hasNext():
-                    if it.next().nodeName() != "AttributeReference":
-                        return df
-                node = node.children().head()
-            elif nn == "Filter":
-                conds.append(node.condition())
-                node = node.children().head()
-            elif nn == "LogicalRelation":
-                break
-            else:
-                return df
-        if not conds:
-            return df
-        paths = node.relation().location().rootPaths()
-        if paths.size() != 1:
-            return df
-        src = paths.head().toString()
-    except Exception:
+    matched = _match_scan_filter(df)
+    if matched is None:
         return df
-    if src.startswith("file:"):
-        src = src[len("file:"):]
+    src, conds = matched
     cat = catalog or IndexCatalog()
     meta = cat.lookup(layout_key(src))
     if (
@@ -1137,3 +1149,78 @@ def rewrite_skipping_scan(
 
 
 _RULES = (*_RULES, rewrite_skipping_scan)
+
+
+def suggest_clustered_layout(
+    workload: list[DataFrame], top: int = 2
+) -> dict:
+    """Workload-driven layout advisor: given representative queries
+    (the DataFrames a dashboard/pipeline actually runs), vote for
+    each scanned table's filter columns — range/equality bounds vote
+    for Z-order dimensions, integer IN-lists vote for Bloom sidecars
+    — and return, per source path, the ``specs`` / ``bloom_cols``
+    arguments ready for ``layout.register_clustered_layout``.  The
+    closed loop: advise from the workload, register, and the SAME
+    workload's scans start routing through ``optimize()`` unchanged.
+
+    Only the top ``top`` range columns per table become Z dimensions:
+    Morton-key selectivity degrades as dimensions multiply (each of
+    d dimensions gets ~bits/d effective prefix bits per file), so
+    more voted columns should raise ``bits``, not d.  Queries that
+    are not single-table filtered scans simply cast no votes —
+    advising never fails.
+    """
+    from collections import Counter
+
+    range_votes: dict[str, Counter] = {}
+    in_votes: dict[str, Counter] = {}
+    schemas: dict[str, dict] = {}
+    for df in workload:
+        matched = _match_scan_filter(df)
+        if matched is None:
+            continue
+        src, conds = matched
+        if src not in schemas:
+            try:
+                schemas[src] = {
+                    f.name: f.dataType.typeName()
+                    for f in df.sparkSession.read.parquet(src).schema.fields
+                }
+            except Exception:
+                continue
+        types = schemas[src]
+        zable = [
+            c for c, t in types.items()
+            if t in ("integer", "long", "short", "byte", "date")
+            or t.startswith("timestamp")
+        ]
+        intable = [
+            c for c, t in types.items()
+            if t in ("integer", "long", "short", "byte")
+        ]
+        for cond in conds:
+            for col in _extract_ranges(cond, zable):
+                range_votes.setdefault(src, Counter())[col] += 1
+            for col in _extract_in_lists(cond, intable):
+                in_votes.setdefault(src, Counter())[col] += 1
+    out: dict[str, dict] = {}
+    for src in sorted(set(range_votes) | set(in_votes)):
+        ranked = sorted(
+            range_votes.get(src, Counter()).items(),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:top]
+        specs = []
+        for col, _n in ranked:
+            t = schemas[src][col]
+            if t == "date" or t.startswith("timestamp"):
+                specs.append(
+                    {"col": col, "kind": "days", "origin": "1970-01-01"}
+                )
+            else:
+                specs.append({"col": col, "kind": "int"})
+        spec_cols = {s["col"] for s in specs}
+        blooms = sorted(
+            c for c in in_votes.get(src, Counter()) if c not in spec_cols
+        )
+        out[src] = {"specs": specs, "bloom_cols": blooms}
+    return out

@@ -237,3 +237,50 @@ def test_bloom_in_list_path(spark, src_dir):
         F.col("o_orderpriority").isin(["1-URGENT"])
     )
     assert rewrite_skipping_scan(df3) is df3
+
+
+def test_layout_advisor_closes_the_loop(spark, src_dir):
+    """suggest -> register -> the same workload's scans reroute."""
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        register_clustered_layout,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        rewrite_skipping_scan,
+        suggest_clustered_layout,
+    )
+
+    probe = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(src_dir)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(3)
+        .collect()
+    ]
+    workload = [
+        spark.read.parquet(src_dir).filter(_box()),
+        spark.read.parquet(src_dir).filter(
+            F.col("o_custkey").between(5, 10)
+        ),
+        spark.read.parquet(src_dir).filter(
+            F.col("o_orderkey").isin(probe)
+        ),
+        # non-matching shapes cast no votes, never fail
+        spark.read.parquet(src_dir),
+        spark.read.parquet(src_dir).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ),
+    ]
+    advice = suggest_clustered_layout(workload)
+    assert list(advice) == [src_dir]
+    got = advice[src_dir]
+    assert [s["col"] for s in got["specs"]] == ["o_custkey", "o_orderdate"]
+    assert got["bloom_cols"] == ["o_orderkey"]
+
+    register_clustered_layout(
+        spark, src_dir, got["specs"], bloom_cols=got["bloom_cols"]
+    )
+    for df in workload[:3]:
+        opt = rewrite_skipping_scan(df)
+        assert opt is not df
+        assert _keys(opt) == _keys(df)
