@@ -1180,13 +1180,17 @@ _DSIR_TARGET = ("src0", "src1", "src2", "src3", "src4")
 _DSIR_V = 1024
 
 
-def _dsir_oracle() -> str:
+def _dsir_cte() -> str:
+    """The DSIR selection as a reusable CTE chain ending in
+    ``sel(doc_id, source, log_ratio)`` — shared by the standalone
+    entry and the corpus pipeline so composition stays value-checked
+    stage-for-stage."""
     from pdf_etl_ocr_inference_spark.operators.sketch import md5_u48_sql
 
     tgt = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
     b = f"({md5_u48_sql('tok')} % {_DSIR_V})"
     return f"""
-    WITH tok AS (
+    tok AS (
       SELECT doc_id, source,
              UNNEST(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+')) AS tok
       FROM documents),
@@ -1206,20 +1210,21 @@ def _dsir_oracle() -> str:
                   / ((SELECT n FROM nr) + {_DSIR_V}))), 4) AS log_ratio
       FROM tb LEFT JOIN t USING (b) JOIN r USING (b)
       WHERE tb.source NOT IN ({tgt})
-      GROUP BY tb.doc_id, tb.source)
-    SELECT doc_id, source, log_ratio FROM (
-      SELECT doc_id, source, log_ratio,
-             ROUND(log_ratio - LN(-LN(
-               ((doc_id * 2654435761 + 12345) % 4294967296 + 1)
-               / 4294967296.0)), 6) AS score
-      FROM lam)
-    ORDER BY score DESC, doc_id LIMIT 100
+      GROUP BY tb.doc_id, tb.source),
+    sel AS (
+      SELECT doc_id, source, log_ratio FROM (
+        SELECT doc_id, source, log_ratio,
+               ROUND(log_ratio - LN(-LN(
+                 ((doc_id * 2654435761 + 12345) % 4294967296 + 1)
+                 / 4294967296.0)), 6) AS score
+        FROM lam)
+      ORDER BY score DESC, doc_id LIMIT 100)
     """
 
 
 @register(
     "train_dsir_sample",
-    _dsir_oracle(),
+    f"WITH {_dsir_cte()} SELECT doc_id, source, log_ratio FROM sel",
     doc="DSIR-style importance resampling (Data Selection via "
     "Importance Resampling, Xie et al. 2023): raw-pool documents are "
     "scored by the log-likelihood ratio of their hashed-unigram "
@@ -1273,4 +1278,79 @@ def train_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(100)
         .select("doc_id", "source", "log_ratio")
+    )
+
+
+def _dsir_pipeline_oracle() -> str:
+    return f"""
+    WITH {_dsir_cte()},
+    dsel AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN sel USING (doc_id)),
+    surv AS (
+      SELECT MIN(doc_id) AS doc_id FROM (
+        SELECT doc_id, MD5({_NORM_SQL}) AS f FROM dsel) GROUP BY f),
+    d AS (SELECT dsel.doc_id, dsel.text FROM dsel JOIN surv
+          USING (doc_id)),
+    toks AS (
+      SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id,
+             LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS n_tokens
+      FROM d),
+    pos AS (
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_tok
+      FROM toks)
+    SELECT shard, CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT)
+             AS seq_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+    FROM pos GROUP BY shard, seq_id
+    """
+
+
+@register(
+    "pipeline_dsir_corpus",
+    _dsir_pipeline_oracle(),
+    doc="domain-TARGETED pretraining-corpus construction as ONE lazy "
+    "plan: DSIR importance resampling against the target-domain "
+    "bucket LM (train_dsir_sample's selection, reused CTE-for-CTE in "
+    "the oracle) -> exact dedup of the selected pool (canonical-"
+    "fingerprint survivor semi-join) -> GPT-style sequence packing. "
+    "The quality-heuristic pipeline (pipeline_pretrain_corpus) "
+    "filters on intrinsic document features; this one SELECTS toward "
+    "a target distribution — the two compose the Gopher-rules + "
+    "DSIR recipe production pretraining sets actually use. No stage "
+    "materializes or touches the driver beyond the bounded top-k; "
+    "the bucket LMs stay <=1024 rows at any corpus size.",
+)
+def pipeline_dsir_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    sel = train_dsir_sample(spark, sf).select("doc_id")
+    dsel = docs.join(sel, "doc_id")
+    d = exact_dedup(dsel, "text", "doc_id")
+    toks = d.select(
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn(
+            "start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .withColumn(
+            "seq_id", F.floor(F.col("start_tok") / F.lit(_PACK_BUDGET))
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
     )
