@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "text_rerank_pipeline",
     "op76_funnel",
     "pipeline_span_clean_corpus",
+    # round-4 continuation additions: optimizer-routed data skipping,
+    # domain-targeted corpus construction
+    "op70d_skipping_rewrite",
+    "pipeline_dsir_corpus",
 ]
 
 
