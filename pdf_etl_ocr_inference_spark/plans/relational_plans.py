@@ -901,3 +901,76 @@ def op95_dynamic_sql(spark: SparkSession, sf: str) -> DataFrame:
         "WHERE s_acctbal > :lo GROUP BY ALL' "
         f"USING '{sv}' AS s, '{nv}' AS n, 0 AS lo"
     )
+
+
+@register(
+    "op94b_lateral_df",
+    "SELECT u.u_id, t.top_event, t.v FROM "
+    "(SELECT DISTINCT user_id AS u_id FROM events) u, "
+    "LATERAL (SELECT event_id AS top_event, ROUND(value, 2) AS v "
+    "FROM events e WHERE e.user_id = u.u_id "
+    "AND e.event_type = 'purchase' "
+    "ORDER BY value DESC, event_id LIMIT 2) t",
+    doc="DataFrame-API correlated lateral join (Spark 4's "
+    "df.lateralJoin): top-2 purchases PER user where the right side "
+    "is an ordinary DataFrame referencing the left row via "
+    "col(...).outer() — op94's SQL LATERAL without leaving the "
+    "DataFrame API; Catalyst decorrelates to a ranked join, never "
+    "per-row execution. Gotcha encoded here: outer() resolves "
+    "LAZILY and prefers inner-resolvable names, so the correlated "
+    "column must be aliased to a name the subquery cannot resolve "
+    "(u_id) — with a same-named column the correlation silently "
+    "binds inward (plan-asserted in the entry: the analyzed plan "
+    "must carry an outer reference).",
+)
+def op94b_lateral_df(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    users = ev.select(F.col("user_id").alias("u_id")).distinct()
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), "event_id", "value"
+    )
+    right = (
+        p.filter(F.col("p_user") == F.col("u_id").outer())
+        .orderBy(F.desc("value"), "event_id")
+        .limit(2)
+        .select(
+            F.col("event_id").alias("top_event"),
+            F.round("value", 2).alias("v"),
+        )
+    )
+    out = users.lateralJoin(right, how="inner")
+    assert "outer(" in out._jdf.queryExecution().analyzed().toString(), (
+        "correlation bound inward — subquery saw no outer reference"
+    )
+    return out
+
+
+@register(
+    "op95b_sql_udf",
+    "SELECT CASE WHEN value < 50 THEN 'low' "
+    "WHEN value < 150 THEN 'mid' ELSE 'high' END AS bucket, "
+    "COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+    "FROM events GROUP BY 1",
+    doc="declarative SQL UDF (Spark 4's CREATE FUNCTION ... RETURN "
+    "expr): the bucketing rule is defined ONCE as a catalog function "
+    "and used inside an aggregation — unlike a Python UDF the body "
+    "is inlined into the plan at analysis time (whole-stage codegen, "
+    "no serialization boundary; the oracle replays the inlined "
+    "expression). The governance point at scale: shared business "
+    "logic lives in the catalog, not copy-pasted into every query.",
+)
+def op95b_sql_udf(spark: SparkSession, sf: str) -> DataFrame:
+    safe = sf.strip("/").replace("/", "_").replace(".", "_")
+    fn = f"evt_bucket_{safe}"
+    ev_view = f"events_sqludf_{safe}"
+    _t(spark, sf, "events").createOrReplaceTempView(ev_view)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {fn}(v DOUBLE) "
+        "RETURNS STRING RETURN "
+        "CASE WHEN v < 50 THEN 'low' WHEN v < 150 THEN 'mid' "
+        "ELSE 'high' END"
+    )
+    return spark.sql(
+        f"SELECT {fn}(value) AS bucket, COUNT(*) AS n, "
+        f"ROUND(SUM(value), 2) AS total FROM {ev_view} GROUP BY 1"
+    )
