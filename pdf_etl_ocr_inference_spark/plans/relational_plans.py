@@ -974,3 +974,56 @@ def op95b_sql_udf(spark: SparkSession, sf: str) -> DataFrame:
         f"SELECT {fn}(value) AS bucket, COUNT(*) AS n, "
         f"ROUND(SUM(value), 2) AS total FROM {ev_view} GROUP BY 1"
     )
+
+
+@register(
+    "op30f_listagg",
+    "SELECT lang, STRING_AGG(DISTINCT source, ',' ORDER BY source) "
+    "AS sources, COUNT(*) AS n FROM documents GROUP BY lang",
+    doc="ordered LISTAGG (Spark 4): per-language roster of DISTINCT "
+    "sources as one delimited string, made deterministic by WITHIN "
+    "GROUP (ORDER BY) — the ordered-concat aggregation op61's "
+    "collect_list needs array_sort to match; here ordering is part "
+    "of the aggregate's contract on both engines.",
+)
+def op30f_listagg(spark: SparkSession, sf: str) -> DataFrame:
+    safe = sf.strip("/").replace("/", "_").replace(".", "_")
+    v = f"docs_la_{safe}"
+    _t(spark, sf, "documents").createOrReplaceTempView(v)
+    return spark.sql(
+        "SELECT lang, LISTAGG(DISTINCT source, ',') "
+        "WITHIN GROUP (ORDER BY source) AS sources, COUNT(*) AS n "
+        f"FROM {v} GROUP BY lang"
+    )
+
+
+@register(
+    "op80b_try_arithmetic",
+    "SELECT user_id, "
+    "SUM(CAST(ROUND(CASE WHEN CAST(event_id % 3 AS BIGINT) = 0 THEN "
+    "NULL ELSE value / (event_id % 3) END * 10000, 0) AS BIGINT)) "
+    "AS safe_ratio_sum_e4, "
+    "COUNT(CASE WHEN event_id % 3 = 0 THEN 1 END) AS n_div0 "
+    "FROM events GROUP BY user_id",
+    doc="error-safe arithmetic under ANSI SQL (try_divide): division "
+    "by zero yields NULL instead of failing the 100 TB job at task "
+    "4,000,000 — the try_* family is how a pipeline encodes 'skip "
+    "bad rows' declaratively rather than with a Python guard UDF. "
+    "The NULL-vs-error contract is value-checked: the oracle "
+    "replays the same semantics with an explicit CASE.",
+)
+def op80b_try_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    # per-term quantize-to-int then exact BIGINT sum: a float SUM's
+    # reduction order differs between engines at the rounding
+    # boundary; integer sums cannot (same fix as the gate's other
+    # float-fragile aggregates)
+    term = F.round(
+        F.try_divide("value", F.col("event_id") % 3) * 10000, 0
+    ).cast("long")
+    return ev.groupBy("user_id").agg(
+        F.sum(term).alias("safe_ratio_sum_e4"),
+        F.count(
+            F.when(F.col("event_id") % 3 == 0, F.lit(1))
+        ).alias("n_div0"),
+    )

@@ -257,3 +257,33 @@ def sketch_hll_union(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sketch_bitmap_distinct",
+    "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users "
+    "FROM events GROUP BY event_type",
+    doc="EXACT mergeable distinct counting via bitmap segments (Spark "
+    "4 bitmap_construct_agg / bitmap_or_agg / bitmap_count): per "
+    "(type, day, 32k-id segment) bitmaps OR-merge across days, and "
+    "summing segment popcounts gives the EXACT distinct — the "
+    "day-state-merge shape of sketch_hll_union with zero error, the "
+    "right tool when the id domain is dense integers (bitmap bytes "
+    "∝ id range / 8 per segment, independent of event count). "
+    "Oracle = COUNT(DISTINCT): exactness is the checked claim.",
+)
+def sketch_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    seg = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.bitmap_bucket_number("user_id").alias("bkt"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    return (
+        seg.groupBy("event_type", "bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).alias("exact_users"))
+    )
