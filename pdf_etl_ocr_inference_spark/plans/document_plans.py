@@ -445,3 +445,96 @@ def pipeline_rag_sentence(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.length("chunk")).alias("total_chars"),
     )
+
+
+@register(
+    "pipeline_rag_hybrid",
+    "WITH toks AS (SELECT doc_id, "
+    "STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM documents), "
+    "dl AS (SELECT doc_id, LEN(t) AS dl FROM toks), "
+    "stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl), "
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM "
+    "(SELECT doc_id, UNNEST(t) AS term FROM toks) "
+    "WHERE term IN ('spark', 'vector', 'join') GROUP BY doc_id, term), "
+    "dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), "
+    "scored AS (SELECT tf.doc_id AS id, "
+    "SUM(LN(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) "
+    "* tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))"
+    ") AS sc FROM tf JOIN dfq USING (term) "
+    "JOIN dl USING (doc_id) CROSS JOIN stats s GROUP BY tf.doc_id), "
+    "lexk AS (SELECT id, ROW_NUMBER() OVER "
+    "(ORDER BY ROUND(sc, 6) DESC, id) AS lex_rank FROM "
+    "(SELECT id, sc FROM scored ORDER BY ROUND(sc, 6) DESC, id "
+    "LIMIT 20)), "
+    "vs AS (SELECT e.vec_id AS id, LIST_COSINE_SIMILARITY("
+    "e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS v "
+    "FROM embeddings e, (SELECT embedding FROM embeddings "
+    "WHERE vec_id = 0) q WHERE e.vec_id > 0), "
+    "veck AS (SELECT id, ROW_NUMBER() OVER "
+    "(ORDER BY ROUND(v, 6) DESC, id) AS vec_rank FROM "
+    "(SELECT id, v FROM vs ORDER BY ROUND(v, 6) DESC, id LIMIT 20)), "
+    "fused AS (SELECT COALESCE(l.id, v.id) AS id, "
+    "COALESCE(1.0::DOUBLE / (60 + l.lex_rank), 0.0) + "
+    "COALESCE(1.0::DOUBLE / (60 + v.vec_rank), 0.0) AS rrf "
+    "FROM lexk l FULL OUTER JOIN veck v ON l.id = v.id), "
+    "top AS (SELECT id, ROW_NUMBER() OVER "
+    "(ORDER BY ROUND(rrf, 6) DESC, id) AS rnk FROM "
+    "(SELECT id, rrf FROM fused ORDER BY ROUND(rrf, 6) DESC, id "
+    "LIMIT 5)), "
+    "ordered AS (SELECT d.text AS text, t.rnk FROM top t "
+    "JOIN documents d ON d.doc_id = t.id) "
+    "SELECT STRING_AGG(text, CHR(10) || CHR(10) ORDER BY rnk) "
+    "AS context, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars "
+    "FROM ordered",
+    doc="HYBRID-retrieval RAG assembly, fully oracled end-to-end: "
+    "reciprocal-rank fusion of the BM25 lexical leg and the cosine "
+    "vector leg (text_hybrid_rrf's fusion, c=60) -> top-5 docs -> "
+    "rank-ordered context. The third member of the RAG family: "
+    "token-window (pipeline_rag_context), sentence-window "
+    "(pipeline_rag_sentence), and now two-leg retrieval — the shape "
+    "production RAG actually ships, since lexical-only misses "
+    "paraphrase and vector-only misses exact identifiers. Both legs "
+    "cut top-k via TakeOrdered; fusion joins 20-row sets.",
+)
+def pipeline_rag_hybrid(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pdf_etl_ocr_inference_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from pdf_etl_ocr_inference_spark.operators.search import (
+        bm25_scores,
+        hybrid_rrf,
+    )
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    lex = bm25_scores(docs, "text", "doc_id", ["spark", "vector", "join"])
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    vec = (
+        emb.filter(F.col("vec_id") > 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            F.col("vec_id").alias("id"),
+            cosine_similarity("embedding", "q_emb").alias("_score"),
+        )
+    )
+    fused = hybrid_rrf(lex, vec, k_each=20, k_out=5)
+    w = Window.orderBy(F.round("rrf", 6).desc(), "id")
+    top = fused.select("id", F.row_number().over(w).alias("rnk"))
+    ordered = top.join(
+        docs.select(F.col("doc_id").alias("id"), "text"), "id"
+    ).select("rnk", "text")
+    return ordered.agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("context"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
