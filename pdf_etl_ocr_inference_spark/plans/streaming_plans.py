@@ -599,3 +599,53 @@ def op45i_dedup_within_watermark(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = run_available_now(stream, output_mode="append")
     return out.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "op45j_state_store_reader",
+    "SELECT CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) "
+    "* 1800) AS TIMESTAMP) AS window_start, "
+    "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2",
+    doc="checkpoint STATE introspection (Spark 4's statestore data "
+    "source): a watermarked 30-minute windowed aggregation runs with "
+    "a checkpoint, then the state store itself is READ BACK as a "
+    "DataFrame and oracled against the batch aggregation — proving "
+    "the checkpoint holds exactly the per-(window, type) counts the "
+    "batch computes, the debugging/ops surface for 'what is my "
+    "streaming job remembering' (state bloat, skewed keys, stuck "
+    "windows) without ever attaching a debugger to a running query. "
+    "spark.read.format('state-metadata') rides alongside for the "
+    "operator inventory.",
+)
+def op45j_state_store_reader(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+    from pdf_etl_ocr_inference_spark.streaming.incremental import (
+        stream_events_raw,
+    )
+    from pdf_etl_ocr_inference_spark.sources.catalog import TABLES
+
+    safe = sf.strip("/").replace("/", "_")
+    ckpt = f"{scratch_dir(f'ss_read_{safe}')}/ckpt"
+    stream = (
+        stream_events_raw(spark, f"{sf}/events.parquet", TABLES["events"])
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    import uuid
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(f"ssr_{uuid.uuid4().hex[:8]}")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+    )
