@@ -1027,3 +1027,32 @@ def op80b_try_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
             F.when(F.col("event_id") % 3 == 0, F.lit(1))
         ).alias("n_div0"),
     )
+
+
+@register(
+    "op48c_xml_roundtrip",
+    "SELECT event_id, event_type, ROUND(value, 2) AS v "
+    "FROM events WHERE event_id < 500",
+    doc="native XML surface (Spark 4 to_xml/from_xml): each event "
+    "serializes to an XML fragment and parses back through an "
+    "explicit schema — the third semi-structured codec next to JSON "
+    "(op48/op48b) and VARIANT (op86), for the enterprise feeds that "
+    "still arrive as XML. Oracle = identity projection: a full "
+    "serialize→parse round trip must be lossless, including the "
+    "double surviving text formatting (rounded to 2dp first so the "
+    "decimal text is exact both ways). All JVM-side, no UDF.",
+)
+def op48c_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 500)
+    xml = ev.select(
+        F.to_xml(
+            F.struct(
+                "event_id", "event_type", F.round("value", 2).alias("v")
+            )
+        ).alias("xml")
+    )
+    return xml.select(
+        F.from_xml(
+            "xml", "event_id BIGINT, event_type STRING, v DOUBLE"
+        ).alias("p")
+    ).select("p.event_id", "p.event_type", "p.v")
