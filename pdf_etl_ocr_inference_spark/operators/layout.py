@@ -640,3 +640,130 @@ def refresh_clustered_layout(spark, source_path: str, catalog=None):
         catalog=cat,
     )
     return {"mode": "rebuild", "new_files": len(new_meta["inventory"])}
+
+
+# ------------------------------------------------------------------
+# Pinned sidecar serving: repeated queries skip the sidecar re-read
+# ------------------------------------------------------------------
+
+# In-process caches keyed by layout path, fingerprinted by the SOURCE
+# inventory the optimizer rule already verified fresh — the same
+# pinned-store shape as the ANN/BM25 served paths. A refresh/rebuild
+# changes the inventory, so a stale hit is impossible by construction.
+_SIDECAR_CACHE: dict = {}
+_BLOOM_CACHE: dict = {}
+
+
+def _inventory_fp(meta: dict) -> str:
+    import json as _json
+
+    return _json.dumps(meta["inventory"])
+
+
+def cached_stats_rows(spark, meta: dict) -> list:
+    """Driver-pinned copy of the min/max sidecar: one row per
+    (file, col) — bounded control data (files × cols), read once per
+    layout VERSION instead of once per query."""
+    key = meta["layout_path"]
+    fp = _inventory_fp(meta)
+    hit = _SIDECAR_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    stats = load_or_refresh_file_stats(spark, key, meta["cols"])
+    rows = [
+        (r["file"], r["col"], r["vmin"], r["vmax"])
+        for r in stats.collect()
+    ]
+    _SIDECAR_CACHE[key] = (fp, rows)
+    return rows
+
+
+def cached_bloom_rows(spark, meta: dict, col: str) -> list:
+    """Driver-pinned Bloom sidecar rows (file, m, k, bits)."""
+    key = (meta["layout_path"], col)
+    fp = _inventory_fp(meta)
+    hit = _BLOOM_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    side = spark.read.parquet(f"{meta['layout_path']}/_bloom_{col}")
+    rows = [
+        (r["file"], int(r["m"]), int(r["k"]), r["bits"])
+        for r in side.collect()
+    ]
+    _BLOOM_CACHE[key] = (fp, rows)
+    return rows
+
+
+def _live_files(path: str) -> set:
+    import os as _os
+
+    return {
+        f"{path}/{f}"
+        for f in _os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    }
+
+
+def served_scan_with_skipping(spark, meta: dict, ranges: dict):
+    """scan_with_skipping through the pinned sidecar: the keep-list
+    is computed in pure driver Python from cached rows — ZERO Spark
+    jobs before the final pruned scan (vs two sidecar jobs per query
+    on the cold path). Same conservative semantics: uncovered layout
+    files are kept, vanished files dropped."""
+    rows = cached_stats_rows(spark, meta)
+    per_file: dict = {}
+    for fname, col, vmin, vmax in rows:
+        per_file.setdefault(fname, {})[col] = (vmin, vmax)
+    keep = set()
+    for fname, stats in per_file.items():
+        ok = True
+        for col, (lo, hi) in ranges.items():
+            st = stats.get(col)
+            if st is None or st[1] < lo or st[0] > hi:
+                ok = False
+                break
+        if ok:
+            keep.add(fname)
+    current = _live_files(meta["layout_path"])
+    covered = set(per_file)
+    files = sorted((keep | (current - covered)) & current)
+    if not files:
+        empty = spark.read.parquet(meta["layout_path"]).limit(0)
+        return empty, 0, len(current)
+    return spark.read.parquet(*files), len(files), len(current)
+
+
+def served_point_lookup(spark, meta: dict, col: str, values: list):
+    """scan_point_lookup through the pinned Bloom sidecar — the
+    membership probes run on cached bit arrays, no sidecar read per
+    query."""
+    import numpy as _np
+
+    from pyspark.sql import functions as F
+
+    probe = _np.asarray(
+        sorted(set(int(v) for v in values)), dtype="int64"
+    )
+    rows = cached_bloom_rows(spark, meta, col)
+    keep = set()
+    for fname, m, k, bits_bytes in rows:
+        bits = _np.unpackbits(
+            _np.frombuffer(bits_bytes, dtype="uint8"), count=m
+        ).astype(bool)
+        if (
+            bits[_bloom_positions(probe, k, m)]
+            .reshape(len(probe), k)
+            .all(axis=1)
+            .any()
+        ):
+            keep.add(fname)
+    current = _live_files(meta["layout_path"])
+    covered = {r[0] for r in rows}
+    files = sorted((keep | (current - covered)) & current)
+    if not files:
+        empty = spark.read.parquet(meta["layout_path"]).limit(0)
+        return empty, 0, len(current)
+    df = spark.read.parquet(*files).filter(
+        F.col(col).isin([int(v) for v in values])
+    )
+    return df, len(files), len(current)

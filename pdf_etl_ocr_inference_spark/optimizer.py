@@ -1086,9 +1086,8 @@ def rewrite_skipping_scan(
         LAYOUT_FORMAT_VERSION,
         _source_inventory,
         layout_key,
-        load_or_refresh_file_stats,
-        scan_point_lookup,
-        scan_with_skipping,
+        served_point_lookup,
+        served_scan_with_skipping,
     )
 
     matched = _match_scan_filter(df)
@@ -1130,17 +1129,18 @@ def rewrite_skipping_scan(
     if in_lists:
         # point-lookup path: an IN-list on a Bloom-indexed column is
         # more selective than any range box on the clustered axes —
-        # probe the per-file Bloom sidecar (op70c's mechanism)
+        # probe the per-file Bloom sidecar (op70c's mechanism),
+        # PINNED driver-side so repeated queries skip the sidecar
+        # read entirely (bounded control data; the inventory
+        # fingerprint this rule just verified keys the cache, so a
+        # refresh can never serve stale)
         col = sorted(in_lists)[0]
-        pruned, _n_read, _n_total = scan_point_lookup(
-            spark, meta["layout_path"], col, in_lists[col]
+        pruned, _n_read, _n_total = served_point_lookup(
+            spark, meta, col, in_lists[col]
         )
     else:
-        stats = load_or_refresh_file_stats(
-            spark, meta["layout_path"], meta["cols"]
-        )
-        pruned, _n_read, _n_total = scan_with_skipping(
-            spark, meta["layout_path"], ranges, stats=stats
+        pruned, _n_read, _n_total = served_scan_with_skipping(
+            spark, meta, ranges
         )
     out = pruned
     for sql in reversed(cond_sqls):  # innermost filter first

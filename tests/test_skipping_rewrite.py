@@ -284,3 +284,64 @@ def test_layout_advisor_closes_the_loop(spark, src_dir):
         opt = rewrite_skipping_scan(df)
         assert opt is not df
         assert _keys(opt) == _keys(df)
+
+
+def test_served_sidecar_pinning(spark, src_dir):
+    """Repeated rewritten queries serve the keep-list from the
+    driver-pinned sidecar (no sidecar re-read), and a refresh
+    invalidates the pin via the inventory fingerprint."""
+    from pdf_etl_ocr_inference_spark.operators import layout as L
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        refresh_clustered_layout,
+        register_clustered_layout,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import rewrite_skipping_scan
+
+    register_clustered_layout(
+        spark, src_dir, SPECS, n_files=16, bloom_cols=["o_orderkey"]
+    )
+    L._SIDECAR_CACHE.clear()
+    L._BLOOM_CACHE.clear()
+
+    df = spark.read.parquet(src_dir).filter(_box())
+    first = rewrite_skipping_scan(df)
+    assert first is not df and len(L._SIDECAR_CACHE) == 1
+    fp0 = next(iter(L._SIDECAR_CACHE.values()))[0]
+
+    # second query: cache object unchanged (same fingerprint), and
+    # a poisoned loader proves the sidecar is NOT re-read
+    orig = L.load_or_refresh_file_stats
+    L.load_or_refresh_file_stats = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("sidecar re-read on warm path")
+    )
+    try:
+        second = rewrite_skipping_scan(spark.read.parquet(src_dir).filter(_box()))
+        assert second is not None
+        assert _keys(second) == _keys(first)
+    finally:
+        L.load_or_refresh_file_stats = orig
+
+    # bloom path pins too
+    probe = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(src_dir)
+        .select("o_orderkey").orderBy("o_orderkey").limit(3).collect()
+    ]
+    dfb = spark.read.parquet(src_dir).filter(F.col("o_orderkey").isin(probe))
+    ob = rewrite_skipping_scan(dfb)
+    assert ob is not dfb and len(L._BLOOM_CACHE) == 1
+    assert _keys(ob) == sorted(probe)
+
+    # append + refresh -> new inventory -> pin invalidated, results fresh
+    extra = (
+        spark.read.parquet(f"{SF0001}/orders.parquet")
+        .limit(20)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(20_000_000))
+    )
+    extra.coalesce(1).write.mode("append").parquet(src_dir)
+    refresh_clustered_layout(spark, src_dir)
+    df3 = spark.read.parquet(src_dir).filter(_box())
+    o3 = rewrite_skipping_scan(df3)
+    assert o3 is not df3
+    assert _keys(o3) == _keys(df3)
+    assert next(iter(L._SIDECAR_CACHE.values()))[0] != fp0
