@@ -636,6 +636,75 @@ def file_skipping_speedup(spark) -> dict:
     }
 
 
+def layout_rewrite_served(spark) -> dict:
+    """The optimizer-routed skipping rewrite end-to-end at 4M rows:
+    register a clustered layout over the scratch table, then measure
+    the SAME brute `scan.filter(box)` query (a) unrewritten, (b)
+    through optimize() cold (sidecar read + prune), and (c) through
+    optimize() warm (driver-pinned sidecar — zero Spark jobs before
+    the pruned scan).  The warm number is what a dashboard's second
+    query onward pays; rewrite_ms isolates the pure plan-analysis +
+    pruning cost."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        register_clustered_layout,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        rewrite_skipping_scan,
+    )
+
+    path = "/tmp/spark_graft_scratch/skipping_table_4m"
+    t0 = _t.perf_counter()
+    register_clustered_layout(
+        spark, path, [{"col": "ckey", "kind": "int"}], bits=20,
+        n_files=64, bloom_cols=["id"],
+    )
+    t_register = round(_t.perf_counter() - t0, 3)
+
+    box = (F.col("ckey") >= 500_000) & (F.col("ckey") < 562_500)
+
+    def q():
+        return spark.read.parquet(path).filter(box)
+
+    def run(df):
+        return df.agg(F.sum("val")).collect()
+
+    t0 = _t.perf_counter()
+    brute = run(q())
+    t_brute = round(_t.perf_counter() - t0, 3)
+
+    t0 = _t.perf_counter()
+    cold_df = rewrite_skipping_scan(q())
+    t_rewrite_cold = round(_t.perf_counter() - t0, 3)
+    t0 = _t.perf_counter()
+    cold = run(cold_df)
+    t_cold = round(_t.perf_counter() - t0 + t_rewrite_cold, 3)
+
+    warm_total, rewrite_warm = [], []
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        wdf = rewrite_skipping_scan(q())
+        rewrite_warm.append(_t.perf_counter() - t0)
+        run(wdf)
+        warm_total.append(_t.perf_counter() - t0)
+    # float SUM reduction order differs across scan schedules: compare
+    # with relative tolerance, not equality
+    b, c = brute[0][0], cold[0][0]
+    assert abs(b - c) <= 1e-9 * max(abs(b), 1.0), (b, c)
+    return {
+        "rows": 4_000_000,
+        "register_s": t_register,
+        "brute_s": t_brute,
+        "cold_s": t_cold,
+        "warm_s": round(min(warm_total), 3),
+        "rewrite_warm_ms": round(min(rewrite_warm) * 1000, 1),
+        "warm_speedup_vs_brute": round(t_brute / min(warm_total), 1),
+    }
+
+
 def sf_scaling_sweep(spark) -> dict:
     """Wall time of four representative shapes across the three
     fixture scales (100× data span): the ratio t(sf0.1)/t(sf0.01)
@@ -798,6 +867,7 @@ def main() -> None:
     bmidx = bm25_index_speedup(spark)
     print(f"# bm25 postings index @200k: {bmidx}", file=sys.stderr)
     fskip = file_skipping_speedup(spark)
+    lserved = layout_rewrite_served(spark)
     print(f"# file skipping @4M/64 files: {fskip}", file=sys.stderr)
     sweep = sf_scaling_sweep(spark)
     print(f"# sf scaling sweep: {sweep}", file=sys.stderr)
@@ -821,6 +891,7 @@ def main() -> None:
                 "kmeans_round_1m": km,
                 "bm25_index_speedup_200k": bmidx,
                 "file_skipping_4m": fskip,
+                "layout_rewrite_served_4m": lserved,
                 "sf_scaling_sweep": sweep,
                 "graph_build_100k": gb,
             }
