@@ -1056,3 +1056,56 @@ def op48c_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
             "xml", "event_id BIGINT, event_type STRING, v DOUBLE"
         ).alias("p")
     ).select("p.event_id", "p.event_type", "p.v")
+
+
+@register(
+    "op34e_ntile_cume",
+    "SELECT event_id, event_type, "
+    "NTILE(4) OVER w AS quartile, "
+    "ROUND(CUME_DIST() OVER w, 6) AS cd "
+    "FROM events WINDOW w AS (PARTITION BY event_type "
+    "ORDER BY value, event_id)",
+    doc="distribution window functions: per-type NTILE(4) quartile "
+    "assignment and CUME_DIST, tie-broken by id so bucket boundaries "
+    "are deterministic on both engines. Completes the op34 window "
+    "family (ranks, lag/moving, scalable global ranks) with the "
+    "bucketing shapes feature pipelines use for quantile features; "
+    "one entity-partitioned window shuffle.",
+)
+def op34e_ntile_cume(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return _t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@register(
+    "op41b_calendar_arithmetic",
+    "SELECT event_id, "
+    "CAST(ts + INTERVAL 45 DAY AS TIMESTAMP) AS due_ts, "
+    "CAST(LAST_DAY(CAST(ts AS DATE)) AS DATE) AS month_end, "
+    "CAST(DATE_TRUNC('week', CAST(ts AS DATE)) AS DATE) AS week_start, "
+    "CAST(EXTRACT(DOW FROM CAST(ts AS DATE)) AS INT) AS dow "
+    "FROM events WHERE event_id < 1000",
+    doc="calendar interval arithmetic beyond op41's parse/format: "
+    "day-offset due dates, month-end alignment (LAST_DAY), ISO week "
+    "truncation, and day-of-week extraction — the date-dimension "
+    "derivations every retention/cohort query leans on, all native "
+    "Column code. DOW normalized to DuckDB's Sunday=0 numbering "
+    "(Spark dayofweek is Sunday=1).",
+)
+def op41b_calendar_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events").filter(F.col("event_id") < 1000)
+    d = F.to_date("ts")
+    return ev.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 45 DAYS")).alias("due_ts"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        (F.dayofweek(d) - 1).cast("int").alias("dow"),
+    )
