@@ -193,3 +193,30 @@ def op86_variant_json(spark: SparkSession, sf: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "op47b_union_schema_drift",
+    "SELECT doc_id, lang, source, n_chars FROM ("
+    "SELECT doc_id, lang, NULL AS source, n_chars "
+    "FROM documents WHERE doc_id % 2 = 0 "
+    "UNION ALL "
+    "SELECT doc_id, NULL AS lang, source, NULL AS n_chars "
+    "FROM documents WHERE doc_id % 2 = 1)",
+    doc="schema-drift union (unionByName with allowMissingColumns): "
+    "two feeds of the same logical table carry DIFFERENT column "
+    "subsets — the ingestion reality when producers evolve at "
+    "different speeds — and the union aligns by NAME, NULL-filling "
+    "absences, where positional UNION would silently misalign or "
+    "fail. Oracle spells out the NULL completion explicitly; at "
+    "scale this is a zero-shuffle plan (union is a no-op operator).",
+)
+def op47b_union_schema_drift(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+    b = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source")
+    return a.unionByName(b, allowMissingColumns=True).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
