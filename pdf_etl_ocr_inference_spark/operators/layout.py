@@ -94,13 +94,23 @@ def _footer_stats(spark, files: list[str], cols: list[str]):
     """Footer-only min/max stats for an EXPLICIT file list — the core
     both the full build (:func:`collect_file_stats`) and the
     incremental refresh (:func:`load_or_refresh_file_stats`, which
-    passes only uncovered files) share."""
+    passes only uncovered files) share.
+
+    Each row also records the data file's ``(fsize, fmtime_ns)`` stat
+    fingerprint: a file rewritten IN PLACE (same name, new contents)
+    must read as UNCOVERED by a cached sidecar, or stale min/max could
+    wrongly prune live rows — the docstring invariant "a stale sidecar
+    can only cost extra reads, never rows" holds by filename alone
+    only for append/delete, not for in-place mutation."""
     import datetime as _dt
 
     import pandas as _pd
     from pyspark.sql import functions as F
 
-    schema = "file string, col string, vmin double, vmax double"
+    schema = (
+        "file string, col string, vmin double, vmax double, "
+        "fsize long, fmtime_ns long"
+    )
     if not files:
         return spark.createDataFrame([], schema)
     want = list(cols)
@@ -119,11 +129,17 @@ def _footer_stats(spark, files: list[str], cols: list[str]):
         return float(v)
 
     def _read_footers(batches):
+        import os as _os
+
         import pyarrow.parquet as _pq
 
         for pdf in batches:
-            out = {"file": [], "col": [], "vmin": [], "vmax": []}
+            out = {
+                "file": [], "col": [], "vmin": [], "vmax": [],
+                "fsize": [], "fmtime_ns": [],
+            }
             for fpath in pdf["file"]:
+                fstat = _os.stat(fpath)
                 md = _pq.read_metadata(fpath)
                 names = md.schema.names
                 idx = {c: names.index(c) for c in want}
@@ -144,6 +160,8 @@ def _footer_stats(spark, files: list[str], cols: list[str]):
                     out["col"].append(c)
                     out["vmin"].append(lo.get(c, float("-inf")))
                     out["vmax"].append(hi.get(c, float("inf")))
+                    out["fsize"].append(fstat.st_size)
+                    out["fmtime_ns"].append(fstat.st_mtime_ns)
             yield _pd.DataFrame(out)
 
     listing = spark.createDataFrame(
@@ -165,6 +183,11 @@ def load_or_refresh_file_stats(spark, path: str, cols: list[str]):
     atomic (tmp + os.replace of the whole sidecar dir), and readers
     of a mid-refresh or torn sidecar are safe regardless: the
     scan-side reconciliation treats uncovered files conservatively.
+
+    Coverage is reconciled by the ``(fsize, fmtime_ns)`` stat
+    fingerprint recorded per row, not by filename: a data file
+    rewritten in place is re-footed like a new file, so a
+    caller-cached sidecar can never prune on stale min/max.
     """
     import os as _os
     import shutil as _shutil
@@ -173,26 +196,30 @@ def load_or_refresh_file_stats(spark, path: str, cols: list[str]):
     from pyspark.sql import functions as F
 
     side_dir = f"{path}/_stats"
-    current = sorted(
-        f"{path}/{f}"
-        for f in _os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    )
+    live = _live_stat_map(path)
+    current = sorted(live)
     have = None
     if _os.path.isdir(side_dir):
         have = spark.read.parquet(side_dir)
-        seen_cols = {
-            r["col"] for r in have.select("col").distinct().collect()
-        }
-        if seen_cols != set(cols):
-            have = None  # column set changed: full rebuild
+        if "fsize" not in have.columns:
+            have = None  # pre-fingerprint sidecar format: full rebuild
+        else:
+            seen_cols = {
+                r["col"] for r in have.select("col").distinct().collect()
+            }
+            if seen_cols != set(cols):
+                have = None  # column set changed: full rebuild
     if have is not None:
-        covered = {
-            r["file"] for r in have.select("file").distinct().collect()
+        recorded = {
+            r["file"]: (r["fsize"], r["fmtime_ns"])
+            for r in have.select("file", "fsize", "fmtime_ns")
+            .distinct()
+            .collect()
         }
+        covered = {f for f, fp in recorded.items() if live.get(f) == fp}
         fresh_files = [f for f in current if f not in covered]
-        kept = have.filter(F.col("file").isin(current))
-        if not fresh_files and covered <= set(current):
+        kept = have.filter(F.col("file").isin(sorted(covered)))
+        if not fresh_files and set(recorded) == covered <= set(current):
             return kept
         merged = kept.unionByName(
             _footer_stats(spark, fresh_files, cols)
@@ -204,6 +231,24 @@ def load_or_refresh_file_stats(spark, path: str, cols: list[str]):
     _shutil.rmtree(side_dir, ignore_errors=True)
     _os.replace(tmp, side_dir)
     return spark.read.parquet(side_dir)
+
+
+def _live_stat_map(path: str) -> dict:
+    """``{file: (size, mtime_ns)}`` for the live data files under
+    ``path`` — one scandir pass (the stat comes free with the listing
+    entry), so staleness reconciliation costs what the listing already
+    cost."""
+    import os as _os
+
+    out = {}
+    with _os.scandir(path) as it:
+        for e in it:
+            if e.name.endswith(".parquet") and not e.name.startswith(
+                (".", "_")
+            ):
+                st = e.stat()
+                out[f"{path}/{e.name}"] = (st.st_size, st.st_mtime_ns)
+    return out
 
 
 def scan_with_skipping(
@@ -220,11 +265,12 @@ def scan_with_skipping(
     partition IN-list probe (dedup_index).  Returns
     ``(DataFrame, files_read, files_total)``; correctness never depends
     on the stats — a file wrongly kept is filtered row-by-row, and the
-    keep-list is reconciled against the live listing so a stale
+    keep-list is reconciled against the live listing BY STAT
+    FINGERPRINT (size + mtime_ns, not filename): a file the sidecar
+    does not cover — including one rewritten in place since the
+    sidecar was built — is kept conservatively, so a stale
     caller-cached sidecar can only cost extra reads, never rows.
     """
-    import os as _os
-
     from pyspark.sql import functions as F
 
     if stats is None:
@@ -238,27 +284,30 @@ def scan_with_skipping(
         )
         keep_expr = e if keep_expr is None else keep_expr | e
     n_cols = len(ranges)
-    kept = (
-        stats.filter(keep_expr)
+    kept = {
+        r["file"]
+        for r in stats.filter(keep_expr)
         .groupBy("file")
         .count()
         .filter(F.col("count") == n_cols)
         .select("file")
         .collect()
-    )
-    # Reconcile against the LIVE listing: a caller-cached sidecar may
-    # predate a compaction/append.  Files the sidecar does not cover
-    # are kept CONSERVATIVELY (their rows must not silently vanish);
-    # sidecar rows for files no longer on disk are dropped.
-    current = {
-        f"{path}/{f}"
-        for f in _os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
     }
-    covered = {r["file"] for r in stats.select("file").distinct().collect()}
-    files = sorted(
-        ({r["file"] for r in kept} | (current - covered)) & current
-    )
+    live = _live_stat_map(path)
+    current = set(live)
+    if "fsize" in stats.columns:
+        covered = {
+            r["file"]
+            for r in stats.select("file", "fsize", "fmtime_ns")
+            .distinct()
+            .collect()
+            if live.get(r["file"]) == (r["fsize"], r["fmtime_ns"])
+        }
+    else:  # pre-fingerprint sidecar: filename-only coverage (legacy)
+        covered = {
+            r["file"] for r in stats.select("file").distinct().collect()
+        }
+    files = sorted(((kept & covered) | (current - covered)) & current)
     total = len(current)
     if not files:
         empty = spark.read.parquet(path).limit(0)
@@ -326,11 +375,17 @@ def build_file_bloom(
     ]
 
     def _build(batches):
+        import os as _los
+
         import pyarrow.parquet as _pq
 
         for pdf in batches:
-            out = {"file": [], "m": [], "k": [], "bits": []}
+            out = {
+                "file": [], "m": [], "k": [], "bits": [],
+                "fsize": [], "fmtime_ns": [],
+            }
             for fpath in pdf["file"]:
+                st = _los.stat(fpath)
                 arr = _pq.read_table(fpath, columns=[col])[col]
                 vals = arr.to_numpy(zero_copy_only=False).astype("int64")
                 n = max(len(vals), 1)
@@ -343,13 +398,17 @@ def build_file_bloom(
                 out["m"].append(m)
                 out["k"].append(k)
                 out["bits"].append(_np.packbits(bits).tobytes())
+                out["fsize"].append(st.st_size)
+                out["fmtime_ns"].append(st.st_mtime_ns)
             yield _pd.DataFrame(out)
 
     listing = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(min(len(files), 32) or 1, F.col("file"))
     sidecar = listing.mapInPandas(
-        _build, schema="file string, m long, k long, bits binary"
+        _build,
+        schema="file string, m long, k long, bits binary, "
+        "fsize long, fmtime_ns long",
     )
     out_path = f"{path}/_bloom_{col}"
     sidecar.coalesce(1).write.mode("overwrite").parquet(out_path)
@@ -366,19 +425,24 @@ def scan_point_lookup(
     Same bounded-control-data shape as :func:`scan_with_skipping`
     (sidecar rows = file count); false positives cost one extra file
     read, never a wrong row — correctness is carried entirely by the
-    re-applied predicate, and files the sidecar does not cover (added
-    after the build) are kept conservatively so their rows can never
-    silently vanish.  Returns ``(DataFrame, files_read,
-    files_total)``.
+    re-applied predicate, and files the sidecar does not cover — added
+    after the build OR rewritten in place since it (stat-fingerprint
+    reconciliation, like the stats sidecar) — are kept conservatively
+    so their rows can never silently vanish.  Returns ``(DataFrame,
+    files_read, files_total)``.
     """
-    import os as _os
-
     import numpy as _np
 
     probe = _np.asarray(sorted(set(int(v) for v in values)), dtype="int64")
-    side = spark.read.parquet(f"{path}/_bloom_{col}").collect()
-    keep = set()
+    side_df = spark.read.parquet(f"{path}/_bloom_{col}")
+    has_fp = "fsize" in side_df.columns
+    side = side_df.collect()
+    live = _live_stat_map(path)
+    keep, covered = set(), set()
     for r in side:
+        if has_fp and live.get(r["file"]) != (r["fsize"], r["fmtime_ns"]):
+            continue  # stale bloom row: treat its file as uncovered
+        covered.add(r["file"])
         m, k = int(r["m"]), int(r["k"])
         bits = _np.unpackbits(
             _np.frombuffer(r["bits"], dtype="uint8"), count=m
@@ -387,12 +451,7 @@ def scan_point_lookup(
             axis=1
         ).any():
             keep.add(r["file"])
-    current = {
-        f"{path}/{f}"
-        for f in _os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    }
-    covered = {r["file"] for r in side}
+    current = set(live)
     files = sorted((keep | (current - covered)) & current)
     total = len(current)
     if not files:
@@ -650,8 +709,17 @@ def refresh_clustered_layout(spark, source_path: str, catalog=None):
 # inventory the optimizer rule already verified fresh — the same
 # pinned-store shape as the ANN/BM25 served paths. A refresh/rebuild
 # changes the inventory, so a stale hit is impossible by construction.
+#
+# The min/max pin is rows ∝ files × cols (MBs at 100k files) — safe to
+# pin unbounded.  Bloom BIT ARRAYS are rows-per-file-sized (~1.2 MB
+# per 10 M-row file at 1% fpp): pinning every layout's blooms would be
+# tens of GB of driver heap at 100 TB, so the bloom pin is an LRU with
+# a BYTE budget; a sidecar that does not fit is probed DISTRIBUTED
+# (executors evaluate membership, the driver collects only matching
+# file names) — the cold path never materializes bits driver-side.
 _SIDECAR_CACHE: dict = {}
-_BLOOM_CACHE: dict = {}
+_BLOOM_CACHE: "dict" = {}  # OrderedDict-like via move_to_end below
+_BLOOM_PIN_BUDGET_BYTES: int = 64 << 20  # 64 MiB of pinned bit arrays
 
 
 def _inventory_fp(meta: dict) -> str:
@@ -678,38 +746,99 @@ def cached_stats_rows(spark, meta: dict) -> list:
     return rows
 
 
-def cached_bloom_rows(spark, meta: dict, col: str) -> list:
-    """Driver-pinned Bloom sidecar rows (file, m, k, bits)."""
+def _bloom_pinned_bytes() -> int:
+    return sum(e[2] for e in _BLOOM_CACHE.values())
+
+
+def cached_bloom_rows(spark, meta: dict, col: str):
+    """Bloom sidecar rows ``(file, m, k, bits)`` from the byte-capped
+    LRU pin, or ``None`` when the sidecar exceeds the remaining budget
+    even after evicting every colder entry — callers must then use
+    :func:`_bloom_keep_distributed` (never collect bits themselves)."""
+    import os as _os
+
     key = (meta["layout_path"], col)
     fp = _inventory_fp(meta)
     hit = _BLOOM_CACHE.get(key)
     if hit is not None and hit[0] == fp:
+        # LRU touch: re-insert as most-recent
+        _BLOOM_CACHE[key] = _BLOOM_CACHE.pop(key)
         return hit[1]
-    side = spark.read.parquet(f"{meta['layout_path']}/_bloom_{col}")
+    _BLOOM_CACHE.pop(key, None)  # stale fingerprint
+    side_dir = f"{meta['layout_path']}/_bloom_{col}"
+    est = sum(
+        e.stat().st_size
+        for e in _os.scandir(side_dir)
+        if e.name.endswith(".parquet")
+    )
+    if est > _BLOOM_PIN_BUDGET_BYTES:
+        return None  # can never fit: serve distributed, pin nothing
+    while _BLOOM_CACHE and _bloom_pinned_bytes() + est > _BLOOM_PIN_BUDGET_BYTES:
+        _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))  # evict coldest
+    side = spark.read.parquet(side_dir)
     rows = [
         (r["file"], int(r["m"]), int(r["k"]), r["bits"])
         for r in side.collect()
     ]
-    _BLOOM_CACHE[key] = (fp, rows)
-    return rows
+    nbytes = sum(len(r[3]) for r in rows)
+    while _BLOOM_CACHE and _bloom_pinned_bytes() + nbytes > _BLOOM_PIN_BUDGET_BYTES:
+        _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))
+    if nbytes <= _BLOOM_PIN_BUDGET_BYTES:
+        _BLOOM_CACHE[key] = (fp, rows, nbytes)
+        return rows
+    return rows  # one-shot use, not pinned (degenerate tiny budget)
+
+
+def _bloom_keep_distributed(spark, meta: dict, col: str, values: list):
+    """Membership probe evaluated ON EXECUTORS: each task unpacks its
+    files' bit arrays and emits only ``(file, hit)`` — driver traffic
+    is file names, never bits.  The scale path when a bloom sidecar
+    exceeds the driver pin budget."""
+    import pandas as _pd
+
+    probe_vals = sorted(set(int(v) for v in values))
+
+    def _probe(batches):
+        import numpy as _np
+
+        probe = _np.asarray(probe_vals, dtype="int64")
+        for pdf in batches:
+            hits = []
+            for m, k, bits_bytes in zip(pdf["m"], pdf["k"], pdf["bits"]):
+                m, k = int(m), int(k)
+                bits = _np.unpackbits(
+                    _np.frombuffer(bits_bytes, dtype="uint8"), count=m
+                ).astype(bool)
+                hits.append(
+                    bool(
+                        bits[_bloom_positions(probe, k, m)]
+                        .reshape(len(probe), k)
+                        .all(axis=1)
+                        .any()
+                    )
+                )
+            yield _pd.DataFrame({"file": pdf["file"], "hit": hits})
+
+    side = spark.read.parquet(f"{meta['layout_path']}/_bloom_{col}")
+    out = side.mapInPandas(_probe, schema="file string, hit boolean")
+    keep, covered = set(), set()
+    for r in out.collect():
+        covered.add(r["file"])
+        if r["hit"]:
+            keep.add(r["file"])
+    return keep, covered
 
 
 def _live_files(path: str) -> set:
-    import os as _os
-
-    return {
-        f"{path}/{f}"
-        for f in _os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    }
+    return set(_live_stat_map(path))
 
 
-def served_scan_with_skipping(spark, meta: dict, ranges: dict):
-    """scan_with_skipping through the pinned sidecar: the keep-list
-    is computed in pure driver Python from cached rows — ZERO Spark
-    jobs before the final pruned scan (vs two sidecar jobs per query
-    on the cold path). Same conservative semantics: uncovered layout
-    files are kept, vanished files dropped."""
+def stats_keep_files(spark, meta: dict, ranges: dict):
+    """``(keep, covered)`` file sets for a range box, from the pinned
+    min/max sidecar — pure driver Python over cached rows, zero Spark
+    jobs.  Exposed separately from the scan so the optimizer rule can
+    INTERSECT this keep-list with per-column Bloom keep-lists before
+    scheduling a single file."""
     rows = cached_stats_rows(spark, meta)
     per_file: dict = {}
     for fname, col, vmin, vmax in rows:
@@ -724,29 +853,22 @@ def served_scan_with_skipping(spark, meta: dict, ranges: dict):
                 break
         if ok:
             keep.add(fname)
-    current = _live_files(meta["layout_path"])
-    covered = set(per_file)
-    files = sorted((keep | (current - covered)) & current)
-    if not files:
-        empty = spark.read.parquet(meta["layout_path"]).limit(0)
-        return empty, 0, len(current)
-    return spark.read.parquet(*files), len(files), len(current)
+    return keep, set(per_file)
 
 
-def served_point_lookup(spark, meta: dict, col: str, values: list):
-    """scan_point_lookup through the pinned Bloom sidecar — the
-    membership probes run on cached bit arrays, no sidecar read per
-    query."""
+def bloom_keep_files(spark, meta: dict, col: str, values: list):
+    """``(keep, covered)`` file sets for an IN-list probe: pinned bit
+    arrays when the sidecar fits the LRU byte budget, else the
+    distributed executor-side probe."""
     import numpy as _np
 
-    from pyspark.sql import functions as F
-
-    probe = _np.asarray(
-        sorted(set(int(v) for v in values)), dtype="int64"
-    )
     rows = cached_bloom_rows(spark, meta, col)
-    keep = set()
+    if rows is None:
+        return _bloom_keep_distributed(spark, meta, col, values)
+    probe = _np.asarray(sorted(set(int(v) for v in values)), dtype="int64")
+    keep, covered = set(), set()
     for fname, m, k, bits_bytes in rows:
+        covered.add(fname)
         bits = _np.unpackbits(
             _np.frombuffer(bits_bytes, dtype="uint8"), count=m
         ).astype(bool)
@@ -757,13 +879,37 @@ def served_point_lookup(spark, meta: dict, col: str, values: list):
             .any()
         ):
             keep.add(fname)
-    current = _live_files(meta["layout_path"])
-    covered = {r[0] for r in rows}
-    files = sorted((keep | (current - covered)) & current)
+    return keep, covered
+
+
+def _pruned_scan(spark, meta: dict, files: list, total: int):
     if not files:
         empty = spark.read.parquet(meta["layout_path"]).limit(0)
-        return empty, 0, len(current)
-    df = spark.read.parquet(*files).filter(
-        F.col(col).isin([int(v) for v in values])
-    )
-    return df, len(files), len(current)
+        return empty, 0, total
+    return spark.read.parquet(*files), len(files), total
+
+
+def served_scan_with_skipping(spark, meta: dict, ranges: dict):
+    """scan_with_skipping through the pinned sidecar: the keep-list
+    is computed in pure driver Python from cached rows — ZERO Spark
+    jobs before the final pruned scan (vs two sidecar jobs per query
+    on the cold path). Same conservative semantics: uncovered layout
+    files are kept, vanished files dropped."""
+    keep, covered = stats_keep_files(spark, meta, ranges)
+    current = _live_files(meta["layout_path"])
+    files = sorted(((keep & covered) | (current - covered)) & current)
+    return _pruned_scan(spark, meta, files, len(current))
+
+
+def served_point_lookup(spark, meta: dict, col: str, values: list):
+    """scan_point_lookup through the budgeted Bloom pin (or the
+    distributed probe when the sidecar exceeds the pin budget)."""
+    from pyspark.sql import functions as F
+
+    keep, covered = bloom_keep_files(spark, meta, col, values)
+    current = _live_files(meta["layout_path"])
+    files = sorted(((keep & covered) | (current - covered)) & current)
+    df, n_read, total = _pruned_scan(spark, meta, files, len(current))
+    if n_read:
+        df = df.filter(F.col(col).isin([int(v) for v in values]))
+    return df, n_read, total

@@ -611,20 +611,27 @@ def optimize(
     df: DataFrame,
     catalog: IndexCatalog | None = None,
     hamming_radius: int | str = 2,
+    min_saved_bytes: int | None = None,
 ) -> DataFrame:
     """Engine optimizer entry point: apply each rewrite rule once, in
     order; the first rule that fires wins (rules are shape-disjoint),
     unchanged plans pass through.  ``hamming_radius`` tunes the top-k
     rewrite's probe width (recall ↔ buckets-read; ``"auto"`` plans it
-    from the index's stored row statistics); rules that don't
-    take it ignore it."""
+    from the index's stored row statistics); ``min_saved_bytes``
+    tunes (or, at 0, disables) the skipping rewrite's cost gate;
+    rules that don't take them ignore them."""
     new = rewrite_similarity_topk(
         df, catalog=catalog, hamming_radius=hamming_radius
     )
     if new is not df:
         return new
     for rule in _RULES[1:]:
-        new = rule(df, catalog=catalog)
+        if rule is rewrite_skipping_scan:
+            new = rule(
+                df, catalog=catalog, min_saved_bytes=min_saved_bytes
+            )
+        else:
+            new = rule(df, catalog=catalog)
         if new is not df:
             return new
     return df
@@ -934,12 +941,51 @@ def _conjuncts(e):
         yield e
 
 
+# Casts that may be unwrapped on the attribute side of a pruning
+# comparison: exact AND monotone on the normalized stats axis (the
+# sidecar stores every numeric/temporal column as one double axis —
+# epoch seconds for temporals), so ``CAST(col AS T) op lit`` bounds
+# ``col`` by exactly the literal's normalized value.  Anything else —
+# truncating casts like CAST(ts AS DATE) (midnight equality would
+# wrongly prune same-day rows), narrowing casts like CAST(long AS
+# INT) (wraparound), long->double (not exact past 2^53) — yields NO
+# bound: the conjunct still re-applies row-wise, pruning just skips it.
+_SAFE_PRUNE_CASTS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("byte", "float"), ("byte", "double"),
+    ("short", "integer"), ("short", "long"),
+    ("short", "float"), ("short", "double"),
+    ("integer", "long"), ("integer", "double"),
+    ("float", "double"),
+    # exact only under the engine's pinned UTC session timezone
+    # (session.py sets spark.sql.session.timeZone=UTC; a non-UTC
+    # session would shift these casts off the sidecar's naive
+    # epoch-seconds axis by the zone offset)
+    ("date", "timestamp"), ("date", "timestamp_ntz"),
+    ("timestamp_ntz", "timestamp"), ("timestamp", "timestamp_ntz"),
+}
+
+
 def _attr_name(e):
-    """Column name of an attribute-ish side (AttributeReference,
-    possibly under one Cast — safe for pruning because the stats
-    normalization puts every numeric/temporal type on one axis)."""
+    """Column name of an attribute-ish side: a bare
+    AttributeReference, or one under a Cast that is exact and
+    monotone on the normalized stats axis (``_SAFE_PRUNE_CASTS``).
+    Any other Cast returns None — the conjunct contributes no bound,
+    keeping pruning strictly over-keep (ADVICE r4: stripping a
+    truncating cast like CAST(ts AS DATE) extracted a midnight point
+    bound and silently dropped same-day rows)."""
     if e.nodeName() == "Cast":
-        e = e.child()
+        child = e.child()
+        try:
+            frm = child.dataType().typeName()
+            to = e.dataType().typeName()
+        except Exception:
+            return None
+        # identity casts (Catalyst bookkeeping, e.g. long->long under
+        # isin) are trivially exact; otherwise consult the safe set
+        if frm != to and (frm, to) not in _SAFE_PRUNE_CASTS:
+            return None
+        e = child
     if e.nodeName() == "AttributeReference":
         return e.name()
     return None
@@ -1056,8 +1102,25 @@ def _match_scan_filter(df: DataFrame):
     return src, conds
 
 
+# Below this many bytes of estimated SAVED scan (pruned-away layout
+# file sizes), the rewrite declines to fire: the fixed rewrite
+# overhead (~120-180 ms of plan match + keep-list + reader setup,
+# measured in bench.py's layout_rewrite_served block) beats the scan
+# time it saves on small tables, where Spark's own row-group pruning
+# already makes the brute scan cheap.  256 MiB ≈ the overhead at the
+# local scan throughput the bench measures (~1 GB/s) with 2x margin;
+# at 100 TB any selective predicate saves TBs, so the gate only ever
+# suppresses the regime where the rewrite was a measured LOSS
+# (r4: warm_speedup_vs_brute 0.8 at 4 M rows).  Pass
+# ``min_saved_bytes=0`` to pin the policy off (demo entries and
+# mechanics tests do).
+MIN_SAVED_BYTES_DEFAULT = 256 << 20
+
+
 def rewrite_skipping_scan(
-    df: DataFrame, catalog: IndexCatalog | None = None
+    df: DataFrame,
+    catalog: IndexCatalog | None = None,
+    min_saved_bytes: int | None = None,
 ) -> DataFrame:
     """Optimizer rule #5: a range-predicate scan of a table with a
     REGISTERED clustered layout (``layout.register_clustered_layout``)
@@ -1077,6 +1140,20 @@ def rewrite_skipping_scan(
       (a lagging layout degrades to the brute scan — NEVER stale)
     - no extractable bound on any clustered column                    → no-op
       (nothing to prune; the brute scan is already the right plan)
+    - estimated saved bytes below ``min_saved_bytes``                 → no-op
+      (cost gate: the keep-list is computed first, driver-side and
+      cheap, and the rewrite fires only when the pruned-away layout
+      files outweigh the fixed rewrite overhead — on a small table
+      the brute scan wins and the rule now KNOWS it)
+    - the rewritten plan fails to re-analyze (a conjunct that does
+      not round-trip through ``Column.sql()``)                        → no-op
+      (analysis is forced INSIDE the guard before committing, so a
+      query that worked unrewritten can never start raising)
+
+    When both an IN-list and range bounds are present, the keep-lists
+    are INTERSECTED (per-column Bloom ∩ min/max stats, each
+    conservatively keeping its own uncovered files) — never "pick the
+    probably-more-selective one".
 
     At 100 TB this is the optimize()-integrated form of op70b: the
     user keeps writing ``scan.filter(box)``; registering a layout
@@ -1084,10 +1161,11 @@ def rewrite_skipping_scan(
     """
     from pdf_etl_ocr_inference_spark.operators.layout import (
         LAYOUT_FORMAT_VERSION,
+        _live_stat_map,
         _source_inventory,
+        bloom_keep_files,
         layout_key,
-        served_point_lookup,
-        served_scan_with_skipping,
+        stats_keep_files,
     )
 
     matched = _match_scan_filter(df)
@@ -1121,31 +1199,52 @@ def rewrite_skipping_scan(
             in_lists.setdefault(col, []).extend(vals)
     if not ranges and not in_lists:
         return df
+    spark = df.sparkSession
+    # Keep-list computation first (driver-side over pinned sidecars,
+    # or a distributed bloom probe — cheap either way), INTERSECTING
+    # every prune source: per source X a file is effectively kept if
+    # X keeps it OR X does not cover it (conservative), and the scan
+    # reads only files every source keeps.
     try:
-        cond_sqls = [c.sql() for c in conds]
+        live = _live_stat_map(meta["layout_path"])
+        current = set(live)
+        files = current
+        if ranges:
+            keep, covered = stats_keep_files(spark, meta, ranges)
+            files = files & ((keep & covered) | (current - covered))
+        for col, vals in sorted(in_lists.items()):
+            keep, covered = bloom_keep_files(spark, meta, col, vals)
+            files = files & ((keep & covered) | (current - covered))
     except Exception:
         return df
-    spark = df.sparkSession
-    if in_lists:
-        # point-lookup path: an IN-list on a Bloom-indexed column is
-        # more selective than any range box on the clustered axes —
-        # probe the per-file Bloom sidecar (op70c's mechanism),
-        # PINNED driver-side so repeated queries skip the sidecar
-        # read entirely (bounded control data; the inventory
-        # fingerprint this rule just verified keys the cache, so a
-        # refresh can never serve stale)
-        col = sorted(in_lists)[0]
-        pruned, _n_read, _n_total = served_point_lookup(
-            spark, meta, col, in_lists[col]
-        )
-    else:
-        pruned, _n_read, _n_total = served_scan_with_skipping(
-            spark, meta, ranges
-        )
-    out = pruned
-    for sql in reversed(cond_sqls):  # innermost filter first
-        out = out.filter(F.expr(sql))
-    return out.select(*df.columns)
+    # Cost gate: decline when the pruned-away bytes can't pay for the
+    # fixed rewrite overhead (the r4 bench measured the rewrite LOSING
+    # to brute at 4 M rows for exactly this reason).
+    threshold = (
+        MIN_SAVED_BYTES_DEFAULT if min_saved_bytes is None
+        else min_saved_bytes
+    )
+    saved = sum(live[f][0] for f in current - files)
+    if saved < threshold:
+        return df
+    # Commit only if the full rewritten plan re-analyzes: Column.sql()
+    # round-trips most conditions, but e.g. an inline unregistered
+    # Python UDF parses back only at analysis — force analysis INSIDE
+    # the guard so failure means "no-op", never a raising query.
+    try:
+        cond_sqls = [c.sql() for c in conds]
+        if files:
+            pruned = spark.read.parquet(*sorted(files))
+        else:
+            pruned = spark.read.parquet(meta["layout_path"]).limit(0)
+        out = pruned
+        for sql in reversed(cond_sqls):  # innermost filter first
+            out = out.filter(F.expr(sql))
+        out = out.select(*df.columns)
+        out.schema  # force analysis now, while the no-op escape works
+    except Exception:
+        return df
+    return out
 
 
 _RULES = (*_RULES, rewrite_skipping_scan)

@@ -228,12 +228,12 @@ def op63_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
     "op92b_udtf_table_arg",
     "SELECT user_id, COUNT(*) AS n_events, "
     "MIN(first_type) AS first_type, MIN(last_type) AS last_type, "
-    "COALESCE(ROUND(MAX(gap_s), 3), 0.0) AS max_gap_s FROM ("
+    "COALESCE(MAX(gap_us), 0) AS max_gap_us FROM ("
     "  SELECT user_id, "
     "  FIRST_VALUE(event_type) OVER w AS first_type, "
     "  LAST_VALUE(event_type) OVER w AS last_type, "
-    "  EPOCH(ts - LAG(ts) OVER (PARTITION BY user_id "
-    "    ORDER BY ts, event_id)) AS gap_s FROM events "
+    "  EPOCH_US(ts - LAG(ts) OVER (PARTITION BY user_id "
+    "    ORDER BY ts, event_id)) AS gap_us FROM events "
     "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
     "    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) "
     "GROUP BY user_id",
@@ -246,14 +246,19 @@ def op63_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
     "This is the per-key ordered-iteration surface applyInPandas "
     "cannot give without materializing the whole group as one pandas "
     "frame — the UDTF sees rows one at a time, O(1) state here. "
-    "Oracle replays first/last/ max-gap with window functions.",
+    "Oracle replays first/last/ max-gap with window functions. "
+    "The gap is emitted as exact integer MICROSECONDS (timedelta "
+    "arithmetic, no float, no rounding): a hash-gated column must "
+    "never be a rounded double — Python round() is half-even on "
+    "binary floats while SQL ROUND is half-away, and one ulp flips "
+    "the driver's full-precision hash (round-4 lesson).",
 )
 def op92b_udtf_table_arg(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
     @udtf(
         returnType="user_id bigint, n_events bigint, first_type string, "
-        "last_type string, max_gap_s double"
+        "last_type string, max_gap_us bigint"
     )
     class UserProfile:
         def __init__(self):
@@ -262,7 +267,7 @@ def op92b_udtf_table_arg(spark: SparkSession, sf: str) -> DataFrame:
             self.first = None
             self.last = None
             self.prev_ts = None
-            self.max_gap = 0.0
+            self.max_gap_us = 0
 
         def eval(self, row):
             self.user = row["user_id"]
@@ -272,8 +277,13 @@ def op92b_udtf_table_arg(spark: SparkSession, sf: str) -> DataFrame:
             self.last = row["event_type"]
             ts = row["ts"]
             if self.prev_ts is not None:
-                gap = (ts - self.prev_ts).total_seconds()
-                self.max_gap = max(self.max_gap, gap)
+                td = ts - self.prev_ts
+                gap_us = (
+                    td.days * 86_400_000_000
+                    + td.seconds * 1_000_000
+                    + td.microseconds
+                )
+                self.max_gap_us = max(self.max_gap_us, gap_us)
             self.prev_ts = ts
 
         def terminate(self):
@@ -283,7 +293,7 @@ def op92b_udtf_table_arg(spark: SparkSession, sf: str) -> DataFrame:
                     self.n,
                     self.first,
                     self.last,
-                    round(self.max_gap, 3),
+                    self.max_gap_us,
                 )
 
     spark.udtf.register("user_profile_tvf", UserProfile)

@@ -47,6 +47,56 @@ def ann_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "ann_kmeans_round1",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id < {_K}),
+    d AS (SELECT e.vec_id, c.cid,
+                 LIST_DISTANCE(e.embedding::DOUBLE[], c.ce) AS dist
+          FROM embeddings e CROSS JOIN c),
+    r AS (SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d),
+    a AS (SELECT vec_id, cid FROM r WHERE rn = 1)
+    SELECT CAST(a.cid AS BIGINT) AS cluster_id, COUNT(*) AS n_vecs,
+    """
+    + ", ".join(
+        "CAST(SUM(CAST(FLOOR(list_extract(e.embedding, "
+        f"{d + 1})::DOUBLE * 1048576.0) AS BIGINT)) AS BIGINT) "
+        f"AS qsum_d{d}"
+        for d in range(4)
+    )
+    + " FROM a JOIN embeddings e USING (vec_id) GROUP BY a.cid",
+    doc="the ORACLED slice of a Lloyd round (the verdict-r4 ask: "
+    "kmeans through the already-oracled round-0 assignment plus "
+    "integer-exact centroid sums): assign every vector to its "
+    "nearest round-0 centroid (ann_kmeans_assign's oracled argmin), "
+    "then per cluster emit the member count and the floor(x*2^20)-"
+    "quantized coordinate SUMS of the first 4 dims — exactly the "
+    "integer partials the distributed centroid update aggregates "
+    "(operators/clustering.py kmeans_fit), replayed value-for-value "
+    "by DuckDB.  Full 5-round kmeans stays rows-only "
+    "(ann_kmeans_clusters); this pins the per-round mechanics to an "
+    "oracle.",
+)
+def ann_kmeans_round1(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    centroids = init_centroids(emb, "embedding", "vec_id", _K)
+    assigned = assign_clusters(emb, "embedding", centroids)
+    qsums = [
+        F.sum(
+            F.floor(
+                F.element_at("embedding", d + 1).cast("double")
+                * F.lit(1048576.0)
+            ).cast("long")
+        ).alias(f"qsum_d{d}")
+        for d in range(4)
+    ]
+    return assigned.groupBy(
+        F.col("cluster_id").cast("long").alias("cluster_id")
+    ).agg(F.count("*").alias("n_vecs"), *qsums)
+
+
+@register(
     "ann_kmeans_clusters",
     None,  # iterative float means are not SQL-expressible in one query;
     # determinism + parity vs an exact numpy replica in
@@ -148,7 +198,11 @@ def ann_pca_gram(spark: SparkSession, sf: str) -> DataFrame:
     "traffic), driver eigh with sign canonicalization, Arrow-"
     "batched projection onto the broadcast top-4 components. "
     "Bit-identical for ANY partitioning of the corpus "
-    "(operators/pca.py).",
+    "(operators/pca.py). Catalog entry flattens the projection "
+    "to scalar pc0..pc3 columns: the driver's canonicalizer "
+    "(pandas sort_values/factorize) cannot hash array cells — "
+    "rows-only entries are still canonicalized, so no catalog "
+    "output column may be array-typed (round-4 lesson).",
 )
 def ann_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.pca import (
@@ -158,7 +212,11 @@ def ann_pca_project(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = _t(spark, sf, "embeddings")
     comps, _evals, mean = fit_pca(emb, "embedding", k=4)
-    return project_pca(emb, "embedding", "vec_id", comps, mean)
+    proj = project_pca(emb, "embedding", "vec_id", comps, mean)
+    return proj.select(
+        "vec_id",
+        *[F.col("proj")[i].alias(f"pc{i}") for i in range(4)],
+    )
 
 
 @register(

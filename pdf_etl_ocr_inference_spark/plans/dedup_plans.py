@@ -71,6 +71,130 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.2)
 
 
+
+def _bylabel_fixture(spark: SparkSession, sf: str, n_docs: int,
+                     n_fams: int = 20) -> DataFrame:
+    """Deterministic planted-duplicate corpus derived from the
+    documents table: doc i gets the text of family ``i % n_fams`` —
+    20 tokens unique to the family, zero token overlap across
+    families.  Within a family every pair has Jaccard exactly 1 (and
+    SimHash hamming exactly 0); across families exactly 0.  That
+    makes LSH recall ANALYTICALLY guaranteed (identical shingle sets
+    ⇒ identical signatures ⇒ same buckets — in this engine the
+    exact-dup clique collapse catches them even earlier), so the pair
+    set is a pure function of the labels and a DuckDB oracle can
+    replay it — the dedup_semantic_bylabel trick applied to the
+    text-dedup family (VERDICT r4 item 7)."""
+    fam = F.col("doc_id") % n_fams
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(19)),
+            lambda j: F.concat(
+                F.lit("w"), fam.cast("string"),
+                F.lit("t"), j.cast("string"),
+            ),
+        ),
+    )
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < n_docs)
+        .select("doc_id", text.alias("text"))
+    )
+
+
+@register(
+    "dedup_minhash_bylabel",
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(1.0 AS DOUBLE) AS jaccard "
+    "FROM documents a JOIN documents b "
+    "ON a.doc_id % 20 = b.doc_id % 20 AND a.doc_id < b.doc_id "
+    "WHERE a.doc_id < 100 AND b.doc_id < 100",
+    doc="MinHash-LSH pipeline pinned to an ORACLE on a planted "
+    "fixture (20 disjoint families x 5 identical docs): recall on "
+    "Jaccard-1 pairs is analytically guaranteed (identical shingle "
+    "sets collapse into one clique before banding and re-expand as "
+    "internal pairs at jaccard 1.0), cross-family candidates verify "
+    "to 0 and drop — so the full pair set is exactly the label self-"
+    "join the oracle computes.  The probabilistic band join itself "
+    "is covered by the LSH⊆brute pytest; dedup_minhash_lsh on real "
+    "text stays rows-only.",
+)
+def dedup_minhash_bylabel(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _bylabel_fixture(spark, sf, 100)
+    return minhash_dedup_pairs(
+        docs, "text", "doc_id",
+        num_hashes=32, num_bands=8, jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "dedup_simhash_bylabel",
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(0 AS BIGINT) AS hamming "
+    "FROM documents a JOIN documents b "
+    "ON a.doc_id % 20 = b.doc_id % 20 AND a.doc_id < b.doc_id "
+    "WHERE a.doc_id < 100 AND b.doc_id < 100",
+    doc="SimHash near-pair pipeline pinned to an ORACLE on the same "
+    "planted fixture: identical texts hash to identical 64-bit "
+    "fingerprints (hamming 0 — the value-collapse path emits their "
+    "internal pairs exactly); disjoint families differ in ~32 "
+    "uniform bits, astronomically outside hamming<=3, so the pair "
+    "set is the label self-join.  dedup_simhash on real text stays "
+    "rows-only (xxhash64 fingerprints have no DuckDB replay).",
+)
+def dedup_simhash_bylabel(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _bylabel_fixture(spark, sf, 100)
+    return simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=3
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@register(
+    "dedup_minhash_incremental_bylabel",
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(1.0 AS DOUBLE) AS jaccard "
+    "FROM documents a JOIN documents b "
+    "ON a.doc_id % 20 = b.doc_id % 20 AND a.doc_id < b.doc_id "
+    "WHERE a.doc_id < 120 AND b.doc_id >= 100 AND b.doc_id < 120",
+    doc="the incremental index-probe path (build -> append-only "
+    "refresh -> batch-vs-index dedup, dedup_minhash_incremental's "
+    "exact machinery) pinned to an ORACLE on the planted fixture: "
+    "base corpus = 20 families x 5 identical docs (ids < 100), the "
+    "arrivals batch = one new copy per family (ids 100..119).  Each "
+    "batch doc's signature equals its family's — identical band "
+    "buckets guarantee the probe surfaces all 5 base members, "
+    "verified at jaccard 1.0 — so the batch-touching pair set is "
+    "exactly the label join with id_b in the batch.",
+)
+def dedup_minhash_incremental_bylabel(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+        refresh_minhash_index,
+    )
+
+    docs = _bylabel_fixture(spark, sf, 120)
+    base = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    key = f"catalog/minhash_bylabel/{sf}"
+    build_minhash_index(spark, base, key, "text", "doc_id")
+    refresh_minhash_index(
+        spark,
+        key,
+        batch.withColumn("_change_type", F.lit("insert")),
+        version=1,
+    )
+    return dedup_against_index(
+        spark, key, batch.select("doc_id", "text"), docs,
+        jaccard_threshold=0.5,
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     None,  # xxhash64-based → rows-only; cross-checked in tests
@@ -509,17 +633,17 @@ def dedup_span_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "dedup_corpus_report",
     f"WITH {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_DUP}, {_SPAN_ISLANDS}, "
-    "cov AS (SELECT SUM(span_end - span_start) AS covered FROM iv), "
+    "cov AS (SELECT CAST(SUM(span_end - span_start) AS BIGINT) AS covered FROM iv), "
     "tot AS (SELECT COUNT(*) AS n_docs, "
-    "SUM(LEN(t)) AS total_tokens FROM toks), "
+    "CAST(SUM(LEN(t)) AS BIGINT) AS total_tokens FROM toks), "
     "ex AS (SELECT COUNT(*) - COUNT(DISTINCT "
     "MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), "
     "'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))) AS exact_dups "
     "FROM documents) "
     "SELECT tot.n_docs, ex.exact_dups, tot.total_tokens, "
     "COALESCE(cov.covered, 0) AS span_covered_tokens, "
-    "COALESCE(cov.covered, 0) * 1000000 // tot.total_tokens "
-    "AS span_coverage_ppm FROM tot, ex, cov",
+    "CAST(COALESCE(cov.covered, 0) * 1000000 // tot.total_tokens "
+    "AS BIGINT) AS span_coverage_ppm FROM tot, ex, cov",
     doc="one-row corpus duplication report: doc count, exact-"
     "duplicate doc count (canonical-fingerprint), total tokens, "
     "tokens inside cross-doc duplicated 6-gram spans, and the span "

@@ -320,7 +320,7 @@ def pipeline_chunk_embed_topk(spark: SparkSession, sf: str) -> DataFrame:
       FROM topc t JOIN chunks c USING (cid))
     SELECT STRING_AGG(chunk, CHR(10) || CHR(10) ORDER BY rnk)
              AS context,
-           COUNT(*) AS n_chunks, SUM(LENGTH(chunk)) AS total_chars
+           COUNT(*) AS n_chunks, CAST(SUM(LENGTH(chunk)) AS BIGINT) AS total_chars
     FROM ordered
     """,
     doc="RAG context assembly end-to-end as ONE lazy plan: token-"
@@ -402,7 +402,7 @@ def pipeline_rag_context(spark: SparkSession, sf: str) -> DataFrame:
       FROM topc t JOIN chunks c USING (cid))
     SELECT STRING_AGG(chunk, CHR(10) || CHR(10) ORDER BY rnk)
              AS context,
-           COUNT(*) AS n_chunks, SUM(LENGTH(chunk)) AS total_chars
+           COUNT(*) AS n_chunks, CAST(SUM(LENGTH(chunk)) AS BIGINT) AS total_chars
     FROM ordered
     """,
     doc="sentence-granularity RAG assembly end-to-end (the op24b -> "
@@ -484,7 +484,7 @@ def pipeline_rag_sentence(spark: SparkSession, sf: str) -> DataFrame:
     "ordered AS (SELECT d.text AS text, t.rnk FROM top t "
     "JOIN documents d ON d.doc_id = t.id) "
     "SELECT STRING_AGG(text, CHR(10) || CHR(10) ORDER BY rnk) "
-    "AS context, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars "
+    "AS context, COUNT(*) AS n_docs, CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars "
     "FROM ordered",
     doc="HYBRID-retrieval RAG assembly, fully oracled end-to-end: "
     "reciprocal-rank fusion of the BM25 lexical leg and the cosine "

@@ -660,9 +660,11 @@ def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     "ELSE c_mktsegment END AS seg FROM customer) "
     "SELECT COALESCE(seg, 'UNKNOWN') AS seg, "
     "COUNT(*) AS n, "
-    "SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS n_null_bal, "
+    "CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_null_bal, "
     "ROUND(AVG(COALESCE(bal, 0.0)), 4) AS avg_filled, "
-    "SUM(CASE WHEN bal IS NOT NULL THEN 1 ELSE 0 END) AS n_dropna "
+    "CAST(SUM(CASE WHEN bal IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dropna "
     "FROM withnulls GROUP BY 1",
     doc="missing-data surface: nullify deterministically (the TPC-H "
     "fixture has no NULLs), then fillna (COALESCE default), dropna "
@@ -1000,9 +1002,9 @@ def op30f_listagg(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "op80b_try_arithmetic",
     "SELECT user_id, "
-    "SUM(CAST(ROUND(CASE WHEN CAST(event_id % 3 AS BIGINT) = 0 THEN "
-    "NULL ELSE value / (event_id % 3) END * 10000, 0) AS BIGINT)) "
-    "AS safe_ratio_sum_e4, "
+    "CAST(SUM(CAST(ROUND(CASE WHEN CAST(event_id % 3 AS BIGINT) = 0 "
+    "THEN NULL ELSE value / (event_id % 3) END * 10000, 0) AS BIGINT)) "
+    "AS BIGINT) AS safe_ratio_sum_e4, "
     "COUNT(CASE WHEN event_id % 3 = 0 THEN 1 END) AS n_div0 "
     "FROM events GROUP BY user_id",
     doc="error-safe arithmetic under ANSI SQL (try_divide): division "

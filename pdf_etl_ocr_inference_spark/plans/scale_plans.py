@@ -924,7 +924,11 @@ def op70d_skipping_rewrite(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    routed = optimize(brute)
+    # min_saved_bytes=0 pins the cost gate OFF for this demo entry so
+    # the rewrite fires (and its plan shape stays identical) at every
+    # test SF; the DEFAULT policy declines on tables this small —
+    # saved bytes can't pay the fixed rewrite overhead (r5 cost gate).
+    routed = optimize(brute, min_saved_bytes=0)
     assert routed is not brute, "skipping rewrite did not fire"
     return routed.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
@@ -984,7 +988,8 @@ def op70e_bloom_rewrite(spark: SparkSession, sf: str) -> DataFrame:
         .collect()
     ]
     brute = orders.filter(F.col("o_orderkey").isin(probe))
-    routed = optimize(brute)
+    # demo entry: cost gate pinned off, same rationale as op70d
+    routed = optimize(brute, min_saved_bytes=0)
     assert routed is not brute, "bloom rewrite did not fire"
     return routed.select(
         "o_orderkey",

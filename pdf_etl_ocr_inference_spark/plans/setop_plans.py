@@ -126,17 +126,24 @@ def op48b_from_json(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "op61_collect_list",
-    "SELECT o_custkey, LIST_SORT(LIST(o_orderkey)) AS orderkeys "
+    "SELECT o_custkey, ARRAY_TO_STRING(LIST_SORT(LIST(o_orderkey)), ',') "
+    "AS orderkeys "
     "FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey",
     doc="grouped list aggregation, sorted for determinism "
     "(collect_list order is partition-dependent; array_sort makes it "
     "canonical — required for the value-hash oracle and any "
-    "downstream equality).",
+    "downstream equality). The gated column is the comma-joined "
+    "STRING of the sorted list, not the array itself: the driver's "
+    "canonicalizer (pandas sort_values/factorize) cannot hash array "
+    "cells, so no catalog output column may be array-typed "
+    "(round-4 lesson — same fix as ann_pca_project).",
 )
 def op61_collect_list(spark: SparkSession, sf: str) -> DataFrame:
     orders = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
     return orders.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys")
+        F.array_join(
+            F.array_sort(F.collect_list("o_orderkey")), ","
+        ).alias("orderkeys")
     )
 
 

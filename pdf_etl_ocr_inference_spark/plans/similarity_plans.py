@@ -514,6 +514,69 @@ def ann_rewrite_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "ann_knn_quantized",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS ce
+          FROM embeddings WHERE vec_id >= 5),
+    s AS (SELECT qid, cid,
+            CAST(SUM(
+              CAST(FLOOR(list_extract(qe, i + 1)::DOUBLE * 1048576.0)
+                   AS BIGINT)
+              * CAST(FLOOR(list_extract(ce, i + 1)::DOUBLE * 1048576.0)
+                     AS BIGINT)) AS BIGINT) AS score
+          FROM q CROSS JOIN c
+               CROSS JOIN UNNEST(RANGE(0, 64)) AS r(i)
+          GROUP BY qid, cid),
+    rk AS (SELECT qid, cid, score, ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM s)
+    SELECT qid, cid, score FROM rk WHERE rn <= 3
+    """,
+    doc="the ORACLED slice of the kNN-join kernel (verdict-r4 ask: "
+    "shrink the rows-only ANN surface): exact top-3 per query by "
+    "INTEGER-QUANTIZED dot product — each coordinate floor(x*2^20)-"
+    "quantized to int64, the dot product an exact integer sum, so "
+    "ranking is bit-identical across engines and partitionings "
+    "(the ann_pca_gram trick applied to retrieval; a float dot "
+    "product's reduction order could flip a rank at the hash "
+    "boundary).  Spark side: broadcast the 5-query side, zip_with "
+    "multiply + aggregate sum (all codegen), window top-3.  The "
+    "approximate index paths stay rows-only (recall-floor pytests); "
+    "this pins the scoring+ranking kernel they share to an oracle.",
+)
+def ann_knn_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    prods = F.zip_with(
+        "qe",
+        "ce",
+        lambda x, y: F.floor(x.cast("double") * 1048576.0).cast("long")
+        * F.floor(y.cast("double") * 1048576.0).cast("long"),
+    )
+    score = F.aggregate(
+        prods, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("cid")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cid", "score")
+    )
+
+
+@register(
     "ann_knn_join",
     None,  # approximate (bucket probe) → rows-only; recall floor vs
     # the brute-force batch and zero-false-positive/plan properties in

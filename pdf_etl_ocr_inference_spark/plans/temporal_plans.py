@@ -89,9 +89,9 @@ def op50_range_join(spark: SparkSession, sf: str) -> DataFrame:
     "    AS new_session FROM events WINDOW w AS ("
     "    PARTITION BY user_id ORDER BY ts)), "
     "sess AS ("
-    "  SELECT user_id, ts, value, SUM(new_session) OVER ("
+    "  SELECT user_id, ts, value, CAST(SUM(new_session) OVER ("
     "    PARTITION BY user_id ORDER BY ts "
-    "    ROWS UNBOUNDED PRECEDING) AS session_id FROM gaps) "
+    "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM gaps) "
     "SELECT user_id, session_id, COUNT(*) AS n_events, "
     "ROUND(SUM(value), 2) AS session_value FROM sess "
     "GROUP BY user_id, session_id",

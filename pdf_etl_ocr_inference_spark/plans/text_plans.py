@@ -1090,12 +1090,12 @@ def text_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
         has_stopword AS stopword_ok
       FROM f)
     SELECT COUNT(*) AS n_docs,
-           SUM(word_count_ok) AS pass_word_count,
-           SUM(mean_word_len_ok) AS pass_mean_word_len,
-           SUM(symbol_ratio_ok) AS pass_symbol_ratio,
-           SUM(stopword_ok) AS pass_stopword,
-           SUM(word_count_ok * mean_word_len_ok * symbol_ratio_ok
-               * stopword_ok) AS pass_all
+           CAST(SUM(word_count_ok) AS BIGINT) AS pass_word_count,
+           CAST(SUM(mean_word_len_ok) AS BIGINT) AS pass_mean_word_len,
+           CAST(SUM(symbol_ratio_ok) AS BIGINT) AS pass_symbol_ratio,
+           CAST(SUM(stopword_ok) AS BIGINT) AS pass_stopword,
+           CAST(SUM(word_count_ok * mean_word_len_ok * symbol_ratio_ok
+               * stopword_ok) AS BIGINT) AS pass_all
     FROM r
     """,
     doc="Gopher-style quality rule set (Rae et al. 2021, Table A1 "

@@ -57,8 +57,8 @@ def _documents_change_feed(spark: SparkSession, sf: str, tag: str) -> str:
     "op97_matview_rewrite",
     """
     SELECT lang, COUNT(*) AS n_rows,
-           SUM(CASE WHEN doc_id % 10 = 3 THEN n_chars + 17
-                    ELSE n_chars END) AS sum_chars
+           CAST(SUM(CASE WHEN doc_id % 10 = 3 THEN n_chars + 17
+                    ELSE n_chars END) AS BIGINT) AS sum_chars
     FROM documents WHERE doc_id % 10 != 7 GROUP BY lang
     """,
     doc="materialized view with AUTOMATIC query rewrite (the "
@@ -157,7 +157,7 @@ def op97_matview_rewrite(spark: SparkSession, sf: str) -> DataFrame:
       FROM toks)
     SELECT shard, CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT)
              AS seq_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM pos GROUP BY shard, seq_id
     """,
@@ -220,8 +220,8 @@ def train_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
       SELECT shard, doc_id, start_tok, end_tok, i AS seq_id
       FROM span, UNNEST(RANGE(s0, s1 + 1)) AS r(i))
     SELECT shard, seq_id, COUNT(*) AS n_docs,
-           SUM(LEAST(end_tok, (seq_id + 1) * {_PACK_BUDGET})
-               - GREATEST(start_tok, seq_id * {_PACK_BUDGET}))
+           CAST(SUM(LEAST(end_tok, (seq_id + 1) * {_PACK_BUDGET})
+               - GREATEST(start_tok, seq_id * {_PACK_BUDGET})) AS BIGINT)
              AS seq_tokens
     FROM ex GROUP BY shard, seq_id
     """,
@@ -408,8 +408,8 @@ def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     # incrementally, never recomputed from the base table.
     """
     SELECT lang, COUNT(*) AS n_rows,
-           SUM(CASE WHEN doc_id % 10 = 3 THEN n_chars + 17
-                    ELSE n_chars END) AS sum_chars
+           CAST(SUM(CASE WHEN doc_id % 10 = 3 THEN n_chars + 17
+                    ELSE n_chars END) AS BIGINT) AS sum_chars
     FROM documents WHERE doc_id % 10 != 7 GROUP BY lang
     """,
     doc="incremental materialized aggregate (generalizes ref ocr:149's "
@@ -453,8 +453,8 @@ def op72_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
     # runs as a TRIGGERED availableNow stream over the change feed
     """
     SELECT lang, COUNT(*) AS n_rows,
-           SUM(CASE WHEN doc_id % 10 = 3 THEN n_chars + 17
-                    ELSE n_chars END) AS sum_chars
+           CAST(SUM(CASE WHEN doc_id % 10 = 3 THEN n_chars + 17
+                    ELSE n_chars END) AS BIGINT) AS sum_chars
     FROM documents WHERE doc_id % 10 != 7 GROUP BY lang
     """,
     doc="triggered streaming maintenance of a materialized aggregate: "
@@ -560,7 +560,7 @@ _NORM_SQL = (
       FROM toks)
     SELECT shard, CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT)
              AS seq_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
     FROM pos GROUP BY shard, seq_id
     """,
     doc="end-to-end pretraining-corpus construction as ONE lazy plan: "
@@ -651,7 +651,7 @@ _GRAMS5_SQL = (
       FROM toks)
     SELECT shard, CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT)
              AS seq_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
     FROM pos GROUP BY shard, seq_id
     """,
     doc="pipeline_pretrain_corpus WITH the benchmark-decontamination "
@@ -730,7 +730,7 @@ def pipeline_pretrain_decontaminated(
       FROM toks)
     SELECT shard, CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT)
              AS seq_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
     FROM pos WHERE doc_id >= (SELECT t FROM thr)
     GROUP BY shard, seq_id
     """,
@@ -804,7 +804,7 @@ def train_pack_incremental(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY lang),
     tot AS (
       SELECT lang, COUNT(*) AS n_total,
-             SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS n_new
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
       FROM fp GROUP BY lang)
     SELECT lang, n_total, n_new,
            COALESCE(n_new_unique, 0) AS n_new_unique
@@ -995,7 +995,7 @@ def train_stratified_fixed(spark: SparkSession, sf: str) -> DataFrame:
       FROM flt)
     SELECT shard, CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT)
              AS seq_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
     FROM pos GROUP BY shard, seq_id
     """,
     doc="corpus prep with SUBSTRING-level dedup composed in: quality "
@@ -1091,7 +1091,7 @@ def pipeline_span_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
       FROM toks)
     SELECT shard, CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT)
              AS seq_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            ROUND(AVG(quality), 4) AS avg_quality
     FROM pos GROUP BY shard, seq_id
     """,
@@ -1324,7 +1324,7 @@ def _dsir_pipeline_oracle() -> str:
       FROM toks)
     SELECT shard, CAST(FLOOR(start_tok / {_PACK_BUDGET}.0) AS BIGINT)
              AS seq_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
     FROM pos GROUP BY shard, seq_id
     """
 

@@ -90,3 +90,57 @@ def test_no_expensive_expression_inside_hof_lambda():
     for path in sorted(PKG.rglob("*.py")):
         violations.extend(_violations_in(path))
     assert not violations, "\n".join(violations)
+
+
+# ---------------------------------------------------------------------------
+# Oracle canonicalization lint (round-4 lesson; VERDICT r4 "What's wrong").
+#
+# The driver's gate compares Spark and DuckDB results through pandas at
+# full precision, dtype-sensitively.  Two classes of catalog entry are
+# therefore un-gateable even when value-correct:
+#
+#   1. An oracle whose SQL emits HUGEINT (any un-CAST integer SUM in
+#      DuckDB) or DECIMAL — pandas materializes those as float64 while
+#      Spark's sum of a long is int64, so the driver's hash mismatches.
+#      Fix: CAST(... AS BIGINT) / CAST(... AS DOUBLE) in the oracle.
+#   2. Nothing here guards rounded-double columns (op92b's one-ulp
+#      flip); the rule is behavioral: never hash-gate a rounded double,
+#      emit scaled integers instead.
+#
+# This lint DESCRIBEs every oracle against the sf0.001 fixtures (type
+# inference only, no query execution) and fails on HUGEINT/DECIMAL
+# output columns, so the class cannot recur silently.
+# ---------------------------------------------------------------------------
+
+def test_no_hugeint_or_decimal_oracle_columns():
+    import importlib
+    import sys
+
+    import duckdb
+
+    repo = str(PKG.parent)
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    entry = importlib.import_module("__spark_entry__")
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    bad: list[str] = []
+    for name, sql in sorted(entry.oracle_sql().items()):
+        desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+        for col, typ, *_ in desc:
+            up = typ.upper()
+            if "HUGEINT" in up or "DECIMAL" in up:
+                bad.append(
+                    f"{name}.{col}: {typ} — pandas will coerce to "
+                    f"float64 while Spark emits int64; CAST the oracle "
+                    f"column (AS BIGINT) so the driver's dtype-"
+                    f"sensitive hash can match"
+                )
+    assert not bad, "\n".join(bad)

@@ -18,6 +18,19 @@ from pyspark.sql import functions as F
 from tests.conftest import SF0001
 
 
+def _rw(df):
+    """rewrite_skipping_scan with the cost gate pinned OFF — these
+    tests exercise rewrite MECHANICS on tiny fixtures, where the
+    default policy (correctly) declines because the saved bytes
+    cannot pay the fixed rewrite overhead.  The gate itself is
+    tested separately in test_cost_gate_*."""
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        rewrite_skipping_scan,
+    )
+
+    return rewrite_skipping_scan(df, min_saved_bytes=0)
+
+
 @pytest.fixture(scope="module")
 def src_dir(spark, tmp_path_factory):
     """A multi-file copy of orders to act as the registered source
@@ -71,7 +84,7 @@ def test_rewrite_fires_and_matches_brute(spark, src_dir, registered):
     from pdf_etl_ocr_inference_spark.optimizer import optimize
 
     df = spark.read.parquet(src_dir).filter(_box())
-    opt = optimize(df)
+    opt = optimize(df, min_saved_bytes=0)
     assert opt is not df
     assert _keys(opt) == _keys(df)
     assert set(opt.columns) == set(df.columns)
@@ -81,7 +94,7 @@ def test_rewrite_prunes_files(spark, src_dir, registered):
     from pdf_etl_ocr_inference_spark.optimizer import rewrite_skipping_scan
 
     df = spark.read.parquet(src_dir).filter(_box())
-    opt = rewrite_skipping_scan(df)
+    opt = _rw(df)
     assert opt is not df
     # the rewritten relation schedules strictly fewer files than the
     # clustered copy holds — the skip actually engages
@@ -96,7 +109,7 @@ def test_projection_preserved(spark, src_dir, registered):
         .select("o_orderkey", "o_custkey")
         .filter(F.col("o_custkey").between(100, 299))
     )
-    opt = rewrite_skipping_scan(df)
+    opt = _rw(df)
     assert opt is not df
     assert opt.columns == ["o_orderkey", "o_custkey"]
     assert _keys(opt) == _keys(df)
@@ -108,10 +121,10 @@ def test_strict_and_equality_bounds(spark, src_dir, registered):
     df = spark.read.parquet(src_dir).filter(
         (F.col("o_custkey") > 100) & (F.col("o_custkey") < 299)
     )
-    opt = rewrite_skipping_scan(df)
+    opt = _rw(df)
     assert opt is not df and _keys(opt) == _keys(df)
     df_eq = spark.read.parquet(src_dir).filter(F.col("o_custkey") == 150)
-    opt_eq = rewrite_skipping_scan(df_eq)
+    opt_eq = _rw(df_eq)
     assert opt_eq is not df_eq and _keys(opt_eq) == _keys(df_eq)
 
 
@@ -124,21 +137,21 @@ def test_guard_rails_leave_plan_identical(spark, src_dir, registered):
         .withColumn("x", F.col("o_custkey") + 1)
         .filter(F.col("x") > 5)
     )
-    assert rewrite_skipping_scan(df) is df
+    assert _rw(df) is df
     # unregistered table
     df2 = spark.read.parquet(f"{SF0001}/lineitem.parquet").filter(
         F.col("l_quantity") > 10
     )
-    assert rewrite_skipping_scan(df2) is df2
+    assert _rw(df2) is df2
     # no bound on any clustered column
     df3 = spark.read.parquet(src_dir).filter(F.col("o_totalprice") > 1000)
-    assert rewrite_skipping_scan(df3) is df3
+    assert _rw(df3) is df3
     # no filter at all
     df4 = spark.read.parquet(src_dir)
-    assert rewrite_skipping_scan(df4) is df4
+    assert _rw(df4) is df4
     # join on top — not the scan shape
     df5 = df4.join(df4.select("o_orderkey"), "o_orderkey")
-    assert rewrite_skipping_scan(df5) is df5
+    assert _rw(df5) is df5
 
 
 def test_residual_predicates_reapply(spark, src_dir, registered):
@@ -150,7 +163,7 @@ def test_residual_predicates_reapply(spark, src_dir, registered):
         F.col("o_custkey").between(100, 299)
         & F.col("o_orderpriority").startswith("1")
     )
-    opt = rewrite_skipping_scan(df)
+    opt = _rw(df)
     assert opt is not df
     assert _keys(opt) == _keys(df)
 
@@ -174,13 +187,13 @@ def test_stale_layout_falls_through_then_refresh_resyncs(
     )
     extra.coalesce(1).write.mode("append").parquet(src_dir)
     df = spark.read.parquet(src_dir).filter(F.col("o_custkey") >= 0)
-    assert rewrite_skipping_scan(df) is df  # never stale
+    assert _rw(df) is df  # never stale
 
     r = refresh_clustered_layout(spark, src_dir)
     assert r["mode"] == "incremental" and r["new_files"] >= 1
 
     df2 = spark.read.parquet(src_dir).filter(_box())
-    opt2 = rewrite_skipping_scan(df2)
+    opt2 = _rw(df2)
     assert opt2 is not df2
     assert _keys(opt2) == _keys(df2)  # appended rows visible
 
@@ -193,7 +206,7 @@ def test_stale_layout_falls_through_then_refresh_resyncs(
     )[0])
     assert refresh_clustered_layout(spark, src_dir)["mode"] == "rebuild"
     df3 = spark.read.parquet(src_dir).filter(_box())
-    opt3 = rewrite_skipping_scan(df3)
+    opt3 = _rw(df3)
     assert opt3 is not df3 and _keys(opt3) == _keys(df3)
 
 
@@ -220,7 +233,7 @@ def test_bloom_in_list_path(spark, src_dir):
     df = spark.read.parquet(src_dir).filter(
         F.col("o_orderkey").isin(probe)
     )
-    opt = rewrite_skipping_scan(df)
+    opt = _rw(df)
     assert opt is not df
     assert _keys(opt) == _keys(df) == sorted(probe)
     assert _scan_file_count(opt) < 16  # the bloom actually prunes
@@ -229,14 +242,14 @@ def test_bloom_in_list_path(spark, src_dir):
     df2 = spark.read.parquet(src_dir).filter(
         F.col("o_orderkey").isin(probe) & (F.col("o_totalprice") > 0)
     )
-    opt2 = rewrite_skipping_scan(df2)
+    opt2 = _rw(df2)
     assert opt2 is not df2 and _keys(opt2) == _keys(df2)
 
     # string IN-list: no bloom for that column -> no-op
     df3 = spark.read.parquet(src_dir).filter(
         F.col("o_orderpriority").isin(["1-URGENT"])
     )
-    assert rewrite_skipping_scan(df3) is df3
+    assert _rw(df3) is df3
 
 
 def test_layout_advisor_closes_the_loop(spark, src_dir):
@@ -281,7 +294,7 @@ def test_layout_advisor_closes_the_loop(spark, src_dir):
         spark, src_dir, got["specs"], bloom_cols=got["bloom_cols"]
     )
     for df in workload[:3]:
-        opt = rewrite_skipping_scan(df)
+        opt = _rw(df)
         assert opt is not df
         assert _keys(opt) == _keys(df)
 
@@ -304,7 +317,7 @@ def test_served_sidecar_pinning(spark, src_dir):
     L._BLOOM_CACHE.clear()
 
     df = spark.read.parquet(src_dir).filter(_box())
-    first = rewrite_skipping_scan(df)
+    first = _rw(df)
     assert first is not df and len(L._SIDECAR_CACHE) == 1
     fp0 = next(iter(L._SIDECAR_CACHE.values()))[0]
 
@@ -315,7 +328,7 @@ def test_served_sidecar_pinning(spark, src_dir):
         AssertionError("sidecar re-read on warm path")
     )
     try:
-        second = rewrite_skipping_scan(spark.read.parquet(src_dir).filter(_box()))
+        second = _rw(spark.read.parquet(src_dir).filter(_box()))
         assert second is not None
         assert _keys(second) == _keys(first)
     finally:
@@ -328,7 +341,7 @@ def test_served_sidecar_pinning(spark, src_dir):
         .select("o_orderkey").orderBy("o_orderkey").limit(3).collect()
     ]
     dfb = spark.read.parquet(src_dir).filter(F.col("o_orderkey").isin(probe))
-    ob = rewrite_skipping_scan(dfb)
+    ob = _rw(dfb)
     assert ob is not dfb and len(L._BLOOM_CACHE) == 1
     assert _keys(ob) == sorted(probe)
 
@@ -341,7 +354,223 @@ def test_served_sidecar_pinning(spark, src_dir):
     extra.coalesce(1).write.mode("append").parquet(src_dir)
     refresh_clustered_layout(spark, src_dir)
     df3 = spark.read.parquet(src_dir).filter(_box())
-    o3 = rewrite_skipping_scan(df3)
+    o3 = _rw(df3)
     assert o3 is not df3
     assert _keys(o3) == _keys(df3)
     assert next(iter(L._SIDECAR_CACHE.values()))[0] != fp0
+
+
+def test_cost_gate_declines_small_tables_by_default(
+    spark, src_dir, registered
+):
+    """DEFAULT policy: on a tiny table the estimated saved bytes
+    cannot pay the fixed rewrite overhead, so the rule declines and
+    the brute scan (already cheap — Spark's own row-group pruning)
+    runs unchanged.  r4 bench measured warm_speedup_vs_brute 0.8 at
+    4 M rows — the gate encodes that lesson.  An explicit
+    min_saved_bytes=0 (demo entries) or a just-below-savings
+    threshold fires as before."""
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        optimize,
+        rewrite_skipping_scan,
+    )
+
+    df = spark.read.parquet(src_dir).filter(_box())
+    assert rewrite_skipping_scan(df) is df        # default: declines
+    assert optimize(df) is df
+    assert rewrite_skipping_scan(df, min_saved_bytes=0) is not df
+    # threshold just below the actual savings → fires
+    import os
+
+    total = sum(
+        e.stat().st_size
+        for e in os.scandir(src_dir)
+        if e.name.endswith(".parquet")
+    )
+    assert rewrite_skipping_scan(df, min_saved_bytes=total * 10) is df
+
+
+def test_truncating_cast_yields_no_bound(spark, src_dir, registered):
+    """ADVICE r4 (high): ``CAST(ts AS DATE) = DATE'...'`` must NOT
+    extract a midnight point bound on the timestamp axis — that
+    prunes files whose rows satisfy the predicate later in the day.
+    A truncating cast contributes no bound; with no other bound the
+    rule declines, and with another bound present the cast conjunct
+    still re-applies row-wise with full fidelity."""
+    from pdf_etl_ocr_inference_spark.optimizer import _attr_name
+
+    # pick a date that exists in the fixture
+    some_day = (
+        spark.read.parquet(src_dir)
+        .selectExpr("to_date(o_orderdate) AS d")
+        .groupBy("d").count().orderBy(F.col("count").desc())
+        .limit(1).collect()[0]["d"]
+    )
+    df = spark.read.parquet(src_dir).filter(
+        F.to_date("o_orderdate") == F.lit(str(some_day))
+    )
+    # truncating cast alone -> no extractable bound -> rule declines
+    assert _rw(df) is df
+
+    # cast conjunct + a real range bound: fires, and the day's rows
+    # all survive (the old cast-stripping would have dropped
+    # everything after midnight)
+    df2 = spark.read.parquet(src_dir).filter(
+        (F.to_date("o_orderdate") == F.lit(str(some_day)))
+        & (F.col("o_custkey") >= 0)
+    )
+    opt2 = _rw(df2)
+    assert opt2 is not df2
+    assert _keys(opt2) == _keys(df2)
+    assert len(_keys(opt2)) > 0  # non-vacuous: the day has rows
+
+    # unit check on an EXPLICIT Cast node (to_date analyzes to a
+    # RuntimeReplaceable, which _attr_name already rejects by shape):
+    # a truncating timestamp->date cast must yield no attribute
+    df3 = spark.read.parquet(src_dir).filter(
+        F.col("o_orderdate").cast("date") == F.lit(str(some_day))
+    )
+    cond = df3._jdf.queryExecution().analyzed().condition()
+    left = cond.left()
+    assert left.nodeName() == "Cast"
+    assert _attr_name(left) is None
+    assert _rw(df3) is df3  # and alone it declines, same as to_date
+
+
+def test_bloom_and_range_keep_lists_intersect(spark, src_dir):
+    """ADVICE r4 (low): IN-list + range conjuncts must intersect
+    their file keep-lists, not pick one.  Probe an orderkey whose
+    bloom keeps ~1 file while the range box keeps a disjoint-ish
+    set; the scheduled file count must be <= each individual list's
+    count, and results must equal brute."""
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        bloom_keep_files,
+        layout_key,
+        register_clustered_layout,
+        stats_keep_files,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import IndexCatalog
+
+    register_clustered_layout(
+        spark, src_dir, SPECS, n_files=16, bloom_cols=["o_orderkey"]
+    )
+    cat = IndexCatalog()
+    meta = cat.lookup(layout_key(src_dir))
+    probe = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(src_dir)
+        .select("o_orderkey").orderBy("o_orderkey").limit(3).collect()
+    ]
+    df = spark.read.parquet(src_dir).filter(
+        F.col("o_orderkey").isin(probe)
+        & F.col("o_custkey").between(0, 10**9)
+    )
+    opt = _rw(df)
+    assert opt is not df
+    assert _keys(opt) == _keys(df)
+    n_sched = _scan_file_count(opt)
+    bkeep, bcov = bloom_keep_files(spark, meta, "o_orderkey", probe)
+    skeep, scov = stats_keep_files(
+        spark, meta, {"o_custkey": (0.0, 1e9)}
+    )
+    assert n_sched <= max(len(bkeep), 1)
+    assert n_sched <= max(len(skeep), 1)
+
+
+def test_bloom_pin_budget_bounded(spark, src_dir, monkeypatch):
+    """The driver Bloom pin is an LRU with a byte budget: under a
+    tiny budget the pinned bytes stay bounded (the probe serves via
+    the DISTRIBUTED executor-side path instead) and results are
+    identical."""
+    from pdf_etl_ocr_inference_spark.operators import layout as L
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        layout_key,
+        register_clustered_layout,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import IndexCatalog
+
+    register_clustered_layout(
+        spark, src_dir, SPECS, n_files=16, bloom_cols=["o_orderkey"]
+    )
+    meta = IndexCatalog().lookup(layout_key(src_dir))
+    probe = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(src_dir)
+        .select("o_orderkey").orderBy("o_orderkey").limit(3).collect()
+    ]
+    L._BLOOM_CACHE.clear()
+    keep_full, cov_full = L.bloom_keep_files(
+        spark, meta, "o_orderkey", probe
+    )
+    assert L._bloom_pinned_bytes() > 0  # normally pins
+
+    monkeypatch.setattr(L, "_BLOOM_PIN_BUDGET_BYTES", 1)
+    L._BLOOM_CACHE.clear()
+    keep_dist, cov_dist = L.bloom_keep_files(
+        spark, meta, "o_orderkey", probe
+    )
+    assert L._bloom_pinned_bytes() <= 1  # nothing pinned over budget
+    assert (keep_dist, cov_dist) == (keep_full, cov_full)
+
+    # end to end: the point lookup still answers correctly unpinned
+    df, n_read, n_total = L.served_point_lookup(
+        spark, meta, "o_orderkey", probe
+    )
+    got = sorted(r["o_orderkey"] for r in df.collect())
+    assert got == sorted(probe)
+    assert n_read <= n_total
+
+
+def test_inplace_rewrite_detected_by_public_helpers(spark, tmp_path):
+    """ADVICE r4 (low): a data file rewritten IN PLACE (same name,
+    new contents) must read as UNCOVERED by a caller-cached stats
+    sidecar — conservative keep, refresh re-foots it — so
+    scan_with_skipping can never prune on stale min/max."""
+    import os
+    import time
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        load_or_refresh_file_stats,
+        scan_with_skipping,
+    )
+
+    d = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(i, i) for i in range(100)], "k long, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    stats = load_or_refresh_file_stats(spark, d, ["k"])
+    cached = stats.collect()  # caller caches the sidecar rows
+    cached_df = spark.createDataFrame(cached, stats.schema)
+
+    # rewrite the single data file IN PLACE: same name, k now 1000+
+    fname = next(
+        f for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    tmp2 = str(tmp_path / "tbl2")
+    spark.createDataFrame(
+        [(1000 + i, i) for i in range(100)], "k long, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp2)
+    f2 = next(
+        f for f in os.listdir(tmp2)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    time.sleep(0.01)  # ensure mtime_ns differs even on coarse clocks
+    os.replace(f"{tmp2}/{f2}", f"{d}/{fname}")
+    for f in os.listdir(d):  # drop Hadoop's now-stale .crc sidecars
+        if f.endswith(".crc"):
+            os.remove(f"{d}/{f}")
+
+    # the cached sidecar says k in [0, 99]; the live file holds
+    # [1000, 1099].  A filename-reconciled scan would prune the file
+    # and DROP all rows; the fingerprint-reconciled scan keeps it.
+    df, n_read, n_total = scan_with_skipping(
+        spark, d, {"k": (1000.0, 2000.0)}, stats=cached_df
+    )
+    assert n_read == 1 and n_total == 1
+    assert df.count() == 100
+
+    # refresh heals: the mutated file is re-footed
+    fresh = load_or_refresh_file_stats(spark, d, ["k"])
+    row = [r for r in fresh.collect() if r["col"] == "k"][0]
+    assert row["vmin"] >= 1000.0

@@ -2,9 +2,24 @@
 """Local replica of the driver's correctness gate.
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
-``oracle_sql()`` in DuckDB over the same parquet, comparing column
-names (sorted), row count, and order-insensitive normalized values
-(floats to 6 significant digits).
+``oracle_sql()`` in DuckDB over the same parquet, comparing with the
+SAME canonicalization the driver uses (reconstructed from its round-4
+traceback): pandas DataFrames, columns sorted by name, rows sorted by
+``sort_values`` over all columns, values compared at FULL precision
+and dtype-sensitively.  The round-3/-4 lesson: the old replica
+fetched tuples (DuckDB HUGEINT -> Python int) and normalized floats
+to 6 significant digits, so it certified entries the driver then
+failed on int64-vs-float64 dtype and one-ulp rounding differences.
+Local green must imply driver green, so this replica is deliberately
+the STRICTER of the two:
+
+- DuckDB results come through ``.df()`` (HUGEINT -> float64, which
+  is exactly how the driver sees an un-CAST integer SUM);
+- floats compare bit-for-bit (NaN==NaN), no sig-digit rounding;
+- integer-kind vs float-kind column dtypes are a hard mismatch;
+- list/dict cells raise in ``sort_values`` exactly like the
+  driver's ``factorize`` does (unhashable type), so array-typed
+  output columns fail here too instead of silently tuple-izing.
 
     python tools/run_gate.py [--sf /root/testdata/sf0.01] [-k substring]
 """
@@ -12,7 +27,6 @@ names (sorted), row count, and order-insensitive normalized values
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 import time
@@ -27,19 +41,88 @@ TABLES = [
 ]
 
 
-def _normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def _canon(pdf):
+    """Driver-shaped canonical form: name-sorted columns, row order
+    normalized by sort_values over every column (raises on
+    unhashable cells — intentionally, see module docstring)."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf.columns):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
 
-    def nv(v):
-        if isinstance(v, float):
-            return "nan" if math.isnan(v) else f"{v:.6g}"
-        if isinstance(v, list):
-            return tuple(nv(x) for x in v)
-        return v
 
-    return sorted(
-        [tuple(nv(r[i]) for i in order) for r in rows], key=repr
-    )
+def _coerce_date_objects(a, b):
+    """Spark DATE columns arrive in pandas as object(datetime.date)
+    while DuckDB DATE arrives as datetime64 — the one dtype-kind gap
+    that is NOT driver-visible (op77_retention was driver-green in r4
+    with a date column), so coerce the object side to datetime64
+    before the strict compare."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    def is_dateish(s):
+        if s.dtype.kind != "O":
+            return False
+        nn = s.dropna()
+        return len(nn) > 0 and all(
+            isinstance(v, (_dt.date, _dt.datetime)) for v in nn.head(5)
+        )
+
+    if a.dtype.kind == "O" and b.dtype.kind == "M" and is_dateish(a):
+        a = pd.to_datetime(a)
+    if b.dtype.kind == "O" and a.dtype.kind == "M" and is_dateish(b):
+        b = pd.to_datetime(b)
+    return a, b
+
+
+def _col_equal(a, b) -> bool:
+    """Full-precision, dtype-kind-sensitive column compare."""
+    import numpy as np
+    import pandas as pd
+
+    a, b = _coerce_date_objects(a, b)
+    ka, kb = a.dtype.kind, b.dtype.kind
+    if {ka, kb} <= {"i", "u"}:
+        return np.array_equal(a.to_numpy(), b.to_numpy())
+    if {ka, kb} <= {"M", "m"}:
+        # datetime/timedelta: unit (ns vs us) is storage, not value
+        return bool((pd.isna(a).to_numpy() == pd.isna(b).to_numpy()).all()) and bool(
+            (a[~pd.isna(a)].astype("datetime64[ns]" if ka == "M" else "timedelta64[ns]").to_numpy()
+             == b[~pd.isna(b)].astype("datetime64[ns]" if kb == "M" else "timedelta64[ns]").to_numpy()).all()
+        )
+    if ka != kb:
+        return False  # int64 vs float64 etc. — the driver's hash differs
+    if ka == "f":
+        return np.array_equal(a.to_numpy(), b.to_numpy(), equal_nan=True)
+    if ka == "b":
+        return np.array_equal(a.to_numpy(), b.to_numpy())
+    # object (strings, decimals, bytes): exact equality, NaN/None match
+    na, nb = pd.isna(a).to_numpy(), pd.isna(b).to_numpy()
+    if not (na == nb).all():
+        return False
+    return bool((a[~na].to_numpy() == b[~nb].to_numpy()).all())
+
+
+def _compare(spdf, dpdf) -> str | None:
+    """None if equal, else a short reason string."""
+    if sorted(spdf.columns) != sorted(dpdf.columns):
+        return f"cols {sorted(spdf.columns)} != {sorted(dpdf.columns)}"
+    if len(spdf) != len(dpdf):
+        return f"rows {len(spdf)} != {len(dpdf)}"
+    s, d = _canon(spdf), _canon(dpdf)
+    for c in s.columns:
+        sc, dc = _coerce_date_objects(s[c], d[c])
+        if sc.dtype.kind != dc.dtype.kind and not (
+            {sc.dtype.kind, dc.dtype.kind} <= {"i", "u"}
+        ):
+            return (
+                f"dtype[{c}] {sc.dtype} != {dc.dtype} "
+                "(driver hash is dtype-sensitive)"
+            )
+        if not _col_equal(sc, dc):
+            return f"values[{c}] differ at full precision"
+    return None
 
 
 def main() -> int:
@@ -70,30 +153,29 @@ def main() -> int:
         if args.k and args.k not in name:
             continue
         t0 = time.perf_counter()
+        why = ""
         try:
             df = fn(spark, args.sf)
-            srows = [tuple(r) for r in df.collect()]
+            spdf = df.toPandas()
             if name in oracles:
-                res = con.execute(oracles[name])
-                dcols = [d[0] for d in res.description]
-                drows = res.fetchall()
-                ok = (
-                    sorted(df.columns) == sorted(dcols)
-                    and len(srows) == len(drows)
-                    and _normalize(srows, df.columns)
-                    == _normalize(drows, dcols)
-                )
+                dpdf = con.execute(oracles[name]).df()
+                reason = _compare(spdf, dpdf)
+                ok = reason is None
                 status = "MATCH    " if ok else "MISMATCH "
+                why = "" if ok else f" [{reason}]"
                 matched += ok
                 if not ok:
                     fails.append(name)
             else:
+                # the driver still canonicalizes rows-only entries —
+                # replicate so unhashable cells fail here first
+                _canon(spdf)
                 status = "rows-only"
                 rows_only += 1
         except Exception as ex:  # noqa: BLE001
             status = f"ERROR {str(ex)[:120]}"
             fails.append(name)
-        print(f"{status} {name} ({time.perf_counter() - t0:.1f}s)")
+        print(f"{status} {name} ({time.perf_counter() - t0:.1f}s){why}")
     print(
         f"\ngate: {matched} matched, {rows_only} rows-only, "
         f"{len(fails)} failed{': ' + ', '.join(fails) if fails else ''}"
