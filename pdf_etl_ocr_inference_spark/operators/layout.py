@@ -80,13 +80,7 @@ def collect_file_stats(spark, path: str, cols: list[str]):
     ``binaryFile`` source (op07's path) and give pyarrow the store's
     filesystem — the sidecar schema and pruning logic are unchanged.
     """
-    import os as _os
-
-    files = [
-        f"{path}/{f}"
-        for f in _os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    ]
+    files = sorted(_live_stat_map(path))
     return _footer_stats(spark, files, cols)
 
 
@@ -235,19 +229,32 @@ def load_or_refresh_file_stats(spark, path: str, cols: list[str]):
 
 def _live_stat_map(path: str) -> dict:
     """``{file: (size, mtime_ns)}`` for the live data files under
-    ``path`` — one scandir pass (the stat comes free with the listing
-    entry), so staleness reconciliation costs what the listing already
-    cost."""
+    ``path`` — one scandir pass per directory (the stat comes free
+    with the listing entry), so staleness reconciliation costs what
+    the listing already cost.  Hive-style partition subdirectories
+    (``col=value``) are recursed into, so partitioned clustered
+    layouts list the same way flat ones do; ``_``/``.``-prefixed
+    entries stay hidden (sidecars, Spark markers)."""
     import os as _os
 
     out = {}
-    with _os.scandir(path) as it:
-        for e in it:
-            if e.name.endswith(".parquet") and not e.name.startswith(
-                (".", "_")
-            ):
-                st = e.stat()
-                out[f"{path}/{e.name}"] = (st.st_size, st.st_mtime_ns)
+
+    def walk(d: str) -> None:
+        with _os.scandir(d) as it:
+            for e in it:
+                if e.name.startswith((".", "_")) and "=" not in e.name:
+                    continue
+                if e.is_dir():
+                    if "=" in e.name:
+                        walk(f"{d}/{e.name}")
+                    continue
+                if e.name.endswith(".parquet") and not e.name.startswith(
+                    (".", "_")
+                ):
+                    st = e.stat()
+                    out[f"{d}/{e.name}"] = (st.st_size, st.st_mtime_ns)
+
+    walk(path)
     return out
 
 
@@ -368,11 +375,7 @@ def build_file_bloom(
 
     from pyspark.sql import functions as F
 
-    files = [
-        f"{path}/{f}"
-        for f in _os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    ]
+    files = sorted(_live_stat_map(path))
 
     def _build(batches):
         import os as _los
@@ -566,17 +569,127 @@ def _layout_expr(spec: dict, bits: int):
     raise ValueError(f"unknown layout spec kind {spec['kind']!r}")
 
 
+# Hive partition column name for multi-level (partitioned) layouts.
+# No leading underscore: Spark's file index hides pure `_`-prefixed
+# paths, but `name=value` partition dirs must stay visible.
+PARTITION_COL = "zpart"
+
+
+def _partition_value_expr(spec: dict):
+    """Coarse partition bucket for a multi-level layout: the scaled
+    axis value floor-divided by ``spec["width"]`` (e.g. 90-day
+    buckets of a timestamp, 100k-wide buckets of an id).  F.floor on
+    double division, NOT integer `div`, so negative values bucket
+    identically to the driver-side Python replay (// is floor; SQL
+    div truncates toward zero)."""
+    from pyspark.sql import functions as F
+
+    width = float(int(spec.get("width", 1)))
+    if spec["kind"] == "int":
+        base = F.col(spec["col"]).cast("double")
+    elif spec["kind"] == "days":
+        base = F.datediff(
+            F.to_date(spec["col"]), F.to_date(F.lit(spec["origin"]))
+        ).cast("double")
+    else:
+        raise ValueError(f"unknown partition spec kind {spec['kind']!r}")
+    return F.floor(base / F.lit(width)).cast("long")
+
+
+def _bucket_of(spec: dict, v: float):
+    """Driver-side replay of :func:`_partition_value_expr` for a
+    NORMALIZED bound value (the stats axis: epoch seconds for
+    temporals, plain value for ints).  Returns None for an unbounded
+    side.  Exact for the same reason the write-side expr is: bucket
+    is a monotone floor composition of the column value, evaluated
+    on exact integers (days / ints) — so predicate ``col in [lo,hi]``
+    implies ``bucket in [_bucket_of(lo), _bucket_of(hi)]``."""
+    import datetime as _dt
+    import math as _math
+
+    if v in (float("-inf"), float("inf")):
+        return None
+    width = int(spec.get("width", 1))
+    if spec["kind"] == "int":
+        return _math.floor(v / width)
+    if spec["kind"] == "days":
+        o = _dt.date.fromisoformat(spec["origin"])
+        origin_days = (o - _dt.date(1970, 1, 1)).days
+        day = _math.floor(v / 86400.0) - origin_days
+        return _math.floor(day / width)
+    raise ValueError(f"unknown partition spec kind {spec['kind']!r}")
+
+
+def _file_partition_value(fpath: str):
+    """Parse the ``zpart=<v>`` hive segment out of a layout file path;
+    None when absent or non-integer (e.g. __HIVE_DEFAULT_PARTITION__
+    for NULL keys) — callers treat None as always-keep."""
+    for seg in fpath.split("/"):
+        if seg.startswith(f"{PARTITION_COL}="):
+            val = seg.split("=", 1)[1]
+            try:
+                return int(val)
+            except ValueError:
+                return None
+    return None
+
+
+def partition_keep_files(files: set, spec: dict, ranges: dict) -> set:
+    """Directory-level pruning for a partitioned layout: keep only
+    files whose ``zpart=<bucket>`` dir can contain rows satisfying
+    the range bound on the partition column.  EXACT, not
+    conservative-only: every row in a dir has exactly that bucket
+    value (written by ``_partition_value_expr``), and bucket is
+    monotone in the column, so a dir outside [bucket(lo), bucket(hi)]
+    provably holds no qualifying row.  Files without a parseable
+    partition segment (NULL-key dir, flat layouts) are always kept.
+
+    At 100 TB this is the level that bounds the per-query CONTROL
+    data: the file-stats sidecar is rows ∝ files, but dir pruning is
+    a pure path-string filter — no stats row of a pruned dir is even
+    consulted."""
+    col = spec["col"]
+    if col not in ranges:
+        return files
+    lo, hi = ranges[col]
+    blo, bhi = _bucket_of(spec, lo), _bucket_of(spec, hi)
+    out = set()
+    for f in files:
+        v = _file_partition_value(f)
+        if v is None:
+            out.add(f)
+        elif (blo is None or v >= blo) and (bhi is None or v <= bhi):
+            out.add(f)
+    return out
+
+
 def _cluster_to(spark, files: list[str], dest: str, specs, bits, n_files,
-                mode: str) -> None:
+                mode: str, partition_spec: dict | None = None) -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
     from pdf_etl_ocr_inference_spark.operators.layout import zorder_key
 
     df = spark.read.parquet(*files)
     exprs = [_layout_expr(s, bits) for s in specs]
+    out = df.withColumn("_z", zorder_key(exprs, bits=bits))
+    if partition_spec is not None:
+        # multi-level: coarse hive dirs on the partition bucket, fine
+        # Z-order within — range-partition on (bucket, z) so each
+        # write task lands in ~one dir and file counts stay ~n_files
+        (
+            out.withColumn(
+                PARTITION_COL, _partition_value_expr(partition_spec)
+            )
+            .repartitionByRange(n_files, PARTITION_COL, "_z")
+            .sortWithinPartitions(PARTITION_COL, "_z")
+            .drop("_z")
+            .write.mode(mode)
+            .partitionBy(PARTITION_COL)
+            .parquet(dest)
+        )
+        return
     (
-        df.withColumn("_z", zorder_key(exprs, bits=bits))
-        .repartitionByRange(n_files, "_z")
+        out.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
         .write.mode(mode)
@@ -591,6 +704,7 @@ def register_clustered_layout(
     bits: int = 12,
     n_files: int = 16,
     bloom_cols: list[str] | None = None,
+    partition_spec: dict | None = None,
     catalog=None,
 ):
     """Build and REGISTER a Z-order-clustered copy of ``source_path``
@@ -628,7 +742,10 @@ def register_clustered_layout(
         _hl.sha256(source_path.encode()).hexdigest()[:16],
     )
     files = _source_files(source_path)
-    _cluster_to(spark, files, dest, specs, bits, n_files, "overwrite")
+    _cluster_to(
+        spark, files, dest, specs, bits, n_files, "overwrite",
+        partition_spec=partition_spec,
+    )
     cols = [s["col"] for s in specs]
     load_or_refresh_file_stats(spark, dest, cols)
     for bc in bloom_cols or []:
@@ -643,6 +760,7 @@ def register_clustered_layout(
         "bits": bits,
         "n_files": n_files,
         "bloom_cols": list(bloom_cols or []),
+        "partition_spec": partition_spec,
         "inventory": _source_inventory(source_path),
     }
     cat.register(key, meta)
@@ -682,6 +800,7 @@ def refresh_clustered_layout(spark, source_path: str, catalog=None):
         _cluster_to(
             spark, appended, meta["layout_path"], meta["specs"],
             meta["bits"], max(1, len(appended)), "append",
+            partition_spec=meta.get("partition_spec"),
         )
         load_or_refresh_file_stats(
             spark, meta["layout_path"], meta["cols"]
@@ -696,6 +815,7 @@ def refresh_clustered_layout(spark, source_path: str, catalog=None):
     new_meta = register_clustered_layout(
         spark, source_path, meta["specs"], bits=meta["bits"],
         n_files=meta["n_files"], bloom_cols=meta.get("bloom_cols"),
+        partition_spec=meta.get("partition_spec"),
         catalog=cat,
     )
     return {"mode": "rebuild", "new_files": len(new_meta["inventory"])}

@@ -1165,6 +1165,7 @@ def rewrite_skipping_scan(
         _source_inventory,
         bloom_keep_files,
         layout_key,
+        partition_keep_files,
         stats_keep_files,
     )
 
@@ -1189,14 +1190,24 @@ def rewrite_skipping_scan(
         return df
     ranges: dict = {}
     in_lists: dict = {}
+    pspec = meta.get("partition_spec")
+    # bounds are extracted for the stats (z-spec) columns AND the
+    # partition column; the partition column's bounds feed ONLY the
+    # hive-dir pruning unless it is also a stats column — the stats
+    # keep must never see a column the sidecar does not cover (an
+    # uncovered column would read as "no stats" and wrongly drop)
+    bound_cols = list(meta["cols"])
+    if pspec and pspec["col"] not in bound_cols:
+        bound_cols.append(pspec["col"])
     for cond in conds:
-        for col, (lo, hi) in _extract_ranges(cond, meta["cols"]).items():
+        for col, (lo, hi) in _extract_ranges(cond, bound_cols).items():
             plo, phi = ranges.get(col, (float("-inf"), float("inf")))
             ranges[col] = (max(plo, lo), min(phi, hi))
         for col, vals in _extract_in_lists(
             cond, meta.get("bloom_cols") or []
         ).items():
             in_lists.setdefault(col, []).extend(vals)
+    stats_ranges = {c: b for c, b in ranges.items() if c in meta["cols"]}
     if not ranges and not in_lists:
         return df
     spark = df.sparkSession
@@ -1209,8 +1220,13 @@ def rewrite_skipping_scan(
         live = _live_stat_map(meta["layout_path"])
         current = set(live)
         files = current
-        if ranges:
-            keep, covered = stats_keep_files(spark, meta, ranges)
+        if pspec and ranges:
+            # multi-level layout: hive-dir pruning first — a pure
+            # path-string filter (EXACT, see partition_keep_files),
+            # no sidecar row of a pruned dir is consulted
+            files = partition_keep_files(files, pspec, ranges)
+        if stats_ranges:
+            keep, covered = stats_keep_files(spark, meta, stats_ranges)
             files = files & ((keep & covered) | (current - covered))
         for col, vals in sorted(in_lists.items()):
             keep, covered = bloom_keep_files(spark, meta, col, vals)

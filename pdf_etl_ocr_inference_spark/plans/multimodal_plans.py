@@ -65,22 +65,52 @@ def mm_decode_stub(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "mm_byte_histogram",
-    None,  # numpy feature path → rows-only; distribution checked in pytest
+    "SELECT doc_id AS media_id, 16 AS n_bins, "
+    "CAST(LENGTH(REGEXP_REPLACE(text, '[^\\x00-\\x0F]', '', 'g')) "
+    "AS BIGINT) AS count_b0, "
+    "CAST(LENGTH(REGEXP_REPLACE(text, '[^ -/]', '', 'g')) "
+    "AS BIGINT) AS count_b2, "
+    "CAST(LENGTH(REGEXP_REPLACE(text, '[^0-?]', '', 'g')) "
+    "AS BIGINT) AS count_b3, "
+    "CAST(LENGTH(REGEXP_REPLACE(text, '[^@-O]', '', 'g')) "
+    "AS BIGINT) AS count_b4, "
+    "CAST(LENGTH(REGEXP_REPLACE(text, '[^P-_]', '', 'g')) "
+    "AS BIGINT) AS count_b5, "
+    "CAST(LENGTH(REGEXP_REPLACE(text, '[^`-o]', '', 'g')) "
+    "AS BIGINT) AS count_b6, "
+    "CAST(LENGTH(REGEXP_REPLACE(text, '[^p-\\x7F]', '', 'g')) "
+    "AS BIGINT) AS count_b7 "
+    "FROM documents",
     doc="byte-histogram feature extraction (16-bin, L1-normalized) — "
-    "the image-embedding-shaped mapInPandas stage (id + array<float>).",
+    "the image-embedding-shaped mapInPandas stage (id + "
+    "array<float>).  ORACLED since r5: the fixture corpus is pure "
+    "ASCII (octet_length == length, verified at every SF), so each "
+    "16-wide byte bin is an exact character-class count DuckDB "
+    "replays with REGEXP_REPLACE; the entry reconstructs the integer "
+    "counts from the normalized float32 features (feat*n_bytes "
+    "rounds exactly below 2^23) — a histogram bug that moves any "
+    "mass between bins now hash-mismatches.  The features array "
+    "itself stays out of the output (array cells are unhashable to "
+    "the driver canonicalizer).",
 )
 def mm_byte_histogram(spark: SparkSession, sf: str) -> DataFrame:
     media = with_media_column(_t(spark, sf, "documents"))
     feats = byte_histogram_features(media)
-    return feats.select(
+    joined = feats.join(
+        media.select("media_id", F.col("meta.n_bytes").alias("n_bytes")),
         "media_id",
-        F.size("features").alias("n_bins"),
+    )
+    counts = [
         F.round(
-            F.aggregate(
-                "features", F.lit(0.0), lambda a, v: a + v.cast("double")
-            ),
-            2,
-        ).alias("l1_mass"),
+            F.element_at("features", b + 1).cast("double")
+            * F.col("n_bytes")
+        )
+        .cast("long")
+        .alias(f"count_b{b}")
+        for b in (0, 2, 3, 4, 5, 6, 7)
+    ]
+    return joined.select(
+        "media_id", F.size("features").alias("n_bins"), *counts
     )
 
 

@@ -996,3 +996,79 @@ def op70e_bloom_rewrite(spark: SparkSession, sf: str) -> DataFrame:
         "o_custkey",
         F.round("o_totalprice", 2).alias("total"),
     )
+
+
+@register(
+    "op70f_partitioned_layout",
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "ROUND(SUM(o_totalprice), 2) AS total "
+    "FROM orders WHERE o_custkey BETWEEN 200 AND 499 "
+    "AND o_orderdate >= TIMESTAMP '1996-07-01' "
+    "AND o_orderdate < TIMESTAMP '1997-07-01' "
+    "GROUP BY o_orderpriority",
+    doc="MULTI-LEVEL clustered layout through the same optimizer "
+    "rule as op70d: the registered copy adds a coarse hive "
+    "partition level (90-day buckets of o_orderdate, "
+    "partition_spec) above the fine Z-order, so the rewrite prunes "
+    "at TWO granularities — whole zpart=<bucket> DIRECTORIES by a "
+    "pure path-string filter first (exact: every row in a dir has "
+    "that bucket, bucket is monotone in the column), then files "
+    "within surviving dirs by the min/max sidecar.  At 100 TB the "
+    "dir level is what bounds per-query CONTROL data: stats rows "
+    "are ∝ files, but a date-bounded dashboard query touches only "
+    "its buckets' stats.  The source is copied to scratch so "
+    "op70d/op70e's flat registration of the pristine table is not "
+    "clobbered; the oracle replays the same predicate+agg on the "
+    "pristine table, proving the partitioned rewrite semantically "
+    "invisible.",
+)
+def op70f_partitioned_layout(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        layout_key,
+        register_clustered_layout,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        IndexCatalog,
+        optimize,
+    )
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
+    safe = sf.strip("/").replace("/", "_").replace(".", "_")
+    src = f"{scratch_dir(f'partsrc_{safe}')}/orders"
+    if not os.path.isdir(src):
+        (
+            spark.read.parquet(os.path.join(sf, "orders.parquet"))
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+    cat = IndexCatalog()
+    meta = cat.lookup(layout_key(src))
+    if meta is None or not meta.get("partition_spec"):
+        register_clustered_layout(
+            spark,
+            src,
+            [
+                {"col": "o_custkey", "kind": "int"},
+                {"col": "o_orderdate", "kind": "days",
+                 "origin": "1995-01-01"},
+            ],
+            partition_spec={
+                "col": "o_orderdate", "kind": "days",
+                "origin": "1995-01-01", "width": 90,
+            },
+        )
+    brute = spark.read.parquet(src).filter(
+        F.col("o_custkey").between(200, 499)
+        & (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    # demo entry: cost gate pinned off, same rationale as op70d
+    routed = optimize(brute, min_saved_bytes=0)
+    assert routed is not brute, "partitioned rewrite did not fire"
+    return routed.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -574,3 +574,97 @@ def test_inplace_rewrite_detected_by_public_helpers(spark, tmp_path):
     fresh = load_or_refresh_file_stats(spark, d, ["k"])
     row = [r for r in fresh.collect() if r["col"] == "k"][0]
     assert row["vmin"] >= 1000.0
+
+
+def test_partitioned_layout_dir_pruning(spark, tmp_path):
+    """Multi-level layout: coarse hive dirs on a 90-day bucket of the
+    date axis + fine Z-order within.  The rewrite must (a) fire and
+    match brute, (b) schedule ONLY files under the buckets the date
+    bound allows (dir pruning is exact — every row in a dir has that
+    bucket), (c) survive an append-only refresh."""
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        PARTITION_COL,
+        _bucket_of,
+        _file_partition_value,
+        register_clustered_layout,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import rewrite_skipping_scan
+
+    d = str(tmp_path / "orders_part")
+    (
+        spark.read.parquet(f"{SF0001}/orders.parquet")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    pspec = {
+        "col": "o_orderdate", "kind": "days",
+        "origin": "1995-01-01", "width": 90,
+    }
+    register_clustered_layout(
+        spark, d, SPECS, n_files=16, partition_spec=pspec
+    )
+
+    df = spark.read.parquet(d).filter(_box())
+    opt = _rw(df)
+    assert opt is not df
+    assert _keys(opt) == _keys(df)
+    assert len(_keys(opt)) > 0
+
+    # every scheduled file's dir bucket lies inside the date bound's
+    # bucket range (1996 with a 1995-01-01 origin: days 365..730,
+    # buckets 4..8 at width 90)
+    node = opt._jdf.queryExecution().analyzed()
+    while node.nodeName() != "LogicalRelation":
+        node = node.children().head()
+    paths = node.relation().location().rootPaths()
+    scheduled = [paths.apply(i).toString() for i in range(paths.size())]
+    assert scheduled and all(PARTITION_COL + "=" in p for p in scheduled)
+    import datetime
+
+    lo = (datetime.datetime(1996, 1, 1)
+          - datetime.datetime(1970, 1, 1)).total_seconds()
+    hi = (datetime.datetime(1997, 1, 1)
+          - datetime.datetime(1970, 1, 1)).total_seconds()
+    blo, bhi = _bucket_of(pspec, lo), _bucket_of(pspec, hi)
+    for p in scheduled:
+        v = _file_partition_value(p)
+        assert v is not None and blo <= v <= bhi, (p, blo, bhi)
+    # append-only refresh keeps the partitioned shape working
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        refresh_clustered_layout,
+    )
+
+    extra = (
+        spark.read.parquet(f"{SF0001}/orders.parquet")
+        .limit(30)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(30_000_000))
+    )
+    extra.coalesce(1).write.mode("append").parquet(d)
+    r = refresh_clustered_layout(spark, d)
+    assert r["mode"] == "incremental"
+    df2 = spark.read.parquet(d).filter(_box())
+    opt2 = _rw(df2)
+    assert opt2 is not df2
+    assert _keys(opt2) == _keys(df2)
+
+
+def test_partition_bucket_bounds_negative_and_int(spark):
+    """Floor-division bucket replay is exact for negative values and
+    int specs (SQL div truncates toward zero; both sides here floor)."""
+    from pdf_etl_ocr_inference_spark.operators.layout import _bucket_of
+
+    spec = {"col": "x", "kind": "int", "width": 100}
+    assert _bucket_of(spec, -1.0) == -1
+    assert _bucket_of(spec, -100.0) == -1
+    assert _bucket_of(spec, -101.0) == -2
+    assert _bucket_of(spec, 0.0) == 0
+    assert _bucket_of(spec, 99.0) == 0
+    assert _bucket_of(spec, float("-inf")) is None
+    dspec = {"col": "d", "kind": "days", "origin": "1995-01-01",
+             "width": 90}
+    import datetime
+
+    v1996 = (datetime.datetime(1996, 1, 1)
+             - datetime.datetime(1970, 1, 1)).total_seconds()
+    assert _bucket_of(dspec, v1996) == 365 // 90
