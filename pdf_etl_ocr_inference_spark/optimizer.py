@@ -1337,5 +1337,18 @@ def suggest_clustered_layout(
         blooms = sorted(
             c for c in in_votes.get(src, Counter()) if c not in spec_cols
         )
-        out[src] = {"specs": specs, "bloom_cols": blooms}
+        advice = {"specs": specs, "bloom_cols": blooms}
+        # Multi-level advice: when a temporal axis is among the voted
+        # Z dimensions, also propose a coarse hive partition level on
+        # it (90-day buckets — wide enough that a typical dashboard
+        # range touches few dirs, narrow enough that the dir count
+        # stays ~4/year).  At 100 TB the dir level bounds per-query
+        # control data (see layout.partition_keep_files); registering
+        # with this spec is what turns the advice into the two-level
+        # prune op70f demonstrates.
+        for s in specs:
+            if s["kind"] == "days":
+                advice["partition_spec"] = {**s, "width": 90}
+                break
+        out[src] = advice
     return out

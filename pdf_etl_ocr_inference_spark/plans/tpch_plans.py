@@ -217,9 +217,12 @@ def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "tpch_q9",
-    "SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit FROM ("
+    "SELECT nation, o_year, ROUND(SUM("
+    "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * "
+    "(100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
+    ") / 10000.0, 2) AS sum_profit FROM ("
     "  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year, "
-    "  l_extendedprice * (1 - l_discount) AS amount "
+    "  l_extendedprice, l_discount "
     "  FROM part JOIN lineitem ON p_partkey = l_partkey "
     "  JOIN supplier ON s_suppkey = l_suppkey "
     "  JOIN orders ON o_orderkey = l_orderkey "
@@ -229,7 +232,14 @@ def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
     doc="TPC-H Q9 product-type profit, adapted: no partsupp table → "
     "amount omits ps_supplycost*l_quantity; p_name LIKE → p_type "
     "equality. Shape preserved: fact joins 3 broadcast dims, "
-    "group by nation × year.",
+    "group by nation × year. The profit SUM runs in EXACT integer "
+    "cent×percent units (both price and discount are 2-decimal "
+    "values, so round(x*100) recovers the exact integer) and divides "
+    "once at the end: a float SUM's reduction order differs between "
+    "engines, and at sf0.1 one group landed within an ulp of a "
+    "ROUND(.,2) boundary and hashed apart — the same class op92b "
+    "hit; integer partials make the group total bit-identical for "
+    "ANY partitioning.",
     tags=("bench",),
 )
 def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
@@ -244,6 +254,10 @@ def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     )
     orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf, "lineitem")
+    amount_e4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -251,10 +265,12 @@ def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "nation",
             F.year("o_orderdate").cast("bigint").alias("o_year"),
-            _rev().alias("amount"),
+            amount_e4.alias("amount_e4"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(
+            F.round(F.sum("amount_e4") / 10000.0, 2).alias("sum_profit")
+        )
     )
 
 

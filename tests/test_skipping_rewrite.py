@@ -289,9 +289,13 @@ def test_layout_advisor_closes_the_loop(spark, src_dir):
     got = advice[src_dir]
     assert [s["col"] for s in got["specs"]] == ["o_custkey", "o_orderdate"]
     assert got["bloom_cols"] == ["o_orderkey"]
+    # the temporal Z axis also gets a coarse partition-level proposal
+    assert got["partition_spec"]["col"] == "o_orderdate"
+    assert got["partition_spec"]["width"] == 90
 
     register_clustered_layout(
-        spark, src_dir, got["specs"], bloom_cols=got["bloom_cols"]
+        spark, src_dir, got["specs"], bloom_cols=got["bloom_cols"],
+        partition_spec=got["partition_spec"],
     )
     for df in workload[:3]:
         opt = _rw(df)
