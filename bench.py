@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     # domain-targeted corpus construction
     "op70d_skipping_rewrite",
     "pipeline_dsir_corpus",
+    # round-5 addition: multi-level (hive dir + Z-order) layout prune
+    "op70f_partitioned_layout",
 ]
 
 
