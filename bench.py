@@ -735,6 +735,76 @@ def layout_rewrite_served(spark) -> dict:
     }
 
 
+def partitioned_prune(spark) -> dict:
+    """Multi-level layout at 4M rows x 64 files: 16 coarse hive dirs
+    (ckey buckets of 62.5k) + fine Z-order within.  The 1/16 box
+    query keeps exactly its bucket's DIRECTORY via the pure
+    path-string filter, so only that dir's stats rows are even
+    relevant — the quantity that matters at 100 TB, where the stats
+    sidecar is rows ∝ files (~100k) but a bounded query touches one
+    bucket's worth.  Reports dirs/files kept at each level plus
+    end-to-end result parity through the optimizer rule.  Runs AFTER
+    layout_rewrite_served (both register the same scratch source; the
+    last registration wins within a bench pass)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        _file_partition_value,
+        _live_stat_map,
+        layout_key,
+        partition_keep_files,
+        register_clustered_layout,
+        stats_keep_files,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        IndexCatalog,
+        rewrite_skipping_scan,
+    )
+
+    path = "/tmp/spark_graft_scratch/skipping_table_4m"
+    pspec = {"col": "ckey", "kind": "int", "width": 62_500}
+    t0 = _t.perf_counter()
+    register_clustered_layout(
+        spark, path, [{"col": "ckey", "kind": "int"}], bits=20,
+        n_files=64, partition_spec=pspec,
+    )
+    t_register = round(_t.perf_counter() - t0, 3)
+    meta = IndexCatalog().lookup(layout_key(path))
+
+    live = set(_live_stat_map(meta["layout_path"]))
+    ranges = {"ckey": (500_000.0, 562_499.0)}
+    dir_kept = partition_keep_files(live, pspec, ranges)
+    skeep, scov = stats_keep_files(spark, meta, ranges)
+    final = dir_kept & ((skeep & scov) | (live - scov))
+    dirs_total = len({_file_partition_value(f) for f in live})
+    dirs_kept = len({_file_partition_value(f) for f in dir_kept})
+
+    box = (F.col("ckey") >= 500_000) & (F.col("ckey") < 562_500)
+    brute = (
+        spark.read.parquet(path).filter(box).agg(F.sum("val")).collect()
+    )
+    opt_df = rewrite_skipping_scan(
+        spark.read.parquet(path).filter(box), min_saved_bytes=0
+    )
+    routed = opt_df.agg(F.sum("val")).collect()
+    b, r = brute[0][0], routed[0][0]
+    assert abs(b - r) <= 1e-9 * max(abs(b), 1.0), (b, r)
+    return {
+        "rows": 4_000_000,
+        "register_s": t_register,
+        "dirs_total": dirs_total,
+        "dirs_kept_by_path_filter": dirs_kept,
+        "files_total": len(live),
+        "files_after_dir_prune": len(dir_kept),
+        "files_scheduled": len(final),
+        "stats_rows_relevant_fraction": round(
+            len(dir_kept) / max(len(live), 1), 3
+        ),
+    }
+
+
 def sf_scaling_sweep(spark) -> dict:
     """Wall time of four representative shapes across the three
     fixture scales (100× data span): the ratio t(sf0.1)/t(sf0.01)
@@ -937,7 +1007,9 @@ def main() -> None:
     print(f"# bm25 postings index @200k: {bmidx}", file=sys.stderr)
     fskip = file_skipping_speedup(spark)
     lserved = layout_rewrite_served(spark)
+    ppart = partitioned_prune(spark)
     print(f"# file skipping @4M/64 files: {fskip}", file=sys.stderr)
+    print(f"# partitioned layout prune @4M: {ppart}", file=sys.stderr)
     sweep = sf_scaling_sweep(spark)
     print(f"# sf scaling sweep: {sweep}", file=sys.stderr)
     gb = graph_build(spark)
@@ -962,6 +1034,7 @@ def main() -> None:
                 "bm25_index_speedup_200k": bmidx,
                 "file_skipping_4m": fskip,
                 "layout_rewrite_served_4m": lserved,
+                "partitioned_prune_4m": ppart,
                 "sf_scaling_sweep": sweep,
                 "graph_build_100k": gb,
             }
