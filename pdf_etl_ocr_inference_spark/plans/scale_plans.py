@@ -1035,8 +1035,16 @@ def op70f_partitioned_layout(spark: SparkSession, sf: str) -> DataFrame:
     )
     from pdf_etl_ocr_inference_spark.scratch import scratch_dir
 
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        _source_inventory,
+    )
+
     safe = sf.strip("/").replace("/", "_").replace(".", "_")
-    src = f"{scratch_dir(f'partsrc_{safe}')}/orders"
+    # wipe=False: the default wipe would delete and re-copy the source
+    # on every call, drifting its mtimes away from the registered
+    # inventory so the rewrite (correctly) declines — bench runs each
+    # entry three passes and hit exactly that on pass 2
+    src = f"{scratch_dir(f'partsrc_{safe}', wipe=False)}/orders"
     if not os.path.isdir(src):
         (
             spark.read.parquet(os.path.join(sf, "orders.parquet"))
@@ -1046,7 +1054,11 @@ def op70f_partitioned_layout(spark: SparkSession, sf: str) -> DataFrame:
         )
     cat = IndexCatalog()
     meta = cat.lookup(layout_key(src))
-    if meta is None or not meta.get("partition_spec"):
+    if (
+        meta is None
+        or not meta.get("partition_spec")
+        or meta["inventory"] != _source_inventory(src)
+    ):
         register_clustered_layout(
             spark,
             src,
