@@ -672,3 +672,50 @@ def test_partition_bucket_bounds_negative_and_int(spark):
     v1996 = (datetime.datetime(1996, 1, 1)
              - datetime.datetime(1970, 1, 1)).total_seconds()
     assert _bucket_of(dspec, v1996) == 365 // 90
+
+
+def test_all_three_prune_sources_compose(spark, tmp_path):
+    """Partition dirs ∩ min/max stats ∩ Bloom: a query with a range
+    box AND an integer IN-list on a partitioned layout with a bloom
+    column must intersect all three keep-lists and still match
+    brute exactly."""
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        register_clustered_layout,
+    )
+
+    d = str(tmp_path / "orders_all3")
+    (
+        spark.read.parquet(f"{SF0001}/orders.parquet")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    register_clustered_layout(
+        spark, d, SPECS, n_files=16,
+        bloom_cols=["o_orderkey"],
+        partition_spec={
+            "col": "o_orderdate", "kind": "days",
+            "origin": "1995-01-01", "width": 90,
+        },
+    )
+    probe = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(d)
+        .filter(_box())
+        .select("o_orderkey").orderBy("o_orderkey").limit(4).collect()
+    ]
+    assert probe  # the box holds rows at sf0.001
+    df = spark.read.parquet(d).filter(
+        _box() & F.col("o_orderkey").isin(probe)
+    )
+    opt = _rw(df)
+    assert opt is not df
+    assert _keys(opt) == _keys(df) == sorted(probe)
+    assert _scan_file_count(opt) <= 4  # three prunes compose tightly
+
+    # IN-list only (no range): dir pruning stays out (conservative),
+    # bloom still serves
+    df2 = spark.read.parquet(d).filter(F.col("o_orderkey").isin(probe))
+    opt2 = _rw(df2)
+    assert opt2 is not df2
+    assert _keys(opt2) == sorted(probe)
