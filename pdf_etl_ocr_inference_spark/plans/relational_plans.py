@@ -951,7 +951,7 @@ def op94b_lateral_df(spark: SparkSession, sf: str) -> DataFrame:
     "op95b_sql_udf",
     "SELECT CASE WHEN value < 50 THEN 'low' "
     "WHEN value < 150 THEN 'mid' ELSE 'high' END AS bucket, "
-    "COUNT(*) AS n, ROUND(SUM(value), 2) AS total "
+    "COUNT(*) AS n, ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total "
     "FROM events GROUP BY 1",
     doc="declarative SQL UDF (Spark 4's CREATE FUNCTION ... RETURN "
     "expr): the bucketing rule is defined ONCE as a catalog function "
@@ -974,7 +974,10 @@ def op95b_sql_udf(spark: SparkSession, sf: str) -> DataFrame:
     )
     return spark.sql(
         f"SELECT {fn}(value) AS bucket, COUNT(*) AS n, "
-        f"ROUND(SUM(value), 2) AS total FROM {ev_view} GROUP BY 1"
+        # 100.0D: Spark SQL's bare 100.0 literal is DECIMAL, which
+        # would make the division (and ROUND) decimal → pandas object
+        f"ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0D, 2) "
+        f"AS total FROM {ev_view} GROUP BY 1"
     )
 
 

