@@ -24,7 +24,7 @@ from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
 @register(
     "op56_salted_agg",
     "SELECT o_orderpriority, COUNT(*) AS n, "
-    "ROUND(SUM(o_totalprice), 2) AS total FROM orders GROUP BY 1",
+    "ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS total FROM orders GROUP BY 1",
     doc="skew-defeating two-phase aggregation: salt the (5-value, "
     "hence skewed at scale) group key with 16 shards, partial-agg on "
     "(key, salt), final-agg on key. Result provably identical to the "
@@ -42,12 +42,16 @@ def op56_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_orderpriority", "_salt")
         .agg(
             F.count("*").alias("_n"),
-            F.sum("o_totalprice").alias("_sum"),
+            # exact integer cents so the two-phase accumulation order
+            # (salt shards, then final) can never move a ulp
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("_sum"),
         )
     )
     return partial.groupBy("o_orderpriority").agg(
         F.sum("_n").alias("n"),
-        F.round(F.sum("_sum"), 2).alias("total"),
+        F.round(F.sum("_sum") / 100.0, 2).alias("total"),
     )
 
 
@@ -125,7 +129,7 @@ def op69_observed_metrics(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "op68_merge_upsert",
-    "SELECT status, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total "
+    "SELECT status, COUNT(*) AS n, ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS total "
     "FROM ("
     "  SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'updated' ELSE 'kept' END "
     "  AS status, CASE WHEN o_orderkey % 5 = 0 "
@@ -174,7 +178,11 @@ def op68_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
     return merged.groupBy("status").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            / 100.0,
+            2,
+        ).alias("total"),
     )
 
 
@@ -382,7 +390,7 @@ def _zorder_scratch(sf: str) -> str:
 
 @register(
     "op70_zorder_layout",
-    "SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total "
+    "SELECT COUNT(*) AS n, ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS total "
     "FROM orders WHERE o_custkey BETWEEN 100 AND 299 "
     "AND o_orderdate >= TIMESTAMP '1996-01-01' "
     "AND o_orderdate < TIMESTAMP '1997-01-01'",
@@ -422,7 +430,11 @@ def op70_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            / 100.0,
+            2,
+        ).alias("total"),
     )
 
 
@@ -472,7 +484,7 @@ def op96_result_cache(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "op70b_stats_pruned_scan",
     "SELECT o_orderpriority, COUNT(*) AS n, "
-    "ROUND(SUM(o_totalprice), 2) AS total "
+    "ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS total "
     "FROM orders WHERE o_custkey BETWEEN 100 AND 299 "
     "AND o_orderdate >= TIMESTAMP '1996-01-01' "
     "AND o_orderdate < TIMESTAMP '1997-01-01' "
@@ -536,7 +548,11 @@ def op70b_stats_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            / 100.0,
+            2,
+        ).alias("total"),
         )
     )
 
@@ -873,7 +889,7 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "op70d_skipping_rewrite",
     "SELECT o_orderpriority, COUNT(*) AS n, "
-    "ROUND(SUM(o_totalprice), 2) AS total "
+    "ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS total "
     "FROM orders WHERE o_custkey BETWEEN 100 AND 299 "
     "AND o_orderdate >= TIMESTAMP '1996-01-01' "
     "AND o_orderdate < TIMESTAMP '1997-01-01' "
@@ -932,7 +948,11 @@ def op70d_skipping_rewrite(spark: SparkSession, sf: str) -> DataFrame:
     assert routed is not brute, "skipping rewrite did not fire"
     return routed.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            / 100.0,
+            2,
+        ).alias("total"),
     )
 
 
@@ -1001,7 +1021,8 @@ def op70e_bloom_rewrite(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "op70f_partitioned_layout",
     "SELECT o_orderpriority, COUNT(*) AS n, "
-    "ROUND(SUM(o_totalprice), 2) AS total "
+    "ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) "
+    "AS total "
     "FROM orders WHERE o_custkey BETWEEN 200 AND 499 "
     "AND o_orderdate >= TIMESTAMP '1996-07-01' "
     "AND o_orderdate < TIMESTAMP '1997-07-01' "
@@ -1082,5 +1103,9 @@ def op70f_partitioned_layout(spark: SparkSession, sf: str) -> DataFrame:
     assert routed is not brute, "partitioned rewrite did not fire"
     return routed.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            / 100.0,
+            2,
+        ).alias("total"),
     )

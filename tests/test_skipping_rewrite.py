@@ -382,16 +382,27 @@ def test_cost_gate_declines_small_tables_by_default(
     df = spark.read.parquet(src_dir).filter(_box())
     assert rewrite_skipping_scan(df) is df        # default: declines
     assert optimize(df) is df
-    assert rewrite_skipping_scan(df, min_saved_bytes=0) is not df
-    # threshold just below the actual savings → fires
-    import os
+    routed = rewrite_skipping_scan(df, min_saved_bytes=0)
+    assert routed is not df
+    # Measure the ACTUAL saved bytes the same way the gate does:
+    # layout files minus the files the routed plan actually reads.
+    from urllib.parse import urlparse
 
-    total = sum(
-        e.stat().st_size
-        for e in os.scandir(src_dir)
-        if e.name.endswith(".parquet")
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        _live_stat_map,
+        layout_key,
     )
-    assert rewrite_skipping_scan(df, min_saved_bytes=total * 10) is df
+    from pdf_etl_ocr_inference_spark.optimizer import IndexCatalog
+
+    meta = IndexCatalog().lookup(layout_key(src_dir))
+    live = _live_stat_map(meta["layout_path"])
+    kept = {urlparse(f).path for f in routed.inputFiles()}
+    saved = sum(sz for f, (sz, _) in live.items() if f not in kept)
+    assert saved > 0, "box predicate should prune at least one file"
+    # boundary: a threshold AT the measured savings fires (gate is
+    # ``saved < threshold`` → decline), one byte above declines
+    assert rewrite_skipping_scan(df, min_saved_bytes=saved) is not df
+    assert rewrite_skipping_scan(df, min_saved_bytes=saved + 1) is df
 
 
 def test_truncating_cast_yields_no_bound(spark, src_dir, registered):

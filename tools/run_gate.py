@@ -85,8 +85,11 @@ def _col_equal(a, b) -> bool:
     ka, kb = a.dtype.kind, b.dtype.kind
     if {ka, kb} <= {"i", "u"}:
         return np.array_equal(a.to_numpy(), b.to_numpy())
-    if {ka, kb} <= {"M", "m"}:
-        # datetime/timedelta: unit (ns vs us) is storage, not value
+    if ka == kb and ka in ("M", "m"):
+        # same-kind datetime/datetime or timedelta/timedelta only:
+        # unit (ns vs us) is storage, not value.  A datetime-vs-
+        # timedelta mix must fall through to the kind-mismatch branch
+        # (numpy comparison across M/m raises, surfacing as ERROR).
         return bool((pd.isna(a).to_numpy() == pd.isna(b).to_numpy()).all()) and bool(
             (a[~pd.isna(a)].astype("datetime64[ns]" if ka == "M" else "timedelta64[ns]").to_numpy()
              == b[~pd.isna(b)].astype("datetime64[ns]" if kb == "M" else "timedelta64[ns]").to_numpy()).all()
