@@ -52,6 +52,34 @@ def hash_embed_texts(texts: list[str], dim: int = 64) -> list[list[float]]:
     return out
 
 
+def hash_embed_counts(texts: list[str], dim: int = 64) -> list[list[float]]:
+    """UNNORMALIZED variant of :func:`hash_embed_texts`: signed token
+    counts per hashed dimension, no L2 normalization.
+
+    Every coordinate is a small integer (|v| ≤ token count), which
+    float32 represents exactly — so a plan that casts the embedding
+    back to BIGINT and scores with integer arithmetic is bit-exact
+    and DuckDB-replayable (``MD5`` is shared by both engines), unlike
+    the normalized float path.  Cosine over these counts equals
+    cosine over the normalized vectors, so ranking is unchanged.
+    Tokenization is ``split(" ")`` + drop-empties, exactly the
+    token-window chunker's convention (documents.py:42), so the
+    oracle replays one tokenizer, not two.
+    """
+    out: list[list[float]] = []
+    for text in texts:
+        vec = [0.0] * dim
+        for tok in text.split(" "):
+            if not tok:
+                continue
+            h = int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+            )
+            vec[h % dim] += 1.0 if (h >> 8) % 2 == 0 else -1.0
+        out.append(vec)
+    return out
+
+
 def make_inference_udf(
     embed_fn: EmbedFn | None = None,
     dim: int = 64,
