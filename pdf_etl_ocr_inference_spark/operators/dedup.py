@@ -39,6 +39,80 @@ from pdf_etl_ocr_inference_spark.functions.text import (
 from pdf_etl_ocr_inference_spark.operators.layout import ensure_min_parallelism
 
 # ------------------------------------------------------------------
+# Hash families
+# ------------------------------------------------------------------
+#
+# ``xxhash64`` (default): fastest JVM-native path, but DuckDB has no
+# equivalent, so entries built on it are rows-only in the driver gate.
+#
+# ``md5``: DuckDB-replayable family (verdict-r5 #2) — MD5 exists in
+# both engines and ``Spark F.conv(F.substring(md5, 1, k), 16, 10)``
+# equals ``DuckDB CAST('0x' || SUBSTR(md5, 1, k) AS UBIGINT)`` for
+# k ≤ 15.  MinHash does NOT pay 32 md5 calls per shingle: one md5
+# yields a 32-bit base, and the 32 "permutations" are the standard
+# affine universal family h_i = (a_i·x + b_i) mod (2^61 − 1) with
+# module-constant (a_i, b_i) — exact BIGINT arithmetic (a_i < 2^31,
+# x < 2^32 ⇒ a_i·x < 2^63), so both engines compute identical values.
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def _affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per hash index, derived from md5 so the
+    constants are reproducible in the oracle-SQL generator."""
+    import hashlib as _hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = _hashlib.md5(f"minhash-seed-{i}".encode()).digest()
+        a = (int.from_bytes(d[:4], "big") | 1) & 0x7FFFFFFF
+        b = int.from_bytes(d[4:8], "big") & 0x7FFFFFFF
+        out.append((a, b))
+    return out
+
+
+def md5_base32(col: Column | str) -> Column:
+    """First 32 bits of md5 as a nonnegative BIGINT (both engines)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def md5_base60(col: Column | str) -> Column:
+    """First 60 bits of md5 as a nonnegative BIGINT (both engines)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def seeded_hashes(
+    col: Column | str, num_hashes: int, family: str
+) -> list[Column]:
+    """``num_hashes`` independent 64-bit-ish hash Columns of ``col``."""
+    if family == "xxhash64":
+        return [F.xxhash64(col, F.lit(i)) for i in range(num_hashes)]
+    if family == "md5":
+        base = md5_base32(col)
+        return [
+            (F.lit(a) * base + F.lit(b)) % F.lit(MERSENNE61)
+            for a, b in _affine_params(num_hashes)
+        ]
+    raise ValueError(f"unknown hash family {family!r}")
+
+
+def band_bucket(sig: Column, band: Column, rpb, family: str) -> Column:
+    """Bucket id for one signature band (``rpb`` rows per band)."""
+    sl = F.slice(sig, band * rpb + 1, rpb)
+    if family == "xxhash64":
+        # band as seed keeps distinct bands in distinct key spaces
+        return F.xxhash64(sl.cast("string"), band)
+    if family == "md5":
+        joined = F.array_join(
+            F.transform(sl, lambda x: x.cast("string")), "\x1f"
+        )
+        return md5_base60(
+            F.concat_ws("\x1f", band.cast("string"), joined)
+        )
+    raise ValueError(f"unknown hash family {family!r}")
+
+
+# ------------------------------------------------------------------
 # Exact dedup
 # ------------------------------------------------------------------
 
@@ -79,11 +153,15 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """id + MinHash signature (array<long>) per document.
 
     Hash family: xxhash64(shingle, seed=i) — independent seeds give
-    independent permutation approximations; all JVM-native.
+    independent permutation approximations; all JVM-native.  Pass
+    ``hash_family="md5"`` for the DuckDB-replayable affine family
+    (one md5 per shingle + 32 exact integer affine maps — see module
+    header), which lets the driver gate hash-check the output.
 
     Formulation: explode distinct shingles → ``num_hashes`` seeded
     min-aggregates → repack as array.  One shuffle keyed by doc id
@@ -103,11 +181,9 @@ def minhash_signatures(
             "_sh"
         ),
     )
+    hs = seeded_hashes("_sh", num_hashes, hash_family)
     per_doc = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(h).alias(f"_h{i}") for i, h in enumerate(hs)]
     )
     return per_doc.select(
         F.col(id_col),
@@ -147,6 +223,7 @@ def minhash_lsh_candidates(
     num_bands: int = 8,
     rows_per_band: int | None = None,
     bucket_cap: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band-hash) buckets.
 
@@ -172,9 +249,7 @@ def minhash_lsh_candidates(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rpb + 1, rpb).cast("string"), b
-                ),
+                lambda b: band_bucket(F.col("sig"), b, rpb, hash_family),
             )
         ).alias("band", "bucket"),
     )
@@ -258,6 +333,7 @@ def minhash_dedup_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     bucket_cap: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified duplicate pairs.
 
@@ -289,11 +365,9 @@ def minhash_dedup_pairs(
     # once — the pre-collapse path re-ran word_ngrams inside
     # minhash_signatures)
     exploded = reps.select(F.col(id_col), F.explode("shingles").alias("_sh"))
+    hs = seeded_hashes("_sh", num_hashes, hash_family)
     per_doc = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(h).alias(f"_h{i}") for i, h in enumerate(hs)]
     )
     sigs = per_doc.select(
         F.col(id_col),
@@ -305,6 +379,7 @@ def minhash_dedup_pairs(
         num_bands,
         rows_per_band=num_hashes // num_bands,
         bucket_cap=bucket_cap,
+        hash_family=hash_family,
     )
     sa = reps.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
@@ -400,32 +475,60 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash fingerprint per document (Charikar 2002).
 
     For each bit position, sum +1/−1 votes of token hashes; bit = 1 if
-    the sum is positive.  Formulation: explode tokens → one xxhash64
-    per token → 64 conditional-sum aggregates → recombine bits.  One
-    shuffle keyed by doc id with map-side partial sums, everything in
-    whole-stage codegen.  (64 ``F.aggregate`` lambdas over a token
-    array would each be interpreted per element — seconds of codegen
-    and a Python-free but JVM-interpreted hot path.)
+    the sum is positive.  Formulation: explode tokens → one token hash
+    MATERIALIZED as a column → 64 conditional-sum aggregates over bit
+    extractions of it → recombine bits.  One shuffle keyed by doc id
+    with map-side partial sums, everything in whole-stage codegen.
+    (64 ``F.aggregate`` lambdas over a token array would each be
+    interpreted per element — seconds of codegen and a Python-free
+    but JVM-interpreted hot path.)
 
     Token frequency weights votes (tokens are not deduplicated),
     matching the standard construction.
+
+    ``hash_family="md5"``: bit b comes from the first 64 bits of the
+    token's md5, materialized as two 32-bit halves (hi = hex chars
+    1-8, lo = chars 9-16) so both engines extract identical bits with
+    signed-safe arithmetic — one md5 per token either way.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     exploded = ensure_min_parallelism(df).select(
         F.col(id_col), F.explode(toks).alias("_t")
     )
-    h = F.xxhash64("_t")
-    votes = exploded.groupBy(id_col).agg(
+    if hash_family == "xxhash64":
+        # materialize the hash once per token; the 64 agg expressions
+        # reference the column instead of re-hashing per bit
+        hashed = exploded.withColumn("_h", F.xxhash64("_t"))
+        bit = [
+            F.shiftright("_h", b).bitwiseAND(F.lit(1)) for b in range(64)
+        ]
+    elif hash_family == "md5":
+        hashed = exploded.withColumn(
+            "_hi", md5_base32("_t")
+        ).withColumn(
+            "_lo",
+            F.conv(F.substring(F.md5("_t"), 9, 8), 16, 10).cast("long"),
+        )
+        bit = [
+            F.shiftright("_lo" if b < 32 else "_hi", b % 32).bitwiseAND(
+                F.lit(1)
+            )
+            for b in range(64)
+        ]
+    else:
+        raise ValueError(f"unknown hash family {hash_family!r}")
+    votes = hashed.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"_v{b}")
+            F.sum(F.when(bit[b] == 1, 1).otherwise(-1)).alias(f"_v{b}")
             for b in range(64)
         ]
     )
@@ -580,9 +683,10 @@ def simhash_near_pairs(
     id_col: str,
     max_hamming: int = 3,
     num_blocks: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming."""
-    fps = simhash(df, text_col, id_col)
+    fps = simhash(df, text_col, id_col, hash_family=hash_family)
     return hamming_near_pairs(
         fps, "simhash", id_col, max_hamming=max_hamming, num_blocks=num_blocks
     )

@@ -51,6 +51,7 @@ def _band_rows(
     num_bands: int,
     shingle_n: int,
     version: int,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, band, bucket, _commit_version, _deleted, _pb) rows.
 
@@ -67,6 +68,11 @@ def _band_rows(
         ensure_min_parallelism,
     )
 
+    from pdf_etl_ocr_inference_spark.operators.dedup import (
+        band_bucket,
+        seeded_hashes,
+    )
+
     rpb = num_hashes // num_bands
     exploded = ensure_min_parallelism(df).select(
         F.col(id_col),
@@ -75,11 +81,9 @@ def _band_rows(
             F.array_distinct(word_ngrams(text_col, shingle_n))
         ).alias("_sh"),
     )
+    hs = seeded_hashes("_sh", num_hashes, hash_family)
     sigs = exploded.groupBy(id_col, "_deleted").agg(
-        *[
-            F.min(F.xxhash64("_sh", F.lit(i))).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(h).alias(f"_h{i}") for i, h in enumerate(hs)]
     )
     sig = F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
     return (
@@ -89,9 +93,7 @@ def _band_rows(
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                    lambda b: F.xxhash64(
-                        F.slice(sig, b * rpb + 1, rpb).cast("string"), b
-                    ),
+                    lambda b: band_bucket(sig, b, rpb, hash_family),
                 )
             ).alias("band", "bucket"),
         )
@@ -113,6 +115,7 @@ def build_minhash_index(
     num_bands: int = 8,
     shingle_n: int = 3,
     catalog: IndexCatalog | None = None,
+    hash_family: str = "xxhash64",
 ) -> str:
     """Full (re)build at version 0 — also the compaction that folds
     accumulated tombstones away.  One corpus scan; band hashing is
@@ -130,7 +133,7 @@ def build_minhash_index(
     rows = _band_rows(
         corpus.withColumn("_deleted", F.lit(False)),
         text_col, id_col, num_hashes, num_bands, shingle_n,
-        version=0,
+        version=0, hash_family=hash_family,
     )
     (
         rows.repartition("_pb")
@@ -149,6 +152,7 @@ def build_minhash_index(
             "num_hashes": num_hashes,
             "num_bands": num_bands,
             "shingle_n": shingle_n,
+            "hash_family": hash_family,
             "last_version": 0,
         },
     )
@@ -201,6 +205,7 @@ def refresh_minhash_index(
         meta["num_bands"],
         meta["shingle_n"],
         version=version,
+        hash_family=meta.get("hash_family", "xxhash64"),
     )
     (
         rows.repartition("_pb")
@@ -277,6 +282,7 @@ def dedup_against_index(
         meta["num_bands"],
         meta["shingle_n"],
         version=0,
+        hash_family=meta.get("hash_family", "xxhash64"),
     ).select(F.col(id_col).alias("_probe_id"), "band", "bucket", "_pb")
     probe = probe.persist()
     # touched partition directories — ≤ 256 values of control data,

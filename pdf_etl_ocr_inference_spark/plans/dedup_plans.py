@@ -2,10 +2,15 @@
 
 - exact + n-gram-Jaccard entries are oracle-verified (hash functions
   and list ops agree between Spark and DuckDB);
-- MinHash-LSH / SimHash entries use xxhash64 (no DuckDB equivalent) →
-  rows-only checks, with the *verification* stage (exact Jaccard on
-  candidates) shared with the oracle-checked brute-force op so the
-  approximation is cross-checked in tests.
+- the MinHash-LSH / SimHash family (including the incremental-index
+  and stream-sync entries) runs on the md5 hash family
+  (operators/dedup.py module header) since round 6, so the REAL
+  entries are oracle-verified: DuckDB replays shingling, the affine
+  MinHash permutations, banding, bucket join, exact-Jaccard verify,
+  and clique expansion value-for-value (verdict-r5 #2 — previously
+  xxhash64 → rows-only).  ``hash_family="xxhash64"`` remains the
+  default for library callers that want the faster non-replayable
+  hashes.
 """
 
 from __future__ import annotations
@@ -70,6 +75,167 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
     return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.2)
 
+
+
+def _minhash_oracle_sql(final_filter: str = "") -> str:
+    """DuckDB replay of ``minhash_dedup_pairs(hash_family='md5')``:
+    3-gram shingles → clique collapse on the shingle-set md5 → affine
+    MinHash signatures on representatives → 8-band md5 buckets →
+    band-bucket self-join → exact-Jaccard ≥ 0.5 verify → expansion
+    through the survivor map.  Constants come from the same
+    ``_affine_params`` the Spark side uses.  ``final_filter`` (e.g.
+    the batch-touching predicate) applies to the emitted pair set —
+    the incremental-index entries are exactly the batch-touching
+    subset of the full pipeline (property-tested equivalence)."""
+    from pdf_etl_ocr_inference_spark.operators.dedup import (
+        MERSENNE61,
+        _affine_params,
+    )
+
+    mins = ", ".join(
+        f"MIN(({a} * hb + {b}) % {MERSENNE61})"
+        for a, b in _affine_params(32)
+    )
+    return f"""
+    WITH tokd AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
+      FROM documents
+    ), shs AS (
+      SELECT doc_id, LIST_SORT(LIST_DISTINCT(LIST_TRANSFORM(
+        GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 1)),
+        i -> ARRAY_TO_STRING(toks[i:i+2], ' ')))) AS shset
+      FROM tokd
+    ), marked AS (
+      SELECT doc_id, shset,
+             MD5(ARRAY_TO_STRING(shset, CHR(31))) AS fp,
+             MIN(doc_id) OVER (
+               PARTITION BY MD5(ARRAY_TO_STRING(shset, CHR(31)))
+             ) AS keep
+      FROM shs
+    ), reps AS (
+      SELECT doc_id, shset FROM marked WHERE doc_id = keep
+    ), expl AS (
+      SELECT doc_id, UNNEST(shset) AS sh FROM reps
+    ), hb AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || SUBSTR(MD5(sh), 1, 8) AS UBIGINT)
+                  AS BIGINT) AS hb
+      FROM expl
+    ), sigs AS (
+      SELECT doc_id, [{mins}] AS sig FROM hb GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, r.b AS band,
+             CAST(CAST('0x' || SUBSTR(MD5(CONCAT(
+               CAST(r.b AS VARCHAR), CHR(31),
+               ARRAY_TO_STRING(sig[r.b * 4 + 1 : r.b * 4 + 4], CHR(31))
+             )), 1, 15) AS UBIGINT) AS BIGINT) AS bucket
+      FROM sigs CROSS JOIN UNNEST(RANGE(0, 8)) AS r(b)
+    ), cands AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y USING (band, bucket)
+      WHERE x.doc_id < y.doc_id
+    ), verified AS (
+      SELECT c.id_a, c.id_b,
+             LEN(LIST_INTERSECT(ra.shset, rb.shset))
+               / LEN(LIST_DISTINCT(LIST_CONCAT(ra.shset, rb.shset)))
+               AS jaccard
+      FROM cands c
+      JOIN reps ra ON ra.doc_id = c.id_a
+      JOIN reps rb ON rb.doc_id = c.id_b
+      WHERE LEN(LIST_INTERSECT(ra.shset, rb.shset)) * 1.0
+        / LEN(LIST_DISTINCT(LIST_CONCAT(ra.shset, rb.shset))) >= 0.5
+    ), inter AS (
+      SELECT LEAST(ma.doc_id, mb.doc_id) AS id_a,
+             GREATEST(ma.doc_id, mb.doc_id) AS id_b, v.jaccard
+      FROM verified v
+      JOIN marked ma ON ma.keep = v.id_a
+      JOIN marked mb ON mb.keep = v.id_b
+    ), intra AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             CAST(1.0 AS DOUBLE) AS jaccard
+      FROM marked x JOIN marked y
+        ON x.fp = y.fp AND x.doc_id < y.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b, jaccard FROM inter
+      UNION ALL
+      SELECT id_a, id_b, jaccard FROM intra
+    )
+    SELECT id_a, id_b, jaccard FROM pairs {final_filter}
+    """
+
+
+_SIMHASH_ORACLE_SQL = """
+    WITH tokd AS (
+      SELECT doc_id,
+             STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, UNNEST(toks) AS tok FROM tokd
+    ), halves AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || SUBSTR(MD5(tok), 1, 8) AS UBIGINT)
+                  AS BIGINT) AS hi,
+             CAST(CAST('0x' || SUBSTR(MD5(tok), 9, 8) AS UBIGINT)
+                  AS BIGINT) AS lo
+      FROM tok
+    ), votes AS (
+      SELECT doc_id, r.b AS b,
+             SUM(CASE WHEN ((CASE WHEN r.b < 32 THEN lo >> r.b
+                             ELSE hi >> (r.b - 32) END) & 1) = 1
+                 THEN 1 ELSE -1 END) AS v
+      FROM halves CROSS JOIN UNNEST(RANGE(0, 64)) AS r(b)
+      GROUP BY doc_id, r.b
+    ), fps AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN
+               CASE WHEN b = 63
+                 THEN (-9223372036854775807)::BIGINT - 1
+                 ELSE (1::BIGINT << CAST(b AS INT)) END
+               ELSE 0 END) AS BIGINT) AS fpv,
+             CAST(SUM(CASE WHEN v > 0 AND b < 16
+               THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)
+               AS BIGINT) AS blk0,
+             CAST(SUM(CASE WHEN v > 0 AND b >= 16 AND b < 32
+               THEN (1::BIGINT << CAST(b - 16 AS INT)) ELSE 0 END)
+               AS BIGINT) AS blk1,
+             CAST(SUM(CASE WHEN v > 0 AND b >= 32 AND b < 48
+               THEN (1::BIGINT << CAST(b - 32 AS INT)) ELSE 0 END)
+               AS BIGINT) AS blk2,
+             CAST(SUM(CASE WHEN v > 0 AND b >= 48
+               THEN (1::BIGINT << CAST(b - 48 AS INT)) ELSE 0 END)
+               AS BIGINT) AS blk3
+      FROM votes GROUP BY doc_id
+    ), marked AS (
+      SELECT doc_id, fpv, blk0, blk1, blk2, blk3,
+             MIN(doc_id) OVER (PARTITION BY fpv) AS keep
+      FROM fps
+    ), blocked AS (
+      SELECT fpv, keep, r.i AS block_idx,
+             CASE r.i WHEN 0 THEN blk0 WHEN 1 THEN blk1
+                      WHEN 2 THEN blk2 ELSE blk3 END AS block_val
+      FROM marked CROSS JOIN UNNEST(RANGE(0, 4)) AS r(i)
+      WHERE doc_id = keep
+    ), value_pairs AS (
+      SELECT DISTINCT x.fpv AS fp_a, y.fpv AS fp_b,
+             CAST(bit_count(xor(x.fpv, y.fpv)) AS INT) AS hamming
+      FROM blocked x JOIN blocked y USING (block_idx, block_val)
+      WHERE x.keep < y.keep
+        AND bit_count(xor(x.fpv, y.fpv)) <= 3
+    ), inter AS (
+      SELECT LEAST(ma.doc_id, mb.doc_id) AS id_a,
+             GREATEST(ma.doc_id, mb.doc_id) AS id_b, v.hamming
+      FROM value_pairs v
+      JOIN marked ma ON ma.fpv = v.fp_a
+      JOIN marked mb ON mb.fpv = v.fp_b
+    ), intra AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(0 AS INT) AS hamming
+      FROM marked x JOIN marked y
+        ON x.fpv = y.fpv AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM inter
+    UNION ALL
+    SELECT id_a, id_b, hamming FROM intra
+    """
 
 
 def _bylabel_fixture(spark: SparkSession, sf: str, n_docs: int,
@@ -197,9 +363,12 @@ def dedup_minhash_incremental_bylabel(
 
 @register(
     "dedup_minhash_lsh",
-    None,  # xxhash64-based → rows-only; cross-checked in tests
+    _minhash_oracle_sql(),
     doc="MinHash(32 hashes)+LSH(8 bands) candidates, exact-Jaccard "
-    "verified ≥ 0.5. The 100TB-scale near-dedup path.",
+    "verified ≥ 0.5. The 100TB-scale near-dedup path. Runs the md5 "
+    "hash family, so the oracle replays every stage (shingles → "
+    "clique collapse → affine signatures → band buckets → bucket "
+    "join → Jaccard verify → expansion) value-for-value.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_dedup_pairs(
@@ -209,24 +378,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         num_hashes=32,
         num_bands=8,
         jaccard_threshold=0.5,
+        hash_family="md5",
     )
 
 
 @register(
     "dedup_simhash",
-    None,  # xxhash64-based → rows-only
+    _SIMHASH_ORACLE_SQL,
     doc="SimHash-64 fingerprints; near-pairs via 4-block candidate "
-    "generation + hamming ≤ 3 (Manku et al. WWW'07 construction).",
+    "generation + hamming ≤ 3 (Manku et al. WWW'07 construction). "
+    "md5 hash family → the oracle replays token hashing, bit votes, "
+    "fingerprints, block join, and hamming verify exactly.",
 )
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_near_pairs(
-        _t(spark, sf, "documents"), "text", "doc_id", max_hamming=3
+        _t(spark, sf, "documents"), "text", "doc_id", max_hamming=3,
+        hash_family="md5",
     )
 
 
 @register(
     "dedup_minhash_incremental",
-    None,  # xxhash64-based → rows-only; ≡-to-batch property in pytest
+    _minhash_oracle_sql(
+        "WHERE id_a % 10 = 7 OR id_b % 10 = 7"
+    ),
     doc="incremental near-dedup of a new-arrivals batch against the "
     "corpus MinHash-LSH index, no corpus re-shingle: index built on "
     "the base corpus, the batch folded in append-only (the change-"
@@ -248,7 +423,9 @@ def dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 7)
     base = docs.filter(F.col("doc_id") % 10 != 7)
     key = f"catalog/minhash/{sf}"
-    build_minhash_index(spark, base, key, "text", "doc_id")
+    build_minhash_index(
+        spark, base, key, "text", "doc_id", hash_family="md5"
+    )
     refresh_minhash_index(
         spark,
         key,
@@ -263,8 +440,9 @@ def dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "dedup_index_stream_sync",
-    None,  # xxhash64-based → rows-only; sync≡direct-refresh + run-
-    # idempotence asserted in pytest
+    _minhash_oracle_sql(
+        "WHERE id_a % 10 = 7 OR id_b % 10 = 7"
+    ),
     doc="triggered streaming maintenance of the text-dedup MinHash "
     "index: documents change feed (v0 corpus insert, v1 new-arrivals "
     "commit) → availableNow stream over unseen commit directories → "
@@ -309,7 +487,9 @@ def dedup_index_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
 
     key = f"catalog/minhash_sync/{sf}"
     cat = IndexCatalog()
-    build_minhash_index(spark, base, key, catalog=cat)  # v0 state
+    build_minhash_index(
+        spark, base, key, catalog=cat, hash_family="md5"
+    )  # v0 state
     change_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
