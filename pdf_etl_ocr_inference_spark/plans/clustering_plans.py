@@ -96,17 +96,102 @@ def ann_kmeans_round1(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count("*").alias("n_vecs"), *qsums)
 
 
+def kmeans_chain_sql(
+    k: int = 8, rounds: int = 5, dim: int = 64, scale: int = 1_000_000
+) -> str:
+    """DuckDB replay of the FULL deterministic k-means (verdict-r5
+    #3): chain ``rounds`` Lloyd iterations as CTEs — each round is
+    the already-oracled argmin assignment (squared-L2 via a strict
+    left fold, so the double accumulation order matches Spark's
+    ``F.aggregate`` bit-for-bit), exact ``round(x*SCALE)`` int64
+    coordinate sums, and the centroid update ``s / (n * SCALE)``
+    (one correctly-rounded division of identical integers — the same
+    arithmetic ``kmeans_fit`` runs driver-side).  Empty clusters keep
+    the previous centroid via the LEFT JOIN + COALESCE.
+
+    Returns the CTE prefix through ``aF(vec_id, cid, dist)`` — the
+    final assignment under the round-``rounds`` centroids — WITHOUT a
+    trailing SELECT, so callers (``ann_kmeans_clusters``, the
+    SemDeDup oracle in dedup_plans) append their own aggregation."""
+    fold = (
+        "LIST_REDUCE(LIST_TRANSFORM(GENERATE_SERIES(1, {dim}), "
+        "i -> (list_extract(e.embedding, i)::DOUBLE "
+        "- list_extract(c.ce, i)) "
+        "* (list_extract(e.embedding, i)::DOUBLE "
+        "- list_extract(c.ce, i))), (x, y) -> x + y)"
+    ).format(dim=dim)
+    parts = [
+        f"WITH c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce "
+        f"FROM embeddings WHERE vec_id < {k})"
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f"""d{r} AS (
+      SELECT e.vec_id, c.cid, {fold} AS dist
+      FROM embeddings e CROSS JOIN {prev} c
+    ), a{r} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d{r})
+      WHERE rn = 1
+    ), s{r} AS (
+      SELECT a.cid, p.i AS pos,
+             CAST(SUM(CAST(ROUND(
+               list_extract(e.embedding, p.i)::DOUBLE * {scale}.0)
+               AS BIGINT)) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM a{r} a JOIN embeddings e USING (vec_id)
+           CROSS JOIN UNNEST(GENERATE_SERIES(1, {dim})) AS p(i)
+      GROUP BY a.cid, p.i
+    ), n{r} AS (
+      SELECT cid, LIST(s / (n * {scale}.0) ORDER BY pos) AS ce
+      FROM s{r} GROUP BY cid
+    ), c{r} AS (
+      SELECT p.cid, COALESCE(nn.ce, p.ce) AS ce
+      FROM {prev} p LEFT JOIN n{r} nn USING (cid)
+    )"""
+        )
+    final = f"""dF AS (
+      SELECT e.vec_id, c.cid, {fold} AS dist
+      FROM embeddings e CROSS JOIN c{rounds} c
+    ), aF AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM dF)
+      WHERE rn = 1
+    )"""
+    parts.append(final)
+    return ",\n    ".join(parts)
+
+
+def _kmeans_oracle_sql(
+    k: int = 8, rounds: int = 5, dim: int = 64, scale: int = 1_000_000
+) -> str:
+    return (
+        kmeans_chain_sql(k, rounds, dim, scale)
+        + f"""
+    SELECT CAST(cid AS BIGINT) AS cluster_id, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(ROUND(dist * {scale}.0) AS BIGINT)) AS BIGINT)
+             / (COUNT(*) * {scale}.0) AS mean_sq_dist
+    FROM aF GROUP BY cid"""
+    )
+
+
 @register(
     "ann_kmeans_clusters",
-    None,  # iterative float means are not SQL-expressible in one query;
-    # determinism + parity vs an exact numpy replica in
-    # tests/test_clustering.py
+    _kmeans_oracle_sql(k=_K, rounds=5),
     doc="full deterministic k-means (5 Lloyd rounds, exact int64 "
     "centroid sums so results are partition-order independent): "
-    "per-cluster size and mean squared distance. Row count is always "
-    "k, stable across SFs and reruns.",
+    "per-cluster size and mean squared distance (exact quantized "
+    "sum ÷ one division, never a float AVG whose reduction order "
+    "drifts). Row count is always k, stable across SFs and reruns. "
+    "Oracled end-to-end: DuckDB chains all 5 Lloyd rounds as CTEs "
+    "with the identical fold/round/divide arithmetic.",
 )
 def ann_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.clustering import SCALE
+
     emb = _t(spark, sf, "embeddings")
     result = kmeans_fit(emb, "embedding", "vec_id", k=_K, rounds=5)
     assigned = assign_clusters(emb, "embedding", result.centroids)
@@ -114,12 +199,16 @@ def ann_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
         assigned.groupBy("cluster_id")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.avg("sq_dist"), 4).alias("mean_sq_dist"),
+            F.sum(
+                F.round(F.col("sq_dist") * SCALE).cast("long")
+            ).alias("_qsum"),
         )
         .select(
             F.col("cluster_id").cast("long").alias("cluster_id"),
             "n_vecs",
-            "mean_sq_dist",
+            (
+                F.col("_qsum") / (F.col("n_vecs") * F.lit(SCALE))
+            ).alias("mean_sq_dist"),
         )
     )
 

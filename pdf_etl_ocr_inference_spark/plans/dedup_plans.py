@@ -539,11 +539,47 @@ def dedup_semantic_bylabel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _semantic_oracle_sql() -> str:
+    """Replay SemDeDup end-to-end: the 2-round k-means chain from
+    clustering_plans (same fold/round/divide arithmetic as
+    ``kmeans_fit``), then within-cluster cosine pairs ≥ 0.35 and the
+    per-cluster member/distinct-dropped counts.  The cosine here is
+    DuckDB's ``list_cosine_similarity`` vs the Spark side's numpy
+    gemm — double arithmetic whose last-ulp rounding could in theory
+    differ, but only the ≥-threshold COMPARISON feeds the output
+    (integer counts), so a mismatch requires a pair's similarity
+    within ~1 ulp of 0.35 exactly — measure-zero on real embeddings
+    and verified stable at both gate SFs."""
+    from pdf_etl_ocr_inference_spark.plans.clustering_plans import (
+        kmeans_chain_sql,
+    )
+
+    return (
+        kmeans_chain_sql(k=8, rounds=2)
+        + """,
+    members AS (
+      SELECT CAST(cid AS BIGINT) AS cluster_id, COUNT(*) AS n_members
+      FROM aF GROUP BY cid
+    ), pairs AS (
+      SELECT CAST(x.cid AS BIGINT) AS cluster_id, y.vec_id AS id_b
+      FROM aF x JOIN aF y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN embeddings ea ON ea.vec_id = x.vec_id
+      JOIN embeddings eb ON eb.vec_id = y.vec_id
+      WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                   eb.embedding::DOUBLE[]) >= 0.35
+    ), dropped AS (
+      SELECT cluster_id, COUNT(DISTINCT id_b) AS n_dropped
+      FROM pairs GROUP BY cluster_id
+    )
+    SELECT m.cluster_id, m.n_members,
+           COALESCE(d.n_dropped, 0) AS n_dropped
+    FROM members m LEFT JOIN dropped d USING (cluster_id)"""
+    )
+
+
 @register(
     "dedup_semantic",
-    None,  # k-means partition is engine-learned → rows-only; the pair
-    # kernel itself is oracled via dedup_semantic_bylabel and the
-    # survivors policy is pytest-replicated (tests/test_semantic_dedup)
+    _semantic_oracle_sql(),
     doc="SemDeDup end-to-end (Abbas et al. 2023): deterministic "
     "k-means over the embedding corpus, within-cluster cosine pairs "
     "(threshold 0.35), greedy keep-lowest-index drop; reports "
