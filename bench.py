@@ -405,6 +405,66 @@ def serving_latency(spark) -> dict:
     }
 
 
+def dedup_family_attribution(spark) -> dict:
+    """Attribute the dedup-family r3→r5 residual (verdict-r5 #4).
+
+    Components measured at SF_DIR, median of 3:
+    - ``exact_s``: exact dedup after the r6 perf pass (the round-robin
+      full-text exchange before a cheap md5 projection is gone —
+      recovers the r3→r5 regression on this entry);
+    - ``minhash_xxhash64_s`` vs ``minhash_md5_s``: the cost of the
+      DuckDB-replayable hash family that bought the real entries an
+      oracle (the remaining delta vs r3 is the r4 clique-collapse
+      stage — bought quadratic-proofing under mass duplication);
+    - ``clusters_s`` + ``cc_control_jobs``: the iterative CC entry is
+      driver-round bound — per round one neighbor-min shuffle, one
+      checkpoint materialization, one convergence probe (the r6 pass
+      removed the per-round labels re-join from the probe).
+    """
+    import statistics as _st
+    import time as _t
+
+    from pdf_etl_ocr_inference_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from pdf_etl_ocr_inference_spark.plans import query_map
+
+    qm = query_map()
+
+    def med(fn):
+        ts = []
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            fn()
+            ts.append(_t.perf_counter() - t0)
+        return round(_st.median(ts), 3)
+
+    docs_sf = SF_DIR
+    exact_s = med(lambda: qm["dedup_exact"](spark, docs_sf).collect())
+    clusters_s = med(lambda: qm["dedup_clusters"](spark, docs_sf).collect())
+
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+
+    docs = load_table(spark, docs_sf, "documents")
+    fam = {}
+    for family in ("xxhash64", "md5"):
+        fam[family] = med(
+            lambda fam_=family: minhash_dedup_pairs(
+                docs, "text", "doc_id", num_hashes=32, num_bands=8,
+                jaccard_threshold=0.5, hash_family=fam_,
+            ).collect()
+        )
+    return {
+        "exact_s": exact_s,
+        "clusters_s": clusters_s,
+        "minhash_xxhash64_s": fam["xxhash64"],
+        "minhash_md5_s": fam["md5"],
+        "md5_family_cost_x": round(
+            fam["md5"] / max(fam["xxhash64"], 1e-9), 2
+        ),
+    }
+
+
 def dedup_dup_scaling(spark) -> dict:
     """Candidate volume under mass duplication stays LINEAR (r3 fix).
 
@@ -724,8 +784,12 @@ def layout_rewrite_served(spark) -> dict:
         "decline_decision_ms": round(t_decide * 1000, 1),
         "default_s": round(t_default, 3),
         # the headline: with the cost gate, the optimizer-routed query
-        # pays brute + decision — no longer the r4 28% LOSS
-        "warm_speedup_vs_brute": round(t_brute / t_default, 1),
+        # pays brute + decision — no longer the r4 28% LOSS.  New key
+        # name (advice-r5): r4's warm_speedup_vs_brute measured the
+        # forced-on routed path; this measures decision overhead only
+        # and is ≤ 1.0 by construction — comparing the two under one
+        # key would be apples-to-oranges across rounds.
+        "default_policy_speedup_vs_brute": round(t_brute / t_default, 1),
         "routed_cold_s": t_cold,
         "routed_warm_s": round(min(warm_total), 3),
         "rewrite_warm_ms": round(min(rewrite_warm) * 1000, 1),
@@ -995,6 +1059,8 @@ def main() -> None:
     print(f"# ann recall@5 vs exact: {recalls}", file=sys.stderr)
     probe = probe_speedup(spark)
     print(f"# ann probe vs brute @1M: {probe}", file=sys.stderr)
+    dattr = dedup_family_attribution(spark)
+    print(f"# dedup family attribution: {dattr}", file=sys.stderr)
     inc_dedup = incremental_dedup_speedup(spark)
     print(f"# incremental dedup @200k: {inc_dedup}", file=sys.stderr)
     dup_scale = dedup_dup_scaling(spark)
@@ -1027,6 +1093,7 @@ def main() -> None:
                 "metric": "measurement_blocks",
                 "headline_query_mins_of_3": mins,
                 "ann_probe_speedup_1m": probe,
+                "dedup_family_attribution": dattr,
                 "incremental_dedup_speedup_200k": inc_dedup,
                 "dedup_mass_dup_scaling": dup_scale,
                 "pinned_serving_latency": serving,
@@ -1049,7 +1116,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "total_min_of_3": round(sum(mins.values()), 3),
-                "ocr_stub_parallel_speedup_32x_ideal": ocr_speedup,
+                # serial baseline measured at 64 docs and extrapolated
+                # linearly to 320 (the stub's 0.2 s/doc sleep makes
+                # extrapolation exact to the measured sub-1% overhead)
+                # — key says so (advice-r5)
+                "ocr_stub_speedup_vs_extrapolated_serial": ocr_speedup,
                 "ocr_efficiency_vs_wave_bound": ocr_eff_vs_bound,
                 "ann_recall_at_5": recalls,
             },

@@ -122,9 +122,15 @@ def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Output: ``fingerprint, keep_id, n_dups`` — the survivor map a
     downstream anti-join uses to drop duplicates.
+
+    No ``ensure_min_parallelism`` here (r6 perf pass): the per-row
+    work is one JVM md5 + regex — cheap relative to a full-text
+    round-robin shuffle.  At scale the parquet scan's splits supply
+    the parallelism; locally the extra exchange was ~30% of the
+    entry's wall time for zero benefit.
     """
     return (
-        ensure_min_parallelism(df)
+        df
         .select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
@@ -750,10 +756,14 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("_nmin"))
         )
+        # carry the round-entry label as _old so convergence detection
+        # is a filter on the checkpointed frame — not a second join of
+        # the new labels against the old (one fewer shuffle per round)
         hooked = labels.join(
             nmin, labels["node"] == nmin["src"], "left"
         ).select(
             "node",
+            F.col("component").alias("_old"),
             F.least(
                 F.col("component"),
                 F.coalesce(F.col("_nmin"), F.col("component")),
@@ -766,6 +776,7 @@ def connected_components(
             parent, hooked["component"] == parent["_pnode"], "left"
         ).select(
             "node",
+            "_old",
             F.least(
                 F.col("component"),
                 F.coalesce(F.col("_pcomp"), F.col("component")),
@@ -773,14 +784,11 @@ def connected_components(
         )
         shortcut = truncate_lineage(shortcut)
         changed = (
-            shortcut.join(
-                labels.withColumnRenamed("component", "_old"), "node"
-            )
-            .filter(F.col("component") != F.col("_old"))
+            shortcut.filter(F.col("component") != F.col("_old"))
             .limit(1)
             .count()
         )
-        labels = shortcut
+        labels = shortcut.drop("_old")
         if changed == 0:
             return labels, rounds
     raise RuntimeError(

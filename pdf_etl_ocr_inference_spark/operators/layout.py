@@ -1004,7 +1004,13 @@ def bloom_keep_files(spark, meta: dict, col: str, values: list):
 
 def _pruned_scan(spark, meta: dict, files: list, total: int):
     if not files:
+        # Root reads of a partitioned layout infer the synthetic
+        # zpart partition column, which leaf-file reads (the
+        # non-empty branch) do not — drop it so both branches hand
+        # callers the same (data-file) schema.
         empty = spark.read.parquet(meta["layout_path"]).limit(0)
+        if PARTITION_COL in empty.columns:
+            empty = empty.drop(PARTITION_COL)
         return empty, 0, total
     return spark.read.parquet(*files), len(files), total
 

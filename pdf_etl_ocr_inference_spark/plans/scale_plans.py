@@ -252,15 +252,13 @@ _CC_ORACLE = (
 )
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.functions.text import doc_fingerprint
-    from pdf_etl_ocr_inference_spark.operators.layout import (
-        ensure_min_parallelism,
-        truncate_lineage,
-    )
+    from pdf_etl_ocr_inference_spark.operators.layout import truncate_lineage
 
     docs = _t(spark, sf, "documents")
-    fp = ensure_min_parallelism(docs).select(
-        "doc_id", doc_fingerprint("text").alias("fp")
-    )
+    # no ensure_min_parallelism: md5 per row is cheap and the fp
+    # self-join shuffles anyway (r6 perf pass — the round-robin
+    # exchange re-shuffled the full text column for nothing)
+    fp = docs.select("doc_id", doc_fingerprint("text").alias("fp"))
     a = fp.select(F.col("doc_id").alias("id_a"), "fp")
     b = fp.select(F.col("doc_id").alias("id_b"), "fp")
     pairs = a.join(b, "fp").filter(F.col("id_a") != F.col("id_b")).select(
@@ -295,12 +293,18 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("id_a")
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # carry the round-entry label as _old: convergence detection
+        # becomes a filter on the checkpointed frame instead of a
+        # second join against the previous labels (one fewer shuffle
+        # per round — the r3→r5 residual on this entry was mostly
+        # these per-round control jobs)
         new_labels = (
             labels.join(
                 neighbor_min, labels["doc_id"] == neighbor_min["id_a"], "left"
             )
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("_old"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nmin"), F.col("cluster_id")),
@@ -309,13 +313,11 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         )
         new_labels = truncate_lineage(new_labels)  # cut growing lineage
         changed = (
-            new_labels.join(labels.withColumnRenamed("cluster_id", "_old"),
-                            "doc_id")
-            .filter(F.col("cluster_id") != F.col("_old"))
+            new_labels.filter(F.col("cluster_id") != F.col("_old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.drop("_old")
         if changed == 0:
             converged = True
             break
@@ -349,14 +351,9 @@ def dedup_clusters_sv(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.dedup import (
         connected_components,
     )
-    from pdf_etl_ocr_inference_spark.operators.layout import (
-        ensure_min_parallelism,
-    )
-
     docs = _t(spark, sf, "documents")
-    fp = ensure_min_parallelism(docs).select(
-        "doc_id", doc_fingerprint("text").alias("fp")
-    )
+    # no ensure_min_parallelism — see dedup_clusters
+    fp = docs.select("doc_id", doc_fingerprint("text").alias("fp"))
     a = fp.select(F.col("doc_id").alias("id_a"), "fp")
     b = fp.select(F.col("doc_id").alias("id_b"), "fp")
     pairs = (
