@@ -575,6 +575,24 @@ def _layout_expr(spec: dict, bits: int):
 PARTITION_COL = "zpart"
 
 
+def _partition_spec_list(partition_spec) -> list:
+    """Normalize the ``partition_spec`` argument/meta field: ``None``
+    → no levels, a single dict (the r5 format, kept for stored-meta
+    compatibility) → one level, a list → that many nested hive
+    levels (``zpart=…/zpart1=…/…``)."""
+    if partition_spec is None:
+        return []
+    if isinstance(partition_spec, dict):
+        return [partition_spec]
+    return list(partition_spec)
+
+
+def _partition_col_name(i: int) -> str:
+    """Level-0 keeps the bare ``zpart`` name (r5 layouts stay
+    readable); deeper levels are ``zpart1``, ``zpart2``, …"""
+    return PARTITION_COL if i == 0 else f"{PARTITION_COL}{i}"
+
+
 def _partition_value_expr(spec: dict):
     """Coarse partition bucket for a multi-level layout: the scaled
     axis value floor-divided by ``spec["width"]`` (e.g. 90-day
@@ -620,12 +638,14 @@ def _bucket_of(spec: dict, v: float):
     raise ValueError(f"unknown partition spec kind {spec['kind']!r}")
 
 
-def _file_partition_value(fpath: str):
-    """Parse the ``zpart=<v>`` hive segment out of a layout file path;
+def _file_partition_value(fpath: str, col: str = PARTITION_COL):
+    """Parse the ``<col>=<v>`` hive segment out of a layout file path;
     None when absent or non-integer (e.g. __HIVE_DEFAULT_PARTITION__
-    for NULL keys) — callers treat None as always-keep."""
+    for NULL keys) — callers treat None as always-keep.  The
+    ``f"{col}="`` prefix match is exact per level: ``zpart1=…`` does
+    not match ``zpart=``."""
     for seg in fpath.split("/"):
-        if seg.startswith(f"{PARTITION_COL}="):
+        if seg.startswith(f"{col}="):
             val = seg.split("=", 1)[1]
             try:
                 return int(val)
@@ -634,7 +654,9 @@ def _file_partition_value(fpath: str):
     return None
 
 
-def partition_keep_files(files: set, spec: dict, ranges: dict) -> set:
+def partition_keep_files(
+    files: set, spec: dict, ranges: dict, part_col: str = PARTITION_COL
+) -> set:
     """Directory-level pruning for a partitioned layout: keep only
     files whose ``zpart=<bucket>`` dir can contain rows satisfying
     the range bound on the partition column.  EXACT, not
@@ -655,12 +677,27 @@ def partition_keep_files(files: set, spec: dict, ranges: dict) -> set:
     blo, bhi = _bucket_of(spec, lo), _bucket_of(spec, hi)
     out = set()
     for f in files:
-        v = _file_partition_value(f)
+        v = _file_partition_value(f, part_col)
         if v is None:
             out.add(f)
         elif (blo is None or v >= blo) and (bhi is None or v <= bhi):
             out.add(f)
     return out
+
+
+def partition_keep_files_multi(files: set, partition_spec, ranges: dict):
+    """Apply :func:`partition_keep_files` per nested hive LEVEL of a
+    (possibly multi-axis) ``partition_spec`` — the keep set is the
+    intersection, since a file's path carries every level's bucket.
+    Returns ``(kept_files, n_levels_applied)``."""
+    applied = 0
+    for i, sp in enumerate(_partition_spec_list(partition_spec)):
+        if sp["col"] in ranges:
+            files = partition_keep_files(
+                files, sp, ranges, part_col=_partition_col_name(i)
+            )
+            applied += 1
+    return files, applied
 
 
 def _cluster_to(spark, files: list[str], dest: str, specs, bits, n_files,
@@ -672,19 +709,21 @@ def _cluster_to(spark, files: list[str], dest: str, specs, bits, n_files,
     df = spark.read.parquet(*files)
     exprs = [_layout_expr(s, bits) for s in specs]
     out = df.withColumn("_z", zorder_key(exprs, bits=bits))
-    if partition_spec is not None:
-        # multi-level: coarse hive dirs on the partition bucket, fine
-        # Z-order within — range-partition on (bucket, z) so each
-        # write task lands in ~one dir and file counts stay ~n_files
+    pspecs = _partition_spec_list(partition_spec)
+    if pspecs:
+        # multi-level: coarse hive dirs on the partition bucket(s) —
+        # nested ``zpart=…/zpart1=…`` for a multi-axis spec — fine
+        # Z-order within.  Range-partition on (buckets…, z) so each
+        # write task lands in ~one dir and file counts stay ~n_files.
+        pcols = [_partition_col_name(i) for i in range(len(pspecs))]
+        for c, sp in zip(pcols, pspecs):
+            out = out.withColumn(c, _partition_value_expr(sp))
         (
-            out.withColumn(
-                PARTITION_COL, _partition_value_expr(partition_spec)
-            )
-            .repartitionByRange(n_files, PARTITION_COL, "_z")
-            .sortWithinPartitions(PARTITION_COL, "_z")
+            out.repartitionByRange(n_files, *pcols, "_z")
+            .sortWithinPartitions(*pcols, "_z")
             .drop("_z")
             .write.mode(mode)
-            .partitionBy(PARTITION_COL)
+            .partitionBy(*pcols)
             .parquet(dest)
         )
         return
@@ -1071,12 +1110,15 @@ def bloom_keep_files(spark, meta: dict, col: str, values: list):
 def _pruned_scan(spark, meta: dict, files: list, total: int):
     if not files:
         # Root reads of a partitioned layout infer the synthetic
-        # zpart partition column, which leaf-file reads (the
-        # non-empty branch) do not — drop it so both branches hand
-        # callers the same (data-file) schema.
+        # zpart/zpartN partition column(s), which leaf-file reads
+        # (the non-empty branch) do not — drop them so both branches
+        # hand callers the same (data-file) schema.
         empty = spark.read.parquet(meta["layout_path"]).limit(0)
-        if PARTITION_COL in empty.columns:
-            empty = empty.drop(PARTITION_COL)
+        n_levels = len(_partition_spec_list(meta.get("partition_spec")))
+        for i in range(n_levels):
+            c = _partition_col_name(i)
+            if c in empty.columns:
+                empty = empty.drop(c)
         return empty, 0, total
     return spark.read.parquet(*files), len(files), total
 

@@ -1162,10 +1162,11 @@ def rewrite_skipping_scan(
     from pdf_etl_ocr_inference_spark.operators.layout import (
         LAYOUT_FORMAT_VERSION,
         _live_stat_map,
+        _partition_spec_list,
         _source_inventory,
         bloom_keep_files,
         layout_key,
-        partition_keep_files,
+        partition_keep_files_multi,
         stats_keep_files,
     )
 
@@ -1197,8 +1198,9 @@ def rewrite_skipping_scan(
     # keep must never see a column the sidecar does not cover (an
     # uncovered column would read as "no stats" and wrongly drop)
     bound_cols = list(meta["cols"])
-    if pspec and pspec["col"] not in bound_cols:
-        bound_cols.append(pspec["col"])
+    for sp in _partition_spec_list(pspec):
+        if sp["col"] not in bound_cols:
+            bound_cols.append(sp["col"])
     for cond in conds:
         for col, (lo, hi) in _extract_ranges(cond, bound_cols).items():
             plo, phi = ranges.get(col, (float("-inf"), float("inf")))
@@ -1223,8 +1225,9 @@ def rewrite_skipping_scan(
         if pspec and ranges:
             # multi-level layout: hive-dir pruning first — a pure
             # path-string filter (EXACT, see partition_keep_files),
-            # no sidecar row of a pruned dir is consulted
-            files = partition_keep_files(files, pspec, ranges)
+            # no sidecar row of a pruned dir is consulted; one pass
+            # per nested level for a multi-axis spec
+            files, _ = partition_keep_files_multi(files, pspec, ranges)
         if stats_ranges:
             keep, covered = stats_keep_files(spark, meta, stats_ranges)
             files = files & ((keep & covered) | (current - covered))
@@ -1339,16 +1342,60 @@ def suggest_clustered_layout(
         )
         advice = {"specs": specs, "bloom_cols": blooms}
         # Multi-level advice: when a temporal axis is among the voted
-        # Z dimensions, also propose a coarse hive partition level on
-        # it (90-day buckets — wide enough that a typical dashboard
+        # Z dimensions, propose a coarse hive partition level on it
+        # (90-day buckets — wide enough that a typical dashboard
         # range touches few dirs, narrow enough that the dir count
-        # stays ~4/year).  At 100 TB the dir level bounds per-query
-        # control data (see layout.partition_keep_files); registering
-        # with this spec is what turns the advice into the two-level
-        # prune op70f demonstrates.
+        # stays ~4/year).  When an INTEGER axis is voted alongside it
+        # (a genuinely two-axis workload), propose a SECOND nested
+        # level on that axis, width sized from the column's footer
+        # min/max to ~8 buckets — dirs multiply across levels, so
+        # each level must stay single-digit.  At 100 TB the dir
+        # levels bound per-query control data (see
+        # layout.partition_keep_files); registering this spec is what
+        # turns the advice into the nested prune op70g demonstrates.
+        levels: list[dict] = []
         for s in specs:
             if s["kind"] == "days":
-                advice["partition_spec"] = {**s, "width": 90}
+                levels.append({**s, "width": 90})
                 break
+        if levels:
+            for s in specs:
+                if s["kind"] != "int":
+                    continue
+                width = _int_bucket_width(
+                    workload[0].sparkSession, src, s["col"], buckets=8
+                )
+                if width is not None:
+                    levels.append({**s, "width": width})
+                break
+        if len(levels) == 1:
+            advice["partition_spec"] = levels[0]  # r5 single-dict form
+        elif levels:
+            advice["partition_spec"] = levels
         out[src] = advice
     return out
+
+
+def _int_bucket_width(spark, src: str, col: str, buckets: int = 8):
+    """Footer-only width estimate for an integer partition level:
+    span/buckets from the parquet min/max — no data scan, the same
+    control-data discipline as the stats sidecar.  None when footers
+    are unreadable or the column is constant (a 1-dir level prunes
+    nothing and just deepens paths)."""
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        _footer_stats,
+        _source_files,
+    )
+
+    try:
+        rows = _footer_stats(spark, _source_files(src), [col]).collect()
+        mins = [r["vmin"] for r in rows if r["vmin"] is not None]
+        maxs = [r["vmax"] for r in rows if r["vmax"] is not None]
+        if not mins or not maxs:
+            return None
+        span = max(maxs) - min(mins)
+        if span <= 0:
+            return None
+        return max(1, int(span // buckets) + 1)
+    except Exception:
+        return None

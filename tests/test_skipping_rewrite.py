@@ -289,9 +289,14 @@ def test_layout_advisor_closes_the_loop(spark, src_dir):
     got = advice[src_dir]
     assert [s["col"] for s in got["specs"]] == ["o_custkey", "o_orderdate"]
     assert got["bloom_cols"] == ["o_orderkey"]
-    # the temporal Z axis also gets a coarse partition-level proposal
-    assert got["partition_spec"]["col"] == "o_orderdate"
-    assert got["partition_spec"]["width"] == 90
+    # verdict-r5 #6: this workload bounds BOTH a temporal and an
+    # integer axis, so the advisor proposes a TWO-LEVEL nested
+    # partition spec — 90-day date buckets over footer-sized
+    # o_custkey buckets (~8 across the column's span)
+    pspec = got["partition_spec"]
+    assert isinstance(pspec, list) and len(pspec) == 2
+    assert pspec[0]["col"] == "o_orderdate" and pspec[0]["width"] == 90
+    assert pspec[1]["col"] == "o_custkey" and pspec[1]["width"] >= 1
 
     register_clustered_layout(
         spark, src_dir, got["specs"], bloom_cols=got["bloom_cols"],
@@ -301,6 +306,35 @@ def test_layout_advisor_closes_the_loop(spark, src_dir):
         opt = _rw(df)
         assert opt is not df
         assert _keys(opt) == _keys(df)
+
+    # measured dir-prune fraction: EACH level independently drops
+    # directories for the two-axis box, and the composition keeps
+    # only the cross-section
+    import datetime as dt
+
+    from pdf_etl_ocr_inference_spark.operators import layout as L
+    from pdf_etl_ocr_inference_spark.optimizer import IndexCatalog
+
+    meta = IndexCatalog().lookup(L.layout_key(src_dir))
+    live = set(L._live_stat_map(meta["layout_path"]))
+    epoch = dt.datetime(1970, 1, 1)
+    ranges = {
+        "o_custkey": (100.0, 299.0),
+        "o_orderdate": (
+            (dt.datetime(1996, 1, 1) - epoch).total_seconds(),
+            (dt.datetime(1997, 1, 1) - epoch).total_seconds(),
+        ),
+    }
+    by_date = L.partition_keep_files(live, pspec[0], ranges)
+    by_cust = L.partition_keep_files(
+        live, pspec[1], ranges, part_col=L._partition_col_name(1)
+    )
+    both, applied = L.partition_keep_files_multi(live, pspec, ranges)
+    assert applied == 2
+    assert len(by_date) < len(live)      # level 0 prunes dirs
+    assert len(by_cust) < len(live)      # level 1 prunes dirs
+    assert both == by_date & by_cust     # composition = cross-section
+    assert len(both) < min(len(by_date), len(by_cust)) + 1
 
 
 def test_served_sidecar_pinning(spark, src_dir):
