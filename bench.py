@@ -465,6 +465,90 @@ def dedup_family_attribution(spark) -> dict:
     }
 
 
+def load_reference(spark) -> float:
+    """Fixed-work pure-CPU reference job (verdict-r6 #7): 2×10⁸
+    xxhash64-sum over an in-memory range — no I/O, no shuffle, no
+    Python workers — timed identically every round.  Its wall time
+    moves ONLY with host load/frequency, so the ratio against the
+    pinned calibration constant separates environmental drift from
+    real regressions when comparing BENCH_r{N} files."""
+    from pyspark.sql import functions as SF
+
+    from pdf_etl_ocr_inference_spark.session import _cpus
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, n, 1, _cpus())
+            # pmod bounds the summand so the ANSI sum can't overflow
+            .select(SF.sum(SF.pmod(SF.xxhash64("id"), SF.lit(1_000_000))))
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    run(1_000_000)  # absorb codegen/JIT so the probe times pure work
+    return round(run(200_000_000), 3)
+
+
+# Calibration constant: median warm load_reference() on the build
+# host while otherwise idle (r7).  load_normalizer ≈ 1.0 on an idle
+# host; > 1 means the round ran on a loaded/slower machine and
+# headline times should be discounted by roughly that factor.
+LOAD_REF_BASELINE_S = 0.30
+
+
+def q13_attribution(spark) -> dict:
+    """Stage-level attribution for tpch_q13 (verdict-r6 #3: +66% in
+    r6 with untouched code).  Median of 3 per stage at SF_DIR:
+
+    - ``scans_s``     : both input scans alone (filter + projection);
+    - ``preagg_s``    : + the per-custkey COUNT below the join;
+    - ``full_s``      : the whole query (join + final distribution).
+
+    The deltas localize any future drift to scan / agg-shuffle /
+    join, the way dedup_family_attribution settled the dedup family.
+    """
+    import statistics as _st
+
+    from pyspark.sql import functions as SF
+
+    from pdf_etl_ocr_inference_spark.plans import query_map
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+
+    def med(fn):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return round(_st.median(ts), 3)
+
+    def scans():
+        load_table(spark, SF_DIR, "customer").select("c_custkey").count()
+        (
+            load_table(spark, SF_DIR, "orders")
+            .filter(SF.col("o_orderpriority") != "5-LOW")
+            .select("o_custkey", "o_orderkey")
+            .count()
+        )
+
+    def preagg():
+        (
+            load_table(spark, SF_DIR, "orders")
+            .filter(SF.col("o_orderpriority") != "5-LOW")
+            .groupBy("o_custkey")
+            .agg(SF.count("o_orderkey").alias("_n"))
+            .count()
+        )
+
+    qm = query_map()
+    return {
+        "scans_s": med(scans),
+        "preagg_s": med(preagg),
+        "full_s": med(lambda: qm["tpch_q13"](spark, SF_DIR).count()),
+    }
+
+
 def dedup_dup_scaling(spark) -> dict:
     """Candidate volume under mass duplication stays LINEAR (r3 fix).
 
@@ -964,6 +1048,10 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # Host-load probe, taken before AND after the timed section (the
+    # bench runs ~10 min; load can drift within it).
+    load_ref_start = load_reference(spark)
+
     # Per-query MEDIAN of three FULL passes (not back-to-back reps):
     # the host shows multi-second contention bursts, and a burst that
     # covers one pass of a query is unlikely to cover the same query
@@ -1061,6 +1149,8 @@ def main() -> None:
     print(f"# ann probe vs brute @1M: {probe}", file=sys.stderr)
     dattr = dedup_family_attribution(spark)
     print(f"# dedup family attribution: {dattr}", file=sys.stderr)
+    q13attr = q13_attribution(spark)
+    print(f"# tpch_q13 stage attribution: {q13attr}", file=sys.stderr)
     inc_dedup = incremental_dedup_speedup(spark)
     print(f"# incremental dedup @200k: {inc_dedup}", file=sys.stderr)
     dup_scale = dedup_dup_scaling(spark)
@@ -1081,6 +1171,9 @@ def main() -> None:
     gb = graph_build(spark)
     print(f"# graph build @100k: {gb}", file=sys.stderr)
 
+    load_ref_end = load_reference(spark)
+    load_ref = round(min(load_ref_start, load_ref_end), 3)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Detail blocks go on their own stdout line: the driver keeps only
@@ -1094,6 +1187,7 @@ def main() -> None:
                 "headline_query_mins_of_3": mins,
                 "ann_probe_speedup_1m": probe,
                 "dedup_family_attribution": dattr,
+                "tpch_q13_attribution": q13attr,
                 "incremental_dedup_speedup_200k": inc_dedup,
                 "dedup_mass_dup_scaling": dup_scale,
                 "pinned_serving_latency": serving,
@@ -1123,6 +1217,17 @@ def main() -> None:
                 "ocr_stub_speedup_vs_extrapolated_serial": ocr_speedup,
                 "ocr_efficiency_vs_wave_bound": ocr_eff_vs_bound,
                 "ann_recall_at_5": recalls,
+                # fixed-work CPU reference vs the pinned idle-host
+                # constant: ≈1.0 idle, >1 loaded — divide headline
+                # drift by this before calling it a regression
+                "load_normalizer": round(
+                    load_ref / LOAD_REF_BASELINE_S, 3
+                ),
+                "load_reference_s": {
+                    "start": load_ref_start,
+                    "end": load_ref_end,
+                    "pinned_baseline": LOAD_REF_BASELINE_S,
+                },
             },
             separators=(",", ":"),
         )

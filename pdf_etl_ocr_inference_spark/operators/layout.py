@@ -540,6 +540,63 @@ def _source_inventory(source_path: str) -> list[list]:
     return inv
 
 
+def _inventory_digest(inv: list[list]) -> str:
+    """Constant-size fingerprint of a full inventory — what the meta
+    stores and every per-query check compares, instead of shipping
+    the O(files) ``[name, size, mtime]`` list around (verdict-r6 #2:
+    at 10⁶ files the list is ~100 MB of JSON per lookup)."""
+    import hashlib as _hashlib
+    import json as _json
+
+    return _hashlib.md5(
+        _json.dumps(inv, separators=(",", ":")).encode()
+    ).hexdigest()
+
+
+def _source_probe(source_path: str) -> list:
+    """O(1)-ish freshness probe: the source DIRECTORY's mtime_ns plus
+    its data-file count from ONE scandir (no per-file stat; one LIST
+    on an object store).  Parquet data files are immutable by
+    convention — every writer creates new files and renames — so any
+    append/delete/replace touches the directory and flips the probe.
+    An in-place byte-level edit that preserves the directory entry is
+    outside that convention; :func:`refresh_clustered_layout` (the
+    explicit sync API) still pays the full per-file sweep and
+    catches it."""
+    import os as _os
+
+    if _os.path.isfile(source_path):
+        st = _os.stat(source_path)
+        return [1, st.st_size, st.st_mtime_ns]
+    st = _os.stat(source_path)
+    n = sum(
+        1
+        for e in _os.scandir(source_path)
+        if e.name.endswith(".parquet") and not e.name.startswith((".", "_"))
+    )
+    return [n, 0, st.st_mtime_ns]
+
+
+def layout_fresh(source_path: str, meta: dict) -> bool:
+    """Per-query freshness WITHOUT the O(files) stat sweep: compare
+    the cheap directory probe against the one stored at
+    register/refresh time; only on probe mismatch (or a pre-digest
+    meta) pay the full inventory sweep and compare digests — e.g. a
+    touched-but-unchanged directory re-verifies once instead of
+    falling through forever."""
+    probe = meta.get("probe")
+    digest = meta.get("inventory_digest")
+    try:
+        if probe is not None and _source_probe(source_path) == list(probe):
+            return True
+        inv = _source_inventory(source_path)
+    except OSError:
+        return False
+    if digest is not None:
+        return _inventory_digest(inv) == digest
+    return inv == [list(r) for r in meta.get("inventory", [])]
+
+
 def _layout_expr(spec: dict, bits: int):
     """Serializable z-dimension spec -> Column scaled into
     ``[0, 2**bits)``.  Two kinds cover the numeric/temporal layouts
@@ -800,10 +857,20 @@ def register_clustered_layout(
         "n_files": n_files,
         "bloom_cols": list(bloom_cols or []),
         "partition_spec": partition_spec,
-        "inventory": _source_inventory(source_path),
     }
+    _stamp_inventory(meta, source_path)
     cat.register(key, meta)
     return meta
+
+
+def _stamp_inventory(meta: dict, source_path: str) -> None:
+    """Record the source's full inventory ONCE (refresh diffs need
+    the per-file rows) plus its digest and cheap probe — the two
+    constant-size fields every per-query freshness check reads."""
+    inv = _source_inventory(source_path)
+    meta["inventory"] = inv
+    meta["inventory_digest"] = _inventory_digest(inv)
+    meta["probe"] = _source_probe(source_path)
 
 
 def refresh_clustered_layout(spark, source_path: str, catalog=None):
@@ -848,7 +915,7 @@ def refresh_clustered_layout(spark, source_path: str, catalog=None):
         # keeps sidecar-uncovered (appended) layout files
         # conservatively, so a lagging bloom costs extra reads, never
         # rows — rebuild happens on the next full rebuild.
-        meta["inventory"] = _source_inventory(source_path)
+        _stamp_inventory(meta, source_path)
         cat.register(key, meta)
         return {"mode": "incremental", "new_files": len(appended)}
     new_meta = register_clustered_layout(
@@ -884,9 +951,11 @@ _STATS_PIN_BUDGET_BYTES: int = 64 << 20  # 64 MiB of pinned stats rows
 
 
 def _inventory_fp(meta: dict) -> str:
-    import json as _json
-
-    return _json.dumps(meta["inventory"])
+    """Constant-size pin fingerprint: the stored inventory digest
+    (pre-digest metas fall back to digesting their inventory in
+    place — still O(files) once, never a ~100 MB JSON string)."""
+    fp = meta.get("inventory_digest")
+    return fp if fp is not None else _inventory_digest(meta["inventory"])
 
 
 def _stats_pinned_bytes() -> int:

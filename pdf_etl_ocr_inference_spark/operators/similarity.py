@@ -136,19 +136,69 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+# Fixed-point scale for LSH sign bits: coordinates and plane entries
+# quantize to floor(x * 2^20).  Multiplying an IEEE double by a power
+# of two is EXACT (only the exponent moves), so the quantized value —
+# and therefore every signature bit — is bit-identical in Spark
+# (F.floor(x * 1048576.0)), Python (math.floor) and DuckDB
+# (FLOOR(x::DOUBLE * 1048576.0)): the sign of an exact int64 dot
+# product cannot depend on reduction order the way a float dot's
+# could.  Magnitudes: |coord| ≲ 2, |plane| ≲ 6 ⇒ products < 2^44,
+# 64-term sums < 2^50 — exact in int64.
+LSH_Q_SCALE = float(1 << 20)
+
+
+def quantized_planes(
+    dim: int, n_planes: int, seed: int = 42
+) -> list[list[int]]:
+    """The seeded hyperplanes, fixed-point quantized (module-constant
+    ints both the Spark plan and the oracle-SQL generator embed)."""
+    return [
+        [math.floor(v * LSH_Q_SCALE) for v in p]
+        for p in _hyperplanes(dim, n_planes, seed)
+    ]
+
+
+def _quantize_coord(v: Column) -> Column:
+    return F.floor(v.cast("double") * F.lit(LSH_Q_SCALE)).cast("long")
+
+
 def lsh_signature(
     embedding_col: Column | str, dim: int, n_planes: int = 16, seed: int = 42
 ) -> Column:
-    """Sign-bit signature under fixed hyperplanes → long bucket id."""
+    """Sign-bit signature under fixed hyperplanes → long bucket id.
+
+    Fixed-point exact: bit_j = (Σ_i floor(x_i·2^20)·floor(p_ji·2^20)
+    > 0), an int64 sum — engine- and partitioning-independent, and
+    replayable in ANSI SQL (the md5-family trick applied to
+    hyperplane hashing; see plans/lsh_sql.py for the oracle side).
+    """
     col = F.col(embedding_col) if isinstance(embedding_col, str) else embedding_col
-    planes = _hyperplanes(dim, n_planes, seed)
+    planes = quantized_planes(dim, n_planes, seed)
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        bit = F.when(dot_product(col, _as_vec_lit(p)) > 0, F.lit(1)).otherwise(
-            F.lit(0)
+        plane_lit = F.array(*[F.lit(int(v)).cast("long") for v in p])
+        dot = F.aggregate(
+            F.zip_with(col, plane_lit, lambda x, q: _quantize_coord(x) * q),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
         )
+        bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
         sig = sig + bit.cast("long") * F.lit(2**i).cast("long")
     return sig
+
+
+def signature_int(query_vec: list[float], n_planes: int, seed: int) -> int:
+    """Driver-side signature of one vector — same fixed-point
+    arithmetic as :func:`lsh_signature` (Python ints are exact), so
+    driver-computed probes hit exactly the buckets the plan wrote."""
+    planes = quantized_planes(len(query_vec), n_planes, seed)
+    xq = [math.floor(float(v) * LSH_Q_SCALE) for v in query_vec]
+    qsig = 0
+    for i, p in enumerate(planes):
+        dp = sum(a * b for a, b in zip(xq, p))
+        qsig += (1 if dp > 0 else 0) * 2**i
+    return qsig
 
 
 def query_signature_probes(
@@ -159,11 +209,7 @@ def query_signature_probes(
 ) -> list[int]:
     """Driver-side query signature + its Hamming-ball multi-probe set
     (Lv et al. 2007): every bucket differing in ≤ r sign bits."""
-    planes = _hyperplanes(len(query_vec), n_planes, seed)
-    qsig = 0
-    for i, p in enumerate(planes):
-        dp = sum(a * b for a, b in zip(query_vec, p))
-        qsig += (1 if dp > 0 else 0) * 2**i
+    qsig = signature_int(query_vec, n_planes, seed)
     return [
         qsig ^ sum(1 << b for b in flipped)
         for r in range(hamming_radius + 1)
@@ -333,6 +379,106 @@ def lsh_near_pairs(
 # ------------------------------------------------------------------
 # IVF-style cell-probe search
 # ------------------------------------------------------------------
+
+
+def quantize_embedding(col: Column | str) -> Column:
+    """floor(x·2^20) per coordinate → array<long> (exact, see
+    LSH_Q_SCALE)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, _quantize_coord)
+
+
+def ivf_centroids_quantized(
+    df: DataFrame, embedding_col: str, label_col: str = "label"
+) -> dict[int, list[int]]:
+    """Fixed-point label-seeded coarse centroids: per (label, dim),
+    the EXACT integer floor((Σ floor(x·2^20))·256 / n).
+
+    Integer sums are partition-order independent, and Python's ``//``
+    is the same floor division the oracle SQL emulates with a
+    nonneg-mod — so the quantizer is bit-identical across engines.
+    The extra ·256 keeps ~8 fractional bits of the mean so cell
+    boundaries sit where the float mean's would."""
+    rows = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(quantize_embedding(embedding_col)).alias(
+                "pos", "xv"
+            ),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("xv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = (
+            int(r["s"]) * 256
+        ) // int(r["n"])
+    return {
+        lbl: [m[i] for i in range(len(m))]
+        for lbl, m in sorted(by_label.items())
+    }
+
+
+def _int_vec_lit(vec: list[int]) -> Column:
+    return F.array(*[F.lit(int(v)).cast("long") for v in vec])
+
+
+def ivf_assign_quantized(
+    df: DataFrame,
+    embedding_col: str,
+    centroids: dict[int, list[int]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its best cell by EXACT int64 dot product
+    against the quantized centroids; ties break to the smallest
+    label.  One scan, no shuffle — same plan shape as
+    :func:`ivf_assign`, minus the float reduction-order hazard."""
+    labels = sorted(centroids)
+    xq = quantize_embedding(embedding_col)
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    xq, _int_vec_lit(centroids[lbl]), lambda x, c: x * c
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for lbl in labels
+        ]
+    )
+    label_arr = F.array(*[F.lit(int(lbl)) for lbl in labels])
+    return df.select(
+        F.col(id_col),
+        F.col(embedding_col),
+        F.element_at(
+            label_arr, F.array_position(dots, F.array_max(dots)).cast("int")
+        ).alias("cell"),
+    )
+
+
+def topk_ivf_quantized(
+    assigned: DataFrame,
+    embedding_col: str,
+    query_vec: list[float],
+    centroids: dict[int, list[int]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the ``n_probe`` best cells by exact integer dot (driver-
+    side Python ints — identical to what the oracle SQL ranks), then
+    exact cosine re-rank within."""
+    qq = [math.floor(float(v) * LSH_Q_SCALE) for v in query_vec]
+    qdot = {
+        lbl: sum(a * b for a, b in zip(qq, c))
+        for lbl, c in centroids.items()
+    }
+    probe = sorted(centroids, key=lambda lbl: (-qdot[lbl], lbl))[:n_probe]
+    cand = assigned.filter(F.col("cell").isin(probe))
+    return topk_exact(cand, embedding_col, query_vec, k=k, id_col=id_col)
 
 
 def ivf_assign(

@@ -100,7 +100,8 @@ class IndexCatalog:
         shutil.rmtree(_index_dir(self.root, table_key), ignore_errors=True)
 
 
-INDEX_FORMAT_VERSION = 5  # v5: meta carries n_rows statistics
+INDEX_FORMAT_VERSION = 6  # v6: fixed-point exact LSH signatures
+# (v5: meta carries n_rows statistics)
 
 # Bucket-directory fanout cap: signatures are stored as DATA (sorted,
 # so parquet row-group min/max stats prune within files) while the
@@ -1163,8 +1164,8 @@ def rewrite_skipping_scan(
         LAYOUT_FORMAT_VERSION,
         _live_stat_map,
         _partition_spec_list,
-        _source_inventory,
         bloom_keep_files,
+        layout_fresh,
         layout_key,
         partition_keep_files_multi,
         stats_keep_files,
@@ -1182,13 +1183,11 @@ def rewrite_skipping_scan(
         or meta.get("format_version") != LAYOUT_FORMAT_VERSION
     ):
         return df
-    try:
-        if _source_inventory(src) != [
-            list(r) for r in meta["inventory"]
-        ]:
-            return df  # layout lags its source: fall through, never stale
-    except OSError:
-        return df
+    # O(1) warm-path freshness (verdict-r6 #2): one dir stat + one
+    # scandir count against the probe stored at register/refresh; the
+    # full O(files) inventory sweep runs only on probe mismatch.
+    if not layout_fresh(src, meta):
+        return df  # layout lags its source: fall through, never stale
     ranges: dict = {}
     in_lists: dict = {}
     pspec = meta.get("partition_spec")

@@ -1054,7 +1054,7 @@ def op70f_partitioned_layout(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.scratch import scratch_dir
 
     from pdf_etl_ocr_inference_spark.operators.layout import (
-        _source_inventory,
+        layout_fresh,
     )
 
     safe = sf.strip("/").replace("/", "_").replace(".", "_")
@@ -1075,7 +1075,7 @@ def op70f_partitioned_layout(spark: SparkSession, sf: str) -> DataFrame:
     if (
         meta is None
         or not meta.get("partition_spec")
-        or meta["inventory"] != _source_inventory(src)
+        or not layout_fresh(src, meta)
     ):
         register_clustered_layout(
             spark,
@@ -1136,7 +1136,7 @@ def op70g_multiaxis_partitioned_layout(
     import os
 
     from pdf_etl_ocr_inference_spark.operators.layout import (
-        _source_inventory,
+        layout_fresh,
         layout_key,
         register_clustered_layout,
     )
@@ -1166,7 +1166,7 @@ def op70g_multiaxis_partitioned_layout(
     if (
         meta is None
         or meta.get("partition_spec") != two_level
-        or meta["inventory"] != _source_inventory(src)
+        or not layout_fresh(src, meta)
     ):
         register_clustered_layout(
             spark,

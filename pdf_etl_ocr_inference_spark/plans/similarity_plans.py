@@ -16,9 +16,9 @@ from pdf_etl_ocr_inference_spark.operators.similarity import (
     build_index,
     ivf_assign,
     lsh_near_pairs,
-    topk_ivf,
     topk_lsh,
 )
+from pdf_etl_ocr_inference_spark.plans import lsh_sql
 from pdf_etl_ocr_inference_spark.plans.registry import register
 from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
 
@@ -125,9 +125,16 @@ def op42_embed_inference(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    None,  # approximate + xxhash-free but plane-seeded → rows-only
+    lsh_sql.lsh_topk_sql(
+        dim=64, n_planes=8, n_tables=3, seed=42, radius=2, k=5
+    ),
     doc="random-hyperplane LSH bucket search + exact re-rank: the "
-    "scale path for OP-44 (bucket id precomputable at index time).",
+    "scale path for OP-44 (bucket id precomputable at index time). "
+    "ORACLED (r7): signatures are fixed-point exact (floor(x·2^20) "
+    "coords × quantized module-constant planes — int64 sign bits no "
+    "reduction order can flip), so DuckDB replays the bucket "
+    "membership bit-for-bit; the cosine re-rank is the op44-proven "
+    "float path.",
 )
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
@@ -169,8 +176,11 @@ def _ensure_embeddings_index(spark: "SparkSession", sf: str):
 
 @register(
     "ann_rewrite_topk",
-    None,  # approximate (bucket probe) → rows-only; subset/recall vs
-    # op44 asserted in pytest, plan-tested to probe partitions
+    lsh_sql.lsh_topk_sql(
+        dim=64, n_planes=8, n_tables=3, seed=42, radius=2, k=5
+    ),  # the rewrite probes the STORED index; signatures are
+    # fixed-point exact, so the same oracle as ann_lsh_topk proves
+    # the index+rewrite path returns the declared result
     doc="SURVEY §4.8's sanctioned rewrite rule, end-to-end: the query "
     "is DECLARED as brute-force cosine top-k (op44's shape, hinted "
     "with its table key); the engine optimizer matches the analyzed "
@@ -369,8 +379,9 @@ def ann_index_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "dedup_embedding_lsh",
-    None,  # bucket recall is probabilistic → rows-only; subset-of-
-    # brute-force property tested in pytest
+    lsh_sql.lsh_near_pairs_sql(
+        dim=64, n_planes=8, n_tables=3, seed=42, threshold=0.35
+    ),
     doc="LSH-accelerated embedding near-dup pairs: 3 independent "
     "sign-signature tables (OR-amplified recall), within-bucket "
     "candidates distinct-ed across tables, exact cosine ≥ 0.35 "
@@ -393,36 +404,42 @@ def dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    None,  # approximate → rows-only
+    lsh_sql.ivf_topk_sql(dim=64, n_probe=3, k=5, train_mod=4),
     doc="IVF cell-probe search: label-seeded coarse centroids, probe "
     "the 3 nearest of the 10 cells, exact re-rank within (recall@5 "
     "0.8 on the fixture vs 0.6 at 2 probes; at scale the cell count "
     "grows ~sqrt(n) while probes stay O(1), so 3 probes is a "
-    "shrinking corpus fraction, not 30%).",
+    "shrinking corpus fraction, not 30%). ORACLED (r7): the coarse "
+    "quantizer is fixed-point — centroids are exact integer "
+    "floor((Σ floor(x·2^20))·256/n) per dimension, assignment and "
+    "probe ranking exact int64 dots (partition-order independent, "
+    "DuckDB-replayable); only the final op44-proven cosine re-rank "
+    "is float.",
 )
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    emb = _t(spark, sf, "embeddings")
-    # Coarse centroids: mean vector per label, trained on a hash-based
-    # SAMPLE (standard IVF practice — the quantizer needs a sketch of
-    # the distribution, not the corpus; training cost stays constant
-    # as the corpus grows). Collected as tiny control data.
-    train = emb.filter(F.col("vec_id") % 4 == 0)
-    cents_rows = (
-        train.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("vals"))
-        .select("label", F.transform("vals", lambda s: s["m"]).alias("centroid"))
-        .orderBy("label")
-        .collect()
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        ivf_assign_quantized,
+        ivf_centroids_quantized,
+        topk_ivf_quantized,
     )
-    centroids = [list(r["centroid"]) for r in cents_rows]
+
+    emb = _t(spark, sf, "embeddings")
+    # Coarse centroids: fixed-point mean vector per label, trained on
+    # a hash-based SAMPLE (standard IVF practice — the quantizer needs
+    # a sketch of the distribution, not the corpus; training cost
+    # stays constant as the corpus grows). Collected as tiny control
+    # data: exact integer sums, so the collect is reproducible.
+    train = emb.filter(F.col("vec_id") % 4 == 0)
+    centroids = ivf_centroids_quantized(train, "embedding")
     qvec = [r[0] for r in emb.filter(F.col("vec_id") == 0).select(
         F.explode("embedding")
     ).collect()]
-    assigned = ivf_assign(emb.filter(F.col("vec_id") != 0), "embedding", centroids)
-    return topk_ivf(assigned, "embedding", qvec, centroids, k=5, n_probe=3)
+    assigned = ivf_assign_quantized(
+        emb.filter(F.col("vec_id") != 0), "embedding", centroids
+    )
+    return topk_ivf_quantized(
+        assigned, "embedding", qvec, centroids, k=5, n_probe=3
+    )
 
 
 @register(
@@ -489,8 +506,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ann_rewrite_near_pairs",
-    None,  # approximate (same-bucket candidates) → rows-only;
-    # verified-subset + design-regime recall in pytest
+    lsh_sql.lsh_near_pairs_sql(
+        dim=64, n_planes=8, n_tables=3, seed=42, threshold=0.35,
+        id_limit=1000,
+    ),  # same fixed-point signature replay as dedup_embedding_lsh,
+    # scoped to the hint's id_limit
     doc="optimizer rule #2 end-to-end: the query DECLARES brute-force "
     "all-pairs cosine ≥ 0.35 (dedup_embedding_cosine's O(n²) shape, "
     "hinted); rewrite_near_pairs matches the hinted self-join plan "
@@ -578,9 +598,10 @@ def ann_knn_quantized(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ann_knn_join",
-    None,  # approximate (bucket probe) → rows-only; recall floor vs
-    # the brute-force batch and zero-false-positive/plan properties in
-    # tests/test_knn_join.py
+    lsh_sql.knn_join_sql(
+        dim=64, n_planes=8, n_tables=3, seed=42, radius=1, k=5,
+        query_limit=10,
+    ),
     doc="distributed kNN JOIN: for every row of a query TABLE, top-5 "
     "nearest corpus rows from the stored LSH index — query "
     "signatures + Hamming-ball probes computed in-plan (native "

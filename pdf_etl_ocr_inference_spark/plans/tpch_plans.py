@@ -320,20 +320,30 @@ def tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     "GROUP BY c_count",
     doc="TPC-H Q13 customer order-count distribution, adapted: the "
     "comment NOT LIKE filter becomes o_orderpriority <> '5-LOW'. "
-    "Left outer join keeps zero-order customers; double aggregation.",
+    "Left outer join keeps zero-order customers; double aggregation. "
+    "r7 plan: the per-custkey COUNT is pushed BELOW the outer join "
+    "(Catalyst does not move aggregates through outer joins itself) — "
+    "orders collapse to one row per custkey before joining, so the "
+    "join probes |custkeys| rows instead of |orders| (~10× fewer at "
+    "TPC-H ratios), the count shuffle is map-side combinable, and "
+    "zero-order customers surface via COALESCE(n, 0) — semantics "
+    "identical (COUNT(o_orderkey) of no matches is 0).",
     tags=("bench",),
 )
 def tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
     cust = _t(spark, sf, "customer").select("c_custkey")
-    orders = _t(spark, sf, "orders").filter(
-        F.col("o_orderpriority") != "5-LOW"
-    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .select("o_custkey", "o_orderkey")
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("_n"))
+    )
     return (
-        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
         .groupBy("c_count")
-        .agg(F.count("*").alias("custdist"))
+        .agg(F.count(F.lit(1)).alias("custdist"))
     )
 
 

@@ -803,3 +803,71 @@ def test_all_three_prune_sources_compose(spark, tmp_path):
     opt2 = _rw(df2)
     assert opt2 is not df2
     assert _keys(opt2) == sorted(probe)
+
+
+def test_warm_freshness_check_is_o1_not_per_file(
+    spark, src_dir, registered, monkeypatch
+):
+    """Verdict-r6 #2: the per-query freshness check must NOT stat
+    every source file.  Warm path (probe matches the registered
+    one): O(1) os.stat calls — one for the source dir, none per
+    file — and the full inventory sweep never runs.  Staleness
+    detection survives: an appended file flips the probe and the
+    rule falls through until an explicit refresh re-syncs."""
+    import os
+
+    from pdf_etl_ocr_inference_spark.operators import layout as L
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        layout_fresh,
+        layout_key,
+        refresh_clustered_layout,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import IndexCatalog
+
+    # earlier staleness tests mutate src_dir; re-sync, then read the
+    # CURRENT meta (the module-scoped `registered` value predates them)
+    refresh_clustered_layout(spark, src_dir)
+    meta = IndexCatalog().lookup(layout_key(src_dir))
+
+    df = spark.read.parquet(src_dir).filter(_box())
+    assert _rw(df) is not df  # sanity: the rewrite fires when fresh
+
+    real_stat = os.stat
+    stat_calls = {"n": 0}
+    sweep_calls = {"n": 0}
+
+    def counting_stat(path, *a, **kw):
+        stat_calls["n"] += 1
+        return real_stat(path, *a, **kw)
+
+    real_sweep = L._source_inventory
+
+    def counting_sweep(p):
+        sweep_calls["n"] += 1
+        return real_sweep(p)
+
+    monkeypatch.setattr(L, "_source_inventory", counting_sweep)
+    monkeypatch.setattr("os.stat", counting_stat)
+    try:
+        assert layout_fresh(src_dir, meta)
+    finally:
+        monkeypatch.setattr("os.stat", real_stat)
+    # one stat of the directory itself (scandir dirents are not
+    # os.stat calls) — the warm path never touches per-file stats
+    assert stat_calls["n"] <= 2, stat_calls["n"]
+    assert sweep_calls["n"] == 0  # full sweep never ran
+
+    # staleness still caught: drift the source, rule falls through
+    extra = (
+        spark.read.parquet(f"{SF0001}/orders.parquet")
+        .limit(10)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(20_000_000))
+    )
+    extra.coalesce(1).write.mode("append").parquet(src_dir)
+    df2 = spark.read.parquet(src_dir).filter(_box())
+    assert _rw(df2) is df2  # probe mismatch -> sweep -> digest differs
+    assert sweep_calls["n"] >= 1  # the cold path did pay the sweep
+
+    refresh_clustered_layout(spark, src_dir)  # explicit re-sync
+    df3 = spark.read.parquet(src_dir).filter(_box())
+    assert _rw(df3) is not df3
