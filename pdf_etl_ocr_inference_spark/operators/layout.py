@@ -866,11 +866,18 @@ def register_clustered_layout(
 def _stamp_inventory(meta: dict, source_path: str) -> None:
     """Record the source's full inventory ONCE (refresh diffs need
     the per-file rows) plus its digest and cheap probe — the two
-    constant-size fields every per-query freshness check reads."""
+    constant-size fields every per-query freshness check reads.
+    ``layout_build`` is a fresh nonce per register/refresh: the
+    layout's OWN files change on every rebuild even when the source
+    digest does not (re-register with new specs), so driver pins
+    keyed on it can never serve a previous build's file map."""
+    import uuid as _uuid
+
     inv = _source_inventory(source_path)
     meta["inventory"] = inv
     meta["inventory_digest"] = _inventory_digest(inv)
     meta["probe"] = _source_probe(source_path)
+    meta["layout_build"] = _uuid.uuid4().hex
 
 
 def refresh_clustered_layout(spark, source_path: str, catalog=None):
@@ -953,13 +960,53 @@ _STATS_PIN_BUDGET_BYTES: int = 64 << 20  # 64 MiB of pinned stats rows
 def _inventory_fp(meta: dict) -> str:
     """Constant-size pin fingerprint: the stored inventory digest
     (pre-digest metas fall back to digesting their inventory in
-    place — still O(files) once, never a ~100 MB JSON string)."""
+    place — still O(files) once, never a ~100 MB JSON string) plus
+    the per-build nonce — a re-register over an UNCHANGED source
+    still rewrites the layout's own files, and every driver pin must
+    drop with it (pre-r7 the sidecar pins keyed on the inventory
+    alone and could serve a previous build's rows)."""
     fp = meta.get("inventory_digest")
-    return fp if fp is not None else _inventory_digest(meta["inventory"])
+    if fp is None:
+        fp = _inventory_digest(meta["inventory"])
+    return f"{fp}:{meta.get('layout_build', '')}"
 
 
 def _stats_pinned_bytes() -> int:
     return sum(e[2] for e in _SIDECAR_CACHE.values())
+
+
+_LIVEMAP_CACHE: dict = {}  # layout_path -> (digest, map, nbytes); LRU
+_LIVEMAP_PIN_BUDGET_BYTES: int = 64 << 20
+
+
+def cached_live_stat_map(meta: dict) -> dict:
+    """Per-query pin of the LAYOUT's live-file map, fingerprinted by
+    the source-inventory digest: every register/refresh changes the
+    digest, so a stale hit is impossible through the engine's own
+    APIs (layout files are engine-owned derived data — nothing else
+    writes them).  Turns the remaining per-routed-query listing walk
+    into an O(1) dict hit; same byte-budgeted-LRU shape as the
+    sidecar pins."""
+    key = meta["layout_path"]
+    if meta.get("layout_build") is None:
+        return _live_stat_map(key)  # pre-nonce meta: never pin
+    fp = _inventory_fp(meta)
+    hit = _LIVEMAP_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        _LIVEMAP_CACHE[key] = _LIVEMAP_CACHE.pop(key)  # LRU touch
+        return hit[1]
+    _LIVEMAP_CACHE.pop(key, None)
+    live = _live_stat_map(key)
+    nbytes = sum(len(f) + 64 for f in live)
+    while (
+        _LIVEMAP_CACHE
+        and sum(e[2] for e in _LIVEMAP_CACHE.values()) + nbytes
+        > _LIVEMAP_PIN_BUDGET_BYTES
+    ):
+        _LIVEMAP_CACHE.pop(next(iter(_LIVEMAP_CACHE)))
+    if nbytes <= _LIVEMAP_PIN_BUDGET_BYTES:
+        _LIVEMAP_CACHE[key] = (fp, live, nbytes)
+    return live
 
 
 def cached_stats_rows(spark, meta: dict):

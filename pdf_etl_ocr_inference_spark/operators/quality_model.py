@@ -197,15 +197,31 @@ def fit_quality_lr(
 
 
 def score_quality_lr(
-    feats: DataFrame, w, b: float, id_col: str, round_to: int = 4
+    feats: DataFrame,
+    w,
+    b: float,
+    id_col: str,
+    round_to: int = 4,
+    quantized: bool = False,
 ) -> DataFrame:
     """(id, p_good) — native-expression sigmoid over the learned
     weights; no Python in the scoring path, so the trained filter
-    deploys as a plain Column predicate."""
+    deploys as a plain Column predicate.
+
+    ``quantized=True`` emits ``p_q4`` = floor(p·10⁴) as BIGINT
+    instead: given bit-identical inputs, floor of the same float op
+    sequence is engine-independent (no rounding-tie semantics), which
+    is what lets the catalog entry carry a DuckDB oracle
+    (plans/quality_lr_sql.py)."""
     z = F.lit(float(b))
     for i, wi in enumerate(w):
         z = z + F.lit(float(wi)) * F.col(f"f{i}")
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    if quantized:
+        return feats.select(
+            F.col(id_col),
+            F.floor(p * F.lit(10000.0)).cast("long").alias("p_q4"),
+        )
     return feats.select(
         F.col(id_col), F.round(p, round_to).alias("p_good")
     )

@@ -1162,9 +1162,9 @@ def rewrite_skipping_scan(
     """
     from pdf_etl_ocr_inference_spark.operators.layout import (
         LAYOUT_FORMAT_VERSION,
-        _live_stat_map,
         _partition_spec_list,
         bloom_keep_files,
+        cached_live_stat_map,
         layout_fresh,
         layout_key,
         partition_keep_files_multi,
@@ -1218,7 +1218,7 @@ def rewrite_skipping_scan(
     # X keeps it OR X does not cover it (conservative), and the scan
     # reads only files every source keeps.
     try:
-        live = _live_stat_map(meta["layout_path"])
+        live = cached_live_stat_map(meta)
         current = set(live)
         files = current
         if pspec and ranges:

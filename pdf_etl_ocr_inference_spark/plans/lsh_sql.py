@@ -114,15 +114,19 @@ def lsh_topk_sql(
     seed: int = 42,
     radius: int = 2,
     k: int = 5,
+    source: str = "embeddings",
 ) -> str:
     """Oracle for the bucket-probe top-k entries (``ann_lsh_topk``,
     ``ann_rewrite_topk``): candidates = Hamming ball vs the vec_id=0
     query in ANY table, exact cosine re-rank, rounded-score ordering
     with id tie-break — exactly ``topk_lsh`` / the optimizer's probe
-    + ``topk_exact``."""
+    + ``topk_exact``.  ``source`` may be a subquery (e.g. the
+    POST-CHANGE-FEED corpus state for the incremental-index entries:
+    an oracle that equals the probe result only if fold + tombstones
+    + liveness resolution reproduce the rebuilt state)."""
     cos = _COS.format(a="c.embedding", b="qs.embedding")
     return (
-        f"WITH {sigs_cte(dim, n_planes, n_tables, seed)}, "
+        f"WITH {sigs_cte(dim, n_planes, n_tables, seed, source=source)}, "
         f"qs AS (SELECT * FROM sigs WHERE vec_id = 0), "
         f"cand AS (SELECT c.vec_id, ROUND({cos}, 4) AS score "
         f"FROM sigs c, qs WHERE c.vec_id <> 0 AND "

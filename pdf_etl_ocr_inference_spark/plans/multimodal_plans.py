@@ -21,6 +21,7 @@ from pdf_etl_ocr_inference_spark.operators.multimodal import (
     sample_frames,
     with_media_column,
 )
+from pdf_etl_ocr_inference_spark.plans import phash_sql as _phash_sql
 from pdf_etl_ocr_inference_spark.plans.registry import register
 from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
 
@@ -196,14 +197,16 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "mm_phash",
-    None,  # per-pixel dHash runs at the codec boundary (pandas UDF) —
-    # not SQL-expressible; exact parity vs a pure-Python reference in
-    # tests/test_phash.py
+    _phash_sql.phash_sql(),
     doc="64-bit perceptual hash (dHash) per media blob: block-mean "
     "downsample to an 8x9 grid, difference bits — the fingerprint "
     "step of image near-dup dedup. Arrow-batched pandas UDF for the "
     "pixel work; output is 8 bytes/row, so everything downstream is "
-    "native.",
+    "native. ORACLED (r7): block means are exact rationals (integer "
+    "sums < 2^53 are exact in float64 under any summation order, one "
+    "correctly-rounded division), so DuckDB replays the hash "
+    "bit-for-bit from hex-sliced payload bytes "
+    "(plans/phash_sql.py).",
 )
 def mm_phash(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.multimodal import (
@@ -216,8 +219,10 @@ def mm_phash(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "mm_phash_neardup",
-    None,  # depends on mm_phash's Python-side fingerprints; pair set
-    # verified == brute-force hamming scan in tests/test_phash.py
+    _phash_sql.phash_neardup_sql(max_hamming=6),
+    # ORACLED (r7): the oracle is the COMPLETE brute-force hamming
+    # scan over SQL-replayed fingerprints — the Manku block join must
+    # reproduce it exactly (pigeonhole completeness at radius < blocks)
     doc="image near-duplicate pairs: dHash hamming <= 6 via the Manku "
     "block join (8 blocks of 8 bits -> complete candidates at radius "
     "6), exact bit_count verify on candidates only — the SimHash "

@@ -149,7 +149,9 @@ def op61_collect_list(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "op43b_index_refresh",
-    None,  # embeds via the Python stub → rows-only
+    "SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+    "SELECT CASE WHEN doc_id % 10 < 6 THEN 'kept' ELSE 'embedded' END "
+    "AS status FROM documents) GROUP BY status",
     doc="incremental index refresh (ref ocr:149 TRIGGERED sync, "
     "batch-shaped): embed ONLY documents missing from the existing "
     "index (left-anti join), union with the kept entries. At 100 TB "

@@ -102,24 +102,71 @@ def op43_index_build(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "op42_embed_inference",
-    None,  # embedder is Python-side → rows-only; determinism tested in pytest
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''))
+               AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || SUBSTR(MD5(tok), 1, 16) AS UBIGINT) % 64
+                  AS INT) AS dim_idx,
+             CASE WHEN (CAST('0x' || SUBSTR(MD5(tok), 1, 16) AS UBIGINT)
+                        >> 8) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    ), vec AS (
+      SELECT doc_id, dim_idx, CAST(SUM(sgn) AS BIGINT) AS cnt
+      FROM hashed GROUP BY 1, 2
+    ), agg AS (
+      SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS sq_norm,
+             CAST(SUM(cnt * (dim_idx + 1)) AS BIGINT) AS checksum
+      FROM vec GROUP BY doc_id
+    )
+    SELECT d.doc_id, 64 AS dim,
+           COALESCE(a.sq_norm, 0) AS sq_norm,
+           COALESCE(a.checksum, 0) AS checksum
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
     doc="OP-42: iterator-pandas-UDF embedding inference (ref 03:96-109) "
-    "with the deterministic hash stub embedder; 150-text sub-batching.",
+    "with the deterministic hash stub embedder; 150-text sub-batching. "
+    "ORACLED (r7, verdict #6): the count-stub embedding is exact "
+    "integers in float32, so the entry emits per-row integer "
+    "diagnostics — dim, Σv² and the position-weighted Σv·(i+1) "
+    "checksum (catches any permutation/sign error) — instead of the "
+    "float array the driver canonicalizer cannot hash; DuckDB replays "
+    "the md5 token hashing end to end (the flagship's proven CTE).",
 )
 def op42_embed_inference(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.inference import (
+        hash_embed_counts,
+    )
+
     docs = _t(spark, sf, "documents")
-    out = with_embeddings(docs, "text", out_col="inference", dim=64)
+    out = with_embeddings(
+        docs, "text", out_col="inference", dim=64,
+        embed_fn=hash_embed_counts,
+    )
+    as_long = lambda c: c.cast("long")  # noqa: E731 — counts are exact
+    sq_norm = F.aggregate(
+        F.transform("inference", lambda x: as_long(x) * as_long(x)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    checksum = F.aggregate(
+        F.zip_with(
+            "inference",
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda x, i: as_long(x) * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     return out.select(
         "doc_id",
         F.size("inference").alias("dim"),
-        F.round(
-            F.aggregate(
-                "inference",
-                F.lit(0.0),
-                lambda acc, v: acc + v.cast("double") * v.cast("double"),
-            ),
-            2,
-        ).alias("sq_norm"),
+        sq_norm.alias("sq_norm"),
+        checksum.alias("checksum"),
     )
 
 
@@ -245,10 +292,23 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_POST_CHANGE_CORPUS = (
+    "(SELECT vec_id, CASE WHEN vec_id % 10 = 3 THEN "
+    "list_transform(embedding, x -> -x) ELSE embedding END AS embedding "
+    "FROM embeddings WHERE vec_id % 10 <> 7) post"
+)
+
+
 @register(
     "ann_index_incremental",
-    None,  # approximate bucket probe → rows-only; refresh ≡ rebuild
-    # equivalence asserted in pytest (test_optimizer.py)
+    lsh_sql.lsh_topk_sql(
+        dim=64, n_planes=8, n_tables=3, seed=42, radius=2, k=5,
+        source=_POST_CHANGE_CORPUS,
+    ),  # ORACLED (r7): the oracle is the top-5 over the POST-change
+    # corpus state — it matches only if the append-only fold
+    # (tombstones in preimage buckets, live rows in postimage
+    # buckets) + per-bucket liveness resolution reproduce exactly
+    # what a rebuild would serve
     doc="incremental ANN index maintenance from the change feed (the "
     "reference's triggered delta-sync, ocr:149, open-sourced): build "
     "the LSH index at v0, derive one change commit (vec_id%10==3 "
@@ -301,8 +361,12 @@ def ann_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ann_index_stream_sync",
-    None,  # approximate bucket probe → rows-only; sync ≡ rebuild
-    # equivalence + checkpoint idempotence asserted in pytest
+    lsh_sql.lsh_topk_sql(
+        dim=64, n_planes=8, n_tables=3, seed=42, radius=2, k=5,
+        source=_POST_CHANGE_CORPUS,
+    ),  # ORACLED (r7): same post-state oracle as ann_index_incremental
+    # — additionally proves the availableNow stream + checkpoint +
+    # version-guard delivery folded both commits exactly once
     doc="the reference's TRIGGERED delta-sync vector index (ocr:149) "
     "end-to-end on open Spark: documents' embeddings change feed "
     "(v0 insert, v1 update/delete) → availableNow stream over unseen "

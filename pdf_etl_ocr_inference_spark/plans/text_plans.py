@@ -17,6 +17,9 @@ from pdf_etl_ocr_inference_spark.functions.text import (
     quality_score,
     token_count,
 )
+from pdf_etl_ocr_inference_spark.plans import (
+    quality_lr_sql as _quality_lr_sql,
+)
 from pdf_etl_ocr_inference_spark.plans.registry import register
 from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
 
@@ -948,17 +951,22 @@ def _lr_feats(spark, sf):
 
 @register(
     "text_quality_lr_train",
-    None,  # iterative driver loop → rows-only; exact numpy-replica
-    # parity + partition invariance in tests/test_quality_model.py
+    _quality_lr_sql.lr_train_sql(iterations=10),
     doc="trainable quality classifier (fastText-style): full-batch "
     "logistic regression where each gradient step is ONE narrow "
     "pass emitting floor(g*2^24)-quantized int64 partial sums per "
     "partition — learned weights are bit-identical for any corpus "
     "layout, same numeric doctrine as the deterministic k-means "
-    "and PCA. Emits (feature, weight) + bias "
-    "(operators/quality_model.py).",
+    "and PCA. Emits (feature, micro_weight=floor(w*1e6)) + bias "
+    "(operators/quality_model.py). ORACLED (r7): the exact integer "
+    "gradient sums make the whole 10-step loop a DuckDB CTE chain "
+    "(plans/quality_lr_sql.py, the kmeans-chain pattern applied to "
+    "gradient descent); floor-scaled integer weights avoid the "
+    "rounded-double hash hazard.",
 )
 def text_quality_lr_train(spark: SparkSession, sf: str) -> DataFrame:
+    import math
+
     from pdf_etl_ocr_inference_spark.operators.quality_model import (
         FEATURE_NAMES,
         fit_quality_lr,
@@ -969,20 +977,25 @@ def text_quality_lr_train(spark: SparkSession, sf: str) -> DataFrame:
         w, b, _hist = fit_quality_lr(feats, iterations=10)
     finally:
         feats.unpersist()
-    rows = [(name, round(float(wi), 6)) for name, wi in zip(FEATURE_NAMES, w)]
-    rows.append(("bias", round(float(b), 6)))
-    return spark.createDataFrame(rows, ["feature", "weight"])
+    rows = [
+        (name, math.floor(float(wi) * 1e6))
+        for name, wi in zip(FEATURE_NAMES, w)
+    ]
+    rows.append(("bias", math.floor(float(b) * 1e6)))
+    return spark.createDataFrame(rows, ["feature", "micro_weight"])
 
 
 @register(
     "text_quality_lr_score",
-    None,  # weights come from the iterative trainer → rows-only;
-    # scoring itself is a native Column sigmoid (deployable as a
-    # plain predicate), determinism via the catalog checker
+    _quality_lr_sql.lr_score_sql(iterations=10),
     doc="score every document with the corpus-trained quality "
     "classifier: native-expression sigmoid over the learned "
     "weights — no Python in the scoring path, so the trained "
-    "filter composes into any pipeline as a Column predicate.",
+    "filter composes into any pipeline as a Column predicate. "
+    "ORACLED (r7): emits p_q4=floor(sigmoid(z)*1e4) as BIGINT; the "
+    "oracle replays training (quality_lr_sql chain) then scores "
+    "with the scorer's own bias-first add order (float addition is "
+    "not associative).",
 )
 def text_quality_lr_score(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.quality_model import (
@@ -993,7 +1006,7 @@ def text_quality_lr_score(spark: SparkSession, sf: str) -> DataFrame:
     feats = _lr_feats(spark, sf).cache()
     try:
         w, b, _hist = fit_quality_lr(feats, iterations=10)
-        return score_quality_lr(feats, w, b, "doc_id")
+        return score_quality_lr(feats, w, b, "doc_id", quantized=True)
     finally:
         feats.unpersist()
 

@@ -164,3 +164,57 @@ def test_bloom_positions_deterministic_across_calls():
     b = _bloom_positions(v.copy(), 5, 1024)
     assert (a == b).all()
     assert a.max() < 1024 and a.min() >= 0
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0, max_value=4.0,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+            min_size=8, max_size=8,
+        ),
+        min_size=1, max_size=20,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=20, deadline=None)
+def test_lsh_signature_spark_equals_python(spark, vecs, seed_off):
+    """The r7 fixed-point LSH core: the Spark-plan signature and the
+    driver-side Python signature must agree BIT-FOR-BIT on arbitrary
+    float32 vectors — this is what makes driver-computed Hamming
+    probes (and the DuckDB oracle replay) hit exactly the buckets the
+    plan wrote.  floor(x·2^20) is exact for any IEEE double, so no
+    magnitude regime should break it."""
+    from pyspark.sql import types as T
+
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        lsh_signature,
+        signature_int,
+    )
+
+    seed = 42 + 1000 * seed_off
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("v", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], schema
+    )
+    got = {
+        r["i"]: r["sig"]
+        for r in df.select(
+            "i", lsh_signature("v", 8, 8, seed).alias("sig")
+        ).collect()
+    }
+    import struct as _struct
+
+    for i, v in enumerate(vecs):
+        # replicate float32 storage: the plan reads float32 values
+        v32 = [
+            _struct.unpack("f", _struct.pack("f", x))[0] for x in v
+        ]
+        assert got[i] == signature_int(v32, 8, seed), (i, v)

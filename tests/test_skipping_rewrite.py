@@ -871,3 +871,50 @@ def test_warm_freshness_check_is_o1_not_per_file(
     refresh_clustered_layout(spark, src_dir)  # explicit re-sync
     df3 = spark.read.parquet(src_dir).filter(_box())
     assert _rw(df3) is not df3
+
+
+def test_pins_invalidate_on_rebuild_with_unchanged_source(
+    spark, tmp_path
+):
+    """Re-registering a layout over an UNCHANGED source rewrites the
+    layout's own files; every driver pin (live-file map, stats,
+    bloom) must drop with it.  Guard for the r7 ``layout_build``
+    nonce: before it, pins fingerprinted on the source inventory
+    alone and could serve a previous build's file map."""
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        cached_live_stat_map,
+        register_clustered_layout,
+    )
+
+    src = str(tmp_path / "orders")
+    (
+        spark.read.parquet(f"{SF0001}/orders.parquet")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    meta1 = register_clustered_layout(spark, src, SPECS, n_files=4)
+    live1 = cached_live_stat_map(meta1)
+    assert len(live1) >= 1
+
+    # same source, different clustering -> different layout files
+    meta2 = register_clustered_layout(spark, src, SPECS, n_files=8)
+    assert meta2["layout_build"] != meta1["layout_build"]
+    live2 = cached_live_stat_map(meta2)
+    assert set(live2) != set(live1) or len(live2) != len(live1)
+    # and the map agrees with what is actually on disk
+    import os
+
+    on_disk = set()
+    for root, dirs, files in os.walk(meta2["layout_path"]):
+        # sidecar/hidden dirs are not data (same rule as _live_stat_map)
+        dirs[:] = [
+            d for d in dirs if "=" in d or not d.startswith((".", "_"))
+        ]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                on_disk.add(f"{root}/{f}")
+    assert set(live2) == on_disk
+    # the rewrite still fires against the fresh build
+    df = spark.read.parquet(src).filter(_box())
+    assert _rw(df) is not df
