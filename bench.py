@@ -466,9 +466,10 @@ def dedup_family_attribution(spark) -> dict:
 
 
 def load_reference(spark) -> float:
-    """Fixed-work pure-CPU reference job (verdict-r6 #7): 2×10⁸
+    """Fixed-work pure-CPU reference job (verdict-r6 #7): 6×10⁸
     xxhash64-sum over an in-memory range — no I/O, no shuffle, no
-    Python workers — timed identically every round.  Its wall time
+    Python workers — timed identically every round (≈1 s of work;
+    the first 2×10⁸ sizing was too short to time steadily).  Its wall time
     moves ONLY with host load/frequency, so the ratio against the
     pinned calibration constant separates environmental drift from
     real regressions when comparing BENCH_r{N} files."""
@@ -487,14 +488,14 @@ def load_reference(spark) -> float:
         return time.perf_counter() - t0
 
     run(1_000_000)  # absorb codegen/JIT so the probe times pure work
-    return round(run(200_000_000), 3)
+    return round(run(600_000_000), 3)
 
 
 # Calibration constant: median warm load_reference() on the build
 # host while otherwise idle (r7).  load_normalizer ≈ 1.0 on an idle
 # host; > 1 means the round ran on a loaded/slower machine and
 # headline times should be discounted by roughly that factor.
-LOAD_REF_BASELINE_S = 0.30
+LOAD_REF_BASELINE_S = 0.48
 
 
 def q13_attribution(spark) -> dict:

@@ -45,21 +45,36 @@ from pyspark.sql import DataFrame
 
 def plan_fingerprint(df: DataFrame) -> str:
     """Stable hex fingerprint of (canonicalized plan, semantic hash,
-    input-file inventory incl. size+mtime)."""
+    input-file NAMES, per-source-directory mtime).
+
+    The file-name list comes from the plan's already-materialized
+    file index (Spark listed the files when the DataFrame was built —
+    no extra I/O), and staleness rides on ONE os.stat per distinct
+    source directory instead of one per file (r7, same doctrine as
+    the layout freshness probe: at 10⁶ files the per-file stat pass
+    was a control-plane scale-killer).  Correctness under the
+    immutable-data-file convention: every Spark write produces fresh
+    uuid file names, so any rewrite changes the NAME set; an
+    append/delete/rename also bumps the directory mtime.  A byte-
+    level in-place edit that preserves name, count, and dir mtime is
+    outside the convention (and was only probabilistically caught by
+    mtime before)."""
     jq = df._jdf.queryExecution()
     canon = jq.analyzed().canonicalized().toString()
     h = hashlib.sha256()
     h.update(canon.encode())
     h.update(str(df.semanticHash()).encode())
+    dirs = set()
     for f in sorted(df.inputFiles()):
         h.update(f.encode())
         local = f[len("file:"):] if f.startswith("file:") else f
+        dirs.add(os.path.dirname(local))
+    for d in sorted(dirs):
         try:
-            st = os.stat(local)
-            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+            st = os.stat(d)
+            h.update(f"{d}:{st.st_mtime_ns}".encode())
         except OSError:
-            # non-local / vanished input: the path alone keys it
-            h.update(b"?")
+            h.update(f"{d}:?".encode())  # non-local / vanished dir
     return h.hexdigest()[:32]
 
 

@@ -17,6 +17,7 @@ from pdf_etl_ocr_inference_spark.functions.text import (
     quality_score,
     token_count,
 )
+from pdf_etl_ocr_inference_spark.plans import bpe_sql as _bpe_sql
 from pdf_etl_ocr_inference_spark.plans import (
     quality_lr_sql as _quality_lr_sql,
 )
@@ -889,9 +890,12 @@ def text_bm25_served(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "text_bpe_vocab",
-    None,  # merge learning is an iterative driver loop → rows-only;
-    # parity vs an independent naive reference + determinism in
-    # tests/test_bpe.py
+    _bpe_sql.bpe_vocab_sql(num_merges=80, top_v=5000),
+    # ORACLED (r7): pair counts are exact integers and every
+    # tie-break is lexicographic, so the whole 80-merge loop replays
+    # as a DuckDB CTE chain (plans/bpe_sql.py — the LR/k-means chain
+    # pattern applied to Sennrich BPE; gaps-and-islands reproduces
+    # the left-to-right non-overlapping merge scan)
     doc="BPE vocabulary induction (Sennrich 2016) with the 100 TB "
     "shape: ONE combinable shuffle to the word histogram (capped "
     "top-5000 with a LOGGED drop count — merge decisions are "
@@ -913,9 +917,12 @@ def text_bpe_vocab(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "text_bpe_fertility",
-    None,  # segmentation applies the learned ranks in Python →
-    # rows-only; invariants (pieces >= words, untokenized upper
-    # bound) and determinism in tests/test_bpe.py
+    _bpe_sql.bpe_fertility_sql(num_merges=80, top_v=5000, seg_rounds=16),
+    # ORACLED (r7): training replays via the bpe_vocab_sql chain, and
+    # segmentation unrolls segment_word's lowest-rank/leftmost loop
+    # over DISTINCT words (16 rounds — a word of L symbols merges at
+    # most L-1 times, fixture max pretoken is 8 chars; an undersized
+    # unroll fails LOUD as a gate mismatch, never silently)
     doc="tokenize with the corpus-learned BPE merges: per-doc word "
     "and piece counts (fertility = pieces/words, the vocab-quality "
     "metric). Merge ranks ship in the UDF closure (bounded by "
