@@ -389,3 +389,454 @@ def topk_ivfpq(
         cand = cand.unionByName(b)
     cand = cand.orderBy(F.asc("_adc"), id_col).limit(rerank)
     return topk_exact(cand, embedding_col, query_vec, k=k, id_col=id_col)
+
+
+# ------------------------------------------------------------------ #
+# Fixed-point PQ (r7): the ann_pq_topk path, engine-exact end to end #
+# ------------------------------------------------------------------ #
+#
+# Every stage is integer arithmetic or a single correctly-rounded
+# float op on engine-identical inputs, so DuckDB replays the WHOLE
+# pipeline — codebook k-means included (plans/pq_sql.py):
+#
+# - quantize-normalize: xq = floor(x·2^20) (exact for any double);
+#   norm = sqrt(Σ xq², exact int < 2^53 cast to double); coordinate
+#   xn = floor(xq/norm · 2^17) — divide is correctly rounded on
+#   identical inputs, ×2^17 is exact, floor is deterministic.
+# - k-means: init = the first k id-ordered sample rows (deterministic,
+#   no RNG); assignment argmin of exact-int squared L2 (ties → lowest
+#   centroid index); update = floor-div integer means (empty clusters
+#   keep their centroid).
+# - encode/ADC: integer argmin per subspace; integer LUT distances.
+#
+# The float path above stays for OPQ/IVF-PQ (SVD rotations and
+# residual training are deliberately rows-only).
+
+PQ_COORD_SCALE = float(1 << 20)
+PQ_NORM_SCALE = float(1 << 17)
+
+
+def _quantize_normalize_py(vec) -> list[int]:
+    import math
+
+    xq = [math.floor(float(v) * PQ_COORD_SCALE) for v in vec]
+    nsq = sum(v * v for v in xq)
+    if nsq == 0:
+        return [0] * len(xq)
+    norm = math.sqrt(float(nsq))
+    return [math.floor(float(v) / norm * PQ_NORM_SCALE) for v in xq]
+
+
+def train_pq_codebooks_q(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    sample_mod: int = 4,
+    iters: int = 10,
+) -> list:
+    """Fixed-point PQ codebooks (integer centroids at the xn scale).
+    Driver-side on the id-ordered hash sample, like the float
+    trainer — but exactly replayable in SQL."""
+    rows = (
+        df.filter(F.col(id_col) % sample_mod == 0)
+        .select(id_col, embedding_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    x = [_quantize_normalize_py(r[embedding_col]) for r in rows]
+    return _train_books_q(x, m, k, iters)
+
+
+def _train_books_q(
+    x: list, m: int, k: int, iters: int
+) -> list:
+    """Integer k-means per subspace over an already-quantized matrix
+    (id-ordered rows).  First-k init, argmin ties to the lowest
+    centroid index, floor-div means, empty clusters keep their
+    centroid — each rule chosen to be SQL-replayable."""
+    import numpy as np
+
+    if not x or len(x[0]) % m:
+        raise ValueError("bad sample / dim not divisible by m")
+    X = np.asarray(x, dtype=np.int64)
+    sub = X.shape[1] // m
+    books = []
+    for j in range(m):
+        xs = X[:, j * sub : (j + 1) * sub]
+        cents = xs[: min(k, len(xs))].copy()  # first-k id-ordered init
+        for _ in range(iters):
+            # exact int64 throughout: |vals| ≤ 2·2^17 ⇒ d2 ≤ ~2^38
+            diff = xs[:, None, :] - cents[None, :, :]
+            d2 = (diff * diff).sum(axis=2)
+            assign = d2.argmin(axis=1)  # first min = lowest index
+            for ci in range(len(cents)):
+                mask = assign == ci
+                if mask.any():
+                    ssum = xs[mask].sum(axis=0)
+                    n = int(mask.sum())
+                    # np.floor_divide floors like Python //
+                    cents[ci] = np.floor_divide(ssum, n)
+        books.append([[int(v) for v in c] for c in cents])
+    return books
+
+
+def pq_encode_q(
+    df: DataFrame,
+    embedding_col: str,
+    codebooks_q: list,
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Arrow-vectorized encode against integer codebooks — the same
+    quantize-normalize arithmetic, numpy int64 (exact)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks_q)
+    sub = len(codebooks_q[0][0])
+    books = [np.asarray(b, dtype="int64") for b in codebooks_q]
+
+    def _qn(vec) -> "object":
+        import numpy as np
+
+        xq = np.floor(
+            np.asarray(vec, dtype="float64") * PQ_COORD_SCALE
+        ).astype("int64")
+        nsq = int((xq * xq).sum())
+        if nsq == 0:
+            return np.zeros(len(xq), dtype="int64")
+        norm = float(np.sqrt(float(nsq)))
+        return np.floor(
+            xq.astype("float64") / norm * PQ_NORM_SCALE
+        ).astype("int64")
+
+    @F.pandas_udf("array<int>")
+    def encode(batch):
+        mat = np.stack([_qn(v) for v in batch])
+        codes = np.empty((len(mat), m), dtype="int32")
+        for j in range(m):
+            xs = mat[:, j * sub : (j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)  # first min = lowest index
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, encode(embedding_col))
+
+
+def adc_distance_q(
+    codes_col: Column | str, query_vec: list, codebooks_q: list
+) -> Column:
+    """Integer ADC: Σⱼ lut[j][code_j] with an exact-int LUT from the
+    quantize-normalized query."""
+    q = _quantize_normalize_py(query_vec)
+    m = len(codebooks_q)
+    sub = len(codebooks_q[0][0])
+    lut = []
+    for j in range(m):
+        qs = q[j * sub : (j + 1) * sub]
+        lut.append(
+            [
+                sum((a - b) * (a - b) for a, b in zip(qs, c))
+                for c in codebooks_q[j]
+            ]
+        )
+    lut_lit = F.array(
+        *[
+            F.array(*[F.lit(int(v)).cast("long") for v in row])
+            for row in lut
+        ]
+    )
+    codes = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    return F.transform(
+        F.array(lut_lit),
+        lambda t: F.aggregate(
+            F.transform(codes, lambda c, j: t[j][c]),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )[0]
+
+
+def topk_pq_q(
+    encoded: DataFrame,
+    embedding_col: str,
+    query_vec: list,
+    codebooks_q: list,
+    k: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Fixed-point ADC scan → top ``rerank`` by exact-int distance
+    (id tie-break) → exact cosine top-k."""
+    cand = (
+        encoded.select(
+            id_col,
+            embedding_col,
+            adc_distance_q(codes_col, query_vec, codebooks_q).alias(
+                "_adc"
+            ),
+        )
+        .orderBy(F.asc("_adc"), id_col)
+        .limit(rerank)
+    )
+    return topk_exact(cand, embedding_col, query_vec, k=k, id_col=id_col)
+
+
+# ------------------------------------------------------------------ #
+# Fixed-point IVF-PQ (r7): coarse cells + residual codebooks, all    #
+# integer — the ann_ivfpq_topk path, SQL-replayable like plain PQ.   #
+# ------------------------------------------------------------------ #
+
+
+def xn_frame(
+    df: DataFrame, embedding_col: str, out_col: str = "_xn"
+) -> DataFrame:
+    """Append the quantize-normalized integer vector as a COLUMN
+    (materialized once per row — the per-element lambda must not
+    re-evaluate the norm aggregate per element)."""
+    xq = F.transform(
+        F.col(embedding_col),
+        lambda v: F.floor(v.cast("double") * F.lit(PQ_COORD_SCALE)).cast(
+            "long"
+        ),
+    )
+    out = df.withColumn("_xq", xq).withColumn(
+        "_nsq",
+        F.aggregate(
+            "_xq", F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ),
+    )
+    xn = F.when(
+        F.col("_nsq") == 0,
+        F.transform("_xq", lambda v: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            "_xq",
+            lambda v: F.floor(
+                v.cast("double")
+                / F.sqrt(F.col("_nsq").cast("double"))
+                * F.lit(PQ_NORM_SCALE)
+            ).cast("long"),
+        )
+    )
+    return out.withColumn(out_col, xn).drop("_xq", "_nsq")
+
+
+def ivfpq_centroids_q(
+    df: DataFrame,
+    embedding_col: str,
+    label_col: str = "label",
+    sample_mod: int = 4,
+    id_col: str = "vec_id",
+) -> dict[int, list[int]]:
+    """Coarse centroids in the xn integer space: per (label, dim) the
+    exact floor-div mean over the hash-sampled train rows — the
+    ivf_centroids_quantized recipe, applied after normalization so
+    residuals live at the same scale as the points."""
+    rows = (
+        xn_frame(
+            df.filter(F.col(id_col) % sample_mod == 0), embedding_col
+        )
+        .select(
+            F.col(label_col).alias("label"),
+            F.posexplode("_xn").alias("pos", "xv"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("xv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = int(
+            r["s"]
+        ) // int(r["n"])
+    return {
+        lbl: [m[i] for i in range(len(m))]
+        for lbl, m in sorted(by_label.items())
+    }
+
+
+def _assign_cell_py(xn: list[int], centroids_q: dict) -> int:
+    best, best_d = None, None
+    for lbl in sorted(centroids_q):
+        d = sum(a * b for a, b in zip(xn, centroids_q[lbl]))
+        if best_d is None or d > best_d:
+            best, best_d = lbl, d
+    return best
+
+
+def train_ivfpq_codebooks_q(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    centroids_q: dict,
+    m: int = 8,
+    k: int = 16,
+    sample_mod: int = 4,
+    iters: int = 10,
+) -> list:
+    """Residual codebooks, fixed-point: the id-ordered sample's xn
+    vectors, assigned by exact-int dot (ties → smallest label),
+    residual = xn − c(xn), integer k-means."""
+    rows = (
+        df.filter(F.col(id_col) % sample_mod == 0)
+        .select(id_col, embedding_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    import numpy as np
+
+    labels = sorted(centroids_q)
+    cmat = np.asarray([centroids_q[lbl] for lbl in labels], dtype=np.int64)
+    xn = np.asarray(
+        [_quantize_normalize_py(r[embedding_col]) for r in rows],
+        dtype=np.int64,
+    )
+    # exact int dots; argmax first occurrence = smallest label
+    assign = (xn @ cmat.T).argmax(axis=1)
+    resid = xn - cmat[assign]
+    return _train_books_q([list(map(int, r)) for r in resid], m, k, iters)
+
+
+def ivfpq_assign_q(
+    df: DataFrame,
+    embedding_col: str,
+    centroids_q: dict,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, embedding, _xn, cell): nearest coarse cell by exact int64
+    dot over the materialized xn column; ties → smallest label."""
+    labels = sorted(centroids_q)
+    with_xn = xn_frame(df, embedding_col)
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "_xn",
+                    F.array(
+                        *[
+                            F.lit(int(v)).cast("long")
+                            for v in centroids_q[lbl]
+                        ]
+                    ),
+                    lambda x, c: x * c,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for lbl in labels
+        ]
+    )
+    label_arr = F.array(*[F.lit(int(lbl)) for lbl in labels])
+    return with_xn.select(
+        F.col(id_col),
+        F.col(embedding_col),
+        "_xn",
+        F.element_at(
+            label_arr, F.array_position(dots, F.array_max(dots)).cast("int")
+        ).alias("cell"),
+    )
+
+
+def ivfpq_encode_q(
+    assigned: DataFrame,
+    centroids_q: dict,
+    books_q: list,
+    out_col: str = "pq_codes",
+    xn_col: str = "_xn",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Residual codes (Arrow-vectorized, exact numpy int64)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books_q)
+    sub = len(books_q[0][0])
+    books = [np.asarray(b, dtype="int64") for b in books_q]
+    cents = {
+        int(lbl): np.asarray(v, dtype="int64")
+        for lbl, v in centroids_q.items()
+    }
+
+    @F.pandas_udf("array<int>")
+    def encode(xns, cells):
+        out = []
+        for xn, cell in zip(xns, cells):
+            r = np.asarray(xn, dtype="int64") - cents[int(cell)]
+            codes = np.empty(m, dtype="int32")
+            for j in range(m):
+                rs = r[j * sub : (j + 1) * sub]
+                d2 = ((books[j] - rs[None, :]) ** 2).sum(axis=1)
+                codes[j] = int(d2.argmin())
+            out.append(codes)
+        return pd.Series(out)
+
+    return assigned.withColumn(out_col, encode(xn_col, cell_col))
+
+
+def topk_ivfpq_q(
+    encoded: DataFrame,
+    embedding_col: str,
+    query_vec: list,
+    centroids_q: dict,
+    books_q: list,
+    k: int = 5,
+    n_probe: int = 3,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Probe the best cells by exact int dot, per-cell integer
+    residual LUT, ADC over the probed cells only, exact cosine
+    re-rank."""
+    qn = _quantize_normalize_py(query_vec)
+    qdot = {
+        lbl: sum(a * b for a, b in zip(qn, c))
+        for lbl, c in centroids_q.items()
+    }
+    probe = sorted(centroids_q, key=lambda lbl: (-qdot[lbl], lbl))[
+        :n_probe
+    ]
+    m = len(books_q)
+    sub = len(books_q[0][0])
+    branches = []
+    for lbl in probe:
+        qr = [a - b for a, b in zip(qn, centroids_q[lbl])]
+        lut = [
+            [
+                sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(qr[j * sub : (j + 1) * sub], c)
+                )
+                for c in books_q[j]
+            ]
+            for j in range(m)
+        ]
+        lut_lit = F.array(
+            *[
+                F.array(*[F.lit(int(v)).cast("long") for v in row])
+                for row in lut
+            ]
+        )
+        codes = F.col(codes_col)
+        dist = F.transform(
+            F.array(lut_lit),
+            lambda t: F.aggregate(
+                F.transform(codes, lambda c, j: t[j][c]),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )[0]
+        branches.append(F.when(F.col(cell_col) == int(lbl), dist))
+    # unmatched whens are NULL; the cell filter below guarantees one hits
+    adc_by_cell = F.coalesce(*branches)
+    cand = (
+        encoded.filter(F.col(cell_col).isin([int(v) for v in probe]))
+        .select(id_col, embedding_col, adc_by_cell.alias("_adc"))
+        .orderBy(F.asc("_adc"), id_col)
+        .limit(rerank)
+    )
+    return topk_exact(cand, embedding_col, query_vec, k=k, id_col=id_col)

@@ -14,11 +14,10 @@ from pdf_etl_ocr_inference_spark.functions.vector import cosine_similarity
 from pdf_etl_ocr_inference_spark.operators.inference import with_embeddings
 from pdf_etl_ocr_inference_spark.operators.similarity import (
     build_index,
-    ivf_assign,
     lsh_near_pairs,
     topk_lsh,
 )
-from pdf_etl_ocr_inference_spark.plans import lsh_sql
+from pdf_etl_ocr_inference_spark.plans import lsh_sql, pq_sql
 from pdf_etl_ocr_inference_spark.plans.registry import register
 from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
 
@@ -255,29 +254,40 @@ def ann_rewrite_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ann_pq_topk",
-    None,  # approximate (quantized distances) → rows-only; recall
-    # floor + ADC monotonicity tested in pytest
+    pq_sql.pq_topk_sql(
+        m=8, k_cents=16, iters=10, sample_mod=4, dim=64, k=5,
+        rerank_floor=50, rerank_frac=10,
+    ),
     doc="product-quantization ANN (Jégou 2011): 64-float embeddings "
     "compress to 8 one-byte codes (32×), the ADC scan reads ONLY the "
     "code column via a native LUT fold (no Python in the query path), "
-    "top-50 candidates re-rank with exact cosine. Codebooks train "
-    "driver-side on a hash sample (control data, constant cost); "
-    "encoding is an Arrow-vectorized build-time pass. The "
-    "memory-bound scale path: at 100 TB of embeddings the per-query "
-    "scan shrinks 32×.",
+    "candidates re-rank with exact cosine. Codebooks train "
+    "driver-side on the id-ordered hash sample (control data, "
+    "constant cost); encoding is an Arrow-vectorized build-time "
+    "pass. The memory-bound scale path: at 100 TB of embeddings the "
+    "per-query scan shrinks 32×. ORACLED (r7): this path is "
+    "FIXED-POINT — quantize-normalized integer coordinates, "
+    "first-k-id-ordered k-means init, exact-int assignment/floor-div "
+    "means, integer ADC LUT — so DuckDB replays codebook training, "
+    "encoding, the ADC scan, and the re-rank end to end "
+    "(plans/pq_sql.py). The float path (train_pq_codebooks) remains "
+    "for OPQ/IVF-PQ.",
 )
 def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.pq import (
-        pq_encode,
-        topk_pq,
-        train_pq_codebooks,
+        pq_encode_q,
+        topk_pq_q,
+        train_pq_codebooks_q,
     )
 
     emb = _t(spark, sf, "embeddings")
-    books = train_pq_codebooks(
+    books = train_pq_codebooks_q(
         emb, "embedding", id_col="vec_id", m=8, k=16, sample_mod=4,
+        iters=10,
     )
-    encoded = pq_encode(emb.filter(F.col("vec_id") != 0), "embedding", books)
+    encoded = pq_encode_q(
+        emb.filter(F.col("vec_id") != 0), "embedding", books
+    )
     qvec = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -286,7 +296,7 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     # shrinks to a vanishing fraction as n grows and recall collapses
     # (measured 0.8 -> 0.0 from sf0.01 to sf0.1 at rerank=50)
     rerank = max(50, emb.count() // 10)
-    return topk_pq(
+    return topk_pq_q(
         encoded, "embedding", qvec, books, k=5, rerank=rerank,
         id_col="vec_id",
     )
@@ -840,49 +850,49 @@ def ann_served_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ann_ivfpq_topk",
-    None,  # approximate → rows-only; recall floor + residual-gain
-    # properties in tests/test_ivfpq.py
+    pq_sql.ivfpq_topk_sql(
+        m=8, k_cents=16, iters=10, sample_mod=4, dim=64, k=5,
+        n_probe=3, rerank_floor=50, rerank_frac=10,
+    ),
     doc="IVF-PQ / IVFADC (Jégou 2011 §IV): coarse label-seeded cells "
     "+ PQ over the RESIDUAL x − c(x), probe 3 cells each with its "
     "own residual LUT, union the cell-pruned code-column scans, "
-    "global ADC top-50, exact re-rank. Composes IVF's partition "
+    "global ADC rerank pool, exact re-rank. Composes IVF's partition "
     "pruning with PQ's 32× column shrink — the probe reads "
     "n_probe/n_cells of 1/32nd of the corpus bytes; the layout "
-    "billion-scale ANN systems ship.",
+    "billion-scale ANN systems ship. ORACLED (r7): the whole IVFADC "
+    "stack is fixed-point — coarse cells are floor-div means in the "
+    "quantize-normalized integer space, residuals/codebooks/ADC LUTs "
+    "exact int64 — so DuckDB replays coarse training, assignment, "
+    "residual k-means, encoding, the per-cell LUT probe, and the "
+    "re-rank end to end (plans/pq_sql.py). The float IVF-PQ "
+    "operators remain for the served variants.",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.pq import (
-        ivfpq_encode,
-        topk_ivfpq,
-        train_ivfpq_codebooks,
+        ivfpq_assign_q,
+        ivfpq_centroids_q,
+        ivfpq_encode_q,
+        topk_ivfpq_q,
+        train_ivfpq_codebooks_q,
     )
 
     emb = _t(spark, sf, "embeddings")
-    train = emb.filter(F.col("vec_id") % 4 == 0)
-    cents_rows = (
-        train.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.avg("v").alias("m"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("vals"))
-        .select("label", F.transform("vals", lambda s: s["m"]).alias("centroid"))
-        .orderBy("label")
-        .collect()
-    )
-    centroids = [list(r["centroid"]) for r in cents_rows]
-    books = train_ivfpq_codebooks(
+    centroids = ivfpq_centroids_q(emb, "embedding", sample_mod=4)
+    books = train_ivfpq_codebooks_q(
         emb, "embedding", "vec_id", centroids, m=8, k=16, sample_mod=4,
+        iters=10,
     )
-    assigned = ivf_assign(
+    assigned = ivfpq_assign_q(
         emb.filter(F.col("vec_id") != 0), "embedding", centroids
     )
-    encoded = ivfpq_encode(assigned, "embedding", centroids, books)
+    encoded = ivfpq_encode_q(assigned, centroids, books)
     qvec = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
     rerank = max(50, emb.count() // 10)
-    return topk_ivfpq(
+    return topk_ivfpq_q(
         encoded, "embedding", qvec, centroids, books,
         k=5, n_probe=3, rerank=rerank,
     )
