@@ -281,7 +281,13 @@ def ann_pca_gram(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "ann_pca_project",
     None,  # eigendecomposition is a driver step → rows-only;
-    # numpy-replica parity + partition-invariance in tests/test_pca.py
+    # numpy-replica parity + partition-invariance in tests/test_pca.py.
+    # r7 note: a fixed-point power-iteration replay (the chain trick
+    # that oracled PQ/LR/BPE) was prototyped and REJECTED — the
+    # fixture covariance is near-isotropic (top-4 eigenvalues within
+    # 7%: 3.03/2.99/2.93/2.81 e10), so power iteration cannot separate
+    # the components ((λ2/λ1)^30 ≈ 0.74) and the entry would stop
+    # being a usable PCA; eigh is genuinely required here
     doc="deterministic distributed PCA: integer-exact quantized "
     "covariance (one narrow pass, partition-count-sized driver "
     "traffic), driver eigh with sign canonicalization, Arrow-"

@@ -217,10 +217,11 @@ def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "tpch_q9",
-    "SELECT nation, o_year, ROUND(SUM("
+    "SELECT nation, o_year, "
+    "CAST((CAST(SUM("
     "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * "
     "(100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))"
-    ") / 10000.0, 2) AS sum_profit FROM ("
+    ") AS BIGINT) + 50) // 100 AS BIGINT) / 100.0 AS sum_profit FROM ("
     "  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year, "
     "  l_extendedprice, l_discount "
     "  FROM part JOIN lineitem ON p_partkey = l_partkey "
@@ -239,7 +240,11 @@ def tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
     "engines, and at sf0.1 one group landed within an ulp of a "
     "ROUND(.,2) boundary and hashed apart — the same class op92b "
     "hit; integer partials make the group total bit-identical for "
-    "ANY partitioning.",
+    "ANY partitioning. r7: the final cent rounding is EXACT integer "
+    "half-up ((total_e4 + 50) div 100) — at sf0.001 one group's "
+    "exact total landed ON a half-cent (…275) and the two engines' "
+    "double ROUND disagreed; rounding in integers removes the class "
+    "entirely (one exact-input /100.0 remains).",
     tags=("bench",),
 )
 def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
@@ -268,8 +273,15 @@ def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
             amount_e4.alias("amount_e4"),
         )
         .groupBy("nation", "o_year")
-        .agg(
-            F.round(F.sum("amount_e4") / 10000.0, 2).alias("sum_profit")
+        .agg(F.sum("amount_e4").alias("_e4"))
+        # exact integer half-up to cents (totals are nonnegative, so
+        # DIV's truncation IS floor), then one exact-input division
+        .select(
+            "nation",
+            "o_year",
+            (
+                F.expr("(_e4 + 50) DIV 100").cast("long") / F.lit(100.0)
+            ).alias("sum_profit"),
         )
     )
 
