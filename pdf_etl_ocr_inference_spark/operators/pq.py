@@ -10,9 +10,12 @@ touches full vectors for just the top candidates.
 Division of labor (deliberate):
 
 - **training** (:func:`train_pq_codebooks`): driver-side numpy
-  k-means per subspace on a hash-sampled, L2-normalized subset —
-  codebooks are control data (M × K × dim/M floats), the standard PQ
-  practice; cost is constant in corpus size.
+  k-means per subspace on a FIXED-SIZE id-keyed sample (the modulus
+  is derived from a cheap distributed count so the collected row
+  count is bounded by ~2·``PQ_TRAIN_TARGET`` at ANY corpus size —
+  a fixed fraction would be a corpus-proportional driver collect);
+  codebooks are control data (M × K × dim/M floats), the standard
+  PQ practice.
 - **encoding** (:func:`pq_encode`): Arrow-vectorized pandas UDF — one
   numpy distance matrix per subspace per batch.  Index-BUILD time
   (once per corpus), where vectorized Python beats 128 interpreted
@@ -45,12 +48,36 @@ def _normalize(vec):
     return v / n if n > 0 else v
 
 
+# Training-sample size target.  The sample modulus is DERIVED from a
+# corpus count (``max(1, n // PQ_TRAIN_TARGET)``), so the number of
+# vectors collected to the driver is bounded by ~2·PQ_TRAIN_TARGET no
+# matter how large the corpus grows (n // (n // t) < 2t for n ≥ t).
+# A fixed fraction (the pre-r8 ``sample_mod=4``) would have been a
+# corpus-proportional driver collect — 2.5×10⁸ vectors at 10⁹ rows.
+PQ_TRAIN_TARGET = 2048
+
+
+def derive_sample_mod(
+    df: DataFrame, id_col: str, target: int = PQ_TRAIN_TARGET
+) -> int:
+    """Sample modulus for a ~``target``-vector id-keyed training
+    sample: one cheap distributed ``count()`` (no data collected),
+    then ``max(1, n // target)``.  Deterministic given the corpus;
+    assumes roughly dense ids (TESTDATA's ``vec_id`` is 0..n−1).  The
+    DuckDB oracles replay the same derivation as
+    ``GREATEST(1, (SELECT COUNT(*) ...) // target)``."""
+    return max(1, df.count() // target)
+
+
 def _collect_sample(df, embedding_col, id_col, sample_mod, m):
     """Driver-side normalized sample matrix, SORTED by id so training
     is independent of partition layout (collect() row order is not
-    deterministic).  Shared by PQ and OPQ training."""
+    deterministic).  Shared by PQ and OPQ training.
+    ``sample_mod=None`` derives the fixed-size-sample modulus."""
     import numpy as np
 
+    if sample_mod is None:
+        sample_mod = derive_sample_mod(df, id_col)
     rows = (
         df.filter(F.col(id_col) % sample_mod == 0)
         .select(id_col, embedding_col)
@@ -69,13 +96,15 @@ def train_pq_codebooks(
     id_col: str,
     m: int = 8,
     k: int = 16,
-    sample_mod: int = 4,
+    sample_mod: int | None = None,
     iters: int = 10,
     seed: int = 42,
 ) -> list:
     """k-means codebooks per subspace, trained driver-side on the
-    ``id % sample_mod == 0`` hash sample (deterministic; constant cost
-    as the corpus grows).  Returns ``m`` lists of ``k`` centroids."""
+    ``id % sample_mod == 0`` id-keyed sample (deterministic; with the
+    default derived modulus the collected sample is FIXED-SIZE —
+    bounded by ~2·``PQ_TRAIN_TARGET`` vectors at any corpus size).
+    Returns ``m`` lists of ``k`` centroids."""
     import numpy as np
 
     x = _collect_sample(df, embedding_col, id_col, sample_mod, m)
@@ -126,7 +155,7 @@ def train_opq(
     id_col: str,
     m: int = 8,
     k: int = 16,
-    sample_mod: int = 4,
+    sample_mod: int | None = None,
     iters: int = 10,
     opq_iters: int = 5,
     seed: int = 42,
@@ -138,8 +167,8 @@ def train_opq(
     SVD(Xᵀ·quantized(XR)).  Correlated/unbalanced dimensions get mixed
     across subspaces, which plain PQ's fixed split cannot do.
 
-    Driver-side on the same hash sample as ``train_pq_codebooks``
-    (control data, constant cost).  Returns ``(rotation, codebooks)``
+    Driver-side on the same fixed-size id-keyed sample as
+    ``train_pq_codebooks``.  Returns ``(rotation, codebooks)``
     where ``rotation`` is a dim×dim list-of-lists; pass both to
     :func:`pq_encode` / :func:`topk_pq`.
     """
@@ -292,14 +321,15 @@ def train_ivfpq_codebooks(
     centroids: list,
     m: int = 8,
     k: int = 16,
-    sample_mod: int = 4,
+    sample_mod: int | None = None,
     iters: int = 10,
     seed: int = 42,
 ) -> list:
-    """Residual PQ codebooks: the hash sample is normalized, assigned
-    to its nearest coarse centroid (by dot product, matching
-    ``ivf_assign``), and the per-subspace k-means trains on
-    ``x − c(x)``.  Driver-side control data, constant in corpus size."""
+    """Residual PQ codebooks: the fixed-size id-keyed sample is
+    normalized, assigned to its nearest coarse centroid (by dot
+    product, matching ``ivf_assign``), and the per-subspace k-means
+    trains on ``x − c(x)``.  Driver-side control data, bounded
+    collect (see ``derive_sample_mod``)."""
     import numpy as np
 
     x = _collect_sample(df, embedding_col, id_col, sample_mod, m)
@@ -433,12 +463,14 @@ def train_pq_codebooks_q(
     id_col: str,
     m: int = 8,
     k: int = 16,
-    sample_mod: int = 4,
+    sample_mod: int | None = None,
     iters: int = 10,
 ) -> list:
     """Fixed-point PQ codebooks (integer centroids at the xn scale).
-    Driver-side on the id-ordered hash sample, like the float
+    Driver-side on the id-ordered fixed-size sample, like the float
     trainer — but exactly replayable in SQL."""
+    if sample_mod is None:
+        sample_mod = derive_sample_mod(df, id_col)
     rows = (
         df.filter(F.col(id_col) % sample_mod == 0)
         .select(id_col, embedding_col)
@@ -628,13 +660,18 @@ def ivfpq_centroids_q(
     df: DataFrame,
     embedding_col: str,
     label_col: str = "label",
-    sample_mod: int = 4,
+    sample_mod: int | None = None,
     id_col: str = "vec_id",
 ) -> dict[int, list[int]]:
     """Coarse centroids in the xn integer space: per (label, dim) the
-    exact floor-div mean over the hash-sampled train rows — the
+    exact floor-div mean over the id-sampled train rows — the
     ivf_centroids_quantized recipe, applied after normalization so
-    residuals live at the same scale as the points."""
+    residuals live at the same scale as the points.  (This path is a
+    distributed aggregate — only label×dim sums reach the driver —
+    but the modulus is shared with the codebook trainer so both see
+    the same sample.)"""
+    if sample_mod is None:
+        sample_mod = derive_sample_mod(df, id_col)
     rows = (
         xn_frame(
             df.filter(F.col(id_col) % sample_mod == 0), embedding_col
@@ -658,15 +695,6 @@ def ivfpq_centroids_q(
     }
 
 
-def _assign_cell_py(xn: list[int], centroids_q: dict) -> int:
-    best, best_d = None, None
-    for lbl in sorted(centroids_q):
-        d = sum(a * b for a, b in zip(xn, centroids_q[lbl]))
-        if best_d is None or d > best_d:
-            best, best_d = lbl, d
-    return best
-
-
 def train_ivfpq_codebooks_q(
     df: DataFrame,
     embedding_col: str,
@@ -674,12 +702,14 @@ def train_ivfpq_codebooks_q(
     centroids_q: dict,
     m: int = 8,
     k: int = 16,
-    sample_mod: int = 4,
+    sample_mod: int | None = None,
     iters: int = 10,
 ) -> list:
-    """Residual codebooks, fixed-point: the id-ordered sample's xn
-    vectors, assigned by exact-int dot (ties → smallest label),
-    residual = xn − c(xn), integer k-means."""
+    """Residual codebooks, fixed-point: the id-ordered fixed-size
+    sample's xn vectors, assigned by exact-int dot (ties → smallest
+    label), residual = xn − c(xn), integer k-means."""
+    if sample_mod is None:
+        sample_mod = derive_sample_mod(df, id_col)
     rows = (
         df.filter(F.col(id_col) % sample_mod == 0)
         .select(id_col, embedding_col)

@@ -24,9 +24,26 @@ LR/BPE chain lesson: inlining doubles the tree per round).
 
 from __future__ import annotations
 
+from pdf_etl_ocr_inference_spark.operators.pq import PQ_TRAIN_TARGET
+
 # the engine-side scales (operators/pq.py)
 COORD = 1048576.0  # 2^20
 NORM = 131072.0  # 2^17
+
+
+def _sample_pred(id_expr: str, sample_mod: int | None) -> str:
+    """The training-sample predicate.  ``sample_mod=None`` replays the
+    engine's fixed-size-sample derivation (operators/pq.py
+    ``derive_sample_mod``): modulus = max(1, n // PQ_TRAIN_TARGET)
+    from the corpus count — the SQL twin of the cheap distributed
+    ``count()``, so oracle and engine pick the SAME sample at every
+    SF without baking a corpus-specific modulus into the string."""
+    if sample_mod is not None:
+        return f"{id_expr} % {sample_mod} = 0"
+    return (
+        f"{id_expr} % GREATEST(1, "
+        f"(SELECT COUNT(*) FROM qn) // {PQ_TRAIN_TARGET}) = 0"
+    )
 
 
 def _qn_ctes(source: str = "embeddings") -> str:
@@ -44,14 +61,15 @@ def _qn_ctes(source: str = "embeddings") -> str:
 
 
 def _kmeans_ctes(
-    m: int, k: int, iters: int, sub: int, sample_mod: int
+    m: int, k: int, iters: int, sub: int, sample_mod: int | None
 ) -> str:
     """bk{iters}(j, cidx, i, val) — final integer codebooks."""
     parts = [
         # sample points exploded per (subspace, dim-within-subspace)
         f"pt AS MATERIALIZED (SELECT vec_id, CAST(i // {sub} AS INT) AS j, "
         f"CAST(i % {sub} AS INT) AS i, xn[i + 1] AS val "
-        f"FROM (SELECT vec_id, xn FROM qn WHERE vec_id % {sample_mod} = 0), "
+        f"FROM (SELECT vec_id, xn FROM qn "
+        f"WHERE {_sample_pred('vec_id', sample_mod)}), "
         f"UNNEST(range(0, len(xn))) AS r(i)), "
         # init: the first k id-ordered sample rows per subspace
         f"bk0 AS MATERIALIZED (SELECT j, CAST(rnk - 1 AS INT) AS cidx, "
@@ -94,7 +112,7 @@ def pq_topk_sql(
     m: int = 8,
     k_cents: int = 16,
     iters: int = 10,
-    sample_mod: int = 4,
+    sample_mod: int | None = None,
     dim: int = 64,
     k: int = 5,
     rerank_floor: int = 50,
@@ -150,7 +168,7 @@ def ivfpq_topk_sql(
     m: int = 8,
     k_cents: int = 16,
     iters: int = 10,
-    sample_mod: int = 4,
+    sample_mod: int | None = None,
     dim: int = 64,
     k: int = 5,
     n_probe: int = 3,
@@ -175,7 +193,8 @@ def ivfpq_topk_sql(
         f"SELECT e.label, CAST(r.i AS INT) AS i, SUM(xn[i + 1]) AS s, "
         f"COUNT(*) AS n FROM qn JOIN embeddings e USING (vec_id), "
         f"UNNEST(range(0, len(xn))) AS r(i) "
-        f"WHERE vec_id % {sample_mod} = 0 GROUP BY e.label, r.i)), "
+        f"WHERE {_sample_pred('vec_id', sample_mod)} "
+        f"GROUP BY e.label, r.i)), "
         # every row's xn exploded + its coarse assignment (max int
         # dot, ties -> smallest label)
         f"xnp AS MATERIALIZED (SELECT vec_id, CAST(i AS INT) AS i, "
@@ -190,7 +209,7 @@ def ivfpq_topk_sql(
         f"CAST(x.i // {sub} AS INT) AS j, CAST(x.i % {sub} AS INT) AS i, "
         f"x.val - c.val AS val FROM xnp x JOIN asg a USING (vec_id) "
         f"JOIN cq c ON c.label = a.cell AND c.i = x.i "
-        f"WHERE x.vec_id % {sample_mod} = 0), "
+        f"WHERE {_sample_pred('x.vec_id', sample_mod)}), "
         f"bk0 AS MATERIALIZED (SELECT j, CAST(rnk - 1 AS INT) AS cidx, "
         f"i, val FROM (SELECT j, i, val, DENSE_RANK() OVER "
         f"(PARTITION BY j ORDER BY vec_id) AS rnk FROM pt) "

@@ -255,15 +255,16 @@ def ann_rewrite_topk(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "ann_pq_topk",
     pq_sql.pq_topk_sql(
-        m=8, k_cents=16, iters=10, sample_mod=4, dim=64, k=5,
+        m=8, k_cents=16, iters=10, dim=64, k=5,
         rerank_floor=50, rerank_frac=10,
     ),
     doc="product-quantization ANN (Jégou 2011): 64-float embeddings "
     "compress to 8 one-byte codes (32×), the ADC scan reads ONLY the "
     "code column via a native LUT fold (no Python in the query path), "
     "candidates re-rank with exact cosine. Codebooks train "
-    "driver-side on the id-ordered hash sample (control data, "
-    "constant cost); encoding is an Arrow-vectorized build-time "
+    "driver-side on a FIXED-SIZE id-keyed sample (modulus derived "
+    "from a cheap count — collected rows bounded by ~2·2048 at any "
+    "corpus size); encoding is an Arrow-vectorized build-time "
     "pass. The memory-bound scale path: at 100 TB of embeddings the "
     "per-query scan shrinks 32×. ORACLED (r7): this path is "
     "FIXED-POINT — quantize-normalized integer coordinates, "
@@ -282,8 +283,7 @@ def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = _t(spark, sf, "embeddings")
     books = train_pq_codebooks_q(
-        emb, "embedding", id_col="vec_id", m=8, k=16, sample_mod=4,
-        iters=10,
+        emb, "embedding", id_col="vec_id", m=8, k=16, iters=10,
     )
     encoded = pq_encode_q(
         emb.filter(F.col("vec_id") != 0), "embedding", books
@@ -723,8 +723,7 @@ def ann_opq_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = _t(spark, sf, "embeddings")
     rot, books = train_opq(
-        emb, "embedding", id_col="vec_id", m=8, k=16, sample_mod=4,
-        opq_iters=3,
+        emb, "embedding", id_col="vec_id", m=8, k=16, opq_iters=3,
     )
     encoded = pq_encode(
         emb.filter(F.col("vec_id") != 0), "embedding", books, rotation=rot
@@ -851,7 +850,7 @@ def ann_served_topk(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "ann_ivfpq_topk",
     pq_sql.ivfpq_topk_sql(
-        m=8, k_cents=16, iters=10, sample_mod=4, dim=64, k=5,
+        m=8, k_cents=16, iters=10, dim=64, k=5,
         n_probe=3, rerank_floor=50, rerank_frac=10,
     ),
     doc="IVF-PQ / IVFADC (Jégou 2011 §IV): coarse label-seeded cells "
@@ -878,10 +877,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     emb = _t(spark, sf, "embeddings")
-    centroids = ivfpq_centroids_q(emb, "embedding", sample_mod=4)
+    centroids = ivfpq_centroids_q(emb, "embedding")
     books = train_ivfpq_codebooks_q(
-        emb, "embedding", "vec_id", centroids, m=8, k=16, sample_mod=4,
-        iters=10,
+        emb, "embedding", "vec_id", centroids, m=8, k=16, iters=10,
     )
     assigned = ivfpq_assign_q(
         emb.filter(F.col("vec_id") != 0), "embedding", centroids
@@ -933,7 +931,7 @@ def ann_served_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     )
     centroids = [list(r["centroid"]) for r in cents_rows]
     books = train_ivfpq_codebooks(
-        emb, "embedding", "vec_id", centroids, m=8, k=16, sample_mod=4,
+        emb, "embedding", "vec_id", centroids, m=8, k=16,
     )
     safe = sf.strip("/").replace("/", "_")
     root = scratch_dir(f"ivfpqserve_{safe}")
@@ -999,7 +997,7 @@ def ann_served_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
     )
     centroids = [list(r["centroid"]) for r in cents_rows]
     books = train_ivfpq_codebooks(
-        emb, "embedding", "vec_id", centroids, m=8, k=16, sample_mod=4,
+        emb, "embedding", "vec_id", centroids, m=8, k=16,
     )
     safe = sf.strip("/").replace("/", "_")
     scratch = scratch_dir(f"ivfpqsync_{safe}")

@@ -74,6 +74,10 @@ def test_adc_approximates_true_distance(spark):
 
 
 def test_pq_recall_floor_on_fixture(spark):
+    """Fixture embeddings are RANDOM gaussians — PQ's worst case (no
+    cluster structure for codebooks to exploit), so the floor is a
+    machinery check at a 20% rerank pool; the semantic guarantee
+    lives in test_pq_recall_design_regime."""
     emb = _emb(spark)
     books = train_pq_codebooks(emb, "embedding", id_col="vec_id")
     qvec = _qvec(emb)
@@ -84,7 +88,7 @@ def test_pq_recall_floor_on_fixture(spark):
         r["vec_id"]
         for r in topk_pq(
             pq_encode(corpus, "embedding", books),
-            "embedding", qvec, books, k=5, rerank=50,
+            "embedding", qvec, books, k=5, rerank=100,
         ).collect()
     }
     recall = len(got & exact) / 5
@@ -141,3 +145,46 @@ def test_pq_query_path_is_jvm_native(spark):
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_training_sample_is_fixed_size(spark):
+    """The r8 scale contract: the derived sample modulus collects a
+    corpus-size-INDEPENDENT number of vectors.  Corpora 4x apart in
+    size must both sample inside [target, 2*target) — a fixed
+    FRACTION (the pre-r8 sample_mod=4) would scale 4x here."""
+    from pdf_etl_ocr_inference_spark.operators.pq import derive_sample_mod
+
+    target = 64
+    counts = []
+    for n in (1024, 4096):
+        df = spark.range(n).select(F.col("id").alias("vec_id"))
+        mod = derive_sample_mod(df, "vec_id", target=target)
+        sample_n = df.filter(F.col("vec_id") % mod == 0).count()
+        assert target <= sample_n < 2 * target, (n, mod, sample_n)
+        counts.append(sample_n)
+    assert max(counts) < 2 * min(counts), counts
+
+
+def test_sample_pred_sql_matches_engine_derivation(spark):
+    """The oracle predicate (plans/pq_sql._sample_pred) must pick the
+    SAME modulus as derive_sample_mod for any corpus size."""
+    import duckdb
+
+    from pdf_etl_ocr_inference_spark.operators.pq import (
+        PQ_TRAIN_TARGET,
+        derive_sample_mod,
+    )
+    from pdf_etl_ocr_inference_spark.plans.pq_sql import _sample_pred
+
+    for n in (500, 2000, 5000, 100000):
+        df = spark.range(n).select(F.col("id").alias("vec_id"))
+        mod = derive_sample_mod(df, "vec_id")
+        got = duckdb.sql(
+            f"SELECT GREATEST(1, (SELECT COUNT(*) FROM range({n})) "
+            f"// {PQ_TRAIN_TARGET})"
+        ).fetchone()[0]
+        assert int(got) == mod, (n, got, mod)
+    # and the predicate string is the derived form, not a baked mod
+    assert "GREATEST(1, (SELECT COUNT(*) FROM qn)" in _sample_pred(
+        "vec_id", None
+    )
