@@ -51,7 +51,11 @@ def main(argv: list[str] | None = None) -> int:
         if spec.oracle is None:
             print("(rows-only: no SQL oracle)", file=sys.stderr)
             return 1
-        print(spec.oracle)
+        from pdf_etl_ocr_inference_spark.plans.registry import (
+            resolve_oracle,
+        )
+
+        print(resolve_oracle(spec.oracle))
         return 0
 
     from pdf_etl_ocr_inference_spark.session import get_spark

@@ -91,26 +91,16 @@ def gram_partials(df: DataFrame, vec_col: str) -> DataFrame:
     return df.select(vec_col).mapInPandas(run, schema=schema)
 
 
-def fit_pca(df: DataFrame, vec_col: str, k: int):
-    """Covariance of the quantized vectors -> top-k eigenvectors.
-    Returns (components k x d float64, eigenvalues, mean).  Sign
-    canonicalization: each component's largest-|value| entry is made
-    positive (ties to the lowest index), so the decomposition is a
-    pure function of the corpus."""
+def eigh_from_ints(n: int, sums: list, gram: list, k: int):
+    """(comps k×d float64 sign-canonicalized, evals) from the EXACT
+    integer Gram pass — the single shared eigh code path.  Both
+    ``fit_pca`` (distributed partials) and the oracle generator
+    (direct parquet replay, plans/pca_sql.py) call THIS function on
+    identical integers, so the float covariance, numpy eigh, ordering
+    and sign rules are bit-identical by construction."""
     import numpy as np
 
-    parts = gram_partials(df, vec_col).collect()
-    if not parts:
-        raise ValueError("fit_pca: empty input")
-    n = sum(p["n"] for p in parts)
-    d = len(parts[0]["sums"])
-    sums = [0] * d
-    gram = [0] * (d * d)
-    for p in parts:
-        for i, v in enumerate(p["sums"]):
-            sums[i] += int(v)
-        for i, v in enumerate(p["gram"]):
-            gram[i] += int(v)
+    d = len(sums)
     s = np.array(sums, dtype=np.float64)
     g = np.array(gram, dtype=np.float64).reshape(d, d)
     mean = s / n
@@ -122,10 +112,104 @@ def fit_pca(df: DataFrame, vec_col: str, k: int):
         j = int(np.argmax(np.abs(row)))
         if row[j] < 0:
             row *= -1.0
+    return comps, evals[order]
+
+
+def _sum_partials(parts):
+    """(n, sums ints, gram ints) from collected gram_partials rows —
+    arbitrary-precision Python int accumulation."""
+    n = sum(p["n"] for p in parts)
+    d = len(parts[0]["sums"])
+    sums = [0] * d
+    gram = [0] * (d * d)
+    for p in parts:
+        for i, v in enumerate(p["sums"]):
+            sums[i] += int(v)
+        for i, v in enumerate(p["gram"]):
+            gram[i] += int(v)
+    return n, sums, gram
+
+
+def fit_pca(df: DataFrame, vec_col: str, k: int):
+    """Covariance of the quantized vectors -> top-k eigenvectors.
+    Returns (components k x d float64, eigenvalues, mean).  Sign
+    canonicalization: each component's largest-|value| entry is made
+    positive (ties to the lowest index), so the decomposition is a
+    pure function of the corpus."""
+    import numpy as np
+
+    parts = gram_partials(df, vec_col).collect()
+    if not parts:
+        raise ValueError("fit_pca: empty input")
+    n, sums, gram = _sum_partials(parts)
+    comps, evals = eigh_from_ints(n, sums, gram, k)
     # eigenvalues are variances of the q = x*2^20 scaled data; return
     # them in raw-embedding units (components are unit vectors either
     # way)
-    return comps, evals[order] / float(_SCALE) ** 2, mean / _SCALE
+    mean = np.array(sums, dtype=np.float64) / n
+    return comps, evals / float(_SCALE) ** 2, mean / _SCALE
+
+
+def quantize_pca_model(n: int, sums: list, comps) -> tuple:
+    """(cq k×d ints, mq d ints): the floor(comp·2^20) quantized
+    rotation and the floor-div quantized mean — the shared literals
+    of the native integer projection (:func:`project_pca_q`) and its
+    SQL oracle.  floor of an IEEE double and integer floor-div are
+    exactly specified, so engine and oracle agree bit-for-bit."""
+    import math
+
+    cq = [
+        [int(math.floor(float(c) * _SCALE)) for c in row] for row in comps
+    ]
+    mq = [s // n for s in sums]  # Python // floors; SQL uses pmod form
+    return cq, mq
+
+
+def fit_pca_q(df: DataFrame, vec_col: str, k: int) -> tuple:
+    """Distributed integer Gram pass → driver eigh → quantized model
+    (cq, mq) ready for :func:`project_pca_q`."""
+    parts = gram_partials(df, vec_col).collect()
+    if not parts:
+        raise ValueError("fit_pca_q: empty input")
+    n, sums, gram = _sum_partials(parts)
+    comps, _evals = eigh_from_ints(n, sums, gram, k)
+    return quantize_pca_model(n, sums, comps)
+
+
+def project_pca_q(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cq: list,
+    mq: list,
+    out_prefix: str = "pc",
+) -> DataFrame:
+    """JVM-native EXACT-INTEGER PCA projection: xq_j = floor(x_j·2^20),
+    residual r_j = xq_j − mq_j, P_i = Σ_j r_j·cq_ij (exact int64 —
+    with |x| ≤ 1-ish and unit-vector components, |P| ≪ 2^53), then
+    pc_i = P_i / 2^40 as ONE division of an exact integer (correctly
+    rounded identically by Spark and DuckDB).  No Python in the data
+    plane — this replaced the r1-r7 mapInPandas float matmul, and it
+    is what made the entry oracle-able."""
+    xq = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * F.lit(float(_SCALE))).cast(
+            "long"
+        ),
+    )
+    out = df.select(id_col, xq.alias("_xq"))
+    cols = []
+    for i, row in enumerate(cq):
+        term = None
+        for j, c in enumerate(row):
+            t = (F.col("_xq")[j] - F.lit(int(mq[j]))) * F.lit(int(c))
+            term = t if term is None else term + t
+        cols.append(
+            (term.cast("double") / F.lit(float(_SCALE) ** 2)).alias(
+                f"{out_prefix}{i}"
+            )
+        )
+    return out.select(id_col, *cols)
 
 
 def project_pca(

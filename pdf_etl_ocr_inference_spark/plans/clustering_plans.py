@@ -12,6 +12,7 @@ from pdf_etl_ocr_inference_spark.operators.clustering import (
     init_centroids,
     kmeans_fit,
 )
+from pdf_etl_ocr_inference_spark.plans import pca_sql
 from pdf_etl_ocr_inference_spark.plans.registry import register
 from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
 
@@ -280,38 +281,35 @@ def ann_pca_gram(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ann_pca_project",
-    None,  # eigendecomposition is a driver step → rows-only;
-    # numpy-replica parity + partition-invariance in tests/test_pca.py.
-    # r7 note: a fixed-point power-iteration replay (the chain trick
-    # that oracled PQ/LR/BPE) was prototyped and REJECTED — the
-    # fixture covariance is near-isotropic (top-4 eigenvalues within
-    # 7%: 3.03/2.99/2.93/2.81 e10), so power iteration cannot separate
-    # the components ((λ2/λ1)^30 ≈ 0.74) and the entry would stop
-    # being a usable PCA; eigh is genuinely required here
+    pca_sql.pca_project_oracle,  # LAZY oracle (r8): DuckDB has no
+    # eigh, but the DATA PLANE is now exact-integer — the generator
+    # independently replays the integer Gram pass from the parquet,
+    # runs the SAME shared eigh (operators/pca.eigh_from_ints), and
+    # bakes the quantized rotation/mean into the SQL as literals.
+    # (A fixed-point power-iteration replay was prototyped in r7 and
+    # REJECTED — near-isotropic fixture spectrum, (λ2/λ1)^30 ≈ 0.74.)
     doc="deterministic distributed PCA: integer-exact quantized "
     "covariance (one narrow pass, partition-count-sized driver "
-    "traffic), driver eigh with sign canonicalization, Arrow-"
-    "batched projection onto the broadcast top-4 components. "
-    "Bit-identical for ANY partitioning of the corpus "
-    "(operators/pca.py). Catalog entry flattens the projection "
-    "to scalar pc0..pc3 columns: the driver's canonicalizer "
-    "(pandas sort_values/factorize) cannot hash array cells — "
-    "rows-only entries are still canonicalized, so no catalog "
-    "output column may be array-typed (round-4 lesson).",
+    "traffic), driver eigh with sign canonicalization, then a "
+    "JVM-NATIVE exact-integer projection — xq = floor(x*2^20), "
+    "P_i = sum_j (xq_j - mq_j)*cq_ij with the floor(comp*2^20) "
+    "quantized rotation, pc_i = P_i / 2^40 as one exact-int "
+    "division. Bit-identical for ANY partitioning AND oracle-"
+    "verified by value end to end except the d*d eigh itself "
+    "(property-tested); no Python in the data plane "
+    "(operators/pca.py, plans/pca_sql.py). Scalar pc0..pc3 "
+    "columns: no catalog output column may be array-typed "
+    "(round-4 lesson).",
 )
 def ann_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.pca import (
-        fit_pca,
-        project_pca,
+        fit_pca_q,
+        project_pca_q,
     )
 
     emb = _t(spark, sf, "embeddings")
-    comps, _evals, mean = fit_pca(emb, "embedding", k=4)
-    proj = project_pca(emb, "embedding", "vec_id", comps, mean)
-    return proj.select(
-        "vec_id",
-        *[F.col("proj")[i].alias(f"pc{i}") for i in range(4)],
-    )
+    cq, mq = fit_pca_q(emb, "embedding", k=4)
+    return project_pca_q(emb, "embedding", "vec_id", cq, mq)
 
 
 @register(

@@ -23,6 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# An oracle is a DuckDB SQL string, or a ZERO-ARG CALLABLE returning
+# one — used when the SQL must embed corpus-derived literals (e.g.
+# ann_pca_project's quantized eigenvectors, which depend on the SF).
+# Callables read SPARK_GRAFT_ORACLE_SF_DIR (default the driver's
+# sf0.01) and are resolved at oracle_sql() time, after the gate has
+# pinned the env var to its --sf.
+
 _REGISTRY: dict[str, "QuerySpec"] = {}
 
 
@@ -30,14 +37,19 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 class QuerySpec:
     name: str
     fn: QueryFn
-    oracle: str | None
+    oracle: str | Callable[[], str] | None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
+def resolve_oracle(oracle: str | Callable[[], str] | None) -> str | None:
+    """A lazy oracle resolves to its SQL; strings/None pass through."""
+    return oracle() if callable(oracle) else oracle
+
+
 def register(
     name: str,
-    oracle: str | None,
+    oracle: str | Callable[[], str] | None,
     doc: str = "",
     tags: tuple[str, ...] = (),
 ) -> Callable[[QueryFn], QueryFn]:
@@ -89,7 +101,7 @@ def query_map() -> dict[str, QueryFn]:
 
 def oracle_map() -> dict[str, str]:
     return {
-        name: spec.oracle
+        name: resolve_oracle(spec.oracle)
         for name, spec in all_specs().items()
         if spec.oracle is not None
     }

@@ -65,13 +65,17 @@ def _normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
 
 
 @pytest.mark.parametrize("name", _ORACLE_NAMES)
-def test_oracle_match(spark, duck, name):
+def test_oracle_match(spark, duck, name, monkeypatch):
+    from pdf_etl_ocr_inference_spark.plans.registry import resolve_oracle
+
+    # lazy oracles (corpus-derived literals) must target this SF
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", SF0001)
     spec = _SPECS[name]
     sdf = spec.fn(spark, SF0001)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(spec.oracle)
+    res = duck.execute(resolve_oracle(spec.oracle))
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
 

@@ -84,3 +84,53 @@ def test_pca_captures_variance(spark):
     axis_var = np.sort(centered.var(axis=0))[-4:].sum()
     assert top_var >= axis_var * 0.999  # eigenbasis >= any axis subset
     assert top_var <= total_var * 1.001
+
+
+def test_project_q_matches_float_path_and_is_native(spark):
+    """The r8 exact-integer projection (project_pca_q) must agree
+    with the float mapInPandas path to quantization precision
+    (~2^-20 per coordinate -> <1e-4 on a 64-dim dot) AND contain no
+    Python evaluation in its plan."""
+    from pdf_etl_ocr_inference_spark.operators.pca import (
+        fit_pca,
+        fit_pca_q,
+        project_pca,
+        project_pca_q,
+    )
+
+    emb = _emb(spark)
+    cq, mq = fit_pca_q(emb, "embedding", k=4)
+    q = project_pca_q(emb, "embedding", "vec_id", cq, mq)
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    got = {
+        r["vec_id"]: [r[f"pc{i}"] for i in range(4)] for r in q.collect()
+    }
+    comps, _e, mean = fit_pca(emb, "embedding", k=4)
+    ref = {
+        r["vec_id"]: list(r["proj"])
+        for r in project_pca(
+            emb, "embedding", "vec_id", comps, mean
+        ).collect()
+    }
+    for vid, pcs in got.items():
+        assert np.allclose(pcs, ref[vid], atol=1e-3), vid
+
+
+def test_project_q_partition_invariant(spark):
+    from pdf_etl_ocr_inference_spark.operators.pca import (
+        fit_pca_q,
+        project_pca_q,
+    )
+
+    emb = _emb(spark)
+    cq1, mq1 = fit_pca_q(emb, "embedding", k=4)
+    cq2, mq2 = fit_pca_q(emb.repartition(17), "embedding", k=4)
+    assert cq1 == cq2 and mq1 == mq2
+    a = sorted(map(tuple, project_pca_q(
+        emb, "embedding", "vec_id", cq1, mq1).collect()))
+    b = sorted(map(tuple, project_pca_q(
+        emb.repartition(17), "embedding", "vec_id", cq2, mq2).collect()))
+    assert a == b  # exact ints + one exact division -> bit-equal

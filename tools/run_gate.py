@@ -139,6 +139,9 @@ def main() -> int:
 
     import duckdb
 
+    # lazy oracles (corpus-derived literals) must target this gate's SF
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = args.sf
+
     entry = importlib.import_module("__spark_entry__")
     from pdf_etl_ocr_inference_spark.session import get_spark
 
