@@ -550,6 +550,94 @@ def q13_attribution(spark) -> dict:
     }
 
 
+def minhash_attribution(spark) -> dict:
+    """Stage-level attribution for dedup_minhash_lsh (verdict-r7 #3:
+    the most expensive headline query at ~3 s, drifted +4.6% under
+    load with untouched code).  Median of 3 per cumulative stage at
+    SF_DIR with the entry's exact parameters (md5 family, 32 hashes,
+    8 bands, threshold 0.5):
+
+    - ``cliques_s``   : shingle pass + set-fingerprint clique
+      collapse (reps + survivor map materialized);
+    - ``signature_s`` : + the 32 affine-md5 min-aggregates over the
+      representative shingle sets;
+    - ``band_s``      : + banding and the (band, bucket) self-join
+      to deduped candidate pairs;
+    - ``full_s``      : the whole entry (Jaccard verify + clique
+      re-expansion included).
+
+    The deltas localize any future md5-family cost drift to
+    shingle/collapse vs hash family vs band join vs verify/expand —
+    the q13_attribution pattern applied to the dedup headline.
+    """
+    import statistics as _st
+
+    from pyspark.sql import functions as SF
+
+    from pdf_etl_ocr_inference_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_lsh_candidates,
+        seeded_hashes,
+        shingle_cliques,
+    )
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+
+    def med(fn):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return round(_st.median(ts), 3)
+
+    def docs():
+        return load_table(spark, SF_DIR, "documents")
+
+    def cliques():
+        reps, smap = shingle_cliques(docs(), "text", "doc_id")
+        smap.count()
+        reps.count()
+
+    def sigs_df():
+        reps, _smap = shingle_cliques(docs(), "text", "doc_id")
+        exploded = reps.select(
+            SF.col("doc_id"), SF.explode("shingles").alias("_sh")
+        )
+        hs = seeded_hashes("_sh", 32, "md5")
+        per_doc = exploded.groupBy("doc_id").agg(
+            *[SF.min(h).alias(f"_h{i}") for i, h in enumerate(hs)]
+        )
+        return per_doc.select(
+            SF.col("doc_id"),
+            SF.array(*[SF.col(f"_h{i}") for i in range(32)]).alias("sig"),
+        )
+
+    def signature():
+        sigs_df().count()
+
+    def band():
+        minhash_lsh_candidates(
+            sigs_df(), "doc_id", 8, rows_per_band=4, hash_family="md5"
+        ).count()
+
+    def full():
+        minhash_dedup_pairs(
+            docs(), "text", "doc_id", num_hashes=32, num_bands=8,
+            jaccard_threshold=0.5, hash_family="md5",
+        ).count()
+
+    out = {
+        "cliques_s": med(cliques),
+        "signature_s": med(signature),
+        "band_s": med(band),
+        "full_s": med(full),
+    }
+    # shingle_cliques persists its one-pass frame per call; drop the
+    # 12 accumulated cache entries before the next bench block
+    spark.catalog.clearCache()
+    return out
+
+
 def dedup_dup_scaling(spark) -> dict:
     """Candidate volume under mass duplication stays LINEAR (r3 fix).
 
@@ -1152,6 +1240,8 @@ def main() -> None:
     print(f"# dedup family attribution: {dattr}", file=sys.stderr)
     q13attr = q13_attribution(spark)
     print(f"# tpch_q13 stage attribution: {q13attr}", file=sys.stderr)
+    mhattr = minhash_attribution(spark)
+    print(f"# dedup_minhash stage attribution: {mhattr}", file=sys.stderr)
     inc_dedup = incremental_dedup_speedup(spark)
     print(f"# incremental dedup @200k: {inc_dedup}", file=sys.stderr)
     dup_scale = dedup_dup_scaling(spark)
@@ -1189,6 +1279,7 @@ def main() -> None:
                 "ann_probe_speedup_1m": probe,
                 "dedup_family_attribution": dattr,
                 "tpch_q13_attribution": q13attr,
+                "dedup_minhash_attribution": mhattr,
                 "incremental_dedup_speedup_200k": inc_dedup,
                 "dedup_mass_dup_scaling": dup_scale,
                 "pinned_serving_latency": serving,
