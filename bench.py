@@ -1042,6 +1042,82 @@ def partitioned_prune(spark) -> dict:
     }
 
 
+def pinned_sidecar_serving(spark) -> dict:
+    """Executor-pinned sidecar keep-lists at 4M rows / 64 files
+    (verdict-r7 #4): the over-driver-budget serving path now parses
+    sidecar chunks ONCE per worker per layout version (the pre-r8
+    fallback re-scanned the sidecar parquet every query).  Reports
+    cold (first parse) vs warm (worker-cache) keep-list wall for the
+    range-stats and Bloom probes, keep-list parity with the
+    driver-pinned path, and the driver-side sidecar payload reads
+    during the warm runs — the contract number, which must be 0."""
+    import statistics as _st
+    import time as _t
+
+    from pdf_etl_ocr_inference_spark.operators import layout as L
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        layout_key,
+        register_clustered_layout,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import IndexCatalog
+
+    path = "/tmp/spark_graft_scratch/skipping_table_4m"
+    register_clustered_layout(
+        spark, path, [{"col": "ckey", "kind": "int"}], bits=20,
+        n_files=64, bloom_cols=["id"],
+    )
+    meta = IndexCatalog().lookup(layout_key(path))
+    ranges = {"ckey": (500_000.0, 562_500.0)}
+    probe_ids = [7, 1_234_567, 2_000_001, 3_333_333, 3_999_999]
+
+    def timed(fn):
+        t0 = _t.perf_counter()
+        out = fn()
+        return out, _t.perf_counter() - t0
+
+    drv_keep, drv_cov = L.stats_keep_files(spark, meta, ranges)
+    # every call below is the executor-pinned path: the read counter
+    # must not move from here on
+    reads_before = L.DRIVER_SIDECAR_READS
+    (keep_cold, cov_cold), stats_cold = timed(
+        lambda: L._stats_keep_executor_pinned(spark, meta, ranges)
+    )
+    warms = []
+    for _ in range(3):
+        (k, c), el = timed(
+            lambda: L._stats_keep_executor_pinned(spark, meta, ranges)
+        )
+        assert (k, c) == (keep_cold, cov_cold)
+        warms.append(el)
+    (bkeep_cold, _bc), bloom_cold = timed(
+        lambda: L._bloom_keep_executor_pinned(spark, meta, "id", probe_ids)
+    )
+    bwarms = []
+    for _ in range(3):
+        (bk, _c), el = timed(
+            lambda: L._bloom_keep_executor_pinned(
+                spark, meta, "id", probe_ids
+            )
+        )
+        assert bk == bkeep_cold
+        bwarms.append(el)
+    return {
+        "files": 64,
+        "stats_cold_s": round(stats_cold, 3),
+        "stats_warm_s": round(_st.median(warms), 3),
+        "bloom_cold_s": round(bloom_cold, 3),
+        "bloom_warm_s": round(_st.median(bwarms), 3),
+        "keep_matches_driver_pinned": (keep_cold, cov_cold)
+        == (drv_keep, drv_cov),
+        "files_kept_range": len(keep_cold),
+        "files_kept_bloom": len(bkeep_cold),
+        # the contract: warm executor-pinned serving reads ZERO
+        # sidecar payloads on the driver
+        "driver_sidecar_reads_during_warm": L.DRIVER_SIDECAR_READS
+        - reads_before,
+    }
+
+
 def sf_scaling_sweep(spark) -> dict:
     """Wall time of four representative shapes across the three
     fixture scales (100× data span): the ratio t(sf0.1)/t(sf0.01)
@@ -1255,8 +1331,10 @@ def main() -> None:
     fskip = file_skipping_speedup(spark)
     lserved = layout_rewrite_served(spark)
     ppart = partitioned_prune(spark)
+    psrv = pinned_sidecar_serving(spark)
     print(f"# file skipping @4M/64 files: {fskip}", file=sys.stderr)
     print(f"# partitioned layout prune @4M: {ppart}", file=sys.stderr)
+    print(f"# executor-pinned sidecar serving: {psrv}", file=sys.stderr)
     sweep = sf_scaling_sweep(spark)
     print(f"# sf scaling sweep: {sweep}", file=sys.stderr)
     gb = graph_build(spark)
@@ -1288,6 +1366,7 @@ def main() -> None:
                 "file_skipping_4m": fskip,
                 "layout_rewrite_served_4m": lserved,
                 "partitioned_prune_4m": ppart,
+                "pinned_sidecar_serving_4m": psrv,
                 "sf_scaling_sweep": sweep,
                 "graph_build_100k": gb,
             }

@@ -221,7 +221,14 @@ def load_or_refresh_file_stats(spark, path: str, cols: list[str]):
     else:
         merged = _footer_stats(spark, current, cols)
     tmp = f"{path}/_stats_tmp_{_uuid.uuid4().hex[:8]}"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # chunked sidecar (r8): ~1024 covered files per chunk parquet —
+    # a single coalesce(1) chunk at 10⁶ files would be one giant
+    # file that ONE executor-pin task must parse; bounded chunks
+    # parallelize both the pinned probes and their first parse
+    n_chunks = max(1, (len(current) + 1023) // 1024)
+    merged.repartition(n_chunks, "file").write.mode(
+        "overwrite"
+    ).parquet(tmp)
     _shutil.rmtree(side_dir, ignore_errors=True)
     _os.replace(tmp, side_dir)
     return spark.read.parquet(side_dir)
@@ -414,7 +421,13 @@ def build_file_bloom(
         "fsize long, fmtime_ns long",
     )
     out_path = f"{path}/_bloom_{col}"
-    sidecar.coalesce(1).write.mode("overwrite").parquet(out_path)
+    # ~256 bit arrays per chunk (they are MBs each at 1% fpp on big
+    # files): bounds per-chunk parse cost for the executor pins; one
+    # chunk at local fixture sizes, many at 10⁶ files
+    n_chunks = max(1, (len(files) + 255) // 256)
+    sidecar.repartition(n_chunks, "file").write.mode(
+        "overwrite"
+    ).parquet(out_path)
     return out_path
 
 
@@ -1046,10 +1059,11 @@ def cached_stats_rows(spark, meta: dict):
     (file, col), read once per layout VERSION instead of once per
     query — under the same byte-budgeted LRU as the Bloom pin.
     Returns ``None`` when the sidecar exceeds the budget; callers
-    fall through to :func:`_stats_keep_distributed` (never collect
-    the rows themselves)."""
+    fall through to :func:`_stats_keep_executor_pinned` (never
+    collect the rows themselves)."""
     import os as _os
 
+    global DRIVER_SIDECAR_READS
     key = meta["layout_path"]
     fp = _inventory_fp(meta)
     hit = _SIDECAR_CACHE.get(key)
@@ -1057,6 +1071,7 @@ def cached_stats_rows(spark, meta: dict):
         _SIDECAR_CACHE[key] = _SIDECAR_CACHE.pop(key)  # LRU touch
         return hit[1]
     _SIDECAR_CACHE.pop(key, None)  # stale fingerprint
+    DRIVER_SIDECAR_READS += 1
     stats = load_or_refresh_file_stats(spark, key, meta["cols"])
     side_dir = f"{key}/_stats"
     est = sum(
@@ -1092,9 +1107,11 @@ def cached_bloom_rows(spark, meta: dict, col: str):
     """Bloom sidecar rows ``(file, m, k, bits)`` from the byte-capped
     LRU pin, or ``None`` when the sidecar exceeds the remaining budget
     even after evicting every colder entry — callers must then use
-    :func:`_bloom_keep_distributed` (never collect bits themselves)."""
+    :func:`_bloom_keep_executor_pinned` (never collect bits
+    themselves)."""
     import os as _os
 
+    global DRIVER_SIDECAR_READS
     key = (meta["layout_path"], col)
     fp = _inventory_fp(meta)
     hit = _BLOOM_CACHE.get(key)
@@ -1103,6 +1120,7 @@ def cached_bloom_rows(spark, meta: dict, col: str):
         _BLOOM_CACHE[key] = _BLOOM_CACHE.pop(key)
         return hit[1]
     _BLOOM_CACHE.pop(key, None)  # stale fingerprint
+    DRIVER_SIDECAR_READS += 1
     side_dir = f"{meta['layout_path']}/_bloom_{col}"
     est = sum(
         e.stat().st_size
@@ -1127,92 +1145,205 @@ def cached_bloom_rows(spark, meta: dict, col: str):
     return rows  # one-shot use, not pinned (degenerate tiny budget)
 
 
-def _bloom_keep_distributed(spark, meta: dict, col: str, values: list):
-    """Membership probe evaluated ON EXECUTORS: each task unpacks its
-    files' bit arrays and emits only ``(file, hit)`` — driver traffic
-    is file names, never bits.  The scale path when a bloom sidecar
-    exceeds the driver pin budget."""
-    import pandas as _pd
-
-    probe_vals = sorted(set(int(v) for v in values))
-
-    def _probe(batches):
-        import numpy as _np
-
-        probe = _np.asarray(probe_vals, dtype="int64")
-        for pdf in batches:
-            hits = []
-            for m, k, bits_bytes in zip(pdf["m"], pdf["k"], pdf["bits"]):
-                m, k = int(m), int(k)
-                bits = _np.unpackbits(
-                    _np.frombuffer(bits_bytes, dtype="uint8"), count=m
-                ).astype(bool)
-                hits.append(
-                    bool(
-                        bits[_bloom_positions(probe, k, m)]
-                        .reshape(len(probe), k)
-                        .all(axis=1)
-                        .any()
-                    )
-                )
-            yield _pd.DataFrame({"file": pdf["file"], "hit": hits})
-
-    side = spark.read.parquet(f"{meta['layout_path']}/_bloom_{col}")
-    out = side.mapInPandas(_probe, schema="file string, hit boolean")
-    keep, covered = set(), set()
-    for r in out.collect():
-        covered.add(r["file"])
-        if r["hit"]:
-            keep.add(r["file"])
-    return keep, covered
-
-
 def _live_files(path: str) -> set:
     return set(_live_stat_map(path))
 
 
-def _stats_keep_distributed(spark, meta: dict, ranges: dict):
-    """Range keep-list evaluated ON EXECUTORS: the sidecar scan emits
-    one ``(file, ok_cols)`` row per file and the driver collects only
-    file names — the scale path when the min/max sidecar exceeds the
-    driver pin budget (same shape as :func:`_bloom_keep_distributed`).
-    A file is kept iff EVERY queried column has a sidecar row whose
-    [vmin, vmax] intersects the query box — a missing or out-of-range
-    column drops it, exactly the pinned path's rule."""
+# ------------------------------------------------------------------
+# Executor-pinned sidecar serving (r8): the scale path for sidecars
+# ABOVE the driver pin budget.  The pre-r8 fallback was a stateless
+# distributed probe that RE-SCANNED the sidecar parquet on every
+# query — correct, but at 10⁶ files a per-query sidecar scan is the
+# control-plane cost this module exists to avoid.  These probes
+# instead iterate a tiny chunk-path frame (one sidecar parquet file
+# per row, hash-repartitioned so a chunk maps to a stable partition)
+# and each task parses its chunk ONCE per (chunk, layout-version)
+# into a module-level LRU in the Python WORKER process — the exact
+# pinned-shard pattern operators/serving.py proves for ANN/BM25.
+# Worker reuse (spark.python.worker.reuse, default on) keeps the pin
+# across queries; a refresh/rebuild changes the fingerprint, so
+# stale chunks age out of the bounded LRU instead of being served.
+# Driver traffic is file names in BOTH directions — the driver never
+# touches sidecar payload bytes on this path, cold or warm.
+# ------------------------------------------------------------------
+
+_WORKER_SIDECAR_CACHE: dict = {}  # per-worker-process; OrderedDict-ish
+_WORKER_SIDECAR_MAX = 64  # chunk entries per worker (bounded memory)
+
+# Bench/test observability: driver-side sidecar PAYLOAD reads (pin
+# loads).  The executor-pinned probes never increment it.
+DRIVER_SIDECAR_READS = 0
+
+
+def _worker_cache_put(key, value) -> None:
+    _WORKER_SIDECAR_CACHE[key] = value
+    while len(_WORKER_SIDECAR_CACHE) > _WORKER_SIDECAR_MAX:
+        _WORKER_SIDECAR_CACHE.pop(next(iter(_WORKER_SIDECAR_CACHE)))
+
+
+def _load_stats_chunk(chunk_path: str, fp: str) -> dict:
+    """``{file: {col: (vmin, vmax)}}`` parsed from ONE stats-sidecar
+    parquet chunk, cached per (chunk, layout fingerprint) in this
+    worker process."""
+    import pyarrow.parquet as _pq
+
+    key = ("stats", chunk_path, fp)
+    hit = _WORKER_SIDECAR_CACHE.get(key)
+    if hit is not None:
+        _WORKER_SIDECAR_CACHE[key] = _WORKER_SIDECAR_CACHE.pop(key)
+        return hit
+    t = _pq.read_table(
+        chunk_path, columns=["file", "col", "vmin", "vmax"]
+    )
+    per_file: dict = {}
+    for f, c, lo, hi in zip(
+        t["file"].to_pylist(),
+        t["col"].to_pylist(),
+        t["vmin"].to_pylist(),
+        t["vmax"].to_pylist(),
+    ):
+        per_file.setdefault(f, {})[c] = (lo, hi)
+    _worker_cache_put(key, per_file)
+    return per_file
+
+
+def _load_bloom_chunk(chunk_path: str, fp: str) -> list:
+    """``[(file, m, k, packed-bits uint8 array)]`` from ONE Bloom
+    sidecar chunk, cached per (chunk, fingerprint) in this worker.
+    Bits stay PACKED (8× smaller pin); probes index packed bytes
+    directly instead of unpacking the whole array per query."""
+    import numpy as _np
+    import pyarrow.parquet as _pq
+
+    key = ("bloom", chunk_path, fp)
+    hit = _WORKER_SIDECAR_CACHE.get(key)
+    if hit is not None:
+        _WORKER_SIDECAR_CACHE[key] = _WORKER_SIDECAR_CACHE.pop(key)
+        return hit
+    t = _pq.read_table(chunk_path, columns=["file", "m", "k", "bits"])
+    rows = [
+        (f, int(m), int(k), _np.frombuffer(b, dtype="uint8"))
+        for f, m, k, b in zip(
+            t["file"].to_pylist(),
+            t["m"].to_pylist(),
+            t["k"].to_pylist(),
+            t["bits"].to_pylist(),
+        )
+    ]
+    _worker_cache_put(key, rows)
+    return rows
+
+
+def _sidecar_chunks(side_dir: str) -> list:
+    import os as _os
+
+    if not _os.path.isdir(side_dir):
+        return []
+    return sorted(
+        f"{side_dir}/{e.name}"
+        for e in _os.scandir(side_dir)
+        if e.name.endswith(".parquet")
+    )
+
+
+def _chunk_frame(spark, chunks: list):
     from pyspark.sql import functions as F
 
-    match = None
-    for col, (lo, hi) in ranges.items():
-        cond = (
-            (F.col("col") == col)
-            & (F.col("vmax") >= float(lo))
-            & (F.col("vmin") <= float(hi))
-        )
-        match = cond if match is None else (match | cond)
-    side = spark.read.parquet(f"{meta['layout_path']}/_stats")
-    agg = side.groupBy("file").agg(
-        F.sum(F.when(match, 1).otherwise(0)).alias("_ok")
-    )
-    keep, covered = set(), set()
-    for r in agg.select(
-        "file", (F.col("_ok") == len(ranges)).alias("hit")
-    ).collect():
-        covered.add(r["file"])
-        if r["hit"]:
-            keep.add(r["file"])
+    return spark.createDataFrame(
+        [(c,) for c in chunks], "chunk string"
+    ).repartition(len(chunks), F.col("chunk"))
+
+
+def _stats_keep_executor_pinned(spark, meta: dict, ranges: dict):
+    """Range keep-list against EXECUTOR-pinned sidecar chunks: the
+    driver ships (chunk paths, the range box) and collects file
+    names; payload parse happens once per worker per layout version,
+    not once per query.  A file is kept iff EVERY queried column has
+    a sidecar row whose [vmin, vmax] intersects the query box — a
+    missing or out-of-range column drops it, exactly the
+    driver-pinned path's rule."""
+    rng = {c: (float(lo), float(hi)) for c, (lo, hi) in ranges.items()}
+    fp = _inventory_fp(meta)
+    chunks = _sidecar_chunks(f"{meta['layout_path']}/_stats")
+    if not chunks:
+        return set(), set()
+
+    def _probe(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            files, hits = [], []
+            for chunk in pdf["chunk"]:
+                for fname, stats in _load_stats_chunk(chunk, fp).items():
+                    ok = True
+                    for c, (lo, hi) in rng.items():
+                        st = stats.get(c)
+                        if st is None or st[1] < lo or st[0] > hi:
+                            ok = False
+                            break
+                    files.append(fname)
+                    hits.append(ok)
+            yield _pd.DataFrame({"file": files, "hit": hits})
+
+    out = _chunk_frame(spark, chunks).mapInPandas(
+        _probe, schema="file string, hit boolean"
+    ).collect()
+    keep = {r["file"] for r in out if r["hit"]}
+    covered = {r["file"] for r in out}
+    return keep, covered
+
+
+def _bloom_keep_executor_pinned(spark, meta: dict, col: str, values: list):
+    """Membership keep-list against EXECUTOR-pinned Bloom chunks —
+    same shape as :func:`_stats_keep_executor_pinned`; the probe
+    indexes the PACKED bit arrays ((byte >> (7 - pos%8)) & 1, numpy
+    packbits bit order) so no per-query unpack of m-bit arrays."""
+    probe_vals = sorted(set(int(v) for v in values))
+    fp = _inventory_fp(meta)
+    chunks = _sidecar_chunks(f"{meta['layout_path']}/_bloom_{col}")
+    if not chunks:
+        return set(), set()
+
+    def _probe(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        probe = _np.asarray(probe_vals, dtype="int64")
+        for pdf in batches:
+            files, hits = [], []
+            for chunk in pdf["chunk"]:
+                for fname, m, k, packed in _load_bloom_chunk(chunk, fp):
+                    pos = _bloom_positions(probe, k, m)
+                    bits = (packed[pos >> 3] >> (7 - (pos & 7))) & 1
+                    files.append(fname)
+                    hits.append(
+                        bool(
+                            bits.astype(bool)
+                            .reshape(len(probe), k)
+                            .all(axis=1)
+                            .any()
+                        )
+                    )
+            yield _pd.DataFrame({"file": files, "hit": hits})
+
+    out = _chunk_frame(spark, chunks).mapInPandas(
+        _probe, schema="file string, hit boolean"
+    ).collect()
+    keep = {r["file"] for r in out if r["hit"]}
+    covered = {r["file"] for r in out}
     return keep, covered
 
 
 def stats_keep_files(spark, meta: dict, ranges: dict):
     """``(keep, covered)`` file sets for a range box, from the pinned
     min/max sidecar — pure driver Python over cached rows, zero Spark
-    jobs — or the distributed probe when the sidecar exceeds the pin
-    budget.  Exposed separately from the scan so the optimizer rule
+    jobs — or the EXECUTOR-pinned chunk probe when the sidecar
+    exceeds the driver pin budget.  Exposed separately from the scan so the optimizer rule
     can INTERSECT this keep-list with per-column Bloom keep-lists
     before scheduling a single file."""
     rows = cached_stats_rows(spark, meta)
     if rows is None:
-        return _stats_keep_distributed(spark, meta, ranges)
+        return _stats_keep_executor_pinned(spark, meta, ranges)
     per_file: dict = {}
     for fname, col, vmin, vmax in rows:
         per_file.setdefault(fname, {})[col] = (vmin, vmax)
@@ -1237,7 +1368,7 @@ def bloom_keep_files(spark, meta: dict, col: str, values: list):
 
     rows = cached_bloom_rows(spark, meta, col)
     if rows is None:
-        return _bloom_keep_distributed(spark, meta, col, values)
+        return _bloom_keep_executor_pinned(spark, meta, col, values)
     probe = _np.asarray(sorted(set(int(v) for v in values)), dtype="int64")
     keep, covered = set(), set()
     for fname, m, k, bits_bytes in rows:
@@ -1285,7 +1416,8 @@ def served_scan_with_skipping(spark, meta: dict, ranges: dict):
 
 def served_point_lookup(spark, meta: dict, col: str, values: list):
     """scan_point_lookup through the budgeted Bloom pin (or the
-    distributed probe when the sidecar exceeds the pin budget)."""
+    executor-pinned chunk probe when the sidecar exceeds the driver
+    pin budget)."""
     from pyspark.sql import functions as F
 
     keep, covered = bloom_keep_files(spark, meta, col, values)

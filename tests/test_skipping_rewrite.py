@@ -918,3 +918,93 @@ def test_pins_invalidate_on_rebuild_with_unchanged_source(
     # the rewrite still fires against the fresh build
     df = spark.read.parquet(src).filter(_box())
     assert _rw(df) is not df
+
+
+def test_executor_pinned_keep_matches_driver_pinned(
+    spark, src_dir, registered
+):
+    """r8: the over-budget fallback is EXECUTOR-pinned (worker-process
+    chunk LRU), replacing the stateless per-query sidecar re-scan.
+    Its keep/covered sets must equal the driver-pinned path's on the
+    same layout and predicates, and it must never touch sidecar
+    payloads driver-side (DRIVER_SIDECAR_READS stays flat)."""
+    from pdf_etl_ocr_inference_spark.operators import layout as L
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        layout_key,
+        register_clustered_layout,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import IndexCatalog
+
+    register_clustered_layout(
+        spark, src_dir, SPECS, n_files=16, bloom_cols=["o_orderkey"]
+    )
+    meta = IndexCatalog().lookup(layout_key(src_dir))
+    ranges = {"o_custkey": (100.0, 299.0)}
+
+    L._SIDECAR_CACHE.clear()
+    keep_drv, cov_drv = L.stats_keep_files(spark, meta, ranges)
+    before = L.DRIVER_SIDECAR_READS
+    keep_exe, cov_exe = L._stats_keep_executor_pinned(spark, meta, ranges)
+    assert (keep_exe, cov_exe) == (keep_drv, cov_drv)
+    # warm second run (worker chunk caches) — still identical, still
+    # zero driver-side payload reads
+    keep_exe2, cov_exe2 = L._stats_keep_executor_pinned(
+        spark, meta, ranges
+    )
+    assert (keep_exe2, cov_exe2) == (keep_drv, cov_drv)
+    assert L.DRIVER_SIDECAR_READS == before
+
+    probe = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(src_dir)
+        .select("o_orderkey").orderBy("o_orderkey").limit(3).collect()
+    ]
+    L._BLOOM_CACHE.clear()
+    bkeep_drv, bcov_drv = L.bloom_keep_files(
+        spark, meta, "o_orderkey", probe
+    )
+    before = L.DRIVER_SIDECAR_READS
+    bkeep_exe, bcov_exe = L._bloom_keep_executor_pinned(
+        spark, meta, "o_orderkey", probe
+    )
+    assert (bkeep_exe, bcov_exe) == (bkeep_drv, bcov_drv)
+    assert L.DRIVER_SIDECAR_READS == before
+    # negative probe: a value outside the domain keeps (almost) no
+    # file on both paths
+    neg_drv, _ = L.bloom_keep_files(
+        spark, meta, "o_orderkey", [10**15]
+    )
+    neg_exe, _ = L._bloom_keep_executor_pinned(
+        spark, meta, "o_orderkey", [10**15]
+    )
+    assert neg_exe == neg_drv
+
+
+def test_executor_pinned_invalidates_on_rebuild(spark, tmp_path):
+    """A re-register bumps the layout fingerprint, so the executor
+    chunk pins (keyed on it) cannot serve the previous build: the
+    probe against the new meta reflects the NEW sidecar contents."""
+    from pdf_etl_ocr_inference_spark.operators import layout as L
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        register_clustered_layout,
+    )
+
+    src = str(tmp_path / "orders")
+    (
+        spark.read.parquet(f"{SF0001}/orders.parquet")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    ranges = {"o_custkey": (100.0, 299.0)}
+    meta1 = register_clustered_layout(spark, src, SPECS, n_files=4)
+    keep1, cov1 = L._stats_keep_executor_pinned(spark, meta1, ranges)
+    assert cov1  # sidecar covered the build-1 files
+
+    meta2 = register_clustered_layout(spark, src, SPECS, n_files=8)
+    keep2, cov2 = L._stats_keep_executor_pinned(spark, meta2, ranges)
+    # build 2 rewrote the layout files: the covered set must be the
+    # NEW files (8-way split), not the pinned build-1 chunks
+    assert cov2 != cov1 or len(cov2) != len(cov1)
+    drv_keep2, drv_cov2 = L.stats_keep_files(spark, meta2, ranges)
+    assert (keep2, cov2) == (drv_keep2, drv_cov2)
