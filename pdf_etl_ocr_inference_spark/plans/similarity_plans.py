@@ -814,7 +814,10 @@ def ann_hnsw_topk(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "ann_served_topk",
     None,  # approximate (graph walk) → rows-only; served ≡ batch is
-    # asserted exactly in tests/test_serving.py
+    # asserted exactly in tests/test_serving.py, and r8 pins every
+    # SERVED (id, score) row to the ORACLED exact-cosine kernel
+    # (test_served_equals_oracled.py: the only unverifiable freedom
+    # left is which candidates the walk visits)
     doc="the PINNED-INDEX serving path (ref ocr:167-170's online "
     "query shape): top-k answered from per-shard NSW graphs cached "
     "in executor-worker memory keyed by (path, shard, index "
@@ -899,7 +902,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "ann_served_ivfpq",
     None,  # approximate → rows-only; served ≡ batch asserted exactly
-    # in tests/test_serving_ivfpq.py (exhaustive-rerank regime)
+    # in tests/test_serving_ivfpq.py (exhaustive-rerank regime), and
+    # r8 proves served ≡ the ORACLED op44 kernel at n_probe=all +
+    # rerank=corpus (test_served_equals_oracled.py) — rows-only by
+    # architecture, equal to an oracled path by test
     doc="the pinned-serving IVFADC path: cells are shards, a query "
     "schedules tasks ONLY for its probed cells, each task runs the "
     "residual-LUT ADC + exact re-rank on arrays cached in executor "
@@ -953,7 +959,9 @@ def ann_served_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "ann_served_stream_sync",
     None,  # approximate → rows-only; fold/invalidation equivalences
-    # in tests/test_serving_sync.py and test_serving_ivfpq.py
+    # in tests/test_serving_sync.py and test_serving_ivfpq.py; r8
+    # adds synced-fold ≡ fresh-rebuild ≡ ORACLED exact top-k of the
+    # post-change corpus (test_served_equals_oracled.py)
     doc="triggered streaming maintenance of the IVF-PQ SERVING index: "
     "embeddings change feed (v0 corpus insert, v1 new arrivals) → "
     "availableNow stream folds unseen commits via "
