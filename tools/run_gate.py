@@ -128,40 +128,27 @@ def _compare(spdf, dpdf) -> str | None:
     return None
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("-k", default="", help="only queries containing this")
-    args = ap.parse_args()
-    warnings.filterwarnings("ignore")
-
-    import importlib
-
+def _run_one_sf(spark, entry, sf: str, k: str) -> tuple:
+    """(matched, rows_only, fails) for one SF dir.  Oracles are
+    re-resolved per SF: lazy oracles (corpus-derived literals, e.g.
+    ann_pca_project) read SPARK_GRAFT_ORACLE_SF_DIR at resolve time."""
     import duckdb
 
-    # lazy oracles (corpus-derived literals) must target this gate's SF
-    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = args.sf
-
-    entry = importlib.import_module("__spark_entry__")
-    from pdf_etl_ocr_inference_spark.session import get_spark
-
-    spark = get_spark(app_name="gate")
-    spark.sparkContext.setLogLevel("ERROR")
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
         )
-
     qs, oracles = entry.queries(), entry.oracle_sql()
     matched, rows_only, fails = 0, 0, []
     for name, fn in sorted(qs.items()):
-        if args.k and args.k not in name:
+        if k and k not in name:
             continue
         t0 = time.perf_counter()
         why = ""
         try:
-            df = fn(spark, args.sf)
+            df = fn(spark, sf)
             spdf = df.toPandas()
             if name in oracles:
                 dpdf = con.execute(oracles[name]).df()
@@ -182,11 +169,59 @@ def main() -> int:
             status = f"ERROR {str(ex)[:120]}"
             fails.append(name)
         print(f"{status} {name} ({time.perf_counter() - t0:.1f}s){why}")
-    print(
-        f"\ngate: {matched} matched, {rows_only} rows-only, "
-        f"{len(fails)} failed{': ' + ', '.join(fails) if fails else ''}"
+    con.close()
+    return matched, rows_only, fails
+
+
+_ALL_SFS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("-k", default="", help="only queries containing this")
+    ap.add_argument(
+        "--all-sfs",
+        action="store_true",
+        help="run the gate at sf0.001, sf0.01 AND sf0.1 (the r7 "
+        "three-SF certification — sf0.001 caught a ROUND-tie bug "
+        "the driver's SFs never would) and print one summary line "
+        "per SF",
     )
-    return 1 if fails else 0
+    args = ap.parse_args()
+    warnings.filterwarnings("ignore")
+
+    import importlib
+
+    entry = importlib.import_module("__spark_entry__")
+    from pdf_etl_ocr_inference_spark.session import get_spark
+
+    spark = get_spark(app_name="gate")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sfs = _ALL_SFS if args.all_sfs else [args.sf]
+    summaries, any_fail = [], False
+    for sf in sfs:
+        if len(sfs) > 1:
+            print(f"\n=== {sf} ===")
+        matched, rows_only, fails = _run_one_sf(spark, entry, sf, args.k)
+        any_fail = any_fail or bool(fails)
+        line = (
+            f"gate[{sf.rsplit('/', 1)[-1]}]: {matched} matched, "
+            f"{rows_only} rows-only, {len(fails)} failed"
+            f"{': ' + ', '.join(fails) if fails else ''}"
+        )
+        summaries.append(line)
+        print(f"\n{line}")
+    if len(summaries) > 1:
+        print("\n=== three-SF certification ===")
+        for line in summaries:
+            print(line)
+    return 1 if any_fail else 0
 
 
 if __name__ == "__main__":
