@@ -575,7 +575,15 @@ def _source_probe(source_path: str) -> list:
     An in-place byte-level edit that preserves the directory entry is
     outside that convention; :func:`refresh_clustered_layout` (the
     explicit sync API) still pays the full per-file sweep and
-    catches it."""
+    catches it.
+
+    Considered and rejected (r8, advice): folding max(file mtime)
+    into the probe.  On Linux a dirent does NOT carry mtime —
+    ``entry.stat()`` is one syscall per file — so the "free" extra
+    coverage would silently reintroduce the O(files) stat pass this
+    probe exists to remove (and the warm-path ≤2-os.stat test would
+    fail).  The in-place-edit class stays covered by the explicit
+    refresh API, as documented above."""
     import os as _os
 
     if _os.path.isfile(source_path):

@@ -119,7 +119,17 @@ def _grad_partials(feats: DataFrame, w, b: float, d: int) -> DataFrame:
                 dtype=np.float64
             )
             y = pdf["label"].to_numpy(dtype=np.float64)
-            z = x @ wv + bias
+            # LEFT-TO-RIGHT accumulation, one column at a time — NOT
+            # x @ wv: BLAS dgemv's SIMD multi-accumulator reduction
+            # order is unspecified, and the oracle's SQL z is parsed
+            # strictly left-to-right (f0*w0 + ... + f5*w5 + b); a
+            # differently-rounded z can flip floor(err*2^24) when the
+            # product lands within an ulp of an integer.  d=6, so the
+            # column loop costs nothing.
+            z = x[:, 0] * wv[0]
+            for _i in range(1, x.shape[1]):
+                z = z + x[:, _i] * wv[_i]
+            z = z + bias
             p = 1.0 / (1.0 + np.exp(-z))
             err = p - y
             g = np.floor(err[:, None] * x * _GSCALE).astype(np.int64)

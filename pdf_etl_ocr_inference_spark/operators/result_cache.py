@@ -43,30 +43,66 @@ import shutil
 from pyspark.sql import DataFrame
 
 
+def _plan_file_index(df: DataFrame) -> list:
+    """``(path, size, listing-mtime-ms)`` per input file, read from
+    the plan's ALREADY-MATERIALIZED file index (Spark listed and
+    stat'ed the files when the relation was resolved — this walk is
+    pure py4j accessor calls, zero filesystem I/O).  Empty on
+    non-file relations or any JVM-shape surprise (callers fall back
+    to names-only)."""
+    out = []
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() == "LogicalRelation":
+                it = node.relation().location().allFiles().iterator()
+                while it.hasNext():
+                    f = it.next()
+                    out.append(
+                        (
+                            f.getPath().toString(),
+                            int(f.getLen()),
+                            int(f.getModificationTime()),
+                        )
+                    )
+            ch = node.children()
+            for i in range(ch.length()):
+                stack.append(ch.apply(i))
+    except Exception:  # noqa: BLE001 — fingerprint must never raise
+        return []
+    return out
+
+
 def plan_fingerprint(df: DataFrame) -> str:
     """Stable hex fingerprint of (canonicalized plan, semantic hash,
-    input-file NAMES, per-source-directory mtime).
+    input-file NAMES + per-file (size, listing mtime) from the
+    plan's materialized file index, per-source-directory mtime).
 
-    The file-name list comes from the plan's already-materialized
+    Everything file-shaped comes from the plan's already-materialized
     file index (Spark listed the files when the DataFrame was built —
-    no extra I/O), and staleness rides on ONE os.stat per distinct
-    source directory instead of one per file (r7, same doctrine as
-    the layout freshness probe: at 10⁶ files the per-file stat pass
-    was a control-plane scale-killer).  Correctness under the
-    immutable-data-file convention: every Spark write produces fresh
-    uuid file names, so any rewrite changes the NAME set; an
-    append/delete/rename also bumps the directory mtime.  A byte-
-    level in-place edit that preserves name, count, and dir mtime is
-    outside the convention (and was only probabilistically caught by
-    mtime before)."""
+    no extra I/O), and the only fresh syscall is ONE os.stat per
+    distinct source directory instead of one per file (r7, same
+    doctrine as the layout freshness probe: at 10⁶ files the
+    per-file stat pass was a control-plane scale-killer).
+    Correctness under the immutable-data-file convention: every
+    Spark write produces fresh uuid file names, so any rewrite
+    changes the NAME set; an append/delete/rename also bumps the
+    directory mtime; and (r8, advice) an in-place rewrite that
+    preserves name/count/dir-mtime is still caught whenever it
+    changes the file's size or mtime AS OF THE PLAN'S LISTING —
+    the index sizes come for free, narrowing the undetected-mutation
+    window to a same-size same-listing-mtime byte edit."""
     jq = df._jdf.queryExecution()
     canon = jq.analyzed().canonicalized().toString()
     h = hashlib.sha256()
     h.update(canon.encode())
     h.update(str(df.semanticHash()).encode())
+    indexed = {p: (sz, mt) for p, sz, mt in _plan_file_index(df)}
     dirs = set()
     for f in sorted(df.inputFiles()):
-        h.update(f.encode())
+        sz, mt = indexed.get(f, (-1, -1))
+        h.update(f"{f}:{sz}:{mt}".encode())
         local = f[len("file:"):] if f.startswith("file:") else f
         dirs.add(os.path.dirname(local))
     for d in sorted(dirs):

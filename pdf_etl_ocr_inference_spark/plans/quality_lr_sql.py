@@ -16,6 +16,13 @@ each engine's own libm (Java vs C), which can differ in the last ulp;
 the floor(·2^24) quantization absorbs a 1-ulp input wobble unless the
 product sits within ~2^-28 of an integer — odds ~1e-6 across the
 whole fixture, and the correctness gate re-verifies every round.
+
+Reduction-order note (r8): the trainer computes z with an EXPLICIT
+left-to-right column loop (quality_model._grad_partials), not BLAS
+dgemv, precisely so `_z_expr`'s left-to-right SQL parse is the same
+float op sequence — dgemv's SIMD multi-accumulator order is
+unspecified and was a second (never-observed) wobble channel beside
+libm.
 """
 
 from __future__ import annotations

@@ -274,13 +274,19 @@ def tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("nation", "o_year")
         .agg(F.sum("amount_e4").alias("_e4"))
-        # exact integer half-up to cents (totals are nonnegative, so
-        # DIV's truncation IS floor), then one exact-input division
+        # exact integer half-up to cents via FLOOR-consistent
+        # division ((x - pmod(x, 100)) / 100 floors for any sign —
+        # DIV truncates toward zero, which only agrees on
+        # nonnegative totals; a supplycost-style subtraction would
+        # have silently diverged from the oracle's // on negative
+        # groups), then one exact-input division
         .select(
             "nation",
             "o_year",
             (
-                F.expr("(_e4 + 50) DIV 100").cast("long") / F.lit(100.0)
+                F.expr(
+                    "((_e4 + 50) - pmod(_e4 + 50, 100)) DIV 100"
+                ).cast("long") / F.lit(100.0)
             ).alias("sum_profit"),
         )
     )
