@@ -197,32 +197,6 @@ def minhash_signatures(
     )
 
 
-def _cap_buckets(
-    banded: DataFrame, bucket_keys: list[str], id_col: str, cap: int
-) -> DataFrame:
-    """Truncate every bucket to its ``cap`` lowest ids, LOGGING the
-    dropped-row count (No-silent-caps): an adversarial bucket — many
-    DISTINCT values landing in one bucket — costs members²/2 pairs,
-    so capping bounds the join at cap²/2 per bucket at a quantified,
-    reported recall cost.  The count is one driver-side long (control
-    data, not a data collect)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*bucket_keys).orderBy(id_col)
-    ranked = banded.withColumn("_rk", F.row_number().over(w))
-    dropped = ranked.filter(F.col("_rk") > cap).count()
-    if dropped:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "bucket_cap=%d dropped %d bucket member(s) from candidate "
-            "generation (recall, not correctness, is affected)",
-            cap,
-            dropped,
-        )
-    return ranked.filter(F.col("_rk") <= cap).drop("_rk")
-
-
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str,
@@ -656,26 +630,52 @@ def hamming_near_pairs(
             )
         ).alias("block_idx", "block_val"),
     )
-    if bucket_cap is not None:
-        blocked = _cap_buckets(
-            blocked, ["block_idx", "block_val"], "_keep", bucket_cap
+    # bucket-group pair generation (r8, same shape as
+    # minhash_lsh_candidates): ONE shuffle on the block key instead
+    # of a two-sided self-join; each block bucket's i<j pairs come
+    # from its (_keep, _fpv)-sorted struct list via chained explodes
+    # (per-row memory = one bucket's list; sort is by _keep first, so
+    # the _ka < _kb orientation of the join version is preserved —
+    # _keep values are distinct across distinct fingerprints)
+    buckets = (
+        blocked.groupBy("block_idx", "block_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("_keep", "_fpv"))
+            ).alias("_g")
         )
-    a = blocked.select(
-        F.col("_fpv").alias("fp_a"),
-        F.col("_keep").alias("_ka"),
-        "block_idx",
-        "block_val",
+        .filter(F.size("_g") >= 2)
     )
-    b = blocked.select(
-        F.col("_fpv").alias("fp_b"),
-        F.col("_keep").alias("_kb"),
-        "block_idx",
-        "block_val",
+    if bucket_cap is not None:
+        dropped = buckets.agg(
+            F.sum(
+                F.greatest(F.size("_g") - bucket_cap, F.lit(0))
+            ).alias("_d")
+        ).first()["_d"]
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "bucket_cap=%d dropped %d bucket member(s) from "
+                "candidate generation (recall, not correctness, is "
+                "affected)",
+                bucket_cap,
+                int(dropped),
+            )
+        buckets = buckets.withColumn(
+            "_g", F.slice("_g", 1, bucket_cap)
+        ).filter(F.size("_g") >= 2)
+    with_a = buckets.select(
+        "_g", F.posexplode("_g").alias("_i", "_a")
     )
     value_pairs = (
-        a.join(b, on=["block_idx", "block_val"])
-        .filter(F.col("_ka") < F.col("_kb"))  # unordered distinct-value pair
-        .select("fp_a", "fp_b")
+        with_a.select(
+            F.col("_a._fpv").alias("fp_a"),
+            F.explode(
+                F.slice("_g", F.col("_i") + 2, F.size("_g"))
+            ).alias("_b"),
+        )
+        .select("fp_a", F.col("_b._fpv").alias("fp_b"))
         .distinct()
         .withColumn(
             "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
