@@ -342,33 +342,51 @@ def lsh_near_pairs(
     expensive) verification, so each pair verifies once.
     Verified-subset property is tested against brute force.
     """
-    tagged = df.select(
-        F.col(id_col),
-        F.col(embedding_col).alias("_e"),
-        F.array(
-            *[
-                lsh_signature(embedding_col, dim, n_planes, seed + 1000 * t)
-                for t in range(n_tables)
-            ]
-        ).alias("_sigs"),
+    # r8 shape: buckets carry IDS ONLY — the old self-join shuffled
+    # the full embedding arrays through BOTH sides of the bucket
+    # exchange (2 × 8·dim bytes per banded row at 100 TB) and ran
+    # the 3-table signature computation once per side.  Now one
+    # id-only bucket shuffle generates the distinct candidate pairs
+    # (chained explodes over each bucket's sorted id list, per-row
+    # memory = one bucket), and embeddings are fetched by id for the
+    # CANDIDATES only — the far smaller set — for verification.
+    exploded = df.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    lsh_signature(
+                        embedding_col, dim, n_planes, seed + 1000 * t
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_table", "_sig"),
     )
-    exploded = tagged.select(
-        id_col, "_e", F.posexplode("_sigs").alias("_table", "_sig")
+    buckets = (
+        exploded.groupBy("_table", "_sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
     )
-    a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("_e").alias("e_a"),
-        "_table", "_sig",
+    with_a = buckets.select(
+        "_ids", F.posexplode("_ids").alias("_i", "id_a")
     )
-    b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("_e").alias("e_b"),
-        "_table", "_sig",
-    )
-    candidates = (
-        a.join(b, ["_table", "_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "e_a", "e_b")
+    pairs = (
+        with_a.select(
+            "id_a",
+            F.explode(
+                F.slice("_ids", F.col("_i") + 2, F.size("_ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
+    ea = df.select(
+        F.col(id_col).alias("id_a"), F.col(embedding_col).alias("e_a")
+    )
+    eb = df.select(
+        F.col(id_col).alias("id_b"), F.col(embedding_col).alias("e_b")
+    )
+    candidates = pairs.join(ea, "id_a").join(eb, "id_b")
     return (
         candidates.withColumn("_sim", cosine_similarity("e_a", "e_b"))
         .filter(F.col("_sim") >= threshold)
