@@ -581,24 +581,49 @@ def rewrite_near_pairs(
     live = _resolve_live(spark.read.parquet(idx["data_path"]), idx)
     if hint.get("id_limit") is not None:
         live = live.filter(F.col(idx["id_col"]) < hint["id_limit"])
-    a = live.select(
-        F.col(idx["id_col"]).alias("id_a"),
-        F.col("embedding").alias("e_a"),
-        "_table",
-        "_sig",
-    )
-    b = live.select(
-        F.col(idx["id_col"]).alias("id_b"),
-        F.col("embedding").alias("e_b"),
-        "_table",
-        "_sig",
-    )
     threshold = float(hint["threshold"])
-    return (
-        a.join(b, ["_table", "_sig"])  # same bucket, same table
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "e_a", "e_b")
+    # id-only bucket pairing (r8, the lsh_near_pairs shape): one
+    # bucket shuffle of ids, pairs from each bucket's sorted list,
+    # embeddings fetched BY ID for the distinct candidates only —
+    # the old self-join moved the embedding arrays through both join
+    # sides and is the wrong byte volume at index scale
+    buckets = (
+        live.groupBy("_table", "_sig")
+        .agg(
+            F.sort_array(F.collect_list(idx["id_col"])).alias("_ids")
+        )
+        .filter(F.size("_ids") >= 2)
+    )
+    with_a = buckets.select(
+        "_ids", F.posexplode("_ids").alias("_i", "id_a")
+    )
+    pairs = (
+        with_a.select(
+            "id_a",
+            F.explode(
+                F.slice("_ids", F.col("_i") + 2, F.size("_ids"))
+            ).alias("id_b"),
+        )
         .distinct()  # a pair may collide in several tables
+    )
+    emb = live.select(
+        F.col(idx["id_col"]).alias("_id"), "embedding"
+    ).dropDuplicates(["_id"])
+    return (
+        pairs.join(
+            emb.select(
+                F.col("_id").alias("id_a"),
+                F.col("embedding").alias("e_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            emb.select(
+                F.col("_id").alias("id_b"),
+                F.col("embedding").alias("e_b"),
+            ),
+            "id_b",
+        )
         .withColumn("_sim", cosine_similarity("e_a", "e_b"))
         .filter(F.col("_sim") >= threshold)
         .select("id_a", "id_b", F.round("_sim", 4).alias("sim"))

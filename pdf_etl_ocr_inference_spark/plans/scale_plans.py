@@ -255,14 +255,21 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.layout import truncate_lineage
 
     docs = _t(spark, sf, "documents")
-    # no ensure_min_parallelism: md5 per row is cheap and the fp
-    # self-join shuffles anyway (r6 perf pass — the round-robin
-    # exchange re-shuffled the full text column for nothing)
+    # STAR edges, not clique edges (r8): an exact-dup fingerprint
+    # group is a clique, and a clique's components are identical to a
+    # star's — every member wired to the group's min id — so the edge
+    # set is Σd per group instead of Σd²/2 (at a 10k-deep boilerplate
+    # clique that is 10⁴ edges, not 5·10⁷), built with ONE window
+    # shuffle instead of a two-sided fp self-join.  Measured −51% on
+    # this entry at sf0.1 with identical cluster output.
+    from pyspark.sql import Window
+
     fp = docs.select("doc_id", doc_fingerprint("text").alias("fp"))
-    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
-    pairs = a.join(b, "fp").filter(F.col("id_a") != F.col("id_b")).select(
-        "id_a", "id_b"
+    marked = fp.withColumn(
+        "_root", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    pairs = marked.filter(F.col("doc_id") != F.col("_root")).select(
+        F.col("doc_id").alias("id_a"), F.col("_root").alias("id_b")
     )
     # Iterate ONLY over nodes that appear in a pair: isolated docs are
     # their own cluster by definition and would just inflate every
@@ -352,13 +359,15 @@ def dedup_clusters_sv(spark: SparkSession, sf: str) -> DataFrame:
         connected_components,
     )
     docs = _t(spark, sf, "documents")
-    # no ensure_min_parallelism — see dedup_clusters
+    # star edges per fingerprint group — see dedup_clusters (r8)
+    from pyspark.sql import Window
+
     fp = docs.select("doc_id", doc_fingerprint("text").alias("fp"))
-    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
-    pairs = (
-        a.join(b, "fp").filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
+    marked = fp.withColumn(
+        "_root", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    pairs = marked.filter(F.col("doc_id") != F.col("_root")).select(
+        F.col("doc_id").alias("id_a"), F.col("_root").alias("id_b")
     )
     labels, _rounds = connected_components(pairs)
     return docs.select("doc_id").join(
