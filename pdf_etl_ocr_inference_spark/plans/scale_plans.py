@@ -774,26 +774,42 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     occ = positional_ngrams(docs, "text", "doc_id", 6).select(
         "id", "gram"
     )
-    dup = (
-        occ.groupBy("gram")
-        .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
-        .filter(F.col("_mn") < F.col("_mx"))
-        .select("gram")
-    )
-    a = occ.join(dup, "gram").select("gram", F.col("id").alias("ia"))
-    b = occ.join(dup, "gram").select("gram", F.col("id").alias("ib"))
-    dp = (
-        a.join(b, "gram")
-        .filter(F.col("ia") < F.col("ib"))
-        .select("ia", "ib")
-        .distinct()
-    )
+    dp = _gram_share_pairs(occ)
     edges = dp.select(
         F.col("ia").alias("src"), F.col("ib").alias("dst")
     ).unionByName(
         dp.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
     )
     return pagerank(edges, iterations=3, damping=0.85)
+
+
+def _gram_share_pairs(occ: DataFrame) -> DataFrame:
+    """Distinct cross-doc pairs (ia < ib) sharing a gram: ONE gram
+    shuffle — per-gram sorted distinct-id lists, pairs via chained
+    explodes (the r8 dedup bucket shape) — replacing the r1-r7
+    dup-filter + two-sided self-join, which shuffled the occurrence
+    table three times for the same pair set."""
+    buckets = (
+        occ.groupBy("gram")
+        .agg(
+            F.sort_array(F.array_distinct(F.collect_list("id"))).alias(
+                "_ids"
+            )
+        )
+        .filter(F.size("_ids") >= 2)
+    )
+    with_a = buckets.select(
+        "_ids", F.posexplode("_ids").alias("_i", "ia")
+    )
+    return (
+        with_a.select(
+            "ia",
+            F.explode(
+                F.slice("_ids", F.col("_i") + 2, F.size("_ids"))
+            ).alias("ib"),
+        )
+        .distinct()
+    )
 
 
 @register(
@@ -875,21 +891,7 @@ def graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     occ = positional_ngrams(docs, "text", "doc_id", 6).select(
         "id", "gram"
     )
-    dup = (
-        occ.groupBy("gram")
-        .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
-        .filter(F.col("_mn") < F.col("_mx"))
-        .select("gram")
-    )
-    a = occ.join(dup, "gram").select("gram", F.col("id").alias("ia"))
-    b = occ.join(dup, "gram").select("gram", F.col("id").alias("ib"))
-    dp = (
-        a.join(b, "gram")
-        .filter(F.col("ia") < F.col("ib"))
-        .select("ia", "ib")
-        .distinct()
-    )
-    return triangle_count(dp)
+    return triangle_count(_gram_share_pairs(occ))
 
 
 @register(
