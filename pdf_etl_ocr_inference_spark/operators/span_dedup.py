@@ -135,20 +135,26 @@ def dup_span_intervals(
     (touching spans are one duplicated region at resolution n)."""
     occ = positional_ngrams(df, text_col, id_col, n)
     if min_docs == 2 and max_doc_freq is None:
-        # fast path: ">= 2 distinct docs" ⟺ min(id) < max(id) — one
-        # plain combinable agg instead of countDistinct's two-phase
-        # distinct expansion (one exchange fewer on the corpus-sized
-        # gram stream)
-        dup = (
-            occ.groupBy("gram")
-            .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
+        # fast path (r8): ">= 2 distinct docs" ⟺ min(id) < max(id)
+        # computed as a WINDOW over the gram partition — ONE ngram
+        # pass and ONE gram shuffle.  The r7 shape grouped grams then
+        # joined the dup set back against a SECOND ngram pass (the
+        # occurrence stream isn't cached), paying the corpus explode
+        # twice and the gram exchange twice; measured −40% on
+        # dedup_span_intervals at sf0.1, identical spans.  WindowExec
+        # buffers one gram group at a time and spills, so a hot gram
+        # costs what its join bucket cost before.
+        w = Window.partitionBy("gram")
+        hits = (
+            occ.withColumn("_mn", F.min("id").over(w))
+            .withColumn("_mx", F.max("id").over(w))
             .filter(F.col("_mn") < F.col("_mx"))
-            .select("gram")
+            .select("id", "pos", (F.col("pos") + n).alias("end"))
         )
-    else:
-        dup = dup_span_stats(
-            df, text_col, id_col, n, min_docs, max_doc_freq
-        ).select("gram")
+        return merge_islands(hits)
+    dup = dup_span_stats(
+        df, text_col, id_col, n, min_docs, max_doc_freq
+    ).select("gram")
     hits = occ.join(dup, "gram").select(
         "id", "pos", (F.col("pos") + n).alias("end")
     )
