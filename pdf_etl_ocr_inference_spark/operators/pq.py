@@ -172,9 +172,19 @@ def train_opq(
     where ``rotation`` is a dim×dim list-of-lists; pass both to
     :func:`pq_encode` / :func:`topk_pq`.
     """
+    x = _collect_sample(df, embedding_col, id_col, sample_mod, m)
+    r_mat, books = _train_opq_mat(x, m, k, iters, opq_iters, seed)
+    return [[float(v) for v in row] for row in r_mat], books
+
+
+def _train_opq_mat(x, m: int, k: int, iters: int, opq_iters: int, seed: int):
+    """OPQ alternation over an ALREADY-collected sample matrix — the
+    shared code path of :func:`train_opq` (Spark collect) and the
+    lazy oracle generator (direct parquet replay, plans/opq_sql.py):
+    identical float input ⇒ identical numpy SVD/k-means ⇒ identical
+    rotation, the eigh_from_ints doctrine applied to OPQ."""
     import numpy as np
 
-    x = _collect_sample(df, embedding_col, id_col, sample_mod, m)
     dim = x.shape[1]
     rng = np.random.RandomState(seed)
     r_mat = np.eye(dim)
@@ -187,7 +197,7 @@ def train_opq(
         r_mat = u @ vt
     xr = x @ r_mat
     books = _train_books(xr, m, k, iters, rng)
-    return [[float(v) for v in row] for row in r_mat], books
+    return r_mat, books
 
 
 def pq_encode(
@@ -561,7 +571,16 @@ def adc_distance_q(
 ) -> Column:
     """Integer ADC: Σⱼ lut[j][code_j] with an exact-int LUT from the
     quantize-normalized query."""
-    q = _quantize_normalize_py(query_vec)
+    return adc_from_ints_q(
+        codes_col, _quantize_normalize_py(query_vec), codebooks_q
+    )
+
+
+def adc_from_ints_q(
+    codes_col: Column | str, q: list, codebooks_q: list
+) -> Column:
+    """Integer ADC against an ALREADY-quantized (and possibly
+    rotated) integer query vector ``q``."""
     m = len(codebooks_q)
     sub = len(codebooks_q[0][0])
     lut = []
@@ -617,6 +636,153 @@ def topk_pq_q(
 
 
 # ------------------------------------------------------------------ #
+# Fixed-point OPQ (r8): float SVD rotation learned driver-side (the  #
+# genuinely non-SQL step, shared with the oracle generator via       #
+# _train_opq_mat), then an ALL-INTEGER data plane — quantized        #
+# rotation applied to xn vectors, floor-div rescale, integer         #
+# k-means codebooks, integer ADC.  DuckDB replays everything after   #
+# the SVD from the quantized-rotation literals (plans/opq_sql.py),   #
+# which is what moved ann_opq_topk from rows-only to oracled.        #
+#                                                                    #
+# Scales: xn at 2^17 (PQ_NORM_SCALE); Rq = floor(R*2^20), |Rq| ≤     #
+# 2^20 (orthonormal R); rx_j = Σ_i xn_i*Rq_ij ≤ 64*2^18*2^20 = 2^44  #
+# (exact int64); rxs = floor-div(rx, 2^20) back at the xn scale so   #
+# the k-means/ADC integers reuse plain PQ's bounds.                  #
+# ------------------------------------------------------------------ #
+
+
+def quantize_rotation(r_mat) -> list:
+    """floor(R·2^20) integer rotation (exact floor of IEEE doubles —
+    identical in numpy, Python, and SQL literals)."""
+    import math
+
+    return [
+        [int(math.floor(float(v) * PQ_COORD_SCALE)) for v in row]
+        for row in r_mat
+    ]
+
+
+def _rotate_xn_py(xn: list, rq: list) -> list:
+    """Integer rotate-and-rescale: rxs_j = (Σ_i xn_i·rq_ij) // 2^20
+    (Python // floors; the SQL twin uses the nonneg-mod form)."""
+    scale = int(PQ_COORD_SCALE)
+    dim = len(xn)
+    return [
+        sum(xn[i] * rq[i][j] for i in range(dim)) // scale
+        for j in range(dim)
+    ]
+
+
+def train_opq_q(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    sample_mod: int | None = None,
+    iters: int = 10,
+    opq_iters: int = 5,
+    seed: int = 42,
+) -> tuple:
+    """(rq, books_q): float OPQ rotation from the id-ordered
+    fixed-size sample (driver SVD, :func:`_train_opq_mat`), quantized
+    to integers, plus integer codebooks trained on the ROTATED
+    quantized sample — fully SQL-replayable given the rq literals."""
+    import numpy as np
+
+    if sample_mod is None:
+        sample_mod = derive_sample_mod(df, id_col)
+    rows = (
+        df.filter(F.col(id_col) % sample_mod == 0)
+        .select(id_col, embedding_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    x = np.stack([_normalize(r[embedding_col]) for r in rows])
+    if x.shape[1] % m:
+        raise ValueError(f"dim {x.shape[1]} not divisible by m={m}")
+    r_mat, _books_f = _train_opq_mat(x, m, k, iters, opq_iters, seed)
+    rq = quantize_rotation(r_mat)
+    rxs = [
+        _rotate_xn_py(_quantize_normalize_py(r[embedding_col]), rq)
+        for r in rows
+    ]
+    return rq, _train_books_q(rxs, m, k, iters)
+
+
+def opq_encode_q(
+    df: DataFrame,
+    embedding_col: str,
+    rq: list,
+    codebooks_q: list,
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Arrow-vectorized encode in the rotated integer space — exact
+    int64 numpy throughout (same arithmetic as ``_rotate_xn_py``)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks_q)
+    sub = len(codebooks_q[0][0])
+    books = [np.asarray(b, dtype="int64") for b in codebooks_q]
+    rq_mat = np.asarray(rq, dtype="int64")
+    scale = int(PQ_COORD_SCALE)
+
+    def _qn(vec):
+        xq = np.floor(
+            np.asarray(vec, dtype="float64") * PQ_COORD_SCALE
+        ).astype("int64")
+        nsq = int((xq * xq).sum())
+        if nsq == 0:
+            return np.zeros(len(xq), dtype="int64")
+        norm = float(np.sqrt(float(nsq)))
+        return np.floor(
+            xq.astype("float64") / norm * PQ_NORM_SCALE
+        ).astype("int64")
+
+    @F.pandas_udf("array<int>")
+    def encode(batch):
+        xn = np.stack([_qn(v) for v in batch])
+        # exact int64: |xn| ≤ 2^18, |rq| ≤ 2^20, d=64 → |rx| ≤ 2^44
+        rxs = np.floor_divide(xn @ rq_mat, scale)
+        codes = np.empty((len(rxs), m), dtype="int32")
+        for j in range(m):
+            xs = rxs[:, j * sub : (j + 1) * sub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)  # first min = lowest index
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, encode(embedding_col))
+
+
+def topk_opq_q(
+    encoded: DataFrame,
+    embedding_col: str,
+    query_vec: list,
+    rq: list,
+    codebooks_q: list,
+    k: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Rotated fixed-point ADC scan → top ``rerank`` by exact-int
+    distance (id tie-break) → exact cosine top-k on ORIGINAL
+    vectors."""
+    q_rxs = _rotate_xn_py(_quantize_normalize_py(query_vec), rq)
+    cand = (
+        encoded.select(
+            id_col,
+            embedding_col,
+            adc_from_ints_q(codes_col, q_rxs, codebooks_q).alias("_adc"),
+        )
+        .orderBy(F.asc("_adc"), id_col)
+        .limit(rerank)
+    )
+    return topk_exact(cand, embedding_col, query_vec, k=k, id_col=id_col)
+
+
+# ------------------------------------------------------------------ #
 # Fixed-point IVF-PQ (r7): coarse cells + residual codebooks, all    #
 # integer — the ann_ivfpq_topk path, SQL-replayable like plain PQ.   #
 # ------------------------------------------------------------------ #
@@ -656,43 +822,34 @@ def xn_frame(
     return out.withColumn(out_col, xn).drop("_xq", "_nsq")
 
 
-def ivfpq_centroids_q(
+def ivfpq_coarse_kmeans_q(
     df: DataFrame,
     embedding_col: str,
-    label_col: str = "label",
-    sample_mod: int | None = None,
     id_col: str = "vec_id",
+    n_cells: int = 10,
+    iters: int = 10,
+    sample_mod: int | None = None,
 ) -> dict[int, list[int]]:
-    """Coarse centroids in the xn integer space: per (label, dim) the
-    exact floor-div mean over the id-sampled train rows — the
-    ivf_centroids_quantized recipe, applied after normalization so
-    residuals live at the same scale as the points.  (This path is a
-    distributed aggregate — only label×dim sums reach the driver —
-    but the modulus is shared with the codebook trainer so both see
-    the same sample.)"""
+    """Coarse cells LEARNED by whole-vector integer k-means over the
+    fixed-size sample (m=1 run of ``_train_books_q``) — real Voronoi
+    cells in the xn space.  r8 replaced the label-mean coarse
+    quantizer with this: label means of near-isotropic embeddings are
+    noise-scale vectors, so the dot-product probe ranked cells
+    essentially at random and recall collapsed (measured 0.0 at
+    sf0.1); learned centroids lie in data directions and the same
+    3-of-10 probe measures 0.8–1.0 across all three SFs.
+    SQL-replayable via the pq_sql k-means chain run at m=1."""
     if sample_mod is None:
         sample_mod = derive_sample_mod(df, id_col)
     rows = (
-        xn_frame(
-            df.filter(F.col(id_col) % sample_mod == 0), embedding_col
-        )
-        .select(
-            F.col(label_col).alias("label"),
-            F.posexplode("_xn").alias("pos", "xv"),
-        )
-        .groupBy("label", "pos")
-        .agg(F.sum("xv").alias("s"), F.count(F.lit(1)).alias("n"))
+        df.filter(F.col(id_col) % sample_mod == 0)
+        .select(id_col, embedding_col)
         .collect()
     )
-    by_label: dict[int, dict[int, int]] = {}
-    for r in rows:
-        by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = int(
-            r["s"]
-        ) // int(r["n"])
-    return {
-        lbl: [m[i] for i in range(len(m))]
-        for lbl, m in sorted(by_label.items())
-    }
+    rows.sort(key=lambda r: r[id_col])
+    xn = [_quantize_normalize_py(r[embedding_col]) for r in rows]
+    coarse = _train_books_q(xn, 1, n_cells, iters)[0]
+    return {i: [int(v) for v in c] for i, c in enumerate(coarse)}
 
 
 def train_ivfpq_codebooks_q(

@@ -82,28 +82,32 @@ def _kmeans_ctes(
     return ", ".join(parts)
 
 
-def _kmeans_round(t: int, prev: str) -> str:
-    """One integer k-means iteration over the ``pt`` point table."""
+def _kmeans_round(t: int, prev: str, pts: str = "pt", px: str = "") -> str:
+    """One integer k-means iteration over the ``pts`` point table.
+    ``px`` prefixes the round CTE names so two independent chains
+    (e.g. IVF-PQ's coarse quantizer + residual codebooks) can coexist
+    in one statement."""
     return (
         # exact-int squared L2 per (point, subspace, centroid)
-        f"d{t} AS (SELECT p.vec_id, p.j, b.cidx, "
+        f"{px}d{t} AS (SELECT p.vec_id, p.j, b.cidx, "
         f"SUM((p.val - b.val) * (p.val - b.val)) AS d2 "
-        f"FROM pt p JOIN {prev} b ON b.j = p.j AND b.i = p.i "
+        f"FROM {pts} p JOIN {prev} b ON b.j = p.j AND b.i = p.i "
         f"GROUP BY p.vec_id, p.j, b.cidx), "
         # argmin; ties break to the lowest centroid index
-        f"a{t} AS MATERIALIZED (SELECT vec_id, j, cidx FROM "
+        f"{px}a{t} AS MATERIALIZED (SELECT vec_id, j, cidx FROM "
         f"(SELECT vec_id, j, cidx, ROW_NUMBER() OVER "
-        f"(PARTITION BY vec_id, j ORDER BY d2, cidx) AS rn FROM d{t}) "
+        f"(PARTITION BY vec_id, j ORDER BY d2, cidx) AS rn FROM {px}d{t}) "
         f"WHERE rn = 1), "
         # floor-div integer means; empty clusters keep the centroid
-        f"u{t} AS (SELECT a.j, a.cidx, p.i, "
+        f"{px}u{t} AS (SELECT a.j, a.cidx, p.i, "
         f"CAST((SUM(p.val) - ((SUM(p.val) % COUNT(*) + COUNT(*)) "
         f"% COUNT(*))) / COUNT(*) AS BIGINT) AS val "
-        f"FROM a{t} a JOIN pt p ON p.vec_id = a.vec_id AND p.j = a.j "
+        f"FROM {px}a{t} a JOIN {pts} p ON p.vec_id = a.vec_id "
+        f"AND p.j = a.j "
         f"GROUP BY a.j, a.cidx, p.i), "
-        f"bk{t} AS MATERIALIZED (SELECT b.j, b.cidx, b.i, "
+        f"{px}bk{t} AS MATERIALIZED (SELECT b.j, b.cidx, b.i, "
         f"COALESCE(u.val, b.val) AS val FROM {prev} b "
-        f"LEFT JOIN u{t} u ON u.j = b.j AND u.cidx = b.cidx "
+        f"LEFT JOIN {px}u{t} u ON u.j = b.j AND u.cidx = b.cidx "
         f"AND u.i = b.i)"
     )
 
@@ -174,31 +178,43 @@ def ivfpq_topk_sql(
     n_probe: int = 3,
     rerank_floor: int = 50,
     rerank_frac: int = 10,
+    n_cells: int = 10,
+    coarse_iters: int = 10,
 ) -> str:
     """Oracle for ``ann_ivfpq_topk`` (fixed-point IVFADC): coarse
-    label cells in the xn space (floor-div means over the train
-    sample), residual points, the same integer k-means chain, per
-    probed cell an integer residual LUT, cell-filtered ADC, exact
-    cosine re-rank.  The coarse probe ranks cells by exact int dot
-    (ties → smallest label) — identical in Python and SQL."""
+    cells LEARNED by whole-vector integer k-means over the train
+    sample (r8 — the same k-means chain run at m=1; label means of
+    isotropic embeddings were noise-scale and the probe was
+    near-random), residual points, the same integer k-means chain
+    for codebooks, per probed cell an integer residual LUT,
+    cell-filtered ADC, exact cosine re-rank.  The coarse probe ranks
+    cells by exact int dot (ties → smallest label) — identical in
+    Python and SQL."""
     sub = dim // m
     books = f"bk{iters}"
-    fdiv = "CAST((s - ((s % n + n) % n)) / n AS BIGINT)"
     return (
         "WITH "
         + _qn_ctes()
         + ", "
-        # coarse centroids: per (label, dim) floor-div mean over train
-        f"cq AS MATERIALIZED (SELECT label, i, {fdiv} AS val FROM ("
-        f"SELECT e.label, CAST(r.i AS INT) AS i, SUM(xn[i + 1]) AS s, "
-        f"COUNT(*) AS n FROM qn JOIN embeddings e USING (vec_id), "
-        f"UNNEST(range(0, len(xn))) AS r(i) "
-        f"WHERE {_sample_pred('vec_id', sample_mod)} "
-        f"GROUP BY e.label, r.i)), "
-        # every row's xn exploded + its coarse assignment (max int
-        # dot, ties -> smallest label)
+        # every row's xn exploded (shared by coarse training,
+        # assignment, and residual derivation)
         f"xnp AS MATERIALIZED (SELECT vec_id, CAST(i AS INT) AS i, "
         f"xn[i + 1] AS val FROM qn, UNNEST(range(0, len(xn))) AS r(i)), "
+        # coarse cells: whole-vector integer k-means over the sample
+        # (one subspace j=0 spanning every dim — the m=1 chain)
+        f"kpt AS MATERIALIZED (SELECT vec_id, CAST(0 AS INT) AS j, "
+        f"i, val FROM xnp WHERE {_sample_pred('vec_id', sample_mod)}), "
+        f"kbk0 AS MATERIALIZED (SELECT j, CAST(rnk - 1 AS INT) AS cidx, "
+        f"i, val FROM (SELECT j, i, val, DENSE_RANK() OVER "
+        f"(PARTITION BY j ORDER BY vec_id) AS rnk FROM kpt) "
+        f"WHERE rnk <= {n_cells}), "
+        + ", ".join(
+            _kmeans_round(t, f"kbk{t - 1}", pts="kpt", px="k")
+            for t in range(1, coarse_iters + 1)
+        )
+        + ", "
+        f"cq AS MATERIALIZED (SELECT cidx AS label, i, val "
+        f"FROM kbk{coarse_iters}), "
         f"dots AS (SELECT x.vec_id, c.label, SUM(x.val * c.val) AS d "
         f"FROM xnp x JOIN cq c ON c.i = x.i GROUP BY x.vec_id, c.label), "
         f"asg AS MATERIALIZED (SELECT vec_id, label AS cell FROM ("

@@ -17,7 +17,7 @@ from pdf_etl_ocr_inference_spark.operators.similarity import (
     lsh_near_pairs,
     topk_lsh,
 )
-from pdf_etl_ocr_inference_spark.plans import lsh_sql, pq_sql
+from pdf_etl_ocr_inference_spark.plans import lsh_sql, opq_sql, pq_sql
 from pdf_etl_ocr_inference_spark.plans.registry import register
 from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
 
@@ -702,40 +702,54 @@ def ann_knn_join(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ann_opq_topk",
-    None,  # approximate (rotated quantized distances) → rows-only;
-    # OPQ-beats-PQ quantization error + recall properties in
-    # tests/test_opq.py
+    opq_sql.opq_topk_oracle(
+        m=8, k_cents=16, iters=10, opq_iters=3, dim=64, k=5,
+        rerank_floor=50, rerank_frac=5,
+    ),  # rerank_frac 5 (vs PQ's 10): the quantized rotation costs
+    # ~one pool-boundary place on the isotropic fixture; n//5 holds
+    # recall 0.8-1.0 at all three SFs (measured)  # LAZY oracle (r8): the SVD rotation is the one non-SQL step
+    # — the generator replays the engine's sample + shared float
+    # trainer (operators/pq._train_opq_mat) and bakes the quantized
+    # rotation in as literals; everything after it (integer rotate,
+    # k-means codebook training, encode, ADC, re-rank) is an exact
+    # SQL replay.  OPQ-beats-PQ + recall properties stay in
+    # tests/test_opq.py (the float operators remain for serving).
     doc="optimized product quantization (Ge 2013, OPQ-NP): an "
     "orthonormal rotation learned by alternating codebook training "
     "with orthogonal-Procrustes SVD solves mixes correlated "
     "dimensions across subspaces before the split — lower "
     "quantization error than plain PQ at identical code size and "
-    "identical query cost (the rotation folds into the build-time "
-    "encode and the driver-side query LUT; the native ADC scan is "
-    "unchanged).",
+    "identical query cost. ORACLED (r8): the data plane is "
+    "FIXED-POINT — floor(R*2^20) rotation applied to the "
+    "quantize-normalized integer vectors with a floor-div rescale, "
+    "integer codebook k-means, integer ADC LUT — so DuckDB replays "
+    "rotation application, codebook training, encoding, the ADC "
+    "scan, and the re-rank from the trained-rotation literals "
+    "(plans/opq_sql.py).",
 )
 def ann_opq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.pq import (
-        pq_encode,
-        topk_pq,
-        train_opq,
+        opq_encode_q,
+        topk_opq_q,
+        train_opq_q,
     )
 
     emb = _t(spark, sf, "embeddings")
-    rot, books = train_opq(
-        emb, "embedding", id_col="vec_id", m=8, k=16, opq_iters=3,
+    rq, books = train_opq_q(
+        emb, "embedding", id_col="vec_id", m=8, k=16, iters=10,
+        opq_iters=3,
     )
-    encoded = pq_encode(
-        emb.filter(F.col("vec_id") != 0), "embedding", books, rotation=rot
+    encoded = opq_encode_q(
+        emb.filter(F.col("vec_id") != 0), "embedding", rq, books
     )
     qvec = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
-    rerank = max(50, emb.count() // 10)  # see ann_pq_topk
-    return topk_pq(
-        encoded, "embedding", qvec, books, k=5, rerank=rerank,
-        id_col="vec_id", rotation=rot,
+    rerank = max(50, emb.count() // 5)  # frac 5: see oracle note
+    return topk_opq_q(
+        encoded, "embedding", qvec, rq, books, k=5, rerank=rerank,
+        id_col="vec_id",
     )
 
 
@@ -855,9 +869,13 @@ def ann_served_topk(spark: SparkSession, sf: str) -> DataFrame:
     pq_sql.ivfpq_topk_sql(
         m=8, k_cents=16, iters=10, dim=64, k=5,
         n_probe=3, rerank_floor=50, rerank_frac=10,
+        n_cells=10, coarse_iters=10,
     ),
-    doc="IVF-PQ / IVFADC (Jégou 2011 §IV): coarse label-seeded cells "
-    "+ PQ over the RESIDUAL x − c(x), probe 3 cells each with its "
+    doc="IVF-PQ / IVFADC (Jégou 2011 §IV): coarse cells learned by "
+    "whole-vector integer k-means (r8 — label-seeded means of "
+    "near-isotropic embeddings were noise-scale and the probe was "
+    "near-random; learned Voronoi cells hold recall 0.8-1.0 at all "
+    "three SFs) + PQ over the RESIDUAL x − c(x), probe 3 cells each with its "
     "own residual LUT, union the cell-pruned code-column scans, "
     "global ADC rerank pool, exact re-rank. Composes IVF's partition "
     "pruning with PQ's 32× column shrink — the probe reads "
@@ -873,14 +891,16 @@ def ann_served_topk(spark: SparkSession, sf: str) -> DataFrame:
 def ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.pq import (
         ivfpq_assign_q,
-        ivfpq_centroids_q,
+        ivfpq_coarse_kmeans_q,
         ivfpq_encode_q,
         topk_ivfpq_q,
         train_ivfpq_codebooks_q,
     )
 
     emb = _t(spark, sf, "embeddings")
-    centroids = ivfpq_centroids_q(emb, "embedding")
+    centroids = ivfpq_coarse_kmeans_q(
+        emb, "embedding", n_cells=10, iters=10
+    )
     books = train_ivfpq_codebooks_q(
         emb, "embedding", "vec_id", centroids, m=8, k=16, iters=10,
     )
