@@ -561,8 +561,9 @@ def minhash_attribution(spark) -> dict:
       collapse (reps + survivor map materialized);
     - ``signature_s`` : + the 32 affine-md5 min-aggregates over the
       representative shingle sets;
-    - ``band_s``      : + banding and the (band, bucket) self-join
-      to deduped candidate pairs;
+    - ``band_s``      : + banding and the bucket-group pair
+      generation (sorted-id chained explodes) to deduped candidate
+      pairs;
     - ``full_s``      : the whole entry (Jaccard verify + clique
       re-expansion included).
 

@@ -241,9 +241,16 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    # array_distinct matches the old self-join's strict id_a < id_b
+    # guard under duplicate input ids: a repeated id in one bucket
+    # would otherwise emit an id_a == id_b self-pair
     buckets = (
         banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.collect_list(id_col))
+            ).alias("_ids")
+        )
         .filter(F.size("_ids") >= 2)
     )
     if bucket_cap is not None:

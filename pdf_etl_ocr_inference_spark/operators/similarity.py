@@ -363,9 +363,15 @@ def lsh_near_pairs(
             )
         ).alias("_table", "_sig"),
     )
+    # array_distinct: duplicate input ids must not become id_a ==
+    # id_b self-pairs (the old self-join's i<j guard was strict)
     buckets = (
         exploded.groupBy("_table", "_sig")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.collect_list(id_col))
+            ).alias("_ids")
+        )
         .filter(F.size("_ids") >= 2)
     )
     with_a = buckets.select(

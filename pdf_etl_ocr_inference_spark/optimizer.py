@@ -590,7 +590,11 @@ def rewrite_near_pairs(
     buckets = (
         live.groupBy("_table", "_sig")
         .agg(
-            F.sort_array(F.collect_list(idx["id_col"])).alias("_ids")
+            # array_distinct: no id_a == id_b self-pairs under
+            # duplicate ids (matches the old join's strict i<j)
+            F.sort_array(
+                F.array_distinct(F.collect_list(idx["id_col"]))
+            ).alias("_ids")
         )
         .filter(F.size("_ids") >= 2)
     )
