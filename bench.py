@@ -1119,6 +1119,141 @@ def pinned_sidecar_serving(spark) -> dict:
     }
 
 
+def manifest_point_lookup_scale(spark) -> dict:
+    """Warm point-lookup control-plane cost vs FILE COUNT (r9,
+    verdict #1): two tiny-file tables (4k and 64k files, 4 rows
+    each — metadata-dominated by construction), Bloom sidecars +
+    inventory manifests, then:
+
+    - ``warm_s``: the manifest fast path — probe-verified inventory,
+      worker-pinned Bloom chunks, driver collect = HIT files only.
+      Ratio across 16x the files is the flatness claim (residual
+      growth is probe-task scheduling, not listing or row volume).
+    - ``legacy_s``: the same lookup with the manifest docs moved
+      aside — the pre-r9 shape: per-call sidecar re-scan, O(files)
+      reconciliation collect, O(files) live listing sweep.
+    - the contract counters: ZERO driver sidecar payload reads and
+      ZERO live-listing sweeps during the warm runs.
+    """
+    import statistics as _st
+    import time as _t
+
+    from pdf_etl_ocr_inference_spark.operators import layout as L
+
+    def _tiny_table(n_files: int) -> str:
+        path = f"/tmp/spark_graft_scratch/manifest_lookup_{n_files}"
+        have = 0
+        if os.path.isdir(path):
+            have = sum(
+                1
+                for f in os.listdir(path)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        if have != n_files:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            os.makedirs(path)
+
+            def _writer(batches):
+                import pandas as _pd
+                import pyarrow as _pa
+                import pyarrow.parquet as _pq
+
+                for pdf in batches:
+                    for i in pdf["id"]:
+                        i = int(i)
+                        t = _pa.table(
+                            {
+                                "id": _pa.array(
+                                    [i * 4 + j for j in range(4)],
+                                    _pa.int64(),
+                                )
+                            }
+                        )
+                        _pq.write_table(t, f"{path}/f{i:06d}.parquet")
+                    yield _pd.DataFrame({"n": [len(pdf)]})
+
+            spark.range(n_files).repartition(32).mapInPandas(
+                _writer, schema="n long"
+            ).count()
+        if not os.path.isdir(f"{path}/_bloom_id") or (
+            L._read_manifest_doc(path, "bloom_id") is None
+        ):
+            # fpp is per (file, value): at 64k 4-row files the default
+            # 1% would leak ~650 false-positive file reads per probe
+            # and drown the control-plane number this block measures —
+            # tight fpp is the production knob for many-small-file
+            # tables (16 bytes/file here)
+            L.build_file_bloom(spark, path, "id", fpp=1e-6)
+        return path
+
+    def med(fn, reps=5):
+        out = []
+        for _ in range(reps):
+            t0 = _t.perf_counter()
+            fn()
+            out.append(_t.perf_counter() - t0)
+        return _st.median(out)
+
+    out: dict = {}
+    sweeps = {"n": 0}
+    real_live = L._live_stat_map
+
+    def counting_live(*a, **k):
+        sweeps["n"] += 1
+        return real_live(*a, **k)
+
+    for n_files in (4096, 65536):
+        path = _tiny_table(n_files)
+        probe = [4 * (n_files // 2) + 1]  # hits exactly one file
+        # cold: prime the manifest-doc cache and the worker pins
+        df, n_read, n_total = L.scan_point_lookup(spark, path, "id", probe)
+        assert n_total == n_files and df.count() == 1
+        reads_before = L.DRIVER_SIDECAR_READS
+        L._live_stat_map = counting_live
+        sweeps["n"] = 0
+        try:
+            warm = med(
+                lambda: L.scan_point_lookup(spark, path, "id", probe)[
+                    0
+                ].count()
+            )
+            warm_sweeps = sweeps["n"]
+        finally:
+            L._live_stat_map = real_live
+        warm_reads = L.DRIVER_SIDECAR_READS - reads_before
+        # legacy shape: hide the manifest docs → slow path per call
+        mdir = L._manifest_dir(path)
+        hidden = f"{path}/_hidden_manifest"
+        os.replace(mdir, hidden)
+        L._MANIFEST_DOC_CACHE.pop(path, None)
+        try:
+            legacy = med(
+                lambda: L.scan_point_lookup(spark, path, "id", probe)[
+                    0
+                ].count(),
+                reps=3,
+            )
+        finally:
+            os.replace(hidden, mdir)
+            # the rename dance bumped the root dir mtime: re-stamp
+            # the manifest probe (files unchanged → same digest, so
+            # the bloom marker stays valid) or the NEXT invocation's
+            # "warm" path would silently run legacy
+            L.write_inventory_manifest(path)
+        out[f"files_{n_files}"] = {
+            "warm_s": round(warm, 3),
+            "legacy_s": round(legacy, 3),
+            "legacy_over_warm": round(legacy / warm, 1),
+            "driver_sidecar_reads_warm": warm_reads,
+            "live_listing_sweeps_warm": warm_sweeps,
+        }
+    w4, w64 = out["files_4096"]["warm_s"], out["files_65536"]["warm_s"]
+    out["warm_ratio_16x_files"] = round(w64 / w4, 2)
+    return out
+
+
 def sf_scaling_sweep(spark) -> dict:
     """Wall time of four representative shapes across the three
     fixture scales (100× data span): the ratio t(sf0.1)/t(sf0.01)
@@ -1333,9 +1468,11 @@ def main() -> None:
     lserved = layout_rewrite_served(spark)
     ppart = partitioned_prune(spark)
     psrv = pinned_sidecar_serving(spark)
+    mscale = manifest_point_lookup_scale(spark)
     print(f"# file skipping @4M/64 files: {fskip}", file=sys.stderr)
     print(f"# partitioned layout prune @4M: {ppart}", file=sys.stderr)
     print(f"# executor-pinned sidecar serving: {psrv}", file=sys.stderr)
+    print(f"# manifest point lookup scale: {mscale}", file=sys.stderr)
     sweep = sf_scaling_sweep(spark)
     print(f"# sf scaling sweep: {sweep}", file=sys.stderr)
     gb = graph_build(spark)
@@ -1368,6 +1505,7 @@ def main() -> None:
                 "layout_rewrite_served_4m": lserved,
                 "partitioned_prune_4m": ppart,
                 "pinned_sidecar_serving_4m": psrv,
+                "manifest_point_lookup_scale": mscale,
                 "sf_scaling_sweep": sweep,
                 "graph_build_100k": gb,
             }

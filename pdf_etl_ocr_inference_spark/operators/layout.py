@@ -164,7 +164,9 @@ def _footer_stats(spark, files: list[str], cols: list[str]):
     return listing.mapInPandas(_read_footers, schema=schema)
 
 
-def load_or_refresh_file_stats(spark, path: str, cols: list[str]):
+def load_or_refresh_file_stats(
+    spark, path: str, cols: list[str], verify: str = "probe"
+):
     """Persisted, INCREMENTALLY maintained stats sidecar: the per-file
     min/max rows live under ``{path}/_stats`` and a refresh reads
     footers ONLY for files the sidecar does not cover yet — the
@@ -182,6 +184,14 @@ def load_or_refresh_file_stats(spark, path: str, cols: list[str]):
     fingerprint recorded per row, not by filename: a data file
     rewritten in place is re-footed like a new file, so a
     caller-cached sidecar can never prune on stale min/max.
+
+    ``verify`` picks the freshness check: ``"probe"`` (default)
+    takes the manifest fast path when the O(dirs) directory probe
+    verifies — warm calls cost no per-file work, trusting the
+    immutable-data-file convention (manifest section header);
+    ``verify="full"`` always pays the per-file sweep and fingerprint
+    reconciliation, catching the in-place byte-edit class the probe
+    cannot — THE healing API for that class.
     """
     import os as _os
     import shutil as _shutil
@@ -190,6 +200,24 @@ def load_or_refresh_file_stats(spark, path: str, cols: list[str]):
     from pyspark.sql import functions as F
 
     side_dir = f"{path}/_stats"
+    # Manifest fast path (r9): when the stats marker records the SAME
+    # inventory digest as the probe-verified manifest and the column
+    # set matches, the sidecar provably covers exactly the live files
+    # with fresh fingerprints — return it directly: no O(files)
+    # scandir+stat sweep, no O(files) recorded-rows collect, per
+    # call.  Any append/delete/replace flips the O(dirs) probe and
+    # falls through to the full reconciliation below (see the
+    # manifest section header for the staleness contract).
+    marker = _read_manifest_doc(path, "stats")
+    if (
+        verify == "probe"
+        and marker is not None
+        and set(marker.get("cols", [])) == set(cols)
+        and _os.path.isdir(side_dir)
+    ):
+        doc = fresh_manifest_doc(path)
+        if doc is not None and doc["digest"] == marker.get("digest"):
+            return spark.read.parquet(side_dir)
     live = _live_stat_map(path)
     current = sorted(live)
     have = None
@@ -214,6 +242,10 @@ def load_or_refresh_file_stats(spark, path: str, cols: list[str]):
         fresh_files = [f for f in current if f not in covered]
         kept = have.filter(F.col("file").isin(sorted(covered)))
         if not fresh_files and set(recorded) == covered <= set(current):
+            # sidecar already covers the live set exactly: stamp the
+            # manifest + marker (reusing the sweep just paid) so the
+            # NEXT call takes the fast path above
+            _stamp_stats_manifest(path, live, cols)
             return kept
         merged = kept.unionByName(
             _footer_stats(spark, fresh_files, cols)
@@ -231,7 +263,20 @@ def load_or_refresh_file_stats(spark, path: str, cols: list[str]):
     ).parquet(tmp)
     _shutil.rmtree(side_dir, ignore_errors=True)
     _os.replace(tmp, side_dir)
+    # stamp AFTER the replace above (it bumps the directory mtime the
+    # probe records); the data-file inventory itself is unchanged by
+    # the hidden sidecar write, so `live` is still the right map
+    _stamp_stats_manifest(path, live, cols)
     return spark.read.parquet(side_dir)
+
+
+def _stamp_stats_manifest(path: str, live: dict, cols) -> None:
+    """Write the inventory manifest (probe taken now) plus the stats
+    marker tying the sidecar to this inventory digest."""
+    doc = write_inventory_manifest(path, live)
+    _write_manifest_doc(
+        path, "stats", {"digest": doc["digest"], "cols": sorted(cols)}
+    )
 
 
 def _live_stat_map(path: str) -> dict:
@@ -263,6 +308,164 @@ def _live_stat_map(path: str) -> dict:
 
     walk(path)
     return out
+
+
+# ------------------------------------------------------------------
+# Manifest-backed file inventory (r9): the transaction-log answer to
+# the last corpus-proportional per-query driver cost.  Every sidecar
+# BUILD/REFRESH writes the full ``[name, size, mtime_ns]`` inventory
+# to ``{path}/_manifest/inventory.json`` (atomic tmp+replace INSIDE
+# the subdirectory, so the write cannot disturb its own freshness
+# probe), stamped with an O(dirs) directory-mtime probe and the
+# constant-size inventory digest.  Per-query freshness is then ONE
+# stat of the root (+ one per hive partition dir) instead of a full
+# scandir+stat sweep — at 10⁶ files on an object store, one HEAD
+# instead of a full LIST per point lookup.  Sidecar markers
+# (``stats.json``, ``bloom_{col}.json``) record the digest the
+# sidecar was built against, so a probe-verified digest match proves
+# the sidecar covers EXACTLY the live files with fresh fingerprints
+# and reconciliation collapses to "read the hits".
+#
+# Staleness contract (the ONE place; tests/test_staleness_contract.py
+# pins it): data files are immutable by convention — writers create
+# new files and rename, which touches the parent directory and flips
+# the probe, so append/delete/replace always falls through to the
+# live listing (conservative, exactly the pre-manifest behavior).
+# An in-place byte-level EDIT of an existing file does not touch the
+# directory entry and is therefore NOT caught by the warm probe —
+# same class, same wording as :func:`_source_probe` for registered
+# layouts and the result cache; the explicit refresh APIs
+# (:func:`load_or_refresh_file_stats` with ``verify="full"``,
+# :func:`build_file_bloom`, :func:`refresh_clustered_layout`) pay
+# the full per-file sweep and heal it.  The changefeed commit log (streaming/changefeed.py) is
+# the same design one level up: versioned manifests written at
+# commit time, never derived per query.
+# ------------------------------------------------------------------
+
+_MANIFEST_DIRNAME = "_manifest"
+
+
+def _manifest_dir(path: str) -> str:
+    return f"{path}/{_MANIFEST_DIRNAME}"
+
+
+def _dir_probe(path: str) -> list:
+    """O(dirs) freshness probe: ``[relative-dir, mtime_ns]`` for the
+    root and every nested hive partition directory (``col=value``) —
+    the directories :func:`_live_stat_map` would walk.  One stat per
+    DIRECTORY, never per file."""
+    import os as _os
+
+    out = []
+
+    def walk(d: str, rel: str) -> None:
+        out.append([rel, _os.stat(d).st_mtime_ns])
+        with _os.scandir(d) as it:
+            subs = sorted(
+                e.name
+                for e in it
+                if e.is_dir()
+                and "=" in e.name
+                and not e.name.startswith((".", "_"))
+            )
+        for name in subs:
+            walk(f"{d}/{name}", f"{rel}/{name}" if rel else name)
+
+    walk(path, "")
+    return out
+
+
+def _write_manifest_doc(path: str, name: str, doc: dict) -> None:
+    """Atomic write of ``{path}/_manifest/{name}.json``.  The tmp
+    file and the replace both live INSIDE ``_manifest``, so the data
+    directory's mtime — the probe — is untouched (only the first
+    ``mkdir`` of ``_manifest`` bumps it, which is why probes are
+    always taken after ``makedirs``)."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    mdir = _manifest_dir(path)
+    _os.makedirs(mdir, exist_ok=True)
+    tmp = f"{mdir}/.{name}.{_uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump(doc, f, separators=(",", ":"))
+    _os.replace(tmp, f"{mdir}/{name}.json")
+
+
+def _read_manifest_doc(path: str, name: str):
+    import json as _json
+
+    try:
+        with open(f"{_manifest_dir(path)}/{name}.json") as f:
+            return _json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def write_inventory_manifest(path: str, live: dict | None = None) -> dict:
+    """Stamp ``{path}/_manifest/inventory.json`` from the live file
+    inventory (``live`` lets a caller that already paid the sweep
+    reuse it).  Returns the written doc.  Called at sidecar
+    build/refresh time — the only times the O(files) sweep runs."""
+    import os as _os
+
+    _os.makedirs(_manifest_dir(path), exist_ok=True)
+    if live is None:
+        live = _live_stat_map(path)
+    inv = [[f, sz, mt] for f, (sz, mt) in sorted(live.items())]
+    doc = {
+        "format": 1,
+        "probe": _dir_probe(path),  # after makedirs: mkdir bump folded in
+        "digest": _inventory_digest(inv),
+        "files": {f: [sz, mt] for f, sz, mt in inv},
+    }
+    _write_manifest_doc(path, "inventory", doc)
+    return doc
+
+
+_MANIFEST_DOC_CACHE: dict = {}  # path -> (probe, doc, nbytes); LRU
+_MANIFEST_DOC_BUDGET_BYTES: int = 64 << 20
+
+
+def fresh_manifest_doc(path: str):
+    """The inventory manifest iff its stored probe matches the
+    directory's CURRENT probe — else ``None`` (callers fall through
+    to the live listing, conservative).  Warm cost: O(dirs) stats +
+    a dict hit; the JSON parse happens once per (path, probe)."""
+    try:
+        probe = _dir_probe(path)
+    except OSError:
+        return None
+    hit = _MANIFEST_DOC_CACHE.get(path)
+    if hit is not None and hit[0] == probe:
+        _MANIFEST_DOC_CACHE[path] = _MANIFEST_DOC_CACHE.pop(path)
+        return hit[1]
+    _MANIFEST_DOC_CACHE.pop(path, None)
+    doc = _read_manifest_doc(path, "inventory")
+    if doc is None or doc.get("format") != 1 or doc.get("probe") != probe:
+        return None
+    nbytes = sum(len(f) + 64 for f in doc["files"])
+    while (
+        _MANIFEST_DOC_CACHE
+        and sum(e[2] for e in _MANIFEST_DOC_CACHE.values()) + nbytes
+        > _MANIFEST_DOC_BUDGET_BYTES
+    ):
+        _MANIFEST_DOC_CACHE.pop(next(iter(_MANIFEST_DOC_CACHE)))
+    if nbytes <= _MANIFEST_DOC_BUDGET_BYTES:
+        _MANIFEST_DOC_CACHE[path] = (probe, doc, nbytes)
+    return doc
+
+
+def manifest_stat_map(path: str) -> dict:
+    """``{file: (size, mtime_ns)}`` — served from the probe-verified
+    manifest when one exists (O(dirs) driver cost), else the live
+    O(files) listing.  Drop-in for :func:`_live_stat_map` on the
+    QUERY path; build/refresh paths keep the live sweep."""
+    doc = fresh_manifest_doc(path)
+    if doc is None:
+        return _live_stat_map(path)
+    return {f: (int(sz), int(mt)) for f, (sz, mt) in doc["files"].items()}
 
 
 def scan_with_skipping(
@@ -307,7 +510,7 @@ def scan_with_skipping(
         .select("file")
         .collect()
     }
-    live = _live_stat_map(path)
+    live = manifest_stat_map(path)
     current = set(live)
     if "fsize" in stats.columns:
         covered = {
@@ -428,6 +631,11 @@ def build_file_bloom(
     sidecar.repartition(n_chunks, "file").write.mode(
         "overwrite"
     ).parquet(out_path)
+    # stamp the manifest (probe taken after the sidecar write bumped
+    # the dir mtime) + the bloom marker tying this sidecar to the
+    # inventory digest — scan_point_lookup's warm fast path
+    doc = write_inventory_manifest(path)
+    _write_manifest_doc(path, f"bloom_{col}", {"digest": doc["digest"]})
     return out_path
 
 
@@ -450,12 +658,42 @@ def scan_point_lookup(
     (stat-fingerprint reconciliation, like the stats sidecar) — are
     kept conservatively so their rows can never silently vanish.
     Returns ``(DataFrame, files_read, files_total)``.
+
+    Warm control-plane cost is FLAT in file count (r9): when the
+    probe-verified inventory manifest and the ``bloom_{col}`` marker
+    carry the same digest, the sidecar provably covers exactly the
+    live files with fresh fingerprints, so no listing runs and no
+    reconciliation is needed — the worker-pinned chunk probe returns
+    ONLY the hit files (O(hits) driver rows, sidecar parsed once per
+    worker per version).  Any append/delete/replace flips the
+    O(dirs) probe and falls through to the full path below; the
+    in-place-edit class is documented at the manifest section
+    header.
     """
     import pandas as _pd
 
     from pyspark.sql import functions as F
 
     probe_vals = sorted(set(int(v) for v in values))
+    doc = fresh_manifest_doc(path)
+    if doc is not None:
+        marker = _read_manifest_doc(path, f"bloom_{col}")
+        if marker is not None and marker.get("digest") == doc["digest"]:
+            hits = _bloom_hits_executor_pinned(
+                spark,
+                f"{path}/_bloom_{col}",
+                f"manifest:{doc['digest']}",
+                probe_vals,
+            )
+            files = sorted(hits)
+            total = len(doc["files"])
+            if not files:
+                empty = spark.read.parquet(path).limit(0)
+                return empty, 0, total
+            df = spark.read.parquet(*files).filter(
+                F.col(col).isin(probe_vals)
+            )
+            return df, len(files), total
     side_df = spark.read.parquet(f"{path}/_bloom_{col}")
     has_fp = "fsize" in side_df.columns
     if not has_fp:  # legacy sidecar format: no reconciliation columns
@@ -495,7 +733,7 @@ def scan_point_lookup(
         _probe,
         schema="file string, fsize long, fmtime_ns long, hit boolean",
     ).collect()
-    live = _live_stat_map(path)
+    live = manifest_stat_map(path)
     keep, covered = set(), set()
     for r in side:
         if has_fp and live.get(r["file"]) != (r["fsize"], r["fmtime_ns"]):
@@ -1113,7 +1351,6 @@ def cached_stats_rows(spark, meta: dict):
         _SIDECAR_CACHE[key] = _SIDECAR_CACHE.pop(key)  # LRU touch
         return hit[1]
     _SIDECAR_CACHE.pop(key, None)  # stale fingerprint
-    DRIVER_SIDECAR_READS += 1
     stats = load_or_refresh_file_stats(spark, key, meta["cols"])
     side_dir = f"{key}/_stats"
     est = sum(
@@ -1122,7 +1359,11 @@ def cached_stats_rows(spark, meta: dict):
         if e.name.endswith(".parquet")
     )
     if est > _STATS_PIN_BUDGET_BYTES:
-        return None  # can never fit: serve distributed, pin nothing
+        # over budget: serve distributed, pin nothing — no payload
+        # rows reached the driver, so the contract counter must NOT
+        # move (the warm executor-pinned path asserts it stays 0)
+        return None
+    DRIVER_SIDECAR_READS += 1  # payload rows actually collected below
     rows = [
         (r["file"], r["col"], r["vmin"], r["vmax"])
         for r in stats.collect()
@@ -1162,7 +1403,6 @@ def cached_bloom_rows(spark, meta: dict, col: str):
         _BLOOM_CACHE[key] = _BLOOM_CACHE.pop(key)
         return hit[1]
     _BLOOM_CACHE.pop(key, None)  # stale fingerprint
-    DRIVER_SIDECAR_READS += 1
     side_dir = f"{meta['layout_path']}/_bloom_{col}"
     est = sum(
         e.stat().st_size
@@ -1170,9 +1410,12 @@ def cached_bloom_rows(spark, meta: dict, col: str):
         if e.name.endswith(".parquet")
     )
     if est > _BLOOM_PIN_BUDGET_BYTES:
-        return None  # can never fit: serve distributed, pin nothing
+        # over budget: no payload reached the driver — counter must
+        # NOT move (see cached_stats_rows)
+        return None
     while _BLOOM_CACHE and _bloom_pinned_bytes() + est > _BLOOM_PIN_BUDGET_BYTES:
         _BLOOM_CACHE.pop(next(iter(_BLOOM_CACHE)))  # evict coldest
+    DRIVER_SIDECAR_READS += 1  # bit arrays actually collected below
     side = spark.read.parquet(side_dir)
     rows = [
         (r["file"], int(r["m"]), int(r["k"]), r["bits"])
@@ -1209,18 +1452,30 @@ def _live_files(path: str) -> set:
 # touches sidecar payload bytes on this path, cold or warm.
 # ------------------------------------------------------------------
 
-_WORKER_SIDECAR_CACHE: dict = {}  # per-worker-process; OrderedDict-ish
-_WORKER_SIDECAR_MAX = 64  # chunk entries per worker (bounded memory)
+_WORKER_SIDECAR_CACHE: dict = {}  # key -> (value, nbytes); OrderedDict-ish
+# Byte budget, not entry count (r9, advice): a Bloom chunk holds up
+# to 256 bit arrays that are MBs EACH at scale, so 64 entries could
+# be tens of GB — evict by accumulated payload bytes, mirroring the
+# driver LRU's byte budget.
+_WORKER_SIDECAR_BUDGET_BYTES = 256 << 20  # per worker process
 
 # Bench/test observability: driver-side sidecar PAYLOAD reads (pin
 # loads).  The executor-pinned probes never increment it.
 DRIVER_SIDECAR_READS = 0
 
 
-def _worker_cache_put(key, value) -> None:
-    _WORKER_SIDECAR_CACHE[key] = value
-    while len(_WORKER_SIDECAR_CACHE) > _WORKER_SIDECAR_MAX:
-        _WORKER_SIDECAR_CACHE.pop(next(iter(_WORKER_SIDECAR_CACHE)))
+def _worker_cache_put(key, value, nbytes: int) -> None:
+    _WORKER_SIDECAR_CACHE[key] = (value, nbytes)
+    total = sum(e[1] for e in _WORKER_SIDECAR_CACHE.values())
+    # evict coldest-first until under budget; the entry just
+    # inserted always stays (a single over-budget chunk is used
+    # once rather than thrash-evicted)
+    while total > _WORKER_SIDECAR_BUDGET_BYTES:
+        cold = next(iter(_WORKER_SIDECAR_CACHE))
+        if cold == key:
+            break
+        _, nb = _WORKER_SIDECAR_CACHE.pop(cold)
+        total -= nb
 
 
 def _load_stats_chunk(chunk_path: str, fp: str) -> dict:
@@ -1233,11 +1488,12 @@ def _load_stats_chunk(chunk_path: str, fp: str) -> dict:
     hit = _WORKER_SIDECAR_CACHE.get(key)
     if hit is not None:
         _WORKER_SIDECAR_CACHE[key] = _WORKER_SIDECAR_CACHE.pop(key)
-        return hit
+        return hit[0]
     t = _pq.read_table(
         chunk_path, columns=["file", "col", "vmin", "vmax"]
     )
     per_file: dict = {}
+    nbytes = 0
     for f, c, lo, hi in zip(
         t["file"].to_pylist(),
         t["col"].to_pylist(),
@@ -1245,7 +1501,8 @@ def _load_stats_chunk(chunk_path: str, fp: str) -> dict:
         t["vmax"].to_pylist(),
     ):
         per_file.setdefault(f, {})[c] = (lo, hi)
-    _worker_cache_put(key, per_file)
+        nbytes += len(f) + len(c) + 96
+    _worker_cache_put(key, per_file, nbytes)
     return per_file
 
 
@@ -1261,7 +1518,7 @@ def _load_bloom_chunk(chunk_path: str, fp: str) -> list:
     hit = _WORKER_SIDECAR_CACHE.get(key)
     if hit is not None:
         _WORKER_SIDECAR_CACHE[key] = _WORKER_SIDECAR_CACHE.pop(key)
-        return hit
+        return hit[0]
     t = _pq.read_table(chunk_path, columns=["file", "m", "k", "bits"])
     rows = [
         (f, int(m), int(k), _np.frombuffer(b, dtype="uint8"))
@@ -1272,7 +1529,8 @@ def _load_bloom_chunk(chunk_path: str, fp: str) -> list:
             t["bits"].to_pylist(),
         )
     ]
-    _worker_cache_put(key, rows)
+    nbytes = sum(len(r[0]) + r[3].nbytes + 64 for r in rows)
+    _worker_cache_put(key, rows, nbytes)
     return rows
 
 
@@ -1289,11 +1547,17 @@ def _sidecar_chunks(side_dir: str) -> list:
 
 
 def _chunk_frame(spark, chunks: list):
-    from pyspark.sql import functions as F
-
-    return spark.createDataFrame(
-        [(c,) for c in chunks], "chunk string"
-    ).repartition(len(chunks), F.col("chunk"))
+    # one partition per chunk UP TO the cluster's parallelism: a
+    # probe over 10⁶ files is ~4k chunks, and 4k near-no-op Python
+    # tasks is pure scheduling overhead (measured 4 s at 64k files
+    # locally).  parallelize slices the SORTED chunk list
+    # contiguously — deterministic chunk→partition assignment (the
+    # worker pins stay valid across queries) with NO per-query
+    # shuffle stage (the previous hash repartition paid an exchange
+    # of the chunk paths every call).
+    n = max(1, min(len(chunks), spark.sparkContext.defaultParallelism))
+    rdd = spark.sparkContext.parallelize([(c,) for c in chunks], n)
+    return spark.createDataFrame(rdd, "chunk string")
 
 
 def _stats_keep_executor_pinned(spark, meta: dict, ranges: dict):
@@ -1310,41 +1574,68 @@ def _stats_keep_executor_pinned(spark, meta: dict, ranges: dict):
     if not chunks:
         return set(), set()
 
+    # The probe emits one (file, col, ok) row per QUERIED column the
+    # chunk holds for the file, and the every-queried-column keep
+    # rule is applied DRIVER-side over all chunks (r9, advice): the
+    # old per-chunk all-columns test silently required every
+    # (file, col) row of a file to land in ONE chunk — true for the
+    # file-repartitioned writer today, but a manually compacted or
+    # third-party sidecar that splits a file's rows across chunks
+    # would make both halves emit hit=false and VANISH the file.
+    # Control-data volume is files × queried-cols — the same order
+    # as the old per-file rows for the ≤4-col range boxes this
+    # engine serves.
+
     def _probe(batches):
         import pandas as _pd
 
         for pdf in batches:
-            files, hits = [], []
+            files, colnames, oks = [], [], []
             for chunk in pdf["chunk"]:
                 for fname, stats in _load_stats_chunk(chunk, fp).items():
-                    ok = True
                     for c, (lo, hi) in rng.items():
                         st = stats.get(c)
-                        if st is None or st[1] < lo or st[0] > hi:
-                            ok = False
-                            break
-                    files.append(fname)
-                    hits.append(ok)
-            yield _pd.DataFrame({"file": files, "hit": hits})
+                        if st is None:
+                            continue  # col not in this chunk's rows
+                        files.append(fname)
+                        colnames.append(c)
+                        oks.append(not (st[1] < lo or st[0] > hi))
+            yield _pd.DataFrame(
+                {"file": files, "col": colnames, "hit": oks}
+            )
 
     out = _chunk_frame(spark, chunks).mapInPandas(
-        _probe, schema="file string, hit boolean"
+        _probe, schema="file string, col string, hit boolean"
     ).collect()
-    keep = {r["file"] for r in out if r["hit"]}
-    covered = {r["file"] for r in out}
+    per_file: dict = {}
+    for r in out:
+        cols_seen = per_file.setdefault(r["file"], {})
+        # normally exactly one row per (file, col); if a degenerate
+        # sidecar carries duplicates, OR them — keeping a file on
+        # ANY intersecting row is the conservative direction (extra
+        # reads, never lost rows)
+        cols_seen[r["col"]] = cols_seen.get(r["col"], False) or r["hit"]
+    keep = {
+        f
+        for f, seen in per_file.items()
+        if set(seen) == set(rng) and all(seen.values())
+    }
+    covered = set(per_file)
     return keep, covered
 
 
-def _bloom_keep_executor_pinned(spark, meta: dict, col: str, values: list):
-    """Membership keep-list against EXECUTOR-pinned Bloom chunks —
-    same shape as :func:`_stats_keep_executor_pinned`; the probe
-    indexes the PACKED bit arrays ((byte >> (7 - pos%8)) & 1, numpy
-    packbits bit order) so no per-query unpack of m-bit arrays."""
+def _bloom_chunk_probe(
+    spark, side_dir: str, fp: str, values: list, hits_only: bool
+):
+    """``(file, hit)`` rows from the worker-pinned Bloom chunk probe
+    (packed-bits indexing, no per-query unpack); ``hits_only`` drops
+    non-hit rows EXECUTOR-side so the driver transfer is O(hits),
+    not O(files) — the manifest fast path's collect.  Returns None
+    when the sidecar has no chunks."""
     probe_vals = sorted(set(int(v) for v in values))
-    fp = _inventory_fp(meta)
-    chunks = _sidecar_chunks(f"{meta['layout_path']}/_bloom_{col}")
+    chunks = _sidecar_chunks(side_dir)
     if not chunks:
-        return set(), set()
+        return None
 
     def _probe(batches):
         import numpy as _np
@@ -1357,20 +1648,50 @@ def _bloom_keep_executor_pinned(spark, meta: dict, col: str, values: list):
                 for fname, m, k, packed in _load_bloom_chunk(chunk, fp):
                     pos = _bloom_positions(probe, k, m)
                     bits = (packed[pos >> 3] >> (7 - (pos & 7))) & 1
-                    files.append(fname)
-                    hits.append(
-                        bool(
-                            bits.astype(bool)
-                            .reshape(len(probe), k)
-                            .all(axis=1)
-                            .any()
-                        )
+                    hit = bool(
+                        bits.astype(bool)
+                        .reshape(len(probe), k)
+                        .all(axis=1)
+                        .any()
                     )
+                    if hits_only and not hit:
+                        continue
+                    files.append(fname)
+                    hits.append(hit)
             yield _pd.DataFrame({"file": files, "hit": hits})
 
-    out = _chunk_frame(spark, chunks).mapInPandas(
+    return _chunk_frame(spark, chunks).mapInPandas(
         _probe, schema="file string, hit boolean"
     ).collect()
+
+
+def _bloom_hits_executor_pinned(
+    spark, side_dir: str, fp: str, values: list
+) -> set:
+    """HIT files only — for callers that proved (by manifest-digest
+    equality) the sidecar covers exactly the live files, so no
+    covered-set reconciliation is needed and the driver collect is
+    O(hits)."""
+    out = _bloom_chunk_probe(spark, side_dir, fp, values, hits_only=True)
+    if out is None:
+        return set()
+    return {r["file"] for r in out}
+
+
+def _bloom_keep_executor_pinned(spark, meta: dict, col: str, values: list):
+    """Membership keep-list against EXECUTOR-pinned Bloom chunks —
+    same shape as :func:`_stats_keep_executor_pinned`; the probe
+    indexes the PACKED bit arrays ((byte >> (7 - pos%8)) & 1, numpy
+    packbits bit order) so no per-query unpack of m-bit arrays."""
+    out = _bloom_chunk_probe(
+        spark,
+        f"{meta['layout_path']}/_bloom_{col}",
+        _inventory_fp(meta),
+        values,
+        hits_only=False,
+    )
+    if out is None:
+        return set(), set()
     keep = {r["file"] for r in out if r["hit"]}
     covered = {r["file"] for r in out}
     return keep, covered
@@ -1451,7 +1772,7 @@ def served_scan_with_skipping(spark, meta: dict, ranges: dict):
     on the cold path). Same conservative semantics: uncovered layout
     files are kept, vanished files dropped."""
     keep, covered = stats_keep_files(spark, meta, ranges)
-    current = _live_files(meta["layout_path"])
+    current = set(cached_live_stat_map(meta))
     files = sorted(((keep & covered) | (current - covered)) & current)
     return _pruned_scan(spark, meta, files, len(current))
 
@@ -1463,7 +1784,7 @@ def served_point_lookup(spark, meta: dict, col: str, values: list):
     from pyspark.sql import functions as F
 
     keep, covered = bloom_keep_files(spark, meta, col, values)
-    current = _live_files(meta["layout_path"])
+    current = set(cached_live_stat_map(meta))
     files = sorted(((keep & covered) | (current - covered)) & current)
     df, n_read, total = _pruned_scan(spark, meta, files, len(current))
     if n_read:

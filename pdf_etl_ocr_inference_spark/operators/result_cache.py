@@ -43,6 +43,18 @@ import shutil
 from pyspark.sql import DataFrame
 
 
+def _canon_file_url(p: str) -> str:
+    """``file:///x``, ``file://x`` and ``file:/x`` all name local
+    ``/x`` — collapse to ``file:/x``.  Hadoop's ``Path.toString``
+    (the index keys) and ``DataFrame.inputFiles()`` disagree on the
+    slash count, and before r9 that mismatch made EVERY per-file
+    ``(size, mtime)`` lookup miss silently, so the fingerprint's
+    byte-edit sensitivity existed only in its docstring."""
+    if p.startswith("file:"):
+        return "file:/" + p[len("file:"):].lstrip("/")
+    return p
+
+
 def _plan_file_index(df: DataFrame) -> list:
     """``(path, size, listing-mtime-ms)`` per input file, read from
     the plan's ALREADY-MATERIALIZED file index (Spark listed and
@@ -61,7 +73,7 @@ def _plan_file_index(df: DataFrame) -> list:
                     f = it.next()
                     out.append(
                         (
-                            f.getPath().toString(),
+                            _canon_file_url(f.getPath().toString()),
                             int(f.getLen()),
                             int(f.getModificationTime()),
                         )
@@ -100,7 +112,7 @@ def plan_fingerprint(df: DataFrame) -> str:
     h.update(str(df.semanticHash()).encode())
     indexed = {p: (sz, mt) for p, sz, mt in _plan_file_index(df)}
     dirs = set()
-    for f in sorted(df.inputFiles()):
+    for f in sorted(_canon_file_url(p) for p in df.inputFiles()):
         sz, mt = indexed.get(f, (-1, -1))
         h.update(f"{f}:{sz}:{mt}".encode())
         local = f[len("file:"):] if f.startswith("file:") else f

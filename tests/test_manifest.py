@@ -1,0 +1,110 @@
+"""Manifest-backed file inventory (r9, verdict #1): per-query
+freshness is an O(dirs) probe against ``_manifest/inventory.json``
+written at sidecar build/refresh time — never a per-call O(files)
+scandir+stat sweep.  These tests pin the mechanism itself; the
+staleness semantics live in tests/test_staleness_contract.py."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _write(spark, n, d, parts=1):
+    spark.range(n).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).repartition(parts).write.mode("overwrite").parquet(d)
+
+
+def test_warm_point_lookup_never_sweeps_files(spark, tmp_path):
+    """The whole point: a warm scan_point_lookup must not list or
+    stat data files on the driver — poison the live listing and the
+    lookup must still answer, via the probe-verified manifest and
+    the worker-pinned Bloom chunks (O(hits) driver rows)."""
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write(spark, 1000, d, parts=4)
+    L.build_file_bloom(spark, d, "id")
+    # cold call primes the manifest-doc cache and the worker pins
+    df, n_read, n_total = L.scan_point_lookup(spark, d, "id", [7])
+    assert n_total == 4 and df.count() == 1
+
+    orig = L._live_stat_map
+    L._live_stat_map = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("warm point lookup must not sweep data files")
+    )
+    try:
+        df, n_read, n_total = L.scan_point_lookup(spark, d, "id", [7])
+        assert n_total == 4
+        assert [r["id"] for r in df.collect()] == [7]
+        # a miss probe answers from the manifest too
+        df, n_read, n_total = L.scan_point_lookup(spark, d, "id", [-5])
+        assert n_read <= 1 and df.count() == 0
+    finally:
+        L._live_stat_map = orig
+
+
+def test_manifest_digest_matches_inventory_digest(tmp_path, spark):
+    """The manifest's digest is the SAME _inventory_digest the
+    registered-layout meta stores — one fingerprint vocabulary
+    across the module."""
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write(spark, 100, d)
+    doc = L.write_inventory_manifest(d)
+    inv = [[f, sz, mt] for f, (sz, mt) in sorted(L._live_stat_map(d).items())]
+    assert doc["digest"] == L._inventory_digest(inv)
+    assert L.manifest_stat_map(d) == L._live_stat_map(d)
+
+
+def test_append_in_hive_subdir_flips_probe(spark, tmp_path):
+    """_dir_probe covers nested hive partition dirs: a file appended
+    INSIDE ``zpart=…`` does not touch the root mtime, so the probe
+    must carry subdir mtimes or the manifest would serve a stale
+    inventory."""
+    import glob
+    import shutil
+
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("zpart")
+    ).write.mode("overwrite").partitionBy("zpart").parquet(d)
+    doc = L.write_inventory_manifest(d)
+    assert L.fresh_manifest_doc(d) is not None
+
+    extra = str(tmp_path / "extra")
+    spark.range(1000, 1010).select(F.col("id")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(extra)
+    part = glob.glob(f"{extra}/part-*.parquet")[0]
+    shutil.move(part, f"{d}/zpart=3/appended.parquet")
+
+    assert L.fresh_manifest_doc(d) is None, (
+        "subdir append must invalidate the manifest probe"
+    )
+    # and the fallthrough live map sees the appended file
+    assert any(
+        f.endswith("appended.parquet") for f in L.manifest_stat_map(d)
+    )
+    # re-stamp heals
+    doc2 = L.write_inventory_manifest(d)
+    assert doc2["digest"] != doc["digest"]
+    assert L.fresh_manifest_doc(d) is not None
+
+
+def test_stats_fast_path_column_set_guard(spark, tmp_path):
+    """A different column set must NOT take the stats fast path —
+    the sidecar on disk covers the wrong columns."""
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write(spark, 100, d)
+    L.load_or_refresh_file_stats(spark, d, ["id"])
+    got = L.load_or_refresh_file_stats(spark, d, ["id", "v"])
+    cols = {r["col"] for r in got.select("col").distinct().collect()}
+    assert cols == {"id", "v"}
