@@ -1305,7 +1305,21 @@ def sf_scaling_sweep(spark) -> dict:
     from pdf_etl_ocr_inference_spark.plans import all_specs
 
     specs = all_specs()
-    names = ["tpch_q1", "dedup_exact", "dedup_minhash_lsh", "op51_sessionize"]
+    # r9 (verdict #5): the r8 bucket-group pair-generation rewrite
+    # landed at the simhash/phash/span sites and the graph kernels —
+    # certify its one-pass/one-shuffle scaling claim where it landed,
+    # not just where it was first measured
+    names = [
+        "tpch_q1",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "op51_sessionize",
+        "dedup_simhash",
+        "mm_phash_neardup",
+        "graph_pagerank",
+        "graph_triangles",
+        "dedup_span_scrub",
+    ]
     sfs = ["sf0.001", "sf0.01", "sf0.1"]
     out: dict = {}
     for name in names:

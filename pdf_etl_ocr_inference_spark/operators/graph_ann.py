@@ -159,6 +159,64 @@ def _greedy_search(vecs, adj, ids_sorted, q, ef, entry=None):
     return sorted((-nd, i) for nd, i in best)
 
 
+def build_shard_adjacency(
+    ids: list, mat: "VecStore", m: int, efc: int
+) -> dict:
+    """The sequential NSW insert loop over ONE shard's ids (ascending
+    order expected): each insert greedy-searches the graph so far for
+    its ``m`` nearest, links bidirectionally, prunes over-full
+    adjacencies back to the closest ``m`` (ties by id).
+
+    Shared VERBATIM by the ``applyInPandas`` build task and the lazy
+    DuckDB oracle generator (plans/graph_sql.py), so the oracle
+    replays the exact graph the engine built — the PCA/OPQ
+    shared-kernel doctrine applied to the graph family."""
+    import numpy as np
+
+    adj: dict[int, list[int]] = {}
+
+    def prune(node):
+        if len(adj[node]) > m:
+            nb = adj[node]
+            dd = mat.dists(nb, mat[node])
+            order = np.lexsort((np.asarray(nb, dtype="int64"), dd))
+            adj[node] = [nb[r] for r in order[:m]]
+
+    inserted: list[int] = []
+    for i in ids:
+        if not inserted:
+            adj[i] = []
+            inserted.append(i)
+            continue
+        near = _greedy_search(mat, adj, inserted, mat[i], efc)
+        links = [x for _, x in near[:m]]
+        adj[i] = list(links)
+        for x in links:
+            adj[x].append(i)
+            prune(x)
+        inserted.append(i)
+    return adj
+
+
+def search_shard_nsw(
+    ids: list, mat: "VecStore", adj: dict, qu, k: int, ef: int, excl
+) -> list:
+    """One shard's walk + exact-cosine local top-k: ``[(id, score)]``
+    sorted by (-score, id).  Shared by :func:`topk_nsw`'s
+    applyInPandas task and the oracle generator."""
+    import numpy as np
+
+    near = _greedy_search(mat, adj, sorted(ids), qu, ef)
+    rows = []
+    for _, i in near:
+        if i in excl:
+            continue
+        # unit vectors: cosine == dot
+        rows.append((i, float(np.dot(qu, mat[i]))))
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return rows[:k]
+
+
 def build_nsw_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -172,12 +230,9 @@ def build_nsw_index(
     """Build the sharded NSW graph and write it partitioned by shard.
 
     Each shard builds independently inside ``applyInPandas``: nodes
-    insert in ascending id order; each insert greedy-searches the
-    graph so far for its ``m_neighbors`` nearest, links
-    bidirectionally, and prunes any over-full adjacency back to the
-    closest ``m_neighbors`` (ties by id).
+    insert in ascending id order; the insert loop itself is
+    :func:`build_shard_adjacency` (shared with the oracle replay).
     """
-    import numpy as np
     import pandas as pd
 
     m, efc = m_neighbors, ef_construction
@@ -186,28 +241,7 @@ def build_nsw_index(
         pdf = pdf.sort_values("vec_id")  # arrival order is arbitrary
         ids = pdf["vec_id"].tolist()
         mat = VecStore.unit(ids, pdf["embedding"])
-        adj: dict[int, list[int]] = {}
-
-        def prune(node):
-            if len(adj[node]) > m:
-                nb = adj[node]
-                dd = mat.dists(nb, mat[node])
-                order = np.lexsort((np.asarray(nb, dtype="int64"), dd))
-                adj[node] = [nb[r] for r in order[:m]]
-
-        inserted: list[int] = []
-        for i in ids:
-            if not inserted:
-                adj[i] = []
-                inserted.append(i)
-                continue
-            near = _greedy_search(mat, adj, inserted, mat[i], efc)
-            links = [x for _, x in near[:m]]
-            adj[i] = list(links)
-            for x in links:
-                adj[x].append(i)
-                prune(x)
-            inserted.append(i)
+        adj = build_shard_adjacency(ids, mat, m, efc)
         out = pd.DataFrame(
             {
                 "shard": pdf["shard"].tolist(),
@@ -300,20 +334,13 @@ def topk_nsw(
     qu = q / qn if qn > 0 else q
 
     def _search(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids_sorted = sorted(pdf["vec_id"].tolist())
-        mat = VecStore.unit(pdf["vec_id"].tolist(), pdf["embedding"])
+        ids = pdf["vec_id"].tolist()
+        mat = VecStore.unit(ids, pdf["embedding"])
         adj = {
             i: list(nb) for i, nb in zip(pdf["vec_id"], pdf["neighbors"])
         }
-        near = _greedy_search(mat, adj, ids_sorted, qu, ef)
-        rows = []
-        for _, i in near:
-            if i in excl:
-                continue
-            # unit vectors: cosine == dot
-            rows.append((i, float(np.dot(qu, mat[i]))))
-        rows.sort(key=lambda t: (-t[1], t[0]))
-        return pd.DataFrame(rows[:k], columns=["vec_id", "score"])
+        rows = search_shard_nsw(ids, mat, adj, qu, k, ef, excl)
+        return pd.DataFrame(rows, columns=["vec_id", "score"])
 
     graph = spark.read.parquet(path)
     local = graph.groupBy("shard").applyInPandas(_search, out_schema)

@@ -79,6 +79,69 @@ def node_level(vec_id: int, m_neighbors: int) -> int:
     return min(int(-math.log(u) * ml), _MAX_LEVEL)
 
 
+def build_shard_layers(ids: list, mat: "VecStore", m: int, efc: int):
+    """The sequential HNSW insert loop over ONE shard's ids
+    (ascending order expected) → ``(levels, adj)`` with
+    ``adj[l][i]`` the layer-``l`` neighbor list of ``i``.
+
+    Shared VERBATIM by the ``applyInPandas`` build task and the lazy
+    DuckDB oracle generator (plans/graph_sql.py) — the shared-kernel
+    doctrine (see graph_ann.build_shard_adjacency)."""
+    import numpy as np
+
+    m0 = 2 * m
+    levels = {i: node_level(i, m) for i in ids}
+    # adj[l][i] = neighbor list of i at layer l
+    adj: list[dict[int, list[int]]] = [
+        {} for _ in range(max(levels.values(), default=0) + 1)
+    ]
+    inserted: list[int] = []
+    ep: int | None = None  # entry point: highest level, then min id
+
+    def cap(layer):
+        return m0 if layer == 0 else m
+
+    def prune(layer, node):
+        lst = adj[layer][node]
+        if len(lst) > cap(layer):
+            dd = mat.dists(lst, mat[node])
+            order = np.lexsort((np.asarray(lst, dtype="int64"), dd))
+            adj[layer][node] = [lst[r] for r in order[: cap(layer)]]
+
+    for i in ids:
+        li = levels[i]
+        for l in range(li + 1):
+            adj[l][i] = []
+        if ep is None:
+            ep = i
+            inserted.append(i)
+            continue
+        cur = ep
+        # descend from the entry point's level to li+1, ef=1
+        for l in range(levels[ep], li, -1):
+            near = _greedy_search(
+                mat, adj[l], inserted, mat[i], 1, entry=cur
+            )
+            if near:
+                cur = near[0][1]
+        # link layers min(level(ep), li)..0 with full beam
+        for l in range(min(levels[ep], li), -1, -1):
+            near = _greedy_search(
+                mat, adj[l], inserted, mat[i], efc, entry=cur
+            )
+            if near:
+                cur = near[0][1]
+            links = [x for _, x in near if x in adj[l]][: cap(l)]
+            adj[l][i] = list(links)
+            for x in links:
+                adj[l][x].append(i)
+                prune(l, x)
+        inserted.append(i)
+        if li > levels[ep] or (li == levels[ep] and i < ep):
+            ep = i
+    return levels, adj
+
+
 def build_hnsw_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -98,65 +161,15 @@ def build_hnsw_index(
     bidirectionally (2M at layer 0, per the paper), and prunes any
     over-full adjacency back to the closest allowed (ties by id).
     """
-    import numpy as np
     import pandas as pd
 
     m, efc = m_neighbors, ef_construction
-    m0 = 2 * m
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].tolist()
         mat = VecStore.unit(ids, pdf["embedding"])
-        levels = {i: node_level(i, m) for i in ids}
-        # adj[l][i] = neighbor list of i at layer l
-        adj: list[dict[int, list[int]]] = [
-            {} for _ in range(max(levels.values(), default=0) + 1)
-        ]
-        inserted: list[int] = []
-        ep: int | None = None  # entry point: highest level, then min id
-
-        def cap(layer):
-            return m0 if layer == 0 else m
-
-        def prune(layer, node):
-            lst = adj[layer][node]
-            if len(lst) > cap(layer):
-                dd = mat.dists(lst, mat[node])
-                order = np.lexsort((np.asarray(lst, dtype="int64"), dd))
-                adj[layer][node] = [lst[r] for r in order[: cap(layer)]]
-
-        for i in ids:
-            li = levels[i]
-            for l in range(li + 1):
-                adj[l][i] = []
-            if ep is None:
-                ep = i
-                inserted.append(i)
-                continue
-            cur = ep
-            # descend from the entry point's level to li+1, ef=1
-            for l in range(levels[ep], li, -1):
-                near = _greedy_search(
-                    mat, adj[l], inserted, mat[i], 1, entry=cur
-                )
-                if near:
-                    cur = near[0][1]
-            # link layers min(level(ep), li)..0 with full beam
-            for l in range(min(levels[ep], li), -1, -1):
-                near = _greedy_search(
-                    mat, adj[l], inserted, mat[i], efc, entry=cur
-                )
-                if near:
-                    cur = near[0][1]
-                links = [x for _, x in near if x in adj[l]][: cap(l)]
-                adj[l][i] = list(links)
-                for x in links:
-                    adj[l][x].append(i)
-                    prune(l, x)
-            inserted.append(i)
-            if li > levels[ep] or (li == levels[ep] and i < ep):
-                ep = i
+        levels, adj = build_shard_layers(ids, mat, m, efc)
         out = pd.DataFrame(
             {
                 "shard": pdf["shard"].tolist(),

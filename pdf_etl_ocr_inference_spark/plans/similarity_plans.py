@@ -17,7 +17,12 @@ from pdf_etl_ocr_inference_spark.operators.similarity import (
     lsh_near_pairs,
     topk_lsh,
 )
-from pdf_etl_ocr_inference_spark.plans import lsh_sql, opq_sql, pq_sql
+from pdf_etl_ocr_inference_spark.plans import (
+    graph_sql,
+    lsh_sql,
+    opq_sql,
+    pq_sql,
+)
 from pdf_etl_ocr_inference_spark.plans.registry import register
 from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
 
@@ -755,8 +760,14 @@ def ann_opq_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ann_nsw_topk",
-    None,  # approximate (graph walk) → rows-only; recall floor +
-    # determinism + design-regime properties in tests/test_graph_ann.py
+    # LAZY ORACLE (r9, verdict #4): the build+walk kernel is shared
+    # verbatim with the generator (plans/graph_sql.py), which replays
+    # it from the parquet and emits SQL that independently re-scores
+    # and re-ranks the walked candidates by exact cosine — the
+    # eigh/SVD lazy-oracle doctrine applied to the graph family.
+    # Recall floor + determinism + design-regime properties remain in
+    # tests/test_graph_ann.py.
+    graph_sql.nsw_topk_oracle,
     doc="sharded small-world graph ANN (NSW, the single-layer core of "
     "HNSW): independent per-shard graphs built in applyInPandas "
     "(build parallelism = shard count; per-shard rebuilds), queried "
@@ -793,9 +804,9 @@ def ann_nsw_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ann_hnsw_topk",
-    None,  # approximate (layered graph walk) → rows-only; recall
-    # floor ≥ NSW at equal ef + determinism + design-regime
-    # properties in tests/test_hnsw.py
+    # lazy oracle — see ann_nsw_topk; recall floor ≥ NSW at equal ef
+    # + determinism + design-regime properties in tests/test_hnsw.py
+    graph_sql.hnsw_topk_oracle,
     doc="sharded HIERARCHICAL small-world graph ANN (HNSW, Malkov & "
     "Yashunin 2016; ref anchor ocr:145-170): deterministic geometric "
     "layer assignment (pure function of the id), per-shard "
