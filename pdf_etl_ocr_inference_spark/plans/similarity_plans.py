@@ -838,11 +838,13 @@ def ann_hnsw_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "ann_served_topk",
-    None,  # approximate (graph walk) → rows-only; served ≡ batch is
-    # asserted exactly in tests/test_serving.py, and r8 pins every
-    # SERVED (id, score) row to the ORACLED exact-cosine kernel
-    # (test_served_equals_oracled.py: the only unverifiable freedom
-    # left is which candidates the walk visits)
+    # the SAME lazy oracle as ann_nsw_topk (r9): the served path runs
+    # the identical graph (same build params, same corpus), identical
+    # walk (_greedy_search at the same ef), identical excl/merge/tie
+    # order and rounding — served ≡ batch is asserted exactly in
+    # tests/test_serving.py, and the batch path's shared-kernel
+    # replay (plans/graph_sql.py) therefore oracles this entry too.
+    graph_sql.nsw_topk_oracle,
     doc="the PINNED-INDEX serving path (ref ocr:167-170's online "
     "query shape): top-k answered from per-shard NSW graphs cached "
     "in executor-worker memory keyed by (path, shard, index "

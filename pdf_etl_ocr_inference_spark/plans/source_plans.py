@@ -87,13 +87,40 @@ def op04_local_collection(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _binaryfile_listing_oracle() -> str:
+    """LAZY oracle (r9): the entry's output is (relative name, byte
+    length) of the sf dir's parquet files — environment-shaped only
+    through the DIRECTORY, which the generator reads independently
+    with os.scandir at oracle_sql() time (SPARK_GRAFT_ORACLE_SF_DIR,
+    the pca_sql mechanism) and bakes as literals.  Verifies the
+    distributed binaryFile listing returns exactly the files with
+    exactly their sizes."""
+    import os as _os
+
+    sf_dir = _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    rows = sorted(
+        (e.name, e.stat().st_size)
+        for e in _os.scandir(sf_dir)
+        if e.name.endswith(".parquet")
+    )
+    values = ", ".join(f"('{n}', {sz})" for n, sz in rows)
+    return (
+        f"SELECT name, CAST(length AS BIGINT) AS length "
+        f"FROM (VALUES {values}) AS t(name, length) ORDER BY name"
+    )
+
+
 @register(
     "op07_binaryfile_listing",
-    None,  # absolute paths are environment-specific → rows-only
+    _binaryfile_listing_oracle,  # lazy: filesystem-derived literals
     doc="binaryFile source (OP-06/07 replacement for the driver-side "
     "glob at ocr:55-61): distributed listing of *.parquet blobs with "
     "length — the LPT size key without opening files. Content column "
-    "deliberately not projected (pruned scan).",
+    "deliberately not projected (pruned scan). ORACLED since r9: the "
+    "generator re-lists the directory with os.scandir and the SQL "
+    "pins names and byte sizes.",
 )
 def op07_binaryfile_listing(spark: SparkSession, sf: str) -> DataFrame:
     files = read_binary_dir(spark, sf, glob="*.parquet")
@@ -105,7 +132,12 @@ def op07_binaryfile_listing(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "op08_catalog_ddl",
-    None,  # catalog state is engine-local → rows-only
+    # the observable output is fully determined (the entry owns the
+    # engine_smoke database and leaves exactly one table): a constant
+    # oracle still upgrades the check from rows-only to value-exact —
+    # an entry that started leaking extra tables or renaming would
+    # now FAIL instead of passing on row count
+    "SELECT 'region_copy' AS tableName",
     doc="DDL + catalog introspection (OP-08/09; ref CREATE "
     "DATABASE/USE/SHOW TABLES at 01:12-14, 02:107-108): create a "
     "database, save a managed table, list it back.",
