@@ -154,7 +154,16 @@ def op08_catalog_ddl(spark: SparkSession, sf: str) -> DataFrame:
         .saveAsTable("engine_smoke.region_copy")
     )
     tables = spark.sql("SHOW TABLES IN engine_smoke")
-    return tables.select("tableName").orderBy("tableName")
+    # SHOW TABLES also lists the session's TEMP VIEWS (isTemporary),
+    # which other entries/tests in a shared session legitimately
+    # create — the introspection question is "what tables are IN the
+    # database", so keep only those (also what makes the constant
+    # oracle exact)
+    return (
+        tables.filter(~F.col("isTemporary"))
+        .select("tableName")
+        .orderBy("tableName")
+    )
 
 
 @register(
