@@ -1157,6 +1157,81 @@ def pinned_sidecar_serving(spark) -> dict:
     }
 
 
+def skipping_attribution(spark) -> dict:
+    """Stage attribution for the layout-routed skipping entries (r9:
+    op70d/op70f drifted +20-25% in the r9 driver band and were
+    A/B-attributed to host load — this block makes the NEXT drift
+    triage mechanical, the q13/minhash pattern).  Cumulative medians
+    on op70d's exact table/predicates:
+
+    - ``keep_ms``   : keep-list computation alone (driver python
+      over pinned sidecar rows + the O(1) freshness probe — zero
+      Spark jobs);
+    - ``scan_s``    : + the pruned parquet scan of the kept files;
+    - ``full_s``    : the whole routed entry (optimize() rewrite,
+      predicate re-application, projection restore).
+    """
+    import os as _os
+    import statistics as _st
+    import time as _t
+
+    from pyspark.sql import functions as SF
+
+    from pdf_etl_ocr_inference_spark.operators import layout as L
+    from pdf_etl_ocr_inference_spark.optimizer import (
+        IndexCatalog,
+        optimize,
+    )
+
+    src = _os.path.join(SF_DIR, "orders.parquet")
+    cat = IndexCatalog()
+    meta = cat.lookup(L.layout_key(src))
+    if meta is None:
+        L.register_clustered_layout(
+            spark, src,
+            [
+                {"col": "o_custkey", "kind": "int"},
+                {"col": "o_orderdate", "kind": "days",
+                 "origin": "1995-01-01"},
+            ],
+        )
+        meta = cat.lookup(L.layout_key(src))
+    ranges = {"o_custkey": (100.0, 299.0)}
+
+    def med(fn, reps=3):
+        out = []
+        for _ in range(reps):
+            t0 = _t.perf_counter()
+            fn()
+            out.append(_t.perf_counter() - t0)
+        return _st.median(out)
+
+    keep_ms = med(lambda: L.stats_keep_files(spark, meta, ranges)) * 1000
+
+    def scan():
+        keep, covered = L.stats_keep_files(spark, meta, ranges)
+        current = set(L.cached_live_stat_map(meta))
+        files = sorted(((keep & covered) | (current - covered)) & current)
+        if files:
+            spark.read.parquet(*files).count()
+
+    scan_s = med(scan)
+
+    brute = spark.read.parquet(src).filter(
+        SF.col("o_custkey").between(100, 299)
+        & (SF.col("o_orderdate") >= SF.lit("1996-01-01").cast("timestamp"))
+        & (SF.col("o_orderdate") < SF.lit("1997-01-01").cast("timestamp"))
+    )
+    full_s = med(
+        lambda: optimize(brute, catalog=cat, min_saved_bytes=0).count()
+    )
+    return {
+        "keep_ms": round(keep_ms, 1),
+        "scan_s": round(scan_s, 3),
+        "full_s": round(full_s, 3),
+    }
+
+
 def manifest_point_lookup_scale(spark) -> dict:
     """Warm point-lookup control-plane cost vs FILE COUNT (r9,
     verdict #1): two tiny-file tables (4k and 64k files, 4 rows
@@ -1534,10 +1609,12 @@ def main() -> None:
     ppart = partitioned_prune(spark)
     psrv = pinned_sidecar_serving(spark)
     mscale = manifest_point_lookup_scale(spark)
+    skipattr = skipping_attribution(spark)
     print(f"# file skipping @4M/64 files: {fskip}", file=sys.stderr)
     print(f"# partitioned layout prune @4M: {ppart}", file=sys.stderr)
     print(f"# executor-pinned sidecar serving: {psrv}", file=sys.stderr)
     print(f"# manifest point lookup scale: {mscale}", file=sys.stderr)
+    print(f"# skipping-rewrite attribution: {skipattr}", file=sys.stderr)
     sweep = sf_scaling_sweep(spark)
     print(f"# sf scaling sweep: {sweep}", file=sys.stderr)
     gb = graph_build(spark)
@@ -1572,6 +1649,7 @@ def main() -> None:
                 "partitioned_prune_4m": ppart,
                 "pinned_sidecar_serving_4m": psrv,
                 "manifest_point_lookup_scale": mscale,
+                "skipping_attribution": skipattr,
                 "sf_scaling_sweep": sweep,
                 "graph_build_100k": gb,
             }
