@@ -215,7 +215,7 @@ def load_or_refresh_file_stats(
         and set(marker.get("cols", [])) == set(cols)
         and _os.path.isdir(side_dir)
     ):
-        doc = fresh_manifest_doc(path)
+        doc = fresh_manifest_summary(path)  # constant-size check
         if doc is not None and doc["digest"] == marker.get("digest"):
             return spark.read.parquet(side_dir)
     live = _live_stat_map(path)
@@ -406,8 +406,13 @@ def _read_manifest_doc(path: str, name: str):
 def write_inventory_manifest(path: str, live: dict | None = None) -> dict:
     """Stamp ``{path}/_manifest/inventory.json`` from the live file
     inventory (``live`` lets a caller that already paid the sweep
-    reuse it).  Returns the written doc.  Called at sidecar
-    build/refresh time — the only times the O(files) sweep runs."""
+    reuse it), PLUS the constant-size ``inventory_summary.json``
+    (probe, digest, file count) that the warm fast paths read — at
+    10⁶ files the full manifest is ~100 MB of JSON, and a fast path
+    that parsed it per call would smuggle the O(files) driver cost
+    back in through deserialization.  Returns the written full doc.
+    Called at sidecar build/refresh time — the only times the
+    O(files) sweep runs."""
     import os as _os
 
     _os.makedirs(_manifest_dir(path), exist_ok=True)
@@ -420,7 +425,58 @@ def write_inventory_manifest(path: str, live: dict | None = None) -> dict:
         "digest": _inventory_digest(inv),
         "files": {f: [sz, mt] for f, sz, mt in inv},
     }
+    # full doc FIRST, summary LAST: a crash between the writes
+    # leaves an older summary whose digest mismatches nothing that
+    # matters (fast paths compare summary.digest to marker digests;
+    # a stale summary just declines the fast path — conservative)
     _write_manifest_doc(path, "inventory", doc)
+    _write_manifest_doc(
+        path,
+        "inventory_summary",
+        {
+            "format": 1,
+            "probe": doc["probe"],
+            "digest": doc["digest"],
+            "n_files": len(inv),
+        },
+    )
+    return doc
+
+
+_MANIFEST_SUMMARY_CACHE: dict = {}  # path -> (probe, doc); tiny docs
+
+
+def fresh_manifest_summary(path: str):
+    """The constant-size manifest summary iff its stored probe
+    matches the directory's current probe — the warm fast paths'
+    freshness check: O(dirs) stats + a ~100-byte JSON parse,
+    INDEPENDENT of file count.  Falls back to deriving a summary
+    from the full manifest for pre-summary stamps."""
+    try:
+        probe = _dir_probe(path)
+    except OSError:
+        return None
+    hit = _MANIFEST_SUMMARY_CACHE.get(path)
+    if hit is not None and hit[0] == probe:
+        _MANIFEST_SUMMARY_CACHE[path] = _MANIFEST_SUMMARY_CACHE.pop(path)
+        return hit[1]
+    _MANIFEST_SUMMARY_CACHE.pop(path, None)
+    doc = _read_manifest_doc(path, "inventory_summary")
+    if doc is None:  # pre-summary manifest: derive once (O(files))
+        full = fresh_manifest_doc(path)
+        if full is None:
+            return None
+        doc = {
+            "format": 1,
+            "probe": full["probe"],
+            "digest": full["digest"],
+            "n_files": len(full["files"]),
+        }
+    if doc.get("format") != 1 or doc.get("probe") != probe:
+        return None
+    while len(_MANIFEST_SUMMARY_CACHE) > 256:
+        _MANIFEST_SUMMARY_CACHE.pop(next(iter(_MANIFEST_SUMMARY_CACHE)))
+    _MANIFEST_SUMMARY_CACHE[path] = (probe, doc)
     return doc
 
 
@@ -675,7 +731,8 @@ def scan_point_lookup(
     from pyspark.sql import functions as F
 
     probe_vals = sorted(set(int(v) for v in values))
-    doc = fresh_manifest_doc(path)
+    doc = fresh_manifest_summary(path)  # constant-size: never the
+    # O(files) file map — the fast path must stay flat in file count
     if doc is not None:
         marker = _read_manifest_doc(path, f"bloom_{col}")
         if marker is not None and marker.get("digest") == doc["digest"]:
@@ -686,7 +743,7 @@ def scan_point_lookup(
                 probe_vals,
             )
             files = sorted(hits)
-            total = len(doc["files"])
+            total = int(doc["n_files"])
             if not files:
                 empty = spark.read.parquet(path).limit(0)
                 return empty, 0, total

@@ -108,3 +108,34 @@ def test_stats_fast_path_column_set_guard(spark, tmp_path):
     got = L.load_or_refresh_file_stats(spark, d, ["id", "v"])
     cols = {r["col"] for r in got.select("col").distinct().collect()}
     assert cols == {"id", "v"}
+
+
+def test_fast_path_reads_only_the_constant_size_summary(spark, tmp_path):
+    """At 10^6 files the FULL manifest is ~100 MB of JSON — the warm
+    fast path must decide from inventory_summary.json alone (r9):
+    poison the full-doc reader and the warm lookup must still
+    answer."""
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write(spark, 1000, d, parts=4)
+    L.build_file_bloom(spark, d, "id")
+    L.load_or_refresh_file_stats(spark, d, ["id"])  # build + stamp
+    L.scan_point_lookup(spark, d, "id", [7])  # prime
+
+    orig_doc = L.fresh_manifest_doc
+    orig_live = L._live_stat_map
+    boom = lambda *a, **k: (_ for _ in ()).throw(  # noqa: E731
+        AssertionError("fast path must not touch the O(files) doc")
+    )
+    L.fresh_manifest_doc = boom
+    L._live_stat_map = boom
+    try:
+        df, n_read, n_total = L.scan_point_lookup(spark, d, "id", [7])
+        assert n_total == 4
+        assert [r["id"] for r in df.collect()] == [7]
+        stats = L.load_or_refresh_file_stats(spark, d, ["id"])
+        assert stats.count() > 0
+    finally:
+        L.fresh_manifest_doc = orig_doc
+        L._live_stat_map = orig_live
