@@ -1336,9 +1336,15 @@ def manifest_point_lookup_scale(spark) -> dict:
         finally:
             L._live_stat_map = real_live
         warm_reads = L.DRIVER_SIDECAR_READS - reads_before
-        # legacy shape: hide the manifest docs → slow path per call
+        # legacy shape: hide the manifest docs → slow path per call.
+        # A stale hidden dir from a killed previous run would make
+        # os.replace raise forever — clear it first (crash-safe;
+        # _tiny_table already re-stamped the live manifest above)
         mdir = L._manifest_dir(path)
         hidden = f"{path}/_hidden_manifest"
+        import shutil as _sh
+
+        _sh.rmtree(hidden, ignore_errors=True)
         os.replace(mdir, hidden)
         L._MANIFEST_DOC_CACHE.pop(path, None)
         try:

@@ -271,12 +271,16 @@ def load_or_refresh_file_stats(
 
 
 def _stamp_stats_manifest(path: str, live: dict, cols) -> None:
-    """Write the inventory manifest (probe taken now) plus the stats
-    marker tying the sidecar to this inventory digest."""
-    doc = write_inventory_manifest(path, live)
-    _write_manifest_doc(
-        path, "stats", {"digest": doc["digest"], "cols": sorted(cols)}
-    )
+    """Stamp manifest + stats marker, but only if the directory
+    still matches the snapshot the sidecar was reconciled against
+    (stamp_manifest_verified — the build-time TOCTOU guard); on
+    mismatch the next call pays the full reconciliation, which is
+    exactly right because something changed under it."""
+    doc = stamp_manifest_verified(path, live)
+    if doc is not None:
+        _write_manifest_doc(
+            path, "stats", {"digest": doc["digest"], "cols": sorted(cols)}
+        )
 
 
 def _live_stat_map(path: str) -> dict:
@@ -352,8 +356,11 @@ def _manifest_dir(path: str) -> str:
 def _dir_probe(path: str) -> list:
     """O(dirs) freshness probe: ``[relative-dir, mtime_ns]`` for the
     root and every nested hive partition directory (``col=value``) —
-    the directories :func:`_live_stat_map` would walk.  One stat per
-    DIRECTORY, never per file."""
+    EXACTLY the directories :func:`_live_stat_map` recurses into
+    (any dir with ``=`` in its name, underscore-prefixed included:
+    ``_date=2026`` is data to the listing, so it must be probe-
+    covered too — r9 review).  One stat per DIRECTORY, never per
+    file."""
     import os as _os
 
     out = []
@@ -362,11 +369,7 @@ def _dir_probe(path: str) -> list:
         out.append([rel, _os.stat(d).st_mtime_ns])
         with _os.scandir(d) as it:
             subs = sorted(
-                e.name
-                for e in it
-                if e.is_dir()
-                and "=" in e.name
-                and not e.name.startswith((".", "_"))
+                e.name for e in it if e.is_dir() and "=" in e.name
             )
         for name in subs:
             walk(f"{d}/{name}", f"{rel}/{name}" if rel else name)
@@ -412,16 +415,29 @@ def write_inventory_manifest(path: str, live: dict | None = None) -> dict:
     that parsed it per call would smuggle the O(files) driver cost
     back in through deserialization.  Returns the written full doc.
     Called at sidecar build/refresh time — the only times the
-    O(files) sweep runs."""
+    O(files) sweep runs.
+
+    TOCTOU discipline (r9 review): the probe is taken BEFORE the
+    inventory sweep.  A rename-class change landing DURING the sweep
+    then flips every later probe comparison (the stamped probe
+    reflects the pre-change directory), so the manifest reads stale
+    and callers fall through to the live listing — conservative.
+    Probe-after-sweep had the opposite failure: the change would be
+    blessed as fresh while the inventory missed its file, silently
+    losing rows on the warm path.  Callers whose ARTIFACT was built
+    from an earlier snapshot must use :func:`stamp_manifest_verified`
+    instead of passing ``live`` directly."""
     import os as _os
 
     _os.makedirs(_manifest_dir(path), exist_ok=True)
+    probe = _dir_probe(path)  # after makedirs (mkdir bump folded in),
+    # BEFORE the sweep — see TOCTOU note above
     if live is None:
         live = _live_stat_map(path)
     inv = [[f, sz, mt] for f, (sz, mt) in sorted(live.items())]
     doc = {
         "format": 1,
-        "probe": _dir_probe(path),  # after makedirs: mkdir bump folded in
+        "probe": probe,
         "digest": _inventory_digest(inv),
         "files": {f: [sz, mt] for f, sz, mt in inv},
     }
@@ -436,6 +452,50 @@ def write_inventory_manifest(path: str, live: dict | None = None) -> dict:
         {
             "format": 1,
             "probe": doc["probe"],
+            "digest": doc["digest"],
+            "n_files": len(inv),
+        },
+    )
+    return doc
+
+
+def stamp_manifest_verified(path: str, live_before: dict):
+    """Stamp the manifest ONLY IF the live inventory still equals the
+    snapshot ``live_before`` the just-built sidecar was derived from
+    — the stamping API for long builds (Bloom scans, footer sweeps):
+    a rename-class change that landed mid-build means the sidecar
+    lags the directory, and blessing the RE-listed inventory would
+    hide the sidecar-uncovered files from the warm fast paths
+    (r9 review, the build-time TOCTOU).  Returns the stamped doc, or
+    None when the verify re-list differs (callers then skip their
+    marker write too, so fast paths decline and the slow paths'
+    covered-reconciliation keeps the new files conservatively).
+
+    Order inside: probe FIRST, re-list second — a change landing
+    after the probe but before the re-list fails the compare (skip);
+    a change landing after the re-list post-dates the stamped probe,
+    so every later probe comparison fails (conservative)."""
+    import os as _os
+
+    _os.makedirs(_manifest_dir(path), exist_ok=True)
+    probe = _dir_probe(path)
+    live_now = _live_stat_map(path)
+    if live_now != live_before:
+        return None
+    inv = [[f, sz, mt] for f, (sz, mt) in sorted(live_now.items())]
+    doc = {
+        "format": 1,
+        "probe": probe,
+        "digest": _inventory_digest(inv),
+        "files": {f: [sz, mt] for f, sz, mt in inv},
+    }
+    _write_manifest_doc(path, "inventory", doc)
+    _write_manifest_doc(
+        path,
+        "inventory_summary",
+        {
+            "format": 1,
+            "probe": probe,
             "digest": doc["digest"],
             "n_files": len(inv),
         },
@@ -538,11 +598,15 @@ def scan_with_skipping(
     partition IN-list probe (dedup_index).  Returns
     ``(DataFrame, files_read, files_total)``; correctness never depends
     on the stats — a file wrongly kept is filtered row-by-row, and the
-    keep-list is reconciled against the live listing BY STAT
-    FINGERPRINT (size + mtime_ns, not filename): a file the sidecar
-    does not cover — including one rewritten in place since the
-    sidecar was built — is kept conservatively, so a stale
-    caller-cached sidecar can only cost extra reads, never rows.
+    keep-list is reconciled against the file map BY STAT FINGERPRINT
+    (size + mtime_ns, not filename): an uncovered file is kept
+    conservatively.  Since r9 the file map comes from the
+    probe-verified manifest when one exists (O(dirs), falling back
+    to the live listing): every rename-class mutation — including a
+    same-name ``os.replace`` — flips the probe and is reconciled
+    live; the in-place BYTE-EDIT class is warm-undetected by design
+    (see the manifest section header for the contract and the
+    ``verify="full"`` healing path).
     """
     from pyspark.sql import functions as F
 
@@ -641,7 +705,8 @@ def build_file_bloom(
 
     from pyspark.sql import functions as F
 
-    files = sorted(_live_stat_map(path))
+    live0 = _live_stat_map(path)  # the snapshot the sidecar covers
+    files = sorted(live0)
 
     def _build(batches):
         import os as _los
@@ -687,11 +752,16 @@ def build_file_bloom(
     sidecar.repartition(n_chunks, "file").write.mode(
         "overwrite"
     ).parquet(out_path)
-    # stamp the manifest (probe taken after the sidecar write bumped
-    # the dir mtime) + the bloom marker tying this sidecar to the
-    # inventory digest — scan_point_lookup's warm fast path
-    doc = write_inventory_manifest(path)
-    _write_manifest_doc(path, f"bloom_{col}", {"digest": doc["digest"]})
+    # stamp manifest + bloom marker ONLY IF the directory still
+    # matches the snapshot this sidecar was built from — a mid-build
+    # append would otherwise be digest-blessed with no Bloom row and
+    # vanish from warm lookups (r9 review); on mismatch the slow
+    # path's covered-reconciliation keeps the new files
+    doc = stamp_manifest_verified(path, live0)
+    if doc is not None:
+        _write_manifest_doc(
+            path, f"bloom_{col}", {"digest": doc["digest"]}
+        )
     return out_path
 
 
@@ -710,9 +780,13 @@ def scan_point_lookup(
     10⁶ files, mislabeled as bounded).  False positives cost one
     extra file read, never a wrong row — correctness is carried
     entirely by the re-applied predicate, and files the sidecar does
-    not cover — added after the build OR rewritten in place since it
-    (stat-fingerprint reconciliation, like the stats sidecar) — are
+    not cover — added after the build, or replaced same-name since
+    it (every rename-class mutation flips the O(dirs) probe, so the
+    slow path's stat-fingerprint reconciliation sees them) — are
     kept conservatively so their rows can never silently vanish.
+    The in-place BYTE-EDIT class is warm-undetected by design: see
+    the manifest section header for the contract and the explicit
+    rebuild healing path.
     Returns ``(DataFrame, files_read, files_total)``.
 
     Warm control-plane cost is FLAT in file count (r9): when the
@@ -742,15 +816,19 @@ def scan_point_lookup(
                 f"manifest:{doc['digest']}",
                 probe_vals,
             )
-            files = sorted(hits)
-            total = int(doc["n_files"])
-            if not files:
-                empty = spark.read.parquet(path).limit(0)
-                return empty, 0, total
-            df = spark.read.parquet(*files).filter(
-                F.col(col).isin(probe_vals)
-            )
-            return df, len(files), total
+            # hits is None when the sidecar has no chunks (marker
+            # outlived its parquet) — fall through to the slow
+            # path's loud read instead of a silent zero-row answer
+            if hits is not None:
+                files = sorted(hits)
+                total = int(doc["n_files"])
+                if not files:
+                    empty = spark.read.parquet(path).limit(0)
+                    return empty, 0, total
+                df = spark.read.parquet(*files).filter(
+                    F.col(col).isin(probe_vals)
+                )
+                return df, len(files), total
     side_df = spark.read.parquet(f"{path}/_bloom_{col}")
     has_fp = "fsize" in side_df.columns
     if not has_fp:  # legacy sidecar format: no reconciliation columns
@@ -1724,14 +1802,18 @@ def _bloom_chunk_probe(
 
 def _bloom_hits_executor_pinned(
     spark, side_dir: str, fp: str, values: list
-) -> set:
+):
     """HIT files only — for callers that proved (by manifest-digest
     equality) the sidecar covers exactly the live files, so no
     covered-set reconciliation is needed and the driver collect is
-    O(hits)."""
+    O(hits).  Returns ``None`` (NOT an empty set) when the sidecar
+    has no chunks: a marker that outlived its parquet files —
+    deletions inside the ``_``-prefixed sidecar dir don't bump the
+    root probe — must fall through to the slow path's loud read, not
+    become a silent zero-row answer (r9 review)."""
     out = _bloom_chunk_probe(spark, side_dir, fp, values, hits_only=True)
     if out is None:
-        return set()
+        return None
     return {r["file"] for r in out}
 
 
@@ -1826,8 +1908,13 @@ def served_scan_with_skipping(spark, meta: dict, ranges: dict):
     """scan_with_skipping through the pinned sidecar: the keep-list
     is computed in pure driver Python from cached rows — ZERO Spark
     jobs before the final pruned scan (vs two sidecar jobs per query
-    on the cold path). Same conservative semantics: uncovered layout
-    files are kept, vanished files dropped."""
+    on the cold path).  Uncovered layout files are kept
+    conservatively.  The live-file set comes from the
+    fingerprint-keyed pin (cached_live_stat_map): layout files are
+    ENGINE-OWNED (every engine write re-stamps the fingerprint), so
+    an out-of-band deletion is outside the contract and surfaces as
+    a read error until the next refresh — it is NOT silently
+    dropped the way the r8 per-call listing did."""
     keep, covered = stats_keep_files(spark, meta, ranges)
     current = set(cached_live_stat_map(meta))
     files = sorted(((keep & covered) | (current - covered)) & current)
@@ -1837,7 +1924,9 @@ def served_scan_with_skipping(spark, meta: dict, ranges: dict):
 def served_point_lookup(spark, meta: dict, col: str, values: list):
     """scan_point_lookup through the budgeted Bloom pin (or the
     executor-pinned chunk probe when the sidecar exceeds the driver
-    pin budget)."""
+    pin budget).  Live-file set semantics as in
+    :func:`served_scan_with_skipping` (engine-owned layout files,
+    fingerprint-keyed pin)."""
     from pyspark.sql import functions as F
 
     keep, covered = bloom_keep_files(spark, meta, col, values)

@@ -96,6 +96,7 @@ def nsw_topk_oracle() -> str:
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _DEFAULT_SF)
     ids, embs = _corpus(sf_dir)
+    pos = {i: r for r, i in enumerate(ids)}  # O(1) lookups, not .index
     qu = _query_unit(ids, embs)
     excl = set(_EXCLUDE)
     ef = max(_EF_SEARCH, _K + len(excl))
@@ -105,7 +106,7 @@ def nsw_topk_oracle() -> str:
         if not sids:
             continue
         mat = VecStore.unit(
-            sids, pd.Series([embs[ids.index(i)] for i in sids])
+            sids, pd.Series([embs[pos[i]] for i in sids])
         )
         adj = build_shard_adjacency(sids, mat, _M, _EFC)
         rows = search_shard_nsw(sids, mat, adj, qu, _K, ef, excl)
@@ -126,6 +127,7 @@ def hnsw_topk_oracle() -> str:
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _DEFAULT_SF)
     ids, embs = _corpus(sf_dir)
+    pos = {i: r for r, i in enumerate(ids)}  # O(1) lookups, not .index
     qu = _query_unit(ids, embs)
     excl = set(_EXCLUDE)
     ef = max(_EF_SEARCH, _K + len(excl))
@@ -135,13 +137,13 @@ def hnsw_topk_oracle() -> str:
         if not sids:
             continue
         mat = VecStore.unit(
-            sids, pd.Series([embs[ids.index(i)] for i in sids])
+            sids, pd.Series([embs[pos[i]] for i in sids])
         )
         levels, adj = build_shard_layers(sids, mat, _M, _EFC)
         pdf = pd.DataFrame(
             {
                 "vec_id": sids,
-                "embedding": [embs[ids.index(i)] for i in sids],
+                "embedding": [embs[pos[i]] for i in sids],
                 "layers": [
                     [adj[l][i] for l in range(levels[i] + 1)]
                     for i in sids

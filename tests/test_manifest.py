@@ -139,3 +139,56 @@ def test_fast_path_reads_only_the_constant_size_summary(spark, tmp_path):
     finally:
         L.fresh_manifest_doc = orig_doc
         L._live_stat_map = orig_live
+
+
+def test_stamp_verified_declines_when_dir_changed_mid_build(
+    spark, tmp_path
+):
+    """The build-time TOCTOU guard (r9 review): a file appended
+    between a sidecar build's snapshot and its stamp means the
+    sidecar lags the directory — stamp_manifest_verified must
+    DECLINE (return None) so the fast paths never bless an
+    inventory the sidecar doesn't cover."""
+    import glob
+    import shutil
+
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write(spark, 100, d)
+    live0 = L._live_stat_map(d)
+
+    extra = str(tmp_path / "extra")
+    _write(spark, 10, extra)
+    part = glob.glob(f"{extra}/part-*.parquet")[0]
+    shutil.move(part, f"{d}/appended.parquet")
+
+    assert L.stamp_manifest_verified(d, live0) is None
+    # and nothing fresh was stamped: the fast paths decline
+    assert L.fresh_manifest_summary(d) is None
+
+
+def test_point_lookup_vanished_sidecar_fails_loud(spark, tmp_path):
+    """A bloom marker that outlived its sidecar parquet (deletions
+    inside the _-prefixed dir don't bump the root probe) must NOT
+    become a silent zero-row answer — the fast path falls through
+    and the slow path's sidecar read raises."""
+    import glob
+    import os as _os
+
+    import pytest
+
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write(spark, 100, d)
+    L.build_file_bloom(spark, d, "id")
+    L.scan_point_lookup(spark, d, "id", [7])  # prime
+
+    for f in glob.glob(f"{d}/_bloom_id/*.parquet"):
+        _os.remove(f)
+    # the probe still verifies (sidecar dirs are hidden from it)
+    assert L.fresh_manifest_summary(d) is not None
+
+    with pytest.raises(Exception):
+        L.scan_point_lookup(spark, d, "id", [7])
