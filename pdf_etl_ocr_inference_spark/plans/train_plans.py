@@ -1374,3 +1374,62 @@ def pipeline_dsir_corpus(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tokens").alias("seq_tokens"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Seeded corpus shuffle + shard export (r9): the last stage of a
+# pretraining pipeline — a REPRODUCIBLE global permutation of the
+# cleaned corpus, materialized as N balanced shards with a
+# deterministic within-shard order, so any epoch/run/resume reads
+# exactly the same stream.  Spark-first shape: the permutation key is
+# a seeded hash (no RNG state, no driver), shard = key mod N (one
+# shuffle, uniform by construction), within-shard position = a
+# per-shard window — NO global sort, so the plan scales by adding
+# shards (each shard sorts independently; at 100 TB use
+# n_shards ≈ cluster width × a few).  Changing the seed ("ep2", ...)
+# yields an independent permutation — epoch reshuffling without
+# re-reading anything but the id column.  md5 keys here for DuckDB
+# value-replay (the dedup-family pattern); production callers can
+# swap xxhash64(seed, id) 1:1.
+# ------------------------------------------------------------------
+
+_SHUFFLE_SEED = "ep1"
+_SHUFFLE_SHARDS = 8
+
+
+@register(
+    "train_shuffle_shards",
+    "WITH k AS (SELECT doc_id, "
+    "CAST(CAST('0x' || SUBSTR(MD5('" + _SHUFFLE_SEED + ":' || "
+    "CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) AS okey "
+    "FROM documents) "
+    f"SELECT CAST(okey % {_SHUFFLE_SHARDS} AS INT) AS shard, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY okey % "
+    f"{_SHUFFLE_SHARDS} ORDER BY okey, doc_id) AS BIGINT) AS pos, "
+    "doc_id FROM k",
+    doc="seeded reproducible corpus shuffle into balanced training "
+    "shards: permutation key = md5(seed:doc_id), shard = key mod "
+    f"{_SHUFFLE_SHARDS}, pos = per-shard rank by (key, id).  One "
+    "shuffle, no global sort, no RNG state — rerunning (or resuming) "
+    "an epoch reads the identical stream, and a new seed is a fresh "
+    "independent permutation.  The standard exporter step between "
+    "dedup/quality filtering and sequence packing.",
+)
+def train_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.dedup import md5_base32
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    okey = md5_base32(
+        F.concat(
+            F.lit(f"{_SHUFFLE_SEED}:"), F.col("doc_id").cast("string")
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return (
+        docs.withColumn("okey", okey)
+        .withColumn(
+            "shard", F.pmod("okey", F.lit(_SHUFFLE_SHARDS)).cast("int")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("shard", "pos", "doc_id")
+    )

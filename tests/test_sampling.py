@@ -125,3 +125,33 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = {r["id"] for r in weighted_sample_topn(df, "id", "w", 10).collect()}
     assert got == {1, 4}
+
+
+def test_shuffle_shards_reproducible_balanced_complete(spark, sf_dir):
+    """train_shuffle_shards: same seed → identical stream; shards
+    balanced within a loose band; (shard, pos) is a bijection onto
+    the corpus (no doc lost or duplicated by the permutation)."""
+    from pdf_etl_ocr_inference_spark.plans import all_specs
+
+    specs = all_specs()
+    a = specs["train_shuffle_shards"].fn(spark, sf_dir).collect()
+    b = specs["train_shuffle_shards"].fn(spark, sf_dir).collect()
+    key = lambda r: (r["shard"], r["pos"], r["doc_id"])  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b)), "not reproducible"
+
+    n = len(a)
+    assert n == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len({(r["shard"], r["pos"]) for r in a}) == n, "pos collision"
+    assert len({r["doc_id"] for r in a}) == n, "doc lost/duplicated"
+    from collections import Counter
+
+    sizes = Counter(r["shard"] for r in a)
+    assert len(sizes) == 8
+    assert max(sizes.values()) <= 2 * min(sizes.values()), (
+        f"shards unbalanced: {dict(sizes)}"
+    )
+    # per-shard positions are dense 1..len
+    per = Counter(r["shard"] for r in a)
+    for s, cnt in per.items():
+        ps = sorted(r["pos"] for r in a if r["shard"] == s)
+        assert ps == list(range(1, cnt + 1))
