@@ -243,8 +243,9 @@ def load_or_refresh_file_stats(
         kept = have.filter(F.col("file").isin(sorted(covered)))
         if not fresh_files and set(recorded) == covered <= set(current):
             # sidecar already covers the live set exactly: stamp the
-            # manifest + marker (reusing the sweep just paid) so the
-            # NEXT call takes the fast path above
+            # manifest + marker (the stamp re-lists to verify — see
+            # stamp_manifest_verified's cost note) so the NEXT call
+            # takes the fast path above
             _stamp_stats_manifest(path, live, cols)
             return kept
         merged = kept.unionByName(
@@ -434,6 +435,16 @@ def write_inventory_manifest(path: str, live: dict | None = None) -> dict:
     # BEFORE the sweep — see TOCTOU note above
     if live is None:
         live = _live_stat_map(path)
+    return _write_manifest_docs(path, probe, live)
+
+
+def _write_manifest_docs(path: str, probe: list, live: dict) -> dict:
+    """The ONE construction site for the inventory doc pair — shared
+    by :func:`write_inventory_manifest` and
+    :func:`stamp_manifest_verified` so the schema and the crash
+    ordering can't diverge.  Full doc FIRST, summary LAST: a crash
+    between the writes leaves an older summary whose digest matches
+    no current marker, so fast paths just decline — conservative."""
     inv = [[f, sz, mt] for f, (sz, mt) in sorted(live.items())]
     doc = {
         "format": 1,
@@ -441,17 +452,13 @@ def write_inventory_manifest(path: str, live: dict | None = None) -> dict:
         "digest": _inventory_digest(inv),
         "files": {f: [sz, mt] for f, sz, mt in inv},
     }
-    # full doc FIRST, summary LAST: a crash between the writes
-    # leaves an older summary whose digest mismatches nothing that
-    # matters (fast paths compare summary.digest to marker digests;
-    # a stale summary just declines the fast path — conservative)
     _write_manifest_doc(path, "inventory", doc)
     _write_manifest_doc(
         path,
         "inventory_summary",
         {
             "format": 1,
-            "probe": doc["probe"],
+            "probe": probe,
             "digest": doc["digest"],
             "n_files": len(inv),
         },
@@ -474,7 +481,14 @@ def stamp_manifest_verified(path: str, live_before: dict):
     Order inside: probe FIRST, re-list second — a change landing
     after the probe but before the re-list fails the compare (skip);
     a change landing after the re-list post-dates the stamped probe,
-    so every later probe comparison fails (conservative)."""
+    so every later probe comparison fails (conservative).
+
+    Cost: the verify re-list is a SECOND O(files) scandir at
+    build/refresh time — deliberate, and negligible next to the
+    per-file footer/column pass every caller just paid (an O(dirs)
+    probe compare can't replace it: the sidecar write itself bumps
+    the root mtime, and a same-name replace is invisible to a
+    name-set diff)."""
     import os as _os
 
     _os.makedirs(_manifest_dir(path), exist_ok=True)
@@ -482,25 +496,7 @@ def stamp_manifest_verified(path: str, live_before: dict):
     live_now = _live_stat_map(path)
     if live_now != live_before:
         return None
-    inv = [[f, sz, mt] for f, (sz, mt) in sorted(live_now.items())]
-    doc = {
-        "format": 1,
-        "probe": probe,
-        "digest": _inventory_digest(inv),
-        "files": {f: [sz, mt] for f, sz, mt in inv},
-    }
-    _write_manifest_doc(path, "inventory", doc)
-    _write_manifest_doc(
-        path,
-        "inventory_summary",
-        {
-            "format": 1,
-            "probe": probe,
-            "digest": doc["digest"],
-            "n_files": len(inv),
-        },
-    )
-    return doc
+    return _write_manifest_docs(path, probe, live_now)
 
 
 _MANIFEST_SUMMARY_CACHE: dict = {}  # path -> (probe, doc); tiny docs

@@ -143,15 +143,18 @@ def test_shuffle_shards_reproducible_balanced_complete(spark, sf_dir):
     assert n == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len({(r["shard"], r["pos"]) for r in a}) == n, "pos collision"
     assert len({r["doc_id"] for r in a}) == n, "doc lost/duplicated"
-    from collections import Counter
+    from collections import defaultdict
 
-    sizes = Counter(r["shard"] for r in a)
-    assert len(sizes) == 8
-    assert max(sizes.values()) <= 2 * min(sizes.values()), (
-        f"shards unbalanced: {dict(sizes)}"
+    from pdf_etl_ocr_inference_spark.plans.train_plans import (
+        _SHUFFLE_SHARDS,
     )
+
+    by_shard = defaultdict(list)
+    for r in a:
+        by_shard[r["shard"]].append(r["pos"])
+    assert len(by_shard) == _SHUFFLE_SHARDS
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 2 * min(sizes), f"shards unbalanced: {sizes}"
     # per-shard positions are dense 1..len
-    per = Counter(r["shard"] for r in a)
-    for s, cnt in per.items():
-        ps = sorted(r["pos"] for r in a if r["shard"] == s)
-        assert ps == list(range(1, cnt + 1))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
