@@ -192,3 +192,33 @@ def test_point_lookup_vanished_sidecar_fails_loud(spark, tmp_path):
 
     with pytest.raises(Exception):
         L.scan_point_lookup(spark, d, "id", [7])
+
+
+def test_nested_multilevel_partition_probe(spark, tmp_path):
+    """_dir_probe recurses through NESTED hive levels (zpart=…/
+    zpart1=…): an append two levels deep touches only the leaf dir's
+    mtime, which the probe must carry."""
+    import glob
+    import shutil
+
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 2).alias("zpart"),
+        (F.col("id") % 3).alias("zpart1"),
+    ).write.mode("overwrite").partitionBy("zpart", "zpart1").parquet(d)
+    L.write_inventory_manifest(d)
+    assert L.fresh_manifest_summary(d) is not None
+
+    extra = str(tmp_path / "extra")
+    spark.range(5).select(F.col("id")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(extra)
+    part = glob.glob(f"{extra}/part-*.parquet")[0]
+    shutil.move(part, f"{d}/zpart=1/zpart1=2/appended.parquet")
+
+    assert L.fresh_manifest_summary(d) is None, (
+        "nested-leaf append must flip the probe"
+    )
