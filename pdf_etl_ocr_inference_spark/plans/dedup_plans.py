@@ -972,3 +972,150 @@ def dedup_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("span_coverage_ppm"),
         )
     )
+
+
+def _cluster_best_quality_oracle() -> str:
+    """DuckDB replay of near-dup cluster collapse with quality-aware
+    survivor selection: the full MinHash-LSH pair replay feeds a
+    recursive-CTE connected components, then each cluster keeps its
+    argmax-quality member (tie → min doc_id).  The quality expression
+    is the same per-row IEEE-stable formula train_plans._QUALITY_SQL
+    mirrors from functions.text.quality_score."""
+    from pdf_etl_ocr_inference_spark.plans.train_plans import _QUALITY_SQL
+
+    return f"""
+    WITH RECURSIVE mp AS (
+      SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) _m
+    ), edges AS (
+      SELECT id_a, id_b FROM mp
+      UNION SELECT id_b AS id_a, id_a AS id_b FROM mp
+    ), nodes AS (
+      SELECT DISTINCT id_a AS doc_id FROM edges
+    ), reach AS (
+      SELECT doc_id, doc_id AS root FROM nodes
+      UNION
+      SELECT e.id_a AS doc_id, r.root FROM edges e
+      JOIN reach r ON e.id_b = r.doc_id
+    ), lab AS (
+      SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
+    ), q AS (
+      SELECT doc_id, {_QUALITY_SQL} AS q FROM documents
+    ), ranked AS (
+      SELECT lab.cluster_id, lab.doc_id, q.q,
+             ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+                                ORDER BY q.q DESC, lab.doc_id) AS rk
+      FROM lab JOIN q USING (doc_id)
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
+           COUNT(*) AS n_members,
+           MAX(CASE WHEN rk = 1 THEN q END) AS best_q
+    FROM ranked GROUP BY cluster_id
+    """
+
+
+@register(
+    "dedup_cluster_best_quality",
+    _cluster_best_quality_oracle,
+    doc="near-dedup cluster collapse with QUALITY-AWARE survivor "
+    "selection (the FineWeb/Dolma practice: keep the best document "
+    "of each near-duplicate cluster, not the lowest id): MinHash-LSH "
+    "verified pairs -> log-round connected components -> per-cluster "
+    "argmax quality_score (tie: min doc_id). The argmax is ONE "
+    "map-side-combinable max(struct(q, -doc_id)) groupBy — no "
+    "window sort over the corpus; CC runs on the pair graph only, "
+    "never the corpus, so cost scales with duplication, not data. "
+    "Oracle replays pairs, components (recursive CTE), and the "
+    "argmax rule value-for-value.",
+)
+def dedup_cluster_best_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.text import quality_score
+    from pdf_etl_ocr_inference_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=32,
+        num_bands=8,
+        jaccard_threshold=0.5,
+        hash_family="md5",
+    )
+    labels, _ = connected_components(pairs.select("id_a", "id_b"))
+    q = docs.select(F.col("doc_id"), quality_score("text").alias("q"))
+    members = labels.join(q, labels["node"] == q["doc_id"]).select(
+        F.col("component").alias("cluster_id"), "doc_id", "q"
+    )
+    # argmax(q), tie min id: max of (q, -doc_id) struct — a partial-
+    # aggregatable groupBy, identical semantics to the oracle's
+    # ROW_NUMBER(ORDER BY q DESC, doc_id) = 1 row.
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))
+            ).alias("best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("best.nid")).alias("survivor_id"),
+            "n_members",
+            F.col("best.q").alias("best_q"),
+        )
+    )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    lambda: f"""
+    WITH mp AS (SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) _m),
+    s AS (SELECT doc_id, source FROM documents),
+    lab AS (
+      SELECT LEAST(sa.source, sb.source) AS src_a,
+             GREATEST(sa.source, sb.source) AS src_b
+      FROM mp JOIN s sa ON sa.doc_id = mp.id_a
+              JOIN s sb ON sb.doc_id = mp.id_b)
+    SELECT src_a, src_b, COUNT(*) AS n_pairs
+    FROM lab GROUP BY src_a, src_b
+    """,
+    doc="near-duplication FLOW MATRIX between sources: every "
+    "MinHash-verified pair attributed to its (source_a, source_b) "
+    "cell (unordered, least/greatest-canonicalized) — the governance "
+    "artifact that tells a curation run WHICH feeds re-publish which "
+    "(mirror detection, scraper overlap, licensing triage). Cost: "
+    "the dedup pair set (proportional to duplication, never "
+    "corpus^2) + two id-keyed joins against a 2-column docs "
+    "projection + one combinable groupBy.",
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=32,
+        num_bands=8,
+        jaccard_threshold=0.5,
+        hash_family="md5",
+    ).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -330,6 +330,70 @@ def train_mix_weighted(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Temperature-scaled mixing: p_l ∝ n_l^alpha with alpha = 1/T — the
+# mT5/UniMax-style rebalance that upweights low-resource languages
+# relative to their raw share.  alpha=0.5 (T=2) over the corpus's
+# skewed `lang` column; quotas are DERIVED from corpus counts (one
+# combinable groupBy), unlike train_mix_weighted's fixed weights.
+_TEMP_ALPHA = 0.5
+_TEMP_BUDGET = 100
+
+
+@register(
+    "train_temperature_mix",
+    f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, POWER(n, {_TEMP_ALPHA}) AS w,
+                 SUM(POWER(n, {_TEMP_ALPHA})) OVER () AS tot FROM c),
+    r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY MD5(doc_id::VARCHAR)) AS rk
+          FROM documents)
+    SELECT r.doc_id, r.lang FROM r JOIN w USING (lang)
+    WHERE r.rk <= {_TEMP_BUDGET} * w.w / w.tot
+    """,
+    doc="temperature-scaled language mixing (mT5 §3.1 / UniMax-style "
+    "rebalance): per-language sampling mass ∝ count^alpha "
+    f"(alpha={_TEMP_ALPHA}, i.e. T=2), quotas DERIVED from corpus "
+    "counts in one combinable groupBy (train_mix_weighted's quotas "
+    "are fixed constants), filled by ranking docs on md5(doc_id) — "
+    "the same deterministic reproducible-shuffle fill. The en-heavy "
+    "corpus demotes en from ~40% of docs to ~28% of the mix. "
+    "Thresholds sit ≥0.08 from every integer rank at all three SFs "
+    "(verified), so the float rk<=quota compare is cross-engine "
+    "stable. A quota above a language's count self-saturates at the "
+    "count — UniMax's one-epoch cap. At 100 TB the per-lang window "
+    "rank swaps for op34d's bucketed scalable ranks verbatim.",
+)
+def train_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    counts = (
+        _t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.pow(F.col("n"), F.lit(_TEMP_ALPHA)))
+    )
+    # Global normalizer over the handful of language rows: an
+    # unpartitioned window on a lang-count-sized frame, not the corpus.
+    quotas = counts.withColumn(
+        "tot", F.sum("w").over(Window.partitionBy())
+    ).select(
+        "lang",
+        (F.lit(_TEMP_BUDGET) * F.col("w") / F.col("tot")).alias("quota"),
+    )
+    rk = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string"))
+    )
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(rk))
+        .join(F.broadcast(quotas), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang")
+    )
+
+
 # ------------------------------------------------------------------
 # Benchmark-contamination detection
 # ------------------------------------------------------------------

@@ -1,0 +1,105 @@
+"""Behavioral checks for the round-9 curation entries beyond oracle
+parity: quality-aware survivor selection really picks the cluster
+argmax, the cross-source matrix conserves the pair count, and
+temperature mixing demotes the head language while never exceeding a
+language's own count (UniMax one-epoch saturation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_etl_ocr_inference_spark.functions.text import quality_score
+from pdf_etl_ocr_inference_spark.operators.dedup import (
+    connected_components,
+    minhash_dedup_pairs,
+)
+from pdf_etl_ocr_inference_spark.plans import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+_SPECS = all_specs()
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _minhash_pairs(spark):
+    return minhash_dedup_pairs(
+        _docs(spark).select("doc_id", "text"),
+        "text",
+        "doc_id",
+        num_hashes=32,
+        num_bands=8,
+        jaccard_threshold=0.5,
+        hash_family="md5",
+    )
+
+
+def test_best_quality_survivor_is_cluster_argmax(spark):
+    res = {
+        r["cluster_id"]: r
+        for r in _SPECS["dedup_cluster_best_quality"].fn(spark, SF).collect()
+    }
+    assert res, "fixture corpus has near-dup clusters"
+    labels, _ = connected_components(
+        _minhash_pairs(spark).select("id_a", "id_b")
+    )
+    q = {
+        r["doc_id"]: r["q"]
+        for r in _docs(spark)
+        .select("doc_id", quality_score("text").alias("q"))
+        .collect()
+    }
+    clusters: dict[int, list[int]] = {}
+    for r in labels.collect():
+        clusters.setdefault(r["component"], []).append(r["node"])
+    assert set(clusters) == set(res)
+    for cid, members in clusters.items():
+        want = min(members, key=lambda d: (-q[d], d))
+        row = res[cid]
+        assert row["survivor_id"] == want
+        assert row["n_members"] == len(members)
+        assert row["best_q"] == q[want]
+        # the survivor's quality dominates every member's
+        assert all(q[want] >= q[d] for d in members)
+
+
+def test_cross_source_matrix_conserves_pairs(spark):
+    mat = _SPECS["dedup_cross_source_matrix"].fn(spark, SF).collect()
+    n_pairs = _minhash_pairs(spark).count()
+    assert sum(r["n_pairs"] for r in mat) == n_pairs
+    assert all(r["src_a"] <= r["src_b"] for r in mat)
+    assert all(r["n_pairs"] > 0 for r in mat)
+
+
+def test_temperature_mix_rebalances_and_saturates(spark):
+    sel = _SPECS["train_temperature_mix"].fn(spark, SF).collect()
+    counts = {
+        r["lang"]: r["n"]
+        for r in _docs(spark).groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    total = sum(counts.values())
+    picked: dict[str, int] = {}
+    for r in sel:
+        picked[r["lang"]] = picked.get(r["lang"], 0) + 1
+    # every language is represented, none beyond its own count
+    assert set(picked) == set(counts)
+    assert all(picked[lg] <= counts[lg] for lg in picked)
+    # the head language's share shrinks toward the temperature target
+    en_raw = counts["en"] / total
+    en_mix = picked["en"] / len(sel)
+    assert en_mix < en_raw
+    # tail languages gain share
+    for lg in counts:
+        if lg != "en":
+            assert picked[lg] / len(sel) >= counts[lg] / total
+
+
+def test_temperature_mix_deterministic(spark):
+    fn = _SPECS["train_temperature_mix"].fn
+    a = sorted((r["doc_id"], r["lang"]) for r in fn(spark, SF).collect())
+    b = sorted((r["doc_id"], r["lang"]) for r in fn(spark, SF).collect())
+    assert a == b
