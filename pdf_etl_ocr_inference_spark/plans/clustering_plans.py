@@ -97,6 +97,102 @@ def ann_kmeans_round1(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count("*").alias("n_vecs"), *qsums)
 
 
+_OUTLIER_QDIFF = (
+    "(CAST(FLOOR(list_extract(e.embedding, i + 1)::DOUBLE * 1048576.0)"
+    " AS BIGINT)"
+    " - CAST(FLOOR(list_extract(c2.ce, i + 1)::DOUBLE * 1048576.0)"
+    " AS BIGINT))"
+)
+
+
+@register(
+    "ann_centroid_outliers",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id < {_K}),
+    d AS (SELECT e.vec_id, c.cid,
+                 LIST_DISTANCE(e.embedding::DOUBLE[], c.ce) AS dist
+          FROM embeddings e CROSS JOIN c),
+    r AS (SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d),
+    a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+    qd AS (SELECT a.vec_id, a.cid,
+             CAST(SUM({_OUTLIER_QDIFF} * {_OUTLIER_QDIFF}) AS BIGINT)
+               AS qdist
+           FROM a JOIN embeddings e USING (vec_id)
+                JOIN c c2 ON c2.cid = a.cid
+                CROSS JOIN UNNEST(RANGE(0, 64)) AS rr(i)
+           GROUP BY a.vec_id, a.cid),
+    ork AS (SELECT cid, vec_id, qdist, ROW_NUMBER() OVER (
+              PARTITION BY cid ORDER BY qdist DESC, vec_id) AS rn
+            FROM qd)
+    SELECT CAST(cid AS BIGINT) AS cluster_id, vec_id, qdist
+    FROM ork WHERE rn <= 3
+    """,
+    doc="embedding-space OUTLIER pruning: the 3 vectors farthest from "
+    "their assigned centroid per cluster — the 'prune points that "
+    "fit no domain' curation step that precedes semantic dedup / "
+    "domain mixing (noisy or out-of-distribution embeddings distort "
+    "both). Assignment is the already-oracled round-0 argmin "
+    "(ann_kmeans_assign); the outlier RANKING distance is "
+    "integer-quantized per coordinate (floor(x*2^20), the "
+    "ann_knn_quantized trick) so the DESC order is bit-identical "
+    "across engines and partitionings. Spark: one narrow assignment "
+    "pass + a k-partition window — no crossJoin, no UDF; at 100 TB "
+    "the per-cluster window partitions are balanced by construction "
+    "(clusters ~n/k).",
+)
+def ann_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    import math
+
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = init_centroids(emb, "embedding", "vec_id", _K)
+    assigned = assign_clusters(emb, "embedding", centroids)
+    # Exact integer distance to each centroid; the assigned one is
+    # picked by index.  Quantized centroid coords are computed
+    # driver-side from the same doubles the oracle floor()s.
+    qcents = [
+        [int(math.floor(x * 1048576.0)) for x in c] for c in centroids
+    ]
+    qvec = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1048576.0)).cast(
+            "long"
+        ),
+    )
+    qdists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    qvec,
+                    F.array(*[F.lit(v).cast("long") for v in qc]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for qc in qcents
+        ]
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("qdist").desc(), F.col("vec_id")
+    )
+    return (
+        assigned.withColumn(
+            "qdist", F.element_at(qdists, F.col("cluster_id") + F.lit(1))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "vec_id",
+            "qdist",
+        )
+    )
+
+
 def kmeans_chain_sql(
     k: int = 8, rounds: int = 5, dim: int = 64, scale: int = 1_000_000
 ) -> str:

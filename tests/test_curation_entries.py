@@ -103,3 +103,52 @@ def test_temperature_mix_deterministic(spark):
     a = sorted((r["doc_id"], r["lang"]) for r in fn(spark, SF).collect())
     b = sorted((r["doc_id"], r["lang"]) for r in fn(spark, SF).collect())
     assert a == b
+
+
+def test_centroid_outliers_are_cluster_maxima(spark):
+    import math
+
+    from pdf_etl_ocr_inference_spark.operators.clustering import (
+        assign_clusters,
+        init_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    centroids = init_centroids(emb, "embedding", "vec_id", 8)
+    assigned = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(emb, "embedding", centroids)
+        .select("vec_id", "cluster_id")
+        .collect()
+    }
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def qdist(v, c):
+        return sum(
+            (math.floor(a * 1048576.0) - math.floor(b * 1048576.0)) ** 2
+            for a, b in zip(v, c)
+        )
+
+    res = _SPECS["ann_centroid_outliers"].fn(spark, SF).collect()
+    by_cluster: dict[int, list] = {}
+    for r in res:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        assert len(rows) <= 3
+        # every reported qdist is the exact integer distance to the
+        # assigned centroid, and no non-reported member is farther
+        reported = {r["vec_id"] for r in rows}
+        dists = {
+            v: qdist(vec, centroids[cid])
+            for v, vec in vecs.items()
+            if assigned[v] == cid
+        }
+        for r in rows:
+            assert r["qdist"] == dists[r["vec_id"]]
+        floor_q = min(r["qdist"] for r in rows)
+        for v, d in dists.items():
+            if v not in reported:
+                assert d <= floor_q
