@@ -1433,3 +1433,81 @@ def train_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("shard", "pos", "doc_id")
     )
+
+
+def _split_leakage_oracle() -> str:
+    """Near-dup pairs that CROSS the op64 hash split: the MinHash pair
+    replay joined to each endpoint's train/eval bucket.  Lazy so the
+    import of dedup_plans' oracle generator happens at resolution
+    time, not at module import."""
+    from pdf_etl_ocr_inference_spark.plans.dedup_plans import (
+        _minhash_oracle_sql,
+    )
+
+    return f"""
+    WITH mp AS (SELECT id_a, id_b, jaccard
+                FROM ({_minhash_oracle_sql()}) _m),
+    sp AS (SELECT doc_id, CASE WHEN
+             CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS INTEGER) % 10 < 8
+             THEN 'train' ELSE 'eval' END AS split FROM documents)
+    SELECT mp.id_a, mp.id_b, mp.jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM mp JOIN sp sa ON sa.doc_id = mp.id_a
+            JOIN sp sb ON sb.doc_id = mp.id_b
+    WHERE sa.split <> sb.split
+    """
+
+
+@register(
+    "train_split_leakage",
+    _split_leakage_oracle,
+    doc="train/eval LEAKAGE AUDIT: near-duplicate pairs whose "
+    "endpoints land on opposite sides of the op64 hash split — the "
+    "eval-contamination mode id-hash splitting cannot prevent "
+    "(near-identical docs get independent ids; Lee et al. 2022 §6.2 "
+    "measured the val-set overlap this creates). Composes the "
+    "oracled MinHash pair set with the oracled split rule: two "
+    "id-keyed joins against a 2-column split projection, nothing "
+    "corpus-quadratic. Non-empty at every SF (7/10/77 leaking "
+    "pairs), so the audit is exercised, not vacuous. The remedy "
+    "path is dedup-then-split (pipeline_pretrain_corpus) or moving "
+    "eval members' whole clusters (dedup_clusters) across.",
+)
+def train_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=32,
+        num_bands=8,
+        jaccard_threshold=0.5,
+        hash_family="md5",
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 10
+    )
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < 8, "train").otherwise("eval").alias("split"),
+    )
+    sa = sp.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )

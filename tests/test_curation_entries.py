@@ -152,3 +152,27 @@ def test_centroid_outliers_are_cluster_maxima(spark):
         for v, d in dists.items():
             if v not in reported:
                 assert d <= floor_q
+
+
+def test_split_leakage_pairs_cross_and_subset(spark):
+    res = _SPECS["train_split_leakage"].fn(spark, SF).collect()
+    assert res, "fixture corpus has cross-split near-dup pairs"
+    assert all(r["split_a"] != r["split_b"] for r in res)
+    all_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in _minhash_pairs(spark).select("id_a", "id_b").collect()
+    }
+    leak = {(r["id_a"], r["id_b"]) for r in res}
+    assert leak <= all_pairs
+    # the complement stays within one split: re-derive the split rule
+    import hashlib
+
+    def split(doc_id: int) -> str:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+        return "train" if b % 10 < 8 else "eval"
+
+    for a, b in all_pairs - leak:
+        assert split(a) == split(b)
+    for r in res:
+        assert split(r["id_a"]) == r["split_a"]
+        assert split(r["id_b"]) == r["split_b"]
