@@ -1248,3 +1248,57 @@ def text_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .withColumn("at_risk", F.col("n") < 5)
     )
+
+
+@register(
+    "text_novelty_rate",
+    f"""
+    WITH tokd AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS toks
+      FROM documents),
+    g AS (SELECT doc_id, UNNEST({_GRAMS5}) AS gram FROM tokd),
+    f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM g JOIN f USING (gram) GROUP BY g.doc_id
+    """,
+    doc="per-document n-gram NOVELTY rate: of a doc's distinct "
+    "5-gram shingles, how many first appear (min doc_id over the "
+    "corpus) in THIS doc — the corpus-freshness / redundancy signal "
+    "behind dedup prioritization and memorization-risk triage (a "
+    "doc whose grams are all re-runs contributes little new text; "
+    "cf. Lee et al. 2022's repeated-substring analysis). Exact "
+    "integer counts (n_novel/n_grams is the rate — computed by the "
+    "caller, never a cross-engine float). ONE gram-keyed window "
+    "shuffle (the span-dedup machinery's shape) + one per-doc "
+    "combinable agg; at 100 TB the gram key is the same partitioner "
+    "dedup_span_hotspots already scales on.",
+)
+def text_novelty_rate(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pdf_etl_ocr_inference_spark.functions.text import word_ngrams
+
+    g = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(word_ngrams("text", 5))).alias(
+                "gram"
+            ),
+        )
+    )
+    first = F.min("doc_id").over(Window.partitionBy("gram"))
+    return (
+        g.withColumn("first_doc", first)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(
+                    0
+                )
+            ).alias("n_novel"),
+        )
+    )

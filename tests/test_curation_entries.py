@@ -176,3 +176,31 @@ def test_split_leakage_pairs_cross_and_subset(spark):
     for r in res:
         assert split(r["id_a"]) == r["split_a"]
         assert split(r["id_b"]) == r["split_b"]
+
+
+def test_novelty_rate_invariants(spark):
+    res = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"])
+        for r in _SPECS["text_novelty_rate"].fn(spark, SF).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in _docs(spark).select("doc_id", "text").collect()
+    }
+    assert set(res) == set(docs)
+
+    def grams(text: str) -> set:
+        toks = text.strip().split()
+        k = max(len(toks) - 4, 1)
+        return {" ".join(toks[i : i + 5]) for i in range(k)}
+
+    first: dict[str, int] = {}
+    for d in sorted(docs):
+        for g in grams(docs[d]):
+            first.setdefault(g, d)
+    for d, text in docs.items():
+        gs = grams(text)
+        n_novel = sum(1 for g in gs if first[g] == d)
+        assert res[d] == (len(gs), n_novel)
+    # sum of novel grams over docs == number of distinct grams
+    assert sum(v[1] for v in res.values()) == len(first)
