@@ -1511,3 +1511,126 @@ def train_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )
+
+
+def _curated_mix_oracle() -> str:
+    """Full replay of the curated-mix pipeline: MinHash pairs →
+    recursive-CTE components → quality-argmax survivor per cluster →
+    temperature-scaled (p ∝ n^0.5) language quotas over the SURVIVOR
+    counts → md5 reproducible-shuffle fill.  Thresholds sit ≥0.10
+    from every integer rank at all three SFs (verified), so the
+    float rk<=quota compare is cross-engine stable."""
+    from pdf_etl_ocr_inference_spark.plans.dedup_plans import (
+        _minhash_oracle_sql,
+    )
+
+    return f"""
+    WITH RECURSIVE mp AS (
+      SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) _m
+    ), edges AS (
+      SELECT id_a, id_b FROM mp
+      UNION SELECT id_b AS id_a, id_a AS id_b FROM mp
+    ), nodes AS (
+      SELECT DISTINCT id_a AS doc_id FROM edges
+    ), reach AS (
+      SELECT doc_id, doc_id AS root FROM nodes
+      UNION
+      SELECT e.id_a AS doc_id, r.root FROM edges e
+      JOIN reach r ON e.id_b = r.doc_id
+    ), lab AS (
+      SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
+    ), qq AS (
+      SELECT doc_id, {_QUALITY_SQL} AS q FROM documents
+    ), ranked AS (
+      SELECT lab.doc_id, ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+        ORDER BY qq.q DESC, lab.doc_id) AS rk
+      FROM lab JOIN qq USING (doc_id)
+    ), drop_ AS (
+      SELECT doc_id FROM ranked WHERE rk > 1
+    ), surv AS (
+      SELECT d.doc_id, d.lang FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_)
+    ), c AS (
+      SELECT lang, COUNT(*) AS n FROM surv GROUP BY lang
+    ), w AS (
+      SELECT lang, POWER(n, 0.5) AS w,
+             SUM(POWER(n, 0.5)) OVER () AS tot FROM c
+    ), r AS (
+      SELECT doc_id, lang, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY MD5(doc_id::VARCHAR)) AS rk
+      FROM surv
+    )
+    SELECT r.doc_id, r.lang FROM r JOIN w USING (lang)
+    WHERE r.rk <= 100 * w.w / w.tot
+    """
+
+
+@register(
+    "pipeline_curated_mix",
+    _curated_mix_oracle,
+    doc="end-to-end CURATED-MIX pipeline composing this round's "
+    "curation ops: MinHash near-dup clusters collapse to their "
+    "argmax-quality survivor (dedup_cluster_best_quality's rule), "
+    "then the temperature-scaled language mix (train_temperature_mix, "
+    "p ∝ n^0.5) is drawn over SURVIVOR counts — dedup-then-mix, the "
+    "order that stops duplicate-heavy languages from inflating "
+    "their own quota. All stages replay in ONE oracle SQL (pair "
+    "replay, recursive-CTE components, argmax rule, POWER quotas, "
+    "md5 fill). Data-plane shape: the dedup pair graph (∝ "
+    "duplication), one anti-join against the drop set, one "
+    "combinable lang count, one per-lang rank window.",
+)
+def pipeline_curated_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.text import quality_score
+    from pdf_etl_ocr_inference_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(
+        docs,
+        "text",
+        "doc_id",
+        num_hashes=32,
+        num_bands=8,
+        jaccard_threshold=0.5,
+        hash_family="md5",
+    )
+    labels, _ = connected_components(pairs.select("id_a", "id_b"))
+    q = docs.select(F.col("doc_id"), quality_score("text").alias("q"))
+    members = labels.join(q, labels["node"] == q["doc_id"]).select(
+        F.col("component").alias("cluster_id"), "doc_id", "q"
+    )
+    best = members.groupBy("cluster_id").agg(
+        (-F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("nid")))[
+            "nid"
+        ]).alias("survivor_id")
+    )
+    drop = (
+        members.join(best, "cluster_id")
+        .filter(F.col("doc_id") != F.col("survivor_id"))
+        .select("doc_id")
+    )
+    surv = docs.select("doc_id", "lang").join(drop, "doc_id", "left_anti")
+    quotas = (
+        surv.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.pow(F.col("n"), F.lit(0.5)))
+    )
+    from pyspark.sql.window import Window
+
+    quotas = quotas.withColumn(
+        "tot", F.sum("w").over(Window.partitionBy())
+    ).select(
+        "lang", (F.lit(100) * F.col("w") / F.col("tot")).alias("quota")
+    )
+    rk = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string"))
+    )
+    return (
+        surv.withColumn("rk", F.row_number().over(rk))
+        .join(F.broadcast(quotas), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang")
+    )

@@ -204,3 +204,41 @@ def test_novelty_rate_invariants(spark):
         assert res[d] == (len(gs), n_novel)
     # sum of novel grams over docs == number of distinct grams
     assert sum(v[1] for v in res.values()) == len(first)
+
+
+def test_curated_mix_draws_from_survivors_only(spark):
+    sel = {
+        r["doc_id"]: r["lang"]
+        for r in _SPECS["pipeline_curated_mix"].fn(spark, SF).collect()
+    }
+    assert sel
+    # non-survivors (cluster members other than the best) never appear
+    best = {
+        r["cluster_id"]: r["survivor_id"]
+        for r in _SPECS["dedup_cluster_best_quality"].fn(spark, SF).collect()
+    }
+    labels, _ = connected_components(
+        _minhash_pairs(spark).select("id_a", "id_b")
+    )
+    dropped = {
+        r["node"]
+        for r in labels.collect()
+        if r["node"] != best[r["component"]]
+    }
+    assert not (set(sel) & dropped)
+    # the mix is a subset of the plain temperature mix domain rule:
+    # every language respects its survivor-count-derived quota
+    surv_counts: dict[str, int] = {}
+    all_langs = {
+        r["doc_id"]: r["lang"]
+        for r in _docs(spark).select("doc_id", "lang").collect()
+    }
+    for d, lg in all_langs.items():
+        if d not in dropped:
+            surv_counts[lg] = surv_counts.get(lg, 0) + 1
+    tot = sum(n**0.5 for n in surv_counts.values())
+    picked: dict[str, int] = {}
+    for lg in sel.values():
+        picked[lg] = picked.get(lg, 0) + 1
+    for lg, n in picked.items():
+        assert n <= 100 * (surv_counts[lg] ** 0.5) / tot + 1e-9
