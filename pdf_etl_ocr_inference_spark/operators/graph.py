@@ -171,3 +171,43 @@ def triangle_count(
         closed.agg(F.count(F.lit(1)).alias("n_triangles"))
         .crossJoin(stats)
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """The k-core of an undirected graph: iteratively peel nodes of
+    degree < k until fixpoint (Seidman 1983).  ``edges`` must already
+    be symmetric (both directions present, like ``pagerank``'s input).
+
+    Returns ``(node, core_degree)`` — the surviving nodes with their
+    degree WITHIN the core.  Each round is one semi-join of the edge
+    list against the alive set + one combinable degree count; the
+    corpus never enters the loop, and the edge list only shrinks.
+    Converges in at most O(peel depth) rounds; raises past
+    ``max_rounds`` rather than returning a non-core (the
+    dedup_clusters loud-failure convention).
+    """
+    from pdf_etl_ocr_inference_spark.operators.layout import truncate_lineage
+
+    live = truncate_lineage(edges.select("s", "t"))
+    prev = live.select("s").distinct().count()
+    for _ in range(max_rounds):
+        deg = live.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        alive = deg.filter(F.col("d") >= k).select("s")
+        live = truncate_lineage(
+            live.join(alive, "s", "leftsemi").join(
+                alive.select(F.col("s").alias("t")), "t", "leftsemi"
+            )
+        )
+        n = live.select("s").distinct().count()
+        if n == prev:
+            return live.groupBy("s").agg(
+                F.count(F.lit(1)).alias("core_degree")
+            )
+        prev = n
+    raise RuntimeError(
+        f"k_core: peeling did not converge in {max_rounds} rounds"
+    )

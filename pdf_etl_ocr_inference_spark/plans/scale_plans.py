@@ -1205,3 +1205,73 @@ def op70g_multiaxis_partitioned_layout(
             2,
         ).alias("total"),
     )
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 8) -> str:
+    """Chained-CTE peel: a0 = all nodes, a{i} = nodes with >= k
+    neighbors inside a{i-1}.  The k-core fixpoint is unique and the
+    peel is idempotent once converged, so running a FIXED number of
+    rounds >= the peel depth replays the Spark loop (which detects
+    convergence and raises past its cap) value-for-value.
+
+    Every peel CTE is ``AS MATERIALIZED``: each round references the
+    previous one TWICE (both endpoints), so DuckDB's default inlining
+    re-evaluates the whole upstream gram pipeline 2^rounds times —
+    measured as a 19-minute hang at 8 rounds vs 0.2 s materialized."""
+    parts = ["a0 AS MATERIALIZED (SELECT DISTINCT s FROM em)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT e.s FROM em e "
+            f"JOIN a{i - 1} x ON e.s = x.s "
+            f"JOIN a{i - 1} y ON e.t = y.s "
+            f"GROUP BY e.s HAVING COUNT(*) >= {k})"
+        )
+    return (
+        "WITH "
+        + _PR_GRAPH
+        + ", em AS MATERIALIZED (SELECT s, t FROM edges), "
+        + ", ".join(parts)
+        + f" SELECT e.s AS doc_id, COUNT(*) AS core_degree "
+        f"FROM em e JOIN a{rounds} x ON e.s = x.s "
+        f"JOIN a{rounds} y ON e.t = y.s GROUP BY e.s"
+    )
+
+
+@register(
+    "graph_kcore",
+    _kcore_oracle_sql(k=2, rounds=8),
+    doc="k-core decomposition (Seidman 1983, k=2) of the span-share "
+    "graph: iteratively peel docs with fewer than k within-core "
+    "neighbors until fixpoint — the dense knot that survives is the "
+    "heavily-templated/boilerplate cluster worth auditing as a "
+    "GROUP (pagerank flags individual hubs; the core flags the "
+    "mutually-reinforcing set). Same collapsed-clique edge build as "
+    "graph_pagerank; each peel round is one semi-join + one "
+    "combinable degree count over the (shrinking) edge list, the "
+    "corpus never enters the loop, and non-convergence raises "
+    "rather than returning a non-core. Oracle: fixed 8-round "
+    "chained-CTE peel (idempotent past the fixpoint, depth 2 on "
+    "this corpus).",
+)
+def graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.dedup import exact_dedup
+    from pdf_etl_ocr_inference_spark.operators.graph import k_core
+    from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+        positional_ngrams,
+    )
+
+    docs = exact_dedup(
+        _t(spark, sf, "documents").select("doc_id", "text"),
+        "text",
+        "doc_id",
+    )
+    occ = positional_ngrams(docs, "text", "doc_id", 6).select("id", "gram")
+    dp = _gram_share_pairs(occ)
+    edges = dp.select(
+        F.col("ia").alias("s"), F.col("ib").alias("t")
+    ).unionByName(
+        dp.select(F.col("ib").alias("s"), F.col("ia").alias("t"))
+    )
+    return k_core(edges, k=2, max_rounds=8).select(
+        F.col("s").alias("doc_id"), "core_degree"
+    )

@@ -242,3 +242,44 @@ def test_curated_mix_draws_from_survivors_only(spark):
         picked[lg] = picked.get(lg, 0) + 1
     for lg, n in picked.items():
         assert n <= 100 * (surv_counts[lg] ** 0.5) / tot + 1e-9
+
+
+def test_kcore_is_maximal_and_consistent(spark):
+    res = {
+        r["doc_id"]: r["core_degree"]
+        for r in _SPECS["graph_kcore"].fn(spark, SF).collect()
+    }
+    assert res, "fixture corpus has a non-empty 2-core"
+    # rebuild the span-share edge set independently and verify the
+    # core property: every member has >= 2 neighbors IN the core, and
+    # no peeled node could survive (maximality via fixpoint re-peel)
+    from pdf_etl_ocr_inference_spark.operators.dedup import exact_dedup
+    from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+        positional_ngrams,
+    )
+    from pdf_etl_ocr_inference_spark.plans.scale_plans import (
+        _gram_share_pairs,
+    )
+
+    docs = exact_dedup(
+        _docs(spark).select("doc_id", "text"), "text", "doc_id"
+    )
+    occ = positional_ngrams(docs, "text", "doc_id", 6).select("id", "gram")
+    pairs = {
+        (r["ia"], r["ib"]) for r in _gram_share_pairs(occ).collect()
+    }
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # python reference peel
+    alive = set(adj)
+    while True:
+        keep = {v for v in alive if len(adj[v] & alive) >= 2}
+        if keep == alive:
+            break
+        alive = keep
+    assert set(res) == alive
+    for v, d in res.items():
+        assert d == len(adj[v] & alive)
+        assert d >= 2
