@@ -1411,6 +1411,12 @@ def sf_scaling_sweep(spark) -> dict:
         "graph_pagerank",
         "graph_triangles",
         "dedup_span_scrub",
+        # continuation-session additions: the two NEW plan shapes
+        # (first-occurrence gram attribution; pair-graph CC + argmax
+        # collapse + derived-quota mix) — the other new entries reuse
+        # already-swept shapes (minhash pair set, pagerank edge build)
+        "text_novelty_rate",
+        "pipeline_curated_mix",
     ]
     sfs = ["sf0.001", "sf0.01", "sf0.1"]
     out: dict = {}
