@@ -193,8 +193,14 @@ def k_core(
     from pdf_etl_ocr_inference_spark.operators.layout import truncate_lineage
 
     live = truncate_lineage(edges.select("s", "t"))
-    prev = live.select("s").distinct().count()
-    for _ in range(max_rounds):
+    # With symmetric edges the node set shrinks iff an edge dropped,
+    # so a plain edge count detects the fixpoint — no distinct shuffle.
+    prev = live.count()
+    # range(max_rounds + 1): detecting convergence costs one extra
+    # no-change round, so a peel of depth == max_rounds still lands
+    # inside the loop — keeping the budget aligned with the oracle's
+    # fixed max_rounds-round CTE chain (which needs no detection).
+    for _ in range(max_rounds + 1):
         deg = live.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
         alive = deg.filter(F.col("d") >= k).select("s")
         live = truncate_lineage(
@@ -202,7 +208,7 @@ def k_core(
                 alive.select(F.col("s").alias("t")), "t", "leftsemi"
             )
         )
-        n = live.select("s").distinct().count()
+        n = live.count()
         if n == prev:
             return live.groupBy("s").agg(
                 F.count(F.lit(1)).alias("core_degree")

@@ -112,3 +112,51 @@ def stratified_fixed_n(
         .filter(F.col("_srn") <= n_per_stratum)
         .drop("_srn")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    budget: int,
+    alpha: float,
+) -> DataFrame:
+    """Temperature-scaled group rebalance (mT5 §3.1 / UniMax-style):
+    per-group sampling mass ∝ count^alpha (alpha = 1/T), quotas
+    derived from the input's OWN group counts in one combinable
+    groupBy, filled by ranking rows on md5(id) — the deterministic
+    reproducible-shuffle fill.  A quota above a group's count
+    self-saturates at the count (UniMax's one-epoch cap).
+
+    THE single definition of the mix rule: ``train_temperature_mix``
+    applies it to the raw corpus and ``pipeline_curated_mix`` to the
+    dedup survivors — both must keep matching their shared oracle SQL.
+
+    Returns ``df``'s (id, group) pairs for the selected rows.  The
+    float ``rk <= budget*w/tot`` compare is cross-engine stable as
+    long as thresholds sit away from integers — verify per corpus
+    (both catalog entries do, ≥0.08 at all three SFs).
+    """
+    quotas = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.pow(F.col("n"), F.lit(alpha)))
+    )
+    # Global normalizer over the handful of group rows: an
+    # unpartitioned window on a group-count-sized frame, not the data.
+    quotas = quotas.withColumn(
+        "tot", F.sum("w").over(Window.partitionBy())
+    ).select(
+        group_col,
+        (F.lit(budget) * F.col("w") / F.col("tot")).alias("quota"),
+    )
+    rk = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string"))
+    )
+    return (
+        df.select(id_col, group_col)
+        .withColumn("rk", F.row_number().over(rk))
+        .join(F.broadcast(quotas), group_col)
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(id_col, group_col)
+    )

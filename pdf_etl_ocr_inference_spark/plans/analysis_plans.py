@@ -412,30 +412,32 @@ def op63c_entropy_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _op64_oracle() -> str:
+    from pdf_etl_ocr_inference_spark.functions.splits import hash_split_sql
+
+    return (
+        "SELECT split, lang, COUNT(*) AS n FROM ("
+        f"  SELECT lang, {hash_split_sql('doc_id')} AS split "
+        "FROM documents) GROUP BY split, lang"
+    )
+
+
 @register(
     "op64_train_test_split",
-    "SELECT split, lang, COUNT(*) AS n FROM ("
-    "  SELECT lang, CASE WHEN "
-    "  CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) "
-    "    AS INTEGER) % 10 < 8 "
-    "  THEN 'train' ELSE 'eval' END AS split FROM documents) "
-    "GROUP BY split, lang",
+    _op64_oracle,
     doc="deterministic hash-based train/eval split (md5 of the stable "
-    "id, bucket mod 10) — reproducible across engines, runs, and "
-    "cluster sizes, unlike sample()'s partition-dependent RNG. The "
-    "pattern for stable dataset splits at any scale.",
+    "id, bucket mod 10; THE rule lives in functions/splits.py, shared "
+    "with its auditor train_split_leakage) — reproducible across "
+    "engines, runs, and cluster sizes, unlike sample()'s "
+    "partition-dependent RNG. The pattern for stable dataset splits "
+    "at any scale.",
 )
 def op64_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.splits import hash_split
+
     docs = _t(spark, sf, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long")
-        % 10
-    )
     return (
-        docs.withColumn(
-            "split", F.when(bucket < 8, "train").otherwise("eval")
-        )
+        docs.withColumn("split", hash_split("doc_id"))
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n"))
     )

@@ -162,20 +162,27 @@ def ann_centroid_outliers(spark: SparkSession, sf: str) -> DataFrame:
             "long"
         ),
     )
-    qdists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    qvec,
-                    F.array(*[F.lit(v).cast("long") for v in qc]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            for qc in qcents
-        ]
-    )
+    # Let-bind qvec via the 1-element-array wrapper (the word_ngrams
+    # trick): HOF lambda bodies get no common-subexpression
+    # elimination, so referencing qvec directly inside each of the 8
+    # per-centroid distances would quantize the embedding 8x per row.
+    qdists = F.transform(
+        F.array(qvec),
+        lambda qv: F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        qv,
+                        F.array(*[F.lit(v).cast("long") for v in qc]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                )
+                for qc in qcents
+            ]
+        ),
+    )[0]
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("qdist").desc(), F.col("vec_id")
     )

@@ -974,17 +974,21 @@ def dedup_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _cluster_best_quality_oracle() -> str:
-    """DuckDB replay of near-dup cluster collapse with quality-aware
-    survivor selection: the full MinHash-LSH pair replay feeds a
-    recursive-CTE connected components, then each cluster keeps its
-    argmax-quality member (tie → min doc_id).  The quality expression
-    is the same per-row IEEE-stable formula train_plans._QUALITY_SQL
-    mirrors from functions.text.quality_score."""
+def _cc_quality_ranked_sql() -> str:
+    """Shared CTE chain ``mp → edges → nodes → reach → lab → qq →
+    ranked``: the full MinHash-LSH pair replay feeds a recursive-CTE
+    connected components, then every cluster member is ranked by
+    (quality DESC, doc_id) — rk = 1 is the argmax-quality survivor.
+    THE single definition, consumed by the
+    ``dedup_cluster_best_quality`` oracle and spliced into
+    ``pipeline_curated_mix``'s (train_plans), so the survivor rule
+    cannot drift between the entry and the pipeline.  The quality
+    expression is the same per-row IEEE-stable formula
+    train_plans._QUALITY_SQL mirrors from functions.text.quality_score.
+    Callers must prefix ``WITH RECURSIVE``."""
     from pdf_etl_ocr_inference_spark.plans.train_plans import _QUALITY_SQL
 
-    return f"""
-    WITH RECURSIVE mp AS (
+    return f"""mp AS (
       SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) _m
     ), edges AS (
       SELECT id_a, id_b FROM mp
@@ -998,14 +1002,19 @@ def _cluster_best_quality_oracle() -> str:
       JOIN reach r ON e.id_b = r.doc_id
     ), lab AS (
       SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
-    ), q AS (
+    ), qq AS (
       SELECT doc_id, {_QUALITY_SQL} AS q FROM documents
     ), ranked AS (
-      SELECT lab.cluster_id, lab.doc_id, q.q,
+      SELECT lab.cluster_id, lab.doc_id, qq.q,
              ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
-                                ORDER BY q.q DESC, lab.doc_id) AS rk
-      FROM lab JOIN q USING (doc_id)
-    )
+                                ORDER BY qq.q DESC, lab.doc_id) AS rk
+      FROM lab JOIN qq USING (doc_id)
+    )"""
+
+
+def _cluster_best_quality_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_cc_quality_ranked_sql()}
     SELECT cluster_id,
            MAX(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
            COUNT(*) AS n_members,
@@ -1014,21 +1023,11 @@ def _cluster_best_quality_oracle() -> str:
     """
 
 
-@register(
-    "dedup_cluster_best_quality",
-    _cluster_best_quality_oracle,
-    doc="near-dedup cluster collapse with QUALITY-AWARE survivor "
-    "selection (the FineWeb/Dolma practice: keep the best document "
-    "of each near-duplicate cluster, not the lowest id): MinHash-LSH "
-    "verified pairs -> log-round connected components -> per-cluster "
-    "argmax quality_score (tie: min doc_id). The argmax is ONE "
-    "map-side-combinable max(struct(q, -doc_id)) groupBy — no "
-    "window sort over the corpus; CC runs on the pair graph only, "
-    "never the corpus, so cost scales with duplication, not data. "
-    "Oracle replays pairs, components (recursive CTE), and the "
-    "argmax rule value-for-value.",
-)
-def dedup_cluster_best_quality(spark: SparkSession, sf: str) -> DataFrame:
+def quality_cluster_members(spark: SparkSession, sf: str) -> DataFrame:
+    """(cluster_id, doc_id, q) for every near-dup cluster member —
+    the shared Spark first stage of ``dedup_cluster_best_quality``
+    and ``pipeline_curated_mix`` (mirrors ``_cc_quality_ranked_sql``
+    through ``ranked``'s inputs)."""
     from pdf_etl_ocr_inference_spark.functions.text import quality_score
     from pdf_etl_ocr_inference_spark.operators.dedup import (
         connected_components,
@@ -1046,9 +1045,27 @@ def dedup_cluster_best_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
     labels, _ = connected_components(pairs.select("id_a", "id_b"))
     q = docs.select(F.col("doc_id"), quality_score("text").alias("q"))
-    members = labels.join(q, labels["node"] == q["doc_id"]).select(
+    return labels.join(q, labels["node"] == q["doc_id"]).select(
         F.col("component").alias("cluster_id"), "doc_id", "q"
     )
+
+
+@register(
+    "dedup_cluster_best_quality",
+    _cluster_best_quality_oracle,
+    doc="near-dedup cluster collapse with QUALITY-AWARE survivor "
+    "selection (the FineWeb/Dolma practice: keep the best document "
+    "of each near-duplicate cluster, not the lowest id): MinHash-LSH "
+    "verified pairs -> log-round connected components -> per-cluster "
+    "argmax quality_score (tie: min doc_id). The argmax is ONE "
+    "map-side-combinable max(struct(q, -doc_id)) groupBy — no "
+    "window sort over the corpus; CC runs on the pair graph only, "
+    "never the corpus, so cost scales with duplication, not data. "
+    "Oracle replays pairs, components (recursive CTE), and the "
+    "argmax rule value-for-value.",
+)
+def dedup_cluster_best_quality(spark: SparkSession, sf: str) -> DataFrame:
+    members = quality_cluster_members(spark, sf)
     # argmax(q), tie min id: max of (q, -doc_id) struct — a partial-
     # aggregatable groupBy, identical semantics to the oracle's
     # ROW_NUMBER(ORDER BY q DESC, doc_id) = 1 row.

@@ -339,18 +339,19 @@ _TEMP_ALPHA = 0.5
 _TEMP_BUDGET = 100
 
 
+def _temperature_mix_oracle() -> str:
+    from pdf_etl_ocr_inference_spark.plans.mix_sql import (
+        temperature_mix_sql,
+    )
+
+    return "WITH " + temperature_mix_sql(
+        "documents", "lang", "doc_id", _TEMP_BUDGET, _TEMP_ALPHA
+    )
+
+
 @register(
     "train_temperature_mix",
-    f"""
-    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
-    w AS (SELECT lang, POWER(n, {_TEMP_ALPHA}) AS w,
-                 SUM(POWER(n, {_TEMP_ALPHA})) OVER () AS tot FROM c),
-    r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
-            PARTITION BY lang ORDER BY MD5(doc_id::VARCHAR)) AS rk
-          FROM documents)
-    SELECT r.doc_id, r.lang FROM r JOIN w USING (lang)
-    WHERE r.rk <= {_TEMP_BUDGET} * w.w / w.tot
-    """,
+    _temperature_mix_oracle,
     doc="temperature-scaled language mixing (mT5 §3.1 / UniMax-style "
     "rebalance): per-language sampling mass ∝ count^alpha "
     f"(alpha={_TEMP_ALPHA}, i.e. T=2), quotas DERIVED from corpus "
@@ -365,32 +366,16 @@ _TEMP_BUDGET = 100
     "rank swaps for op34d's bucketed scalable ranks verbatim.",
 )
 def train_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from pdf_etl_ocr_inference_spark.operators.sampling import (
+        temperature_mix,
+    )
 
-    counts = (
-        _t(spark, sf, "documents")
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("w", F.pow(F.col("n"), F.lit(_TEMP_ALPHA)))
-    )
-    # Global normalizer over the handful of language rows: an
-    # unpartitioned window on a lang-count-sized frame, not the corpus.
-    quotas = counts.withColumn(
-        "tot", F.sum("w").over(Window.partitionBy())
-    ).select(
+    return temperature_mix(
+        _t(spark, sf, "documents"),
         "lang",
-        (F.lit(_TEMP_BUDGET) * F.col("w") / F.col("tot")).alias("quota"),
-    )
-    rk = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string"))
-    )
-    return (
-        _t(spark, sf, "documents")
-        .select("doc_id", "lang")
-        .withColumn("rk", F.row_number().over(rk))
-        .join(F.broadcast(quotas), "lang")
-        .filter(F.col("rk") <= F.col("quota"))
-        .select("doc_id", "lang")
+        "doc_id",
+        budget=_TEMP_BUDGET,
+        alpha=_TEMP_ALPHA,
     )
 
 

@@ -1440,6 +1440,7 @@ def _split_leakage_oracle() -> str:
     replay joined to each endpoint's train/eval bucket.  Lazy so the
     import of dedup_plans' oracle generator happens at resolution
     time, not at module import."""
+    from pdf_etl_ocr_inference_spark.functions.splits import hash_split_sql
     from pdf_etl_ocr_inference_spark.plans.dedup_plans import (
         _minhash_oracle_sql,
     )
@@ -1447,10 +1448,8 @@ def _split_leakage_oracle() -> str:
     return f"""
     WITH mp AS (SELECT id_a, id_b, jaccard
                 FROM ({_minhash_oracle_sql()}) _m),
-    sp AS (SELECT doc_id, CASE WHEN
-             CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
-               AS INTEGER) % 10 < 8
-             THEN 'train' ELSE 'eval' END AS split FROM documents)
+    sp AS (SELECT doc_id, {hash_split_sql("doc_id")} AS split
+           FROM documents)
     SELECT mp.id_a, mp.id_b, mp.jaccard,
            sa.split AS split_a, sb.split AS split_b
     FROM mp JOIN sp sa ON sa.doc_id = mp.id_a
@@ -1475,6 +1474,7 @@ def _split_leakage_oracle() -> str:
     "eval members' whole clusters (dedup_clusters) across.",
 )
 def train_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.functions.splits import hash_split
     from pdf_etl_ocr_inference_spark.operators.dedup import (
         minhash_dedup_pairs,
     )
@@ -1489,16 +1489,7 @@ def train_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
         jaccard_threshold=0.5,
         hash_family="md5",
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-        ).cast("long")
-        % 10
-    )
-    sp = docs.select(
-        "doc_id",
-        F.when(bucket < 8, "train").otherwise("eval").alias("split"),
-    )
+    sp = docs.select("doc_id", hash_split("doc_id").alias("split"))
     sa = sp.select(
         F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
     )
@@ -1514,54 +1505,28 @@ def train_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _curated_mix_oracle() -> str:
-    """Full replay of the curated-mix pipeline: MinHash pairs →
-    recursive-CTE components → quality-argmax survivor per cluster →
-    temperature-scaled (p ∝ n^0.5) language quotas over the SURVIVOR
-    counts → md5 reproducible-shuffle fill.  Thresholds sit ≥0.10
-    from every integer rank at all three SFs (verified), so the
-    float rk<=quota compare is cross-engine stable."""
+    """Full replay of the curated-mix pipeline, spliced from ITS
+    COMPONENTS' shared fragments: dedup_plans._cc_quality_ranked_sql
+    (MinHash pairs → recursive-CTE components → quality-argmax
+    ranking) + mix_sql.temperature_mix_sql over the survivor set —
+    so a change to either component rule propagates here by
+    construction.  Thresholds sit ≥0.10 from every integer rank at
+    all three SFs (verified), so the float rk<=quota compare is
+    cross-engine stable."""
     from pdf_etl_ocr_inference_spark.plans.dedup_plans import (
-        _minhash_oracle_sql,
+        _cc_quality_ranked_sql,
+    )
+    from pdf_etl_ocr_inference_spark.plans.mix_sql import (
+        temperature_mix_sql,
     )
 
     return f"""
-    WITH RECURSIVE mp AS (
-      SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) _m
-    ), edges AS (
-      SELECT id_a, id_b FROM mp
-      UNION SELECT id_b AS id_a, id_a AS id_b FROM mp
-    ), nodes AS (
-      SELECT DISTINCT id_a AS doc_id FROM edges
-    ), reach AS (
-      SELECT doc_id, doc_id AS root FROM nodes
-      UNION
-      SELECT e.id_a AS doc_id, r.root FROM edges e
-      JOIN reach r ON e.id_b = r.doc_id
-    ), lab AS (
-      SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
-    ), qq AS (
-      SELECT doc_id, {_QUALITY_SQL} AS q FROM documents
-    ), ranked AS (
-      SELECT lab.doc_id, ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
-        ORDER BY qq.q DESC, lab.doc_id) AS rk
-      FROM lab JOIN qq USING (doc_id)
-    ), drop_ AS (
+    WITH RECURSIVE {_cc_quality_ranked_sql()}, drop_ AS (
       SELECT doc_id FROM ranked WHERE rk > 1
     ), surv AS (
       SELECT d.doc_id, d.lang FROM documents d
       WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_)
-    ), c AS (
-      SELECT lang, COUNT(*) AS n FROM surv GROUP BY lang
-    ), w AS (
-      SELECT lang, POWER(n, 0.5) AS w,
-             SUM(POWER(n, 0.5)) OVER () AS tot FROM c
-    ), r AS (
-      SELECT doc_id, lang, ROW_NUMBER() OVER (
-        PARTITION BY lang ORDER BY MD5(doc_id::VARCHAR)) AS rk
-      FROM surv
-    )
-    SELECT r.doc_id, r.lang FROM r JOIN w USING (lang)
-    WHERE r.rk <= 100 * w.w / w.tot
+    ), {temperature_mix_sql("surv", "lang", "doc_id", 100, 0.5)}
     """
 
 
@@ -1581,27 +1546,15 @@ def _curated_mix_oracle() -> str:
     "combinable lang count, one per-lang rank window.",
 )
 def pipeline_curated_mix(spark: SparkSession, sf: str) -> DataFrame:
-    from pdf_etl_ocr_inference_spark.functions.text import quality_score
-    from pdf_etl_ocr_inference_spark.operators.dedup import (
-        connected_components,
-        minhash_dedup_pairs,
+    from pdf_etl_ocr_inference_spark.operators.sampling import (
+        temperature_mix,
+    )
+    from pdf_etl_ocr_inference_spark.plans.dedup_plans import (
+        quality_cluster_members,
     )
 
-    docs = _t(spark, sf, "documents")
-    pairs = minhash_dedup_pairs(
-        docs,
-        "text",
-        "doc_id",
-        num_hashes=32,
-        num_bands=8,
-        jaccard_threshold=0.5,
-        hash_family="md5",
-    )
-    labels, _ = connected_components(pairs.select("id_a", "id_b"))
-    q = docs.select(F.col("doc_id"), quality_score("text").alias("q"))
-    members = labels.join(q, labels["node"] == q["doc_id"]).select(
-        F.col("component").alias("cluster_id"), "doc_id", "q"
-    )
+    members = quality_cluster_members(spark, sf)
+    # argmax(q), tie min id — the dedup_cluster_best_quality rule
     best = members.groupBy("cluster_id").agg(
         (-F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("nid")))[
             "nid"
@@ -1612,25 +1565,9 @@ def pipeline_curated_mix(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("survivor_id"))
         .select("doc_id")
     )
-    surv = docs.select("doc_id", "lang").join(drop, "doc_id", "left_anti")
-    quotas = (
-        surv.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("w", F.pow(F.col("n"), F.lit(0.5)))
-    )
-    from pyspark.sql.window import Window
-
-    quotas = quotas.withColumn(
-        "tot", F.sum("w").over(Window.partitionBy())
-    ).select(
-        "lang", (F.lit(100) * F.col("w") / F.col("tot")).alias("quota")
-    )
-    rk = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string"))
-    )
-    return (
-        surv.withColumn("rk", F.row_number().over(rk))
-        .join(F.broadcast(quotas), "lang")
-        .filter(F.col("rk") <= F.col("quota"))
+    surv = (
+        _t(spark, sf, "documents")
         .select("doc_id", "lang")
+        .join(drop, "doc_id", "left_anti")
     )
+    return temperature_mix(surv, "lang", "doc_id", budget=100, alpha=0.5)

@@ -49,6 +49,11 @@ ALLOWLIST: set[tuple[str, str]] = {
     # adc_distance's identical let-binding wrapper around the literal
     # LUT: the aggregate inside runs once per row.
     ("operators/pq.py", "aggregate"),
+    # ann_centroid_outliers' let-binding wrapper around the quantized
+    # vector: the outer transform iterates a 1-element array, so the
+    # 8 per-centroid aggregates inside run once per row (the point of
+    # the wrapper — without it the quantization ran 8x per row).
+    ("plans/clustering_plans.py", "aggregate"),
 }
 
 
