@@ -200,3 +200,51 @@ def span_index_refresh_fn(path: str):
         )
 
     return fn
+
+
+def batch_novel_gram_counts(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-BATCH-doc novelty against the corpus gram index:
+    ``(id, n_grams, n_new)`` over each doc's DISTINCT n-grams, where
+    ``n_new`` counts grams ABSENT from the index — the net-new-text
+    rate an ingest pipeline reports per batch (a batch that re-crawls
+    known pages adds tokens but no novelty).
+
+    Same probe shape as ``incremental_span_intervals``: the index side
+    is partition-pruned to the batch grams' ``_pb`` dirs and
+    restricted to the (broadcast) batch gram set, so probe cost ∝
+    batch size + matched index rows — the corpus is never
+    re-tokenized and never shuffled."""
+    with open(os.path.join(path, _META)) as f:
+        n = json.load(f)["n"]
+    occ = (
+        positional_ngrams(batch, text_col, id_col, n)
+        .select("id", "gram")
+        .distinct()
+    )
+    grams = occ.select("gram").distinct()
+    probe = _with_pb(grams)
+    pbs = [r["_pb"] for r in probe.select("_pb").distinct().collect()]
+    known = (
+        spark.read.parquet(path)
+        .filter(F.col("_pb").isin(pbs))
+        .select("gram")
+        .join(F.broadcast(grams), "gram", "leftsemi")
+        .distinct()
+        .withColumn("_k", F.lit(1))
+    )
+    return (
+        occ.join(known, "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_k").isNull(), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )

@@ -1287,3 +1287,49 @@ def text_novelty_rate(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("n_novel"),
         )
     )
+
+
+@register(
+    "text_novelty_incremental",
+    """
+    WITH tokd AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t
+      FROM documents),
+    occ AS (
+      SELECT doc_id, ARRAY_TO_STRING(t[i+1:i+6], ' ') AS gram
+      FROM tokd, UNNEST(RANGE(0, GREATEST(LEN(t) - 5, 0))) AS r(i)),
+    b AS (SELECT DISTINCT doc_id, gram FROM occ WHERE doc_id % 10 = 7),
+    corp AS (SELECT DISTINCT gram FROM occ WHERE doc_id % 10 != 7)
+    SELECT b.doc_id AS id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN corp.gram IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new
+    FROM b LEFT JOIN corp ON corp.gram = b.gram GROUP BY b.doc_id
+    """,
+    doc="INCREMENTAL batch novelty: each new-arrivals doc's distinct "
+    "6-grams probed against the persisted corpus gram index "
+    "(operators/span_index.py — built once on the base corpus, never "
+    "re-tokenized); n_new counts grams the corpus has never seen — "
+    "the net-new-text rate an ingest pipeline reports per batch "
+    "before deciding to keep, dedup, or down-weight it. Probe cost "
+    "∝ batch (_pb partition pruning + broadcast gram set, the "
+    "dedup_span_incremental shape). Both branches exercised at "
+    "every SF (237/2276, 247/2630, 1941/23676 known/total batch "
+    "grams). Docs under 6 tokens yield no grams and no row — the "
+    "span-family convention, replayed by the oracle.",
+)
+def text_novelty_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.span_index import (
+        batch_novel_gram_counts,
+        build_span_gram_index,
+    )
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 != 7)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    safe = sf.strip("/").replace("/", "_")
+    path = f"{scratch_dir(f'novidx_{safe}')}/index"
+    build_span_gram_index(spark, base, path, n=6)
+    return batch_novel_gram_counts(spark, path, batch).select(
+        "id", "n_grams", "n_new"
+    )

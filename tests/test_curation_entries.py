@@ -283,3 +283,47 @@ def test_kcore_is_maximal_and_consistent(spark):
     for v, d in res.items():
         assert d == len(adj[v] & alive)
         assert d >= 2
+
+
+def test_novelty_incremental_equals_full_recompute(spark):
+    res = {
+        r["id"]: (r["n_grams"], r["n_new"])
+        for r in _SPECS["text_novelty_incremental"].fn(spark, SF).collect()
+    }
+    assert res
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in _docs(spark).select("doc_id", "text").collect()
+    }
+
+    def grams(text: str) -> set:
+        toks = text.strip().split()
+        return {
+            " ".join(toks[i : i + 6]) for i in range(max(len(toks) - 5, 0))
+        }
+
+    corpus_grams: set = set()
+    for d, t in docs.items():
+        if d % 10 != 7:
+            corpus_grams |= grams(t)
+    both = 0
+    for d, t in docs.items():
+        if d % 10 != 7:
+            continue
+        gs = grams(t)
+        if not gs:
+            assert d not in res
+            continue
+        n_new = sum(1 for g in gs if g not in corpus_grams)
+        assert res[d] == (len(gs), n_new)
+        if 0 < n_new < len(gs):
+            both += 1
+    # the fixture exercises BOTH branches (known and novel grams)
+    assert both > 0
+    # batch runs the probe twice: second call must be identical
+    # (index build is overwrite-idempotent)
+    res2 = {
+        r["id"]: (r["n_grams"], r["n_new"])
+        for r in _SPECS["text_novelty_incremental"].fn(spark, SF).collect()
+    }
+    assert res2 == res
