@@ -316,6 +316,37 @@ def graph_build(spark) -> dict:
     t0 = _t.perf_counter()
     build_hnsw_index(spark, corpus, f"{root}/hnsw", n_shards=32)
     t_hnsw = _t.perf_counter() - t0
+
+    # Fixed-SHARD-SIZE scaling (r10, verdict #2): with n_shards
+    # DERIVED (ceil(rows / GRAPH_SHARD_TARGET_ROWS)), growing the
+    # corpus grows the shard COUNT while every shard stays ~target
+    # rows — so build wall time per shard is flat, and total wall
+    # time is flat too while the shard count fits one task wave
+    # (scale-out: more data -> more parallel bounded builds, never a
+    # bigger sequential one).
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        _read_meta,
+        derive_n_shards,
+    )
+
+    derived = {}
+    for rows in (25_000, 100_000):
+        sub = corpus.filter(F.col("vec_id") < rows)
+        p = f"{root}/nsw_derived_{rows}"
+        t0 = _t.perf_counter()
+        build_nsw_index(spark, sub, p)  # n_shards derived
+        dt = _t.perf_counter() - t0
+        ns = _read_meta(p)["n_shards"]
+        assert ns == derive_n_shards(rows)
+        derived[f"rows_{rows}"] = {
+            "n_shards_derived": ns,
+            "build_sec": round(dt, 2),
+            "sec_per_shard": round(dt / ns, 3),
+        }
+    d25, d100 = derived["rows_25000"], derived["rows_100000"]
+    derived["wall_ratio_4x_rows"] = round(
+        d100["build_sec"] / d25["build_sec"], 2
+    )
     corpus.unpersist()
     shutil.rmtree(root, ignore_errors=True)
     return {
@@ -324,6 +355,7 @@ def graph_build(spark) -> dict:
         "n_shards": 32,
         "nsw_build_sec": round(t_nsw, 2),
         "hnsw_build_sec": round(t_hnsw, 2),
+        "fixed_shard_size_scaling": derived,
     }
 
 
@@ -637,6 +669,75 @@ def minhash_attribution(spark) -> dict:
     # 12 accumulated cache entries before the next bench block
     spark.catalog.clearCache()
     return out
+
+
+def pagerank_attribution(spark) -> dict:
+    """Stage-level attribution for graph_pagerank (r9 verdict #6: at
+    ~9.4 s in the sf0.1 sweep it is the repo's most expensive entry
+    and had no breakdown — a future regression should localize in
+    minutes, the q13/minhash pattern).  Median of 3 per CUMULATIVE
+    stage at SF_DIR with the entry's exact parameters (6-gram share
+    graph, 3 iterations, d=0.85):
+
+    - ``dedup_s`` : exact-dup clique collapse to survivors;
+    - ``grams_s`` : + the positional 6-gram pass over survivors;
+    - ``edges_s`` : + the gram-bucket pair generation and edge
+      symmetrization (the one gram-keyed shuffle — the data-bound
+      stage, ∝ cross-doc duplication);
+    - ``full_s``  : the whole entry (node count + 3 power
+      iterations + dangling redistribution — the iteration-bound
+      tail, flat in data per the sweep's ratio_10x_data 1.4).
+    """
+    import statistics as _st
+
+    from pyspark.sql import functions as SF
+
+    from pdf_etl_ocr_inference_spark.operators.dedup import exact_dedup
+    from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+        positional_ngrams,
+    )
+    from pdf_etl_ocr_inference_spark.plans.scale_plans import (
+        _gram_share_pairs,
+        graph_pagerank,
+    )
+    from pdf_etl_ocr_inference_spark.sources.catalog import load_table
+
+    def med(fn):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return round(_st.median(ts), 3)
+
+    def docs():
+        return exact_dedup(
+            load_table(spark, SF_DIR, "documents").select(
+                "doc_id", "text"
+            ),
+            "text",
+            "doc_id",
+        )
+
+    def occ():
+        return positional_ngrams(docs(), "text", "doc_id", 6).select(
+            "id", "gram"
+        )
+
+    def edges():
+        dp = _gram_share_pairs(occ())
+        return dp.select(
+            SF.col("ia").alias("src"), SF.col("ib").alias("dst")
+        ).unionByName(
+            dp.select(SF.col("ib").alias("src"), SF.col("ia").alias("dst"))
+        )
+
+    return {
+        "dedup_s": med(lambda: docs().count()),
+        "grams_s": med(lambda: occ().count()),
+        "edges_s": med(lambda: edges().count()),
+        "full_s": med(lambda: graph_pagerank(spark, SF_DIR).count()),
+    }
 
 
 def minhash_family_premium(spark) -> dict:
@@ -1232,6 +1333,60 @@ def skipping_attribution(spark) -> dict:
     }
 
 
+def _tiny_file_table(spark, n_files: int) -> str:
+    """A metadata-dominated table: ``n_files`` parquet files of 4
+    ascending ids each (file i holds ids 4i..4i+3) — the fixture both
+    manifest scale blocks share.  Idempotent across bench runs."""
+    from pdf_etl_ocr_inference_spark.operators import layout as L
+
+    path = f"/tmp/spark_graft_scratch/manifest_lookup_{n_files}"
+    have = 0
+    if os.path.isdir(path):
+        have = sum(
+            1
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    if have != n_files:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path)
+
+        def _writer(batches):
+            import pandas as _pd
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                for i in pdf["id"]:
+                    i = int(i)
+                    t = _pa.table(
+                        {
+                            "id": _pa.array(
+                                [i * 4 + j for j in range(4)],
+                                _pa.int64(),
+                            )
+                        }
+                    )
+                    _pq.write_table(t, f"{path}/f{i:06d}.parquet")
+                yield _pd.DataFrame({"n": [len(pdf)]})
+
+        spark.range(n_files).repartition(32).mapInPandas(
+            _writer, schema="n long"
+        ).count()
+    if not os.path.isdir(f"{path}/_bloom_id") or (
+        L._read_manifest_doc(path, "bloom_id") is None
+    ):
+        # fpp is per (file, value): at 64k 4-row files the default
+        # 1% would leak ~650 false-positive file reads per probe
+        # and drown the control-plane number this block measures —
+        # tight fpp is the production knob for many-small-file
+        # tables (16 bytes/file here)
+        L.build_file_bloom(spark, path, "id", fpp=1e-6)
+    return path
+
+
 def manifest_point_lookup_scale(spark) -> dict:
     """Warm point-lookup control-plane cost vs FILE COUNT (r9,
     verdict #1): two tiny-file tables (4k and 64k files, 4 rows
@@ -1254,52 +1409,7 @@ def manifest_point_lookup_scale(spark) -> dict:
     from pdf_etl_ocr_inference_spark.operators import layout as L
 
     def _tiny_table(n_files: int) -> str:
-        path = f"/tmp/spark_graft_scratch/manifest_lookup_{n_files}"
-        have = 0
-        if os.path.isdir(path):
-            have = sum(
-                1
-                for f in os.listdir(path)
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-        if have != n_files:
-            import shutil
-
-            shutil.rmtree(path, ignore_errors=True)
-            os.makedirs(path)
-
-            def _writer(batches):
-                import pandas as _pd
-                import pyarrow as _pa
-                import pyarrow.parquet as _pq
-
-                for pdf in batches:
-                    for i in pdf["id"]:
-                        i = int(i)
-                        t = _pa.table(
-                            {
-                                "id": _pa.array(
-                                    [i * 4 + j for j in range(4)],
-                                    _pa.int64(),
-                                )
-                            }
-                        )
-                        _pq.write_table(t, f"{path}/f{i:06d}.parquet")
-                    yield _pd.DataFrame({"n": [len(pdf)]})
-
-            spark.range(n_files).repartition(32).mapInPandas(
-                _writer, schema="n long"
-            ).count()
-        if not os.path.isdir(f"{path}/_bloom_id") or (
-            L._read_manifest_doc(path, "bloom_id") is None
-        ):
-            # fpp is per (file, value): at 64k 4-row files the default
-            # 1% would leak ~650 false-positive file reads per probe
-            # and drown the control-plane number this block measures —
-            # tight fpp is the production knob for many-small-file
-            # tables (16 bytes/file here)
-            L.build_file_bloom(spark, path, "id", fpp=1e-6)
-        return path
+        return _tiny_file_table(spark, n_files)
 
     def med(fn, reps=5):
         out = []
@@ -1361,6 +1471,90 @@ def manifest_point_lookup_scale(spark) -> dict:
             # the bloom marker stays valid) or the NEXT invocation's
             # "warm" path would silently run legacy
             L.write_inventory_manifest(path)
+        out[f"files_{n_files}"] = {
+            "warm_s": round(warm, 3),
+            "legacy_s": round(legacy, 3),
+            "legacy_over_warm": round(legacy / warm, 1),
+            "driver_sidecar_reads_warm": warm_reads,
+            "live_listing_sweeps_warm": warm_sweeps,
+        }
+    w4, w64 = out["files_4096"]["warm_s"], out["files_65536"]["warm_s"]
+    out["warm_ratio_16x_files"] = round(w64 / w4, 2)
+    return out
+
+
+def manifest_stats_scan_scale(spark) -> dict:
+    """Warm RANGE-scan control-plane cost vs FILE COUNT (r10,
+    verdict #1 — the point-lookup treatment applied to
+    scan_with_skipping): same tiny-file tables, min/max stats
+    sidecars + manifests, then:
+
+    - ``warm_s``: the manifest fast path — probe-verified inventory
+      + stats-marker digest equality, worker-pinned stats chunks,
+      driver collect = PASSING (file, col) rows only.
+    - ``legacy_s``: the pre-r10 entry shape — an explicit stats
+      DataFrame, so every call pays the keep-list Spark filter, the
+      O(files) covered-fingerprint collect, and the file-map
+      reconciliation.
+    - contract counters: ZERO driver sidecar payload reads and ZERO
+      live-listing sweeps during the warm runs.
+    """
+    import statistics as _st
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators import layout as L
+
+    def med(fn, reps=5):
+        ts = []
+        for _ in range(reps):
+            t0 = _t.perf_counter()
+            fn()
+            ts.append(_t.perf_counter() - t0)
+        return _st.median(ts)
+
+    out: dict = {}
+    sweeps = {"n": 0}
+    real_live = L._live_stat_map
+
+    def counting_live(*a, **k):
+        sweeps["n"] += 1
+        return real_live(*a, **k)
+
+    for n_files in (4096, 65536):
+        path = _tiny_file_table(spark, n_files)
+        mid = 4 * (n_files // 2) + 1
+        box = {"id": (float(mid), float(mid + 9))}  # ~3 files overlap
+        # cold: builds/refreshes + stamps the _stats sidecar, then
+        # serves this very call from the fast path
+        df, n_read, n_total = L.scan_with_skipping(spark, path, box)
+        assert n_total == n_files and 0 < n_read <= 4, (n_read, n_total)
+        # callers re-apply the exact predicate (op70b's shape)
+        assert (
+            df.filter(
+                (F.col("id") >= mid) & (F.col("id") <= mid + 9)
+            ).count()
+            == 10
+        )
+        reads_before = L.DRIVER_SIDECAR_READS
+        L._live_stat_map = counting_live
+        sweeps["n"] = 0
+        try:
+            warm = med(
+                lambda: L.scan_with_skipping(spark, path, box)[0].count()
+            )
+            warm_sweeps = sweeps["n"]
+        finally:
+            L._live_stat_map = real_live
+        warm_reads = L.DRIVER_SIDECAR_READS - reads_before
+        stats_df = spark.read.parquet(f"{path}/_stats")
+        legacy = med(
+            lambda: L.scan_with_skipping(spark, path, box, stats=stats_df)[
+                0
+            ].count(),
+            reps=3,
+        )
         out[f"files_{n_files}"] = {
             "warm_s": round(warm, 3),
             "legacy_s": round(legacy, 3),
@@ -1604,6 +1798,8 @@ def main() -> None:
     print(f"# tpch_q13 stage attribution: {q13attr}", file=sys.stderr)
     mhattr = minhash_attribution(spark)
     print(f"# dedup_minhash stage attribution: {mhattr}", file=sys.stderr)
+    prattr = pagerank_attribution(spark)
+    print(f"# graph_pagerank stage attribution: {prattr}", file=sys.stderr)
     mhfam = minhash_family_premium(spark)
     print(f"# minhash hash-family premium: {mhfam}", file=sys.stderr)
     inc_dedup = incremental_dedup_speedup(spark)
@@ -1621,11 +1817,13 @@ def main() -> None:
     ppart = partitioned_prune(spark)
     psrv = pinned_sidecar_serving(spark)
     mscale = manifest_point_lookup_scale(spark)
+    msscan = manifest_stats_scan_scale(spark)
     skipattr = skipping_attribution(spark)
     print(f"# file skipping @4M/64 files: {fskip}", file=sys.stderr)
     print(f"# partitioned layout prune @4M: {ppart}", file=sys.stderr)
     print(f"# executor-pinned sidecar serving: {psrv}", file=sys.stderr)
     print(f"# manifest point lookup scale: {mscale}", file=sys.stderr)
+    print(f"# manifest stats scan scale: {msscan}", file=sys.stderr)
     print(f"# skipping-rewrite attribution: {skipattr}", file=sys.stderr)
     sweep = sf_scaling_sweep(spark)
     print(f"# sf scaling sweep: {sweep}", file=sys.stderr)
@@ -1650,6 +1848,7 @@ def main() -> None:
                 "dedup_family_attribution": dattr,
                 "tpch_q13_attribution": q13attr,
                 "dedup_minhash_attribution": mhattr,
+                "graph_pagerank_attribution": prattr,
                 "minhash_family_premium": mhfam,
                 "incremental_dedup_speedup_200k": inc_dedup,
                 "dedup_mass_dup_scaling": dup_scale,
@@ -1661,6 +1860,7 @@ def main() -> None:
                 "partitioned_prune_4m": ppart,
                 "pinned_sidecar_serving_4m": psrv,
                 "manifest_point_lookup_scale": mscale,
+                "manifest_stats_scan_scale": msscan,
                 "skipping_attribution": skipattr,
                 "sf_scaling_sweep": sweep,
                 "graph_build_100k": gb,

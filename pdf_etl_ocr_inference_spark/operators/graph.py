@@ -193,8 +193,12 @@ def k_core(
     from pdf_etl_ocr_inference_spark.operators.layout import truncate_lineage
 
     live = truncate_lineage(edges.select("s", "t"))
-    # With symmetric edges the node set shrinks iff an edge dropped,
-    # so a plain edge count detects the fixpoint — no distinct shuffle.
+    # The edge list only shrinks (each round semi-joins it against a
+    # subset of the previous alive set), so an UNCHANGED EDGE COUNT is
+    # exactly the fixpoint test — a plain count, no distinct shuffle.
+    # Do NOT switch this to a node count: a peel round can in principle
+    # drop edges without dropping nodes, which a node count would
+    # misread as convergence one round early.
     prev = live.count()
     # range(max_rounds + 1): detecting convergence costs one extra
     # no-change round, so a peel of depth == max_rounds still lands

@@ -50,6 +50,26 @@ GRAPH_SCHEMA = T.StructType(
     ]
 )
 
+# Target rows per graph shard.  Each shard's build is a SEQUENTIAL
+# Python insert loop inside one task (O(rows·ef·M) distance evals) —
+# so a fixed shard COUNT turns into an unbounded per-task build as
+# the corpus grows.  The corpus must grow the shard count, never the
+# shard: the derive_sample_mod doctrine (operators/pq.py) applied to
+# sharding.  4096 unit vectors at d≈128 build in ~1 s per shard and
+# pin in ~4 MB of worker memory.
+GRAPH_SHARD_TARGET_ROWS = 4096
+
+
+def derive_n_shards(
+    n_rows: int, target: int = GRAPH_SHARD_TARGET_ROWS
+) -> int:
+    """``ceil(n_rows / target)``, min 1 — deterministic given the
+    corpus, so the lazy DuckDB oracles (plans/graph_sql.py) replay
+    the SAME rule from the same row count and the per-shard kernel
+    replay cannot drift from the engine's sharding.  Explicit
+    ``n_shards`` overrides remain for tests and benchmarks."""
+    return max(1, -(-int(n_rows) // int(target)))
+
 
 class VecStore:
     """Unit vectors in one contiguous row-major matrix, keyed by id.
@@ -223,11 +243,17 @@ def build_nsw_index(
     path: str,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
-    n_shards: int = 8,
+    n_shards: int | None = None,
     m_neighbors: int = 8,
     ef_construction: int = 32,
 ) -> str:
     """Build the sharded NSW graph and write it partitioned by shard.
+
+    ``n_shards=None`` (default) derives the shard count from the
+    corpus size (:func:`derive_n_shards` — one distributed count,
+    no rows collected), so the per-shard sequential build stays
+    bounded at any corpus scale; a refresh keeps the index's
+    build-time shard count (meta) — resizing is a rebuild.
 
     Each shard builds independently inside ``applyInPandas``: nodes
     insert in ascending id order; the insert loop itself is
@@ -235,6 +261,8 @@ def build_nsw_index(
     """
     import pandas as pd
 
+    if n_shards is None:
+        n_shards = derive_n_shards(corpus.count())
     m, efc = m_neighbors, ef_construction
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -148,11 +148,16 @@ def build_hnsw_index(
     path: str,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
-    n_shards: int = 8,
+    n_shards: int | None = None,
     m_neighbors: int = 8,
     ef_construction: int = 32,
 ) -> str:
     """Build the sharded HNSW graph, partitioned by shard.
+
+    ``n_shards=None`` derives the shard count from the corpus size
+    (graph_ann.derive_n_shards — see that docstring for the
+    bounded-per-shard-build rationale; a refresh keeps the
+    build-time count from meta, resizing is a rebuild).
 
     Per shard (one sequential ``applyInPandas`` task, ascending id
     order): each insert descends from the entry point through layers
@@ -163,6 +168,12 @@ def build_hnsw_index(
     """
     import pandas as pd
 
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        derive_n_shards,
+    )
+
+    if n_shards is None:
+        n_shards = derive_n_shards(corpus.count())
     m, efc = m_neighbors, ef_construction
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -538,13 +538,25 @@ def fresh_manifest_summary(path: str):
 
 _MANIFEST_DOC_CACHE: dict = {}  # path -> (probe, doc, nbytes); LRU
 _MANIFEST_DOC_BUDGET_BYTES: int = 64 << 20
+# Contract counter (tests/test_manifest.py): full-inventory JSON
+# parses.  The staleness machinery must parse the O(files) doc at
+# most ONCE per (path, probe) — including docs past the cache budget.
+MANIFEST_DOC_PARSES: int = 0
 
 
 def fresh_manifest_doc(path: str):
     """The inventory manifest iff its stored probe matches the
     directory's CURRENT probe — else ``None`` (callers fall through
     to the live listing, conservative).  Warm cost: O(dirs) stats +
-    a dict hit; the JSON parse happens once per (path, probe)."""
+    a dict hit; the JSON parse happens once per (path, probe) —
+    ENFORCED, not best-effort: a doc past the LRU byte budget evicts
+    every colder entry and still occupies a single slot (r10; the r9
+    shape silently declined to cache it, so at ~10⁶ files every
+    slow-path caller re-parsed ~100 MB of JSON per query — the exact
+    cost the summary fast path exists to avoid).  Memory stays
+    bounded by ONE inventory (~100 B/file), the same order as the
+    live stat map every consumer of this doc materializes anyway."""
+    global MANIFEST_DOC_PARSES
     try:
         probe = _dir_probe(path)
     except OSError:
@@ -555,7 +567,10 @@ def fresh_manifest_doc(path: str):
         return hit[1]
     _MANIFEST_DOC_CACHE.pop(path, None)
     doc = _read_manifest_doc(path, "inventory")
-    if doc is None or doc.get("format") != 1 or doc.get("probe") != probe:
+    if doc is None:
+        return None
+    MANIFEST_DOC_PARSES += 1
+    if doc.get("format") != 1 or doc.get("probe") != probe:
         return None
     nbytes = sum(len(f) + 64 for f in doc["files"])
     while (
@@ -564,8 +579,7 @@ def fresh_manifest_doc(path: str):
         > _MANIFEST_DOC_BUDGET_BYTES
     ):
         _MANIFEST_DOC_CACHE.pop(next(iter(_MANIFEST_DOC_CACHE)))
-    if nbytes <= _MANIFEST_DOC_BUDGET_BYTES:
-        _MANIFEST_DOC_CACHE[path] = (probe, doc, nbytes)
+    _MANIFEST_DOC_CACHE[path] = (probe, doc, nbytes)
     return doc
 
 
@@ -580,6 +594,38 @@ def manifest_stat_map(path: str) -> dict:
     return {f: (int(sz), int(mt)) for f, (sz, mt) in doc["files"].items()}
 
 
+def _manifest_stats_keep(spark, path: str, ranges: dict):
+    """``(sorted keep files, n_files)`` via the warm fast path, or
+    ``None`` when it cannot engage: manifest summary stale, stats
+    marker missing / digest-mismatched / not covering the queried
+    columns, or sidecar chunks gone.  When the marker's digest equals
+    the probe-verified summary's, the sidecar PROVABLY covers exactly
+    the live files with fresh fingerprints and a row for every
+    queried column — so no listing runs, no reconciliation rows move,
+    and the driver collects only the passing (file, col) rows
+    (:func:`_stats_hits_executor_pinned`)."""
+    doc = fresh_manifest_summary(path)  # constant-size: never the
+    # O(files) file map — the fast path must stay flat in file count
+    if doc is None:
+        return None
+    marker = _read_manifest_doc(path, "stats")
+    if (
+        marker is None
+        or marker.get("digest") != doc["digest"]
+        or not set(ranges) <= set(marker.get("cols", []))
+    ):
+        return None
+    keep = _stats_hits_executor_pinned(
+        spark, f"{path}/_stats", f"manifest:{doc['digest']}", ranges
+    )
+    if keep is None:
+        # marker outlived its sidecar parquet (deletions inside the
+        # ``_``-prefixed dir don't bump the root probe) — fall through
+        # to the slow path's loud read, never a silent full keep
+        return None
+    return sorted(keep), int(doc["n_files"])
+
+
 def scan_with_skipping(
     spark, path: str, ranges: dict[str, tuple[float, float]],
     stats=None,
@@ -588,26 +634,52 @@ def scan_with_skipping(
     ranges overlap every ``col: (lo, hi)`` predicate, then re-apply the
     exact predicates to the surviving rows.
 
-    The stats sidecar is bounded control data (one row per file per
-    column — ~100k files × few cols at 100 TB ≈ MBs), so collecting the
-    keep-list to the driver is the same bounded pattern as the
-    partition IN-list probe (dedup_index).  Returns
-    ``(DataFrame, files_read, files_total)``; correctness never depends
-    on the stats — a file wrongly kept is filtered row-by-row, and the
-    keep-list is reconciled against the file map BY STAT FINGERPRINT
-    (size + mtime_ns, not filename): an uncovered file is kept
-    conservatively.  Since r9 the file map comes from the
-    probe-verified manifest when one exists (O(dirs), falling back
-    to the live listing): every rename-class mutation — including a
-    same-name ``os.replace`` — flips the probe and is reconciled
-    live; the in-place BYTE-EDIT class is warm-undetected by design
-    (see the manifest section header for the contract and the
-    ``verify="full"`` healing path).
+    Warm control-plane cost is FLAT in file count (r10 — the same
+    treatment ``scan_point_lookup`` got in r9): when the
+    probe-verified inventory manifest and the ``stats`` marker carry
+    the same digest and the marker's column set covers the queried
+    box, the persisted ``_stats`` sidecar provably covers exactly
+    the live files, so the executor-pinned chunk probe returns ONLY
+    the passing (file, col) rows — O(keep·cols) driver rows, no
+    O(files) listing, no O(files) fingerprint collect.  A cold or
+    mutated directory refreshes the persisted sidecar
+    (:func:`load_or_refresh_file_stats` — cost ∝ NEW files, widened
+    to the union of marker columns so alternating range boxes
+    converge on one sidecar) and re-stamps, making the SAME call
+    warm; only a refresh that loses the TOCTOU stamp race falls
+    through to the full reconciliation below.
+
+    Callers may still pass an explicit ``stats`` DataFrame (e.g. a
+    caller-cached sidecar); that path keeps the full fingerprint
+    reconciliation: the keep-list is reconciled against the file map
+    BY STAT FINGERPRINT (size + mtime_ns, not filename) — an
+    uncovered file is kept conservatively, so a stale sidecar can
+    only cost extra reads, never rows.  Every rename-class mutation
+    — including a same-name ``os.replace`` — flips the O(dirs) probe
+    and is reconciled live; the in-place BYTE-EDIT class is
+    warm-undetected by design (see the manifest section header for
+    the contract and the ``verify="full"`` healing path).
+    Returns ``(DataFrame, files_read, files_total)``; correctness
+    never depends on the stats — a file wrongly kept is filtered
+    row-by-row.
     """
     from pyspark.sql import functions as F
 
     if stats is None:
-        stats = collect_file_stats(spark, path, list(ranges))
+        fast = _manifest_stats_keep(spark, path, ranges)
+        if fast is None:
+            marker = _read_manifest_doc(path, "stats") or {}
+            cols = sorted(set(marker.get("cols", [])) | set(ranges))
+            stats = load_or_refresh_file_stats(spark, path, cols)
+            fast = _manifest_stats_keep(spark, path, ranges)
+        if fast is not None:
+            files, total = fast
+            if not files:
+                empty = spark.read.parquet(path).limit(0)
+                return empty, 0, total
+            return spark.read.parquet(*files), len(files), total
+        # refresh lost its stamp race (directory changed mid-build):
+        # reconcile the just-built stats DF the conservative way
     keep_expr = None
     for c, (lo, hi) in ranges.items():
         e = (
@@ -1689,6 +1761,54 @@ def _chunk_frame(spark, chunks: list):
     n = max(1, min(len(chunks), spark.sparkContext.defaultParallelism))
     rdd = spark.sparkContext.parallelize([(c,) for c in chunks], n)
     return spark.createDataFrame(rdd, "chunk string")
+
+
+def _stats_hits_executor_pinned(spark, side_dir: str, fp: str, ranges: dict):
+    """PASSING files only — for callers that proved (by
+    manifest-digest equality against the ``stats`` marker) the
+    sidecar covers exactly the live files with a row for every
+    queried column, so no covered-set reconciliation is needed and
+    the driver collect is O(passing (file, col) rows), never
+    O(files) — the stats twin of :func:`_bloom_hits_executor_pinned`.
+
+    Executors emit a (file, col) row ONLY when that column's
+    [vmin, vmax] intersects the box; the driver keeps a file iff its
+    passing-column set covers the queried set.  The rule is applied
+    driver-side over ALL chunks (not per chunk), so a sidecar that
+    splits or duplicates a file's rows across chunks can only err
+    CONSERVATIVE (extra reads — duplicates collapse in the set;
+    a column failing in one duplicate but passing in another is
+    OR-kept), never drop rows.  Returns ``None`` (NOT an empty set)
+    when the sidecar has no chunks: a marker that outlived its
+    parquet must fall through to the slow path's loud read."""
+    rng = {c: (float(lo), float(hi)) for c, (lo, hi) in ranges.items()}
+    chunks = _sidecar_chunks(side_dir)
+    if not chunks:
+        return None
+
+    def _probe(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            files, colnames = [], []
+            for chunk in pdf["chunk"]:
+                for fname, stats in _load_stats_chunk(chunk, fp).items():
+                    for c, (lo, hi) in rng.items():
+                        st = stats.get(c)
+                        if st is None or st[1] < lo or st[0] > hi:
+                            continue
+                        files.append(fname)
+                        colnames.append(c)
+            yield _pd.DataFrame({"file": files, "col": colnames})
+
+    out = _chunk_frame(spark, chunks).mapInPandas(
+        _probe, schema="file string, col string"
+    ).collect()
+    passing: dict = {}
+    for r in out:
+        passing.setdefault(r["file"], set()).add(r["col"])
+    want = set(rng)
+    return {f for f, cols in passing.items() if cols >= want}
 
 
 def _stats_keep_executor_pinned(spark, meta: dict, ranges: dict):

@@ -985,12 +985,22 @@ def _cc_quality_ranked_sql() -> str:
     cannot drift between the entry and the pipeline.  The quality
     expression is the same per-row IEEE-stable formula
     train_plans._QUALITY_SQL mirrors from functions.text.quality_score.
-    Callers must prefix ``WITH RECURSIVE``."""
+    Callers must prefix ``WITH RECURSIVE``.
+
+    ``mp`` and ``edges`` are AS MATERIALIZED: each is referenced
+    more than once (mp by edges' two UNION branches, edges by nodes
+    and by reach's recursive term), and DuckDB inlines un-hinted
+    CTEs — re-evaluating the FULL MinHash replay per reference, the
+    measured 19-minute _kcore_oracle_sql hazard.  Measured here:
+    4.6 s → 1.6 s at sf0.1 for dedup_cluster_best_quality.  If the
+    pair graph ever grows enough that the O(cluster²) ``reach``
+    closure dominates, switch to the bounded min-label iterative
+    form _kcore_oracle_sql uses instead of full transitive closure."""
     from pdf_etl_ocr_inference_spark.plans.train_plans import _QUALITY_SQL
 
-    return f"""mp AS (
+    return f"""mp AS MATERIALIZED (
       SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) _m
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT id_a, id_b FROM mp
       UNION SELECT id_b AS id_a, id_a AS id_b FROM mp
     ), nodes AS (

@@ -34,8 +34,10 @@ import os
 
 _DEFAULT_SF = "/root/testdata/sf0.01"
 
-# pinned to the registered entries' parameters
-_N_SHARDS = 8
+# pinned to the registered entries' parameters; the shard count is
+# NOT pinned — both the entries and these oracles derive it from the
+# corpus size via the SAME graph_ann.derive_n_shards rule (r10,
+# verdict #2), so the replay cannot drift from the engine's sharding
 _M = 8
 _EFC = 32
 _K = 5
@@ -91,18 +93,20 @@ def nsw_topk_oracle() -> str:
     from pdf_etl_ocr_inference_spark.operators.graph_ann import (
         VecStore,
         build_shard_adjacency,
+        derive_n_shards,
         search_shard_nsw,
     )
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _DEFAULT_SF)
     ids, embs = _corpus(sf_dir)
+    n_shards = derive_n_shards(len(ids))  # same rule as the entry
     pos = {i: r for r, i in enumerate(ids)}  # O(1) lookups, not .index
     qu = _query_unit(ids, embs)
     excl = set(_EXCLUDE)
     ef = max(_EF_SEARCH, _K + len(excl))
     cand: list = []
-    for s in range(_N_SHARDS):
-        sids = [i for i in ids if i % _N_SHARDS == s]
+    for s in range(n_shards):
+        sids = [i for i in ids if i % n_shards == s]
         if not sids:
             continue
         mat = VecStore.unit(
@@ -119,7 +123,10 @@ def hnsw_topk_oracle() -> str:
     descent kernels, SQL re-scores the walked candidates."""
     import pandas as pd
 
-    from pdf_etl_ocr_inference_spark.operators.graph_ann import VecStore
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        VecStore,
+        derive_n_shards,
+    )
     from pdf_etl_ocr_inference_spark.operators.hnsw import (
         _search_shard,
         build_shard_layers,
@@ -127,13 +134,14 @@ def hnsw_topk_oracle() -> str:
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _DEFAULT_SF)
     ids, embs = _corpus(sf_dir)
+    n_shards = derive_n_shards(len(ids))  # same rule as the entry
     pos = {i: r for r, i in enumerate(ids)}  # O(1) lookups, not .index
     qu = _query_unit(ids, embs)
     excl = set(_EXCLUDE)
     ef = max(_EF_SEARCH, _K + len(excl))
     cand: list = []
-    for s in range(_N_SHARDS):
-        sids = [i for i in ids if i % _N_SHARDS == s]
+    for s in range(n_shards):
+        sids = [i for i in ids if i % n_shards == s]
         if not sids:
             continue
         mat = VecStore.unit(

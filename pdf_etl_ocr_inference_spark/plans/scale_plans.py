@@ -496,24 +496,28 @@ def op96_result_cache(spark: SparkSession, sf: str) -> DataFrame:
     "AND o_orderdate < TIMESTAMP '1997-01-01' "
     "GROUP BY o_orderpriority",
     doc="FILE-level data skipping over the Z-ordered layout: a per-file "
-    "min/max sidecar is rebuilt from parquet FOOTERS only (distributed "
+    "min/max sidecar is built from parquet FOOTERS only (distributed "
     "mapInPandas over the listing — cost ∝ file count, not bytes; the "
-    "skipping index Delta/Iceberg maintain, for plain parquet), then "
+    "skipping index Delta/Iceberg maintain, for plain parquet) and "
+    "PERSISTED + manifest-stamped (load_or_refresh_file_stats), then "
     "the 2-D box predicate schedules scan tasks ONLY for overlapping "
-    "files and re-applies the exact filters to surviving rows. "
-    "Correctness never rests on the stats (kept files re-filter "
-    "row-wise; oracle = same predicate on the pristine table); "
-    "tests/test_zorder.py asserts files_read < files_total, i.e. the "
-    "skip actually engages on the clustered copy. At 100 TB this is "
-    "the difference between touching ~1% of files and listing-scanning "
-    "all of them when the query's box is small.",
+    "files and re-applies the exact filters to surviving rows. Since "
+    "r10 the keep-list comes from the executor-pinned chunk probe "
+    "under manifest-digest coverage — O(keep·cols) driver rows, no "
+    "O(files) listing or fingerprint collect per query (the same "
+    "treatment scan_point_lookup got in r9). Correctness never rests "
+    "on the stats (kept files re-filter row-wise; oracle = same "
+    "predicate on the pristine table); tests/test_zorder.py asserts "
+    "files_read < files_total, i.e. the skip actually engages on the "
+    "clustered copy. At 100 TB this is the difference between "
+    "touching ~1% of files and listing-scanning all of them when the "
+    "query's box is small.",
 )
 def op70b_stats_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     import datetime as dt
     import os
 
     from pdf_etl_ocr_inference_spark.operators.layout import (
-        collect_file_stats,
         scan_with_skipping,
         zorder_key,
     )
@@ -536,14 +540,16 @@ def op70b_stats_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(path)
     )
-    stats = collect_file_stats(spark, path, ["o_custkey", "o_orderdate"])
     epoch = dt.datetime(1970, 1, 1)
     lo = (dt.datetime(1996, 1, 1) - epoch).total_seconds()
     hi = (dt.datetime(1997, 1, 1) - epoch).total_seconds()
+    # stats=None: the operator builds/refreshes the persisted sidecar
+    # itself and serves the keep-list from the manifest-verified
+    # executor-pinned probe (cold here — the layout was just
+    # rewritten — warm on every later scan of an unchanged layout)
     pruned, _n_read, _n_total = scan_with_skipping(
         spark, path,
         {"o_custkey": (100, 299), "o_orderdate": (lo, hi)},
-        stats=stats,
     )
     return (
         pruned.filter(

@@ -794,7 +794,7 @@ def ann_nsw_topk(spark: SparkSession, sf: str) -> DataFrame:
     # scratch (scratch.py) keeps concurrent sessions isolated
     root = scratch_dir(f"nsw_{safe}")
     path = f"{root}/graph"
-    build_nsw_index(spark, emb, path, n_shards=8, m_neighbors=8)
+    build_nsw_index(spark, emb, path, m_neighbors=8)  # n_shards derived from corpus size (graph_ann.derive_n_shards)
     qvec = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -828,7 +828,7 @@ def ann_hnsw_topk(spark: SparkSession, sf: str) -> DataFrame:
     safe = sf.strip("/").replace("/", "_")
     root = scratch_dir(f"hnsw_{safe}")  # rebuild-every-run: see NSW note
     path = f"{root}/graph"
-    build_hnsw_index(spark, emb, path, n_shards=8, m_neighbors=8)
+    build_hnsw_index(spark, emb, path, m_neighbors=8)  # n_shards derived (graph_ann.derive_n_shards)
     qvec = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -866,7 +866,7 @@ def ann_served_topk(spark: SparkSession, sf: str) -> DataFrame:
     safe = sf.strip("/").replace("/", "_")
     root = scratch_dir(f"nswserve_{safe}")
     path = f"{root}/graph"
-    build_nsw_index(spark, emb, path, n_shards=8, m_neighbors=8)
+    build_nsw_index(spark, emb, path, m_neighbors=8)  # n_shards derived from corpus size (graph_ann.derive_n_shards)
     qvec = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]

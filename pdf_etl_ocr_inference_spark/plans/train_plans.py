@@ -1394,6 +1394,15 @@ def pipeline_dsir_corpus(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------------------------
 
 _SHUFFLE_SEED = "ep1"
+
+# pipeline_curated_mix's temperature-mix parameters — ONE definition
+# shared by the Spark entry, the oracle SQL, and the quota-margin
+# guard (tests/test_quota_margins.py), which machine-checks that every
+# per-group quota these produce sits ≥0.05 from the nearest integer
+# rank at every SF (the float rk<=quota cross-engine-stability
+# invariant the docstrings state).
+_CURATED_MIX_BUDGET = 100
+_CURATED_MIX_ALPHA = 0.5
 _SHUFFLE_SHARDS = 8
 
 
@@ -1526,7 +1535,9 @@ def _curated_mix_oracle() -> str:
     ), surv AS (
       SELECT d.doc_id, d.lang FROM documents d
       WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_)
-    ), {temperature_mix_sql("surv", "lang", "doc_id", 100, 0.5)}
+    ), {temperature_mix_sql(
+        "surv", "lang", "doc_id", _CURATED_MIX_BUDGET, _CURATED_MIX_ALPHA
+    )}
     """
 
 
@@ -1570,4 +1581,10 @@ def pipeline_curated_mix(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "lang")
         .join(drop, "doc_id", "left_anti")
     )
-    return temperature_mix(surv, "lang", "doc_id", budget=100, alpha=0.5)
+    return temperature_mix(
+        surv,
+        "lang",
+        "doc_id",
+        budget=_CURATED_MIX_BUDGET,
+        alpha=_CURATED_MIX_ALPHA,
+    )

@@ -229,3 +229,37 @@ def test_refresh_rebuilds_only_touched_shards(spark, tmp_path):
         for r in spark.read.parquet(full).collect()
     )
     assert a == b
+
+
+def test_derive_n_shards_rule_and_default(spark, tmp_path):
+    """The shard count derives from the corpus (ceil(n/target), min 1)
+    so per-shard sequential build stays bounded at any scale; the
+    builder's default (n_shards=None) records the derived count in
+    meta, and the lazy oracle replays the identical rule from the
+    same row count (plans/graph_sql.py imports this function)."""
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        GRAPH_SHARD_TARGET_ROWS,
+        _read_meta,
+        derive_n_shards,
+    )
+
+    t = GRAPH_SHARD_TARGET_ROWS
+    assert derive_n_shards(0) == 1
+    assert derive_n_shards(1) == 1
+    assert derive_n_shards(t) == 1
+    assert derive_n_shards(t + 1) == 2
+    assert derive_n_shards(100 * t) == 100
+    # 100 TB arithmetic: 10^9 vectors -> ~244k bounded shards, each
+    # still a ~1 s single-task build
+    assert derive_n_shards(10**9) == -(-(10**9) // t)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    path = str(tmp_path / "g_derived")
+    build_nsw_index(spark, emb, path)  # no explicit n_shards
+    meta = _read_meta(path)
+    assert meta["n_shards"] == derive_n_shards(n)
+    shards = {
+        r["shard"] for r in spark.read.parquet(path).select("shard").collect()
+    }
+    assert shards == set(range(meta["n_shards"]))

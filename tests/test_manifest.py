@@ -222,3 +222,114 @@ def test_nested_multilevel_partition_probe(spark, tmp_path):
     assert L.fresh_manifest_summary(d) is None, (
         "nested-leaf append must flip the probe"
     )
+
+
+def _write_ranged(spark, n, d, parts=4):
+    spark.range(n).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(parts, "id").sortWithinPartitions(
+        "id"
+    ).write.mode("overwrite").parquet(d)
+
+
+def test_warm_range_scan_never_sweeps_files(spark, tmp_path):
+    """The r10 twin of the point-lookup contract: a warm
+    scan_with_skipping must not list/stat data files on the driver,
+    must not parse the O(files) manifest doc, and must not collect
+    sidecar payload rows — the keep-list comes from the
+    manifest-verified executor-pinned chunk probe (O(keep·cols)
+    driver rows)."""
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write_ranged(spark, 1000, d, parts=4)
+    box = {"id": (0.0, 10.0)}
+    # cold call: builds + stamps the persisted sidecar, then serves
+    # THIS call from the fast path already
+    df, n_read, n_total = L.scan_with_skipping(spark, d, box)
+    assert n_total == 4 and 0 < n_read < 4
+    assert df.filter(F.col("id") <= 10).count() == 11
+
+    reads_before = L.DRIVER_SIDECAR_READS
+    orig_live, orig_doc = L._live_stat_map, L.fresh_manifest_doc
+    boom = lambda *a, **k: (_ for _ in ()).throw(  # noqa: E731
+        AssertionError("warm range scan must stay O(dirs)+O(keep)")
+    )
+    L._live_stat_map = boom
+    L.fresh_manifest_doc = boom
+    try:
+        df, n_read, n_total = L.scan_with_skipping(spark, d, box)
+        assert n_total == 4 and 0 < n_read < 4
+        got = sorted(
+            r["id"] for r in df.filter(F.col("id") <= 10).collect()
+        )
+        assert got == list(range(11))
+        # a disjoint box schedules nothing, still warm
+        df, n_read, n_total = L.scan_with_skipping(
+            spark, d, {"id": (-100.0, -50.0)}
+        )
+        assert n_read == 0 and df.count() == 0
+    finally:
+        L._live_stat_map = orig_live
+        L.fresh_manifest_doc = orig_doc
+    assert L.DRIVER_SIDECAR_READS == reads_before
+
+
+def test_range_scan_mutation_falls_back_then_rewarms(spark, tmp_path):
+    """An appended file flips the O(dirs) probe: the next scan must
+    surface the new rows (refresh ∝ new files, conservative), and the
+    call after that is warm again."""
+    import glob
+    import shutil
+
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write_ranged(spark, 1000, d, parts=4)
+    box = {"id": (2000.0, 3000.0)}
+    df, n_read, n_total = L.scan_with_skipping(spark, d, box)
+    assert n_total == 4 and n_read == 0 and df.count() == 0
+
+    extra = str(tmp_path / "extra")
+    spark.range(2500, 2510).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(extra)
+    part = glob.glob(f"{extra}/part-*.parquet")[0]
+    shutil.move(part, f"{d}/appended.parquet")
+
+    df, n_read, n_total = L.scan_with_skipping(spark, d, box)
+    assert n_total == 5 and n_read == 1
+    assert df.filter(F.col("id") >= 2000).count() == 10
+
+    orig = L._live_stat_map
+    L._live_stat_map = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("post-refresh scan must be warm again")
+    )
+    try:
+        df, n_read, n_total = L.scan_with_skipping(spark, d, box)
+        assert n_total == 5 and n_read == 1
+    finally:
+        L._live_stat_map = orig
+
+
+def test_oversized_manifest_doc_parsed_once(spark, tmp_path, monkeypatch):
+    """A manifest doc past the LRU byte budget must still be served
+    from cache on repeat calls — parse count grows by ONE per
+    (path, probe), not per call (r9 advisory: the un-cached oversized
+    doc re-parsed ~100 MB of JSON per query at 10^6 files)."""
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write_ranged(spark, 100, d, parts=2)
+    L.write_inventory_manifest(d)
+    monkeypatch.setattr(L, "_MANIFEST_DOC_BUDGET_BYTES", 1)
+    L._MANIFEST_DOC_CACHE.clear()
+
+    before = L.MANIFEST_DOC_PARSES
+    live = L.manifest_stat_map(d)
+    assert set(live) and L.MANIFEST_DOC_PARSES == before + 1
+    assert L.manifest_stat_map(d) == live
+    assert L.manifest_stat_map(d) == live
+    assert L.MANIFEST_DOC_PARSES == before + 1, (
+        "oversized doc re-parsed on a warm call"
+    )
