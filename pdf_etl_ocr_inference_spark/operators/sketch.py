@@ -100,6 +100,79 @@ def md5_u48_sql(expr: str) -> str:
     return out
 
 
+# ------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007) on the md5_u48 hash —
+# the engine-owned twin of Spark's datasketches hll_* built-ins.
+# Registers are EXACT integers both engines replay (shift/mask/
+# bit-length on the 48-bit hash); only the final estimate is float,
+# and it is computed by ONE shared pure-Python function
+# (hll_estimate) — the entry calls it driver-side over the collected
+# register rows (bounded: ≤ m rows per group), the lazy oracle
+# generator calls the SAME function over a DuckDB register replay
+# and emits the result as literals (the graph_sql shared-kernel
+# doctrine), so the estimate cannot drift between engines.
+# ------------------------------------------------------------------
+
+HLL_P = 10  # 2^10 = 1024 registers: ±~3.25% std error — measured
+# ≤4.7% on every fixture SF, inside the entry's historical 5% floor.
+# The fixture cardinalities (≤1500 < 2.5·m) all land in the
+# linear-counting branch; the raw harmonic branch is unit-tested in
+# pure Python (tests/test_sketch.py) since no fixture reaches it.
+HLL_M = 1 << HLL_P
+_HLL_WBITS = 48 - HLL_P  # bits of the hash left after the index
+
+
+def hll_rho(h: Column) -> Column:
+    """Rank of the first set bit of the hash's top ``_HLL_WBITS``
+    bits (1-based; all-zero word → wbits+1) — exact integer ops:
+    ``bit_length(w)`` spelled ``length(bin(w))``, identical in
+    DuckDB (:func:`hll_registers_sql`)."""
+    w = F.shiftright(h, HLL_P)
+    return F.when(
+        w > 0, F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    ).otherwise(F.lit(_HLL_WBITS + 1))
+
+
+def hll_register_index(h: Column) -> Column:
+    return h.bitwiseAND(F.lit(HLL_M - 1))
+
+
+def hll_registers_sql(expr: str) -> str:
+    """DuckDB spelling of the (j, rho) register pair for hash
+    expression ``expr`` — emit as ``SELECT {fragment}`` columns."""
+    h = md5_u48_sql(expr)
+    w = f"({h} >> {HLL_P})"
+    rho = (
+        f"CASE WHEN {w} > 0 THEN {_HLL_WBITS + 1} - LENGTH(BIN({w})) "
+        f"ELSE {_HLL_WBITS + 1} END"
+    )
+    return f"({h} & {HLL_M - 1}) AS j, {rho} AS rho"
+
+
+def hll_estimate(registers: dict) -> int:
+    """Cardinality estimate from ``{j: max rho}`` — THE single
+    estimator definition (entry driver-side AND oracle generator).
+    The harmonic sum is computed in EXACT integer arithmetic
+    (Σ 2^(wbits+1−rho) ≤ m·2^41 < 2^50) with one float division at
+    the end; the linear-counting branch (V zero registers,
+    E ≤ 2.5 m) uses CPython's libm log — deterministic because both
+    sides call THIS function."""
+    import math
+
+    m = HLL_M
+    scale = 1 << (_HLL_WBITS + 1)
+    # each register contributes 2^-rho, scaled exact: scale >> rho
+    # (rho ≤ wbits+1 ⇒ the smallest term is exactly 1)
+    s = sum(scale >> rho for rho in registers.values())
+    v = m - len(registers)
+    s += v * scale
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m * float(scale) / float(s)
+    if v > 0 and e <= 2.5 * m:
+        e = m * math.log(m / v)
+    return int(round(e))
+
+
 def kmv_sketch(df: DataFrame, col: str, k: int) -> DataFrame:
     """The KMV sketch of ``col``'s distinct values: the ``k``
     smallest 48-bit hashes, one column ``h``.  Distinct-shuffle on

@@ -1096,6 +1096,28 @@ def dedup_cluster_best_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def quality_collapse_drop(members: DataFrame) -> DataFrame:
+    """The doc_ids a quality-aware cluster collapse REMOVES — every
+    cluster member except its argmax-quality survivor (tie: min
+    doc_id; the ``dedup_cluster_best_quality`` rule, rk > 1 in
+    ``_cc_quality_ranked_sql``'s ranking).  THE single Spark-side
+    definition of the drop set, shared by ``pipeline_curated_mix``
+    and ``pipeline_chunk_attrition_by_source`` so the survivor rule
+    cannot drift between the curation pipelines."""
+    best = members.groupBy("cluster_id").agg(
+        (
+            -F.max(
+                F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))
+            )["nid"]
+        ).alias("survivor_id")
+    )
+    return (
+        members.join(best, "cluster_id")
+        .filter(F.col("doc_id") != F.col("survivor_id"))
+        .select("doc_id")
+    )
+
+
 @register(
     "dedup_cross_source_matrix",
     lambda: f"""

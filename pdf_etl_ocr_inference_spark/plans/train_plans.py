@@ -1562,20 +1562,12 @@ def pipeline_curated_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
     from pdf_etl_ocr_inference_spark.plans.dedup_plans import (
         quality_cluster_members,
+        quality_collapse_drop,
     )
 
-    members = quality_cluster_members(spark, sf)
-    # argmax(q), tie min id — the dedup_cluster_best_quality rule
-    best = members.groupBy("cluster_id").agg(
-        (-F.max(F.struct(F.col("q"), (-F.col("doc_id")).alias("nid")))[
-            "nid"
-        ]).alias("survivor_id")
-    )
-    drop = (
-        members.join(best, "cluster_id")
-        .filter(F.col("doc_id") != F.col("survivor_id"))
-        .select("doc_id")
-    )
+    # argmax(q), tie min id — the dedup_cluster_best_quality rule,
+    # via the shared drop-set helper
+    drop = quality_collapse_drop(quality_cluster_members(spark, sf))
     surv = (
         _t(spark, sf, "documents")
         .select("doc_id", "lang")
@@ -1587,4 +1579,184 @@ def pipeline_curated_mix(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         budget=_CURATED_MIX_BUDGET,
         alpha=_CURATED_MIX_ALPHA,
+    )
+
+
+# token-window width of the chunk-attrition ledger — op24's chunker
+# window, so the lineage entry speaks the same chunk vocabulary as
+# the chunk family (document_plans); no min-chars filter: an
+# attrition ledger must account for EVERY chunk, and a chunk dropped
+# by a size filter is not "lost to curation".
+_ATTR_CHUNK_W = 20
+
+
+def _chunk_attrition_oracle() -> str:
+    """Full replay of the chunk-attrition lineage: the shared
+    cluster-quality ranking (dedup_plans._cc_quality_ranked_sql — the
+    near-dedup drop set is its rk > 1 rows) + the span family's
+    tokenize→grams→dup→islands chain + the op24 token-window math,
+    classified per chunk and rolled up per (source, lang)."""
+    from pdf_etl_ocr_inference_spark.plans.dedup_plans import (
+        _cc_quality_ranked_sql,
+    )
+
+    w = _ATTR_CHUNK_W
+    return f"""
+    WITH RECURSIVE {_cc_quality_ranked_sql()}, drop_ AS (
+      SELECT doc_id FROM ranked WHERE rk > 1
+    ), toks AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, i AS pos, ARRAY_TO_STRING(t[i+1:i+6], ' ') AS gram
+      FROM toks, UNNEST(RANGE(0, GREATEST(LEN(t) - 5, 0))) AS r(i)
+    ), dup AS (
+      SELECT gram FROM occ GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT doc_id, pos, pos + 6 AS e FROM occ JOIN dup USING (gram)
+    ), isl AS (
+      SELECT doc_id, pos, e, CASE WHEN pos > COALESCE(
+        MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        THEN 1 ELSE 0 END AS ni FROM hits
+    ), isl2 AS (
+      SELECT doc_id, pos, e, SUM(ni) OVER (PARTITION BY doc_id
+        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS island FROM isl
+    ), iv AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(e) AS e2
+      FROM isl2 GROUP BY doc_id, island
+    ), chunks AS (
+      SELECT doc_id, i AS chunk_idx, i * {w} AS cs,
+             LEAST(i * {w} + {w}, LEN(t)) AS ce
+      FROM toks,
+           UNNEST(RANGE(0, CAST(CEIL(LEN(t) / {w}.0) AS BIGINT))) AS r(i)
+    ), cov AS (
+      SELECT c.doc_id, c.chunk_idx,
+             SUM(GREATEST(LEAST(c.ce, v.e2) - GREATEST(c.cs, v.s), 0))
+               AS covered
+      FROM chunks c JOIN iv v ON v.doc_id = c.doc_id
+      GROUP BY c.doc_id, c.chunk_idx
+    ), cls AS (
+      SELECT ch.doc_id,
+             CASE WHEN ch.doc_id IN (SELECT doc_id FROM drop_)
+                    THEN 'dedup'
+                  WHEN COALESCE(cv.covered, 0) >= ch.ce - ch.cs
+                    THEN 'scrub'
+                  ELSE 'kept' END AS fate
+      FROM chunks ch LEFT JOIN cov cv
+        ON cv.doc_id = ch.doc_id AND cv.chunk_idx = ch.chunk_idx
+    )
+    SELECT d.source, d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN fate = 'dedup' THEN 1 ELSE 0 END)
+             AS BIGINT) AS lost_dedup,
+           CAST(SUM(CASE WHEN fate = 'scrub' THEN 1 ELSE 0 END)
+             AS BIGINT) AS lost_scrub,
+           CAST(SUM(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END)
+             AS BIGINT) AS kept
+    FROM cls JOIN documents d USING (doc_id)
+    GROUP BY d.source, d.lang
+    """
+
+
+@register(
+    "pipeline_chunk_attrition_by_source",
+    _chunk_attrition_oracle,
+    doc="chunk→doc→source LINEAGE through two curation decisions "
+    "(r9 verdict #4): every op24-style token-window chunk is "
+    "attributed a fate — lost with its whole document to the "
+    "quality-aware near-dedup collapse (the shared "
+    "dedup_cluster_best_quality drop rule), lost individually to "
+    "span-scrub (its token range fully inside duplicated-6-gram "
+    "islands), or kept — and the ledger rolls up per (source, "
+    "lang): the governance view that tells a curation run WHICH "
+    "feeds lose the most training chunks and to which mechanism. "
+    "Dedup loss takes precedence (a dropped doc's chunks are not "
+    "double-counted as scrubbed). Data-plane shape: chunk ledger is "
+    "a narrow explode (∝ chunks), interval coverage joins on "
+    "doc_id (∝ spans found), the drop set is broadcast (∝ "
+    "duplication), final rollup is one combinable agg on ~100 "
+    "(source, lang) keys. Every stage replays in ONE oracle SQL "
+    "via the shared ranking + span fragments.",
+)
+def pipeline_chunk_attrition_by_source(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+        dup_span_intervals,
+    )
+    from pdf_etl_ocr_inference_spark.plans.dedup_plans import (
+        quality_cluster_members,
+        quality_collapse_drop,
+    )
+
+    w = _ATTR_CHUNK_W
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    drop = quality_collapse_drop(
+        quality_cluster_members(spark, sf)
+    ).withColumn("_dropped", F.lit(True))
+    iv = dup_span_intervals(docs, "text", "doc_id", n=6, min_docs=2)
+    # one row per token-window chunk: [cs, ce) token positions in the
+    # SAME \s+ tokenization the span family uses, so interval math
+    # and chunk math share one coordinate system
+    chs = (
+        docs.select(
+            "doc_id", "lang", "source",
+            token_count("text").alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .select(
+            "doc_id", "lang", "source", "_n",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.col("_n") / F.lit(w)).cast("long") - 1,
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id", "lang", "source", "chunk_idx",
+            (F.col("chunk_idx") * w).alias("cs"),
+            F.least(
+                F.col("chunk_idx") * w + w, F.col("_n")
+            ).alias("ce"),
+        )
+    )
+    overlap = F.greatest(
+        F.least(F.col("ce"), F.col("span_end"))
+        - F.greatest(F.col("cs"), F.col("span_start")),
+        F.lit(0),
+    )
+    cov = (
+        chs.join(iv, chs["doc_id"] == iv["id"])
+        .select("doc_id", "chunk_idx", overlap.alias("_ov"))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.sum("_ov").alias("covered"))
+    )
+    fate = F.when(F.col("_dropped"), F.lit("dedup")).when(
+        F.coalesce(F.col("covered"), F.lit(0))
+        >= F.col("ce") - F.col("cs"),
+        F.lit("scrub"),
+    ).otherwise(F.lit("kept"))
+    return (
+        chs.join(cov, ["doc_id", "chunk_idx"], "left")
+        .join(F.broadcast(drop), "doc_id", "left")
+        .withColumn("fate", fate)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("fate") == "dedup", 1).otherwise(0)
+            ).alias("lost_dedup"),
+            F.sum(
+                F.when(F.col("fate") == "scrub", 1).otherwise(0)
+            ).alias("lost_scrub"),
+            F.sum(
+                F.when(F.col("fate") == "kept", 1).otherwise(0)
+            ).alias("kept"),
+        )
     )

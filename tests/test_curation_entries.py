@@ -327,3 +327,55 @@ def test_novelty_incremental_equals_full_recompute(spark):
         for r in _SPECS["text_novelty_incremental"].fn(spark, SF).collect()
     }
     assert res2 == res
+
+
+def test_chunk_attrition_lineage_invariants(spark):
+    """pipeline_chunk_attrition_by_source: the ledger CONSERVES the
+    chunk universe (n = dedup + scrub + kept per group and in total),
+    dedup losses equal the chunk counts of the shared drop set
+    (precedence: a dropped doc's chunks never count as scrubbed), and
+    every group key is a real (source, lang) of the corpus."""
+    import math
+
+    from pdf_etl_ocr_inference_spark.plans.dedup_plans import (
+        quality_cluster_members,
+        quality_collapse_drop,
+    )
+
+    rows = _SPECS["pipeline_chunk_attrition_by_source"].fn(
+        spark, SF
+    ).collect()
+    assert rows, "empty attrition ledger"
+    for r in rows:
+        assert (
+            r["n_chunks"]
+            == r["lost_dedup"] + r["lost_scrub"] + r["kept"]
+        ), r
+    docs = _docs(spark).collect()
+    keys = {(d["source"], d["lang"]) for d in docs}
+    assert {(r["source"], r["lang"]) for r in rows} <= keys
+
+    # total chunk universe = sum of per-doc ceil(n_tokens / 20)
+    def n_chunks(text: str) -> int:
+        n = len([t for t in text.split() if t])
+        return max(1, math.ceil(n / 20)) if n else 0
+
+    assert sum(r["n_chunks"] for r in rows) == sum(
+        n_chunks(d["text"]) for d in docs
+    )
+
+    # dedup attribution equals the shared drop set's chunk mass
+    drop_ids = {
+        r["doc_id"]
+        for r in quality_collapse_drop(
+            quality_cluster_members(spark, SF)
+        ).collect()
+    }
+    assert drop_ids, "drop set vacuous at this SF"
+    by_id = {d["doc_id"]: d["text"] for d in docs}
+    assert sum(r["lost_dedup"] for r in rows) == sum(
+        n_chunks(by_id[i]) for i in drop_ids
+    )
+    assert sum(r["lost_scrub"] for r in rows) > 0, (
+        "scrub losses vacuous at this SF"
+    )

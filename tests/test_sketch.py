@@ -140,9 +140,16 @@ def test_countmin_merge_is_cellwise_add(spark):
 
 
 def test_hll_union_accuracy_and_order_independence(spark):
-    """The day-sketch → union rollup stays within HLL's error band of
-    the exact distinct, and repartitioning the input (different
-    update order) changes nothing — register merge is a max."""
+    """The day-sketch → union rollup stays within the portable HLL's
+    error band of the exact distinct, and repartitioning the input
+    (different update order) changes nothing — register merge is a
+    max."""
+    from pdf_etl_ocr_inference_spark.operators.sketch import (
+        hll_estimate,
+        hll_register_index,
+        hll_rho,
+        md5_u48,
+    )
     from pdf_etl_ocr_inference_spark.plans.sketch_plans import (
         sketch_hll_union,
     )
@@ -150,16 +157,86 @@ def test_hll_union_accuracy_and_order_independence(spark):
     rows = sketch_hll_union(spark, SF).collect()
     assert rows
     for r in rows:
-        assert r["rel_err"] <= 0.05, r
+        assert r["rel_err_ppm"] <= 50_000, r  # 5%
 
-    ev = _events(spark).repartition(13)
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("d")
-    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    re = {
-        r["event_type"]: r["u"]
-        for r in daily.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u"))
+    # order independence: re-derive the union registers from a
+    # reshuffled input; same registers -> same shared estimate
+    h = md5_u48(F.col("user_id"))
+    merged = (
+        _events(spark)
+        .repartition(13)
+        .select(
+            "event_type",
+            hll_register_index(h).alias("j"),
+            hll_rho(h).alias("rho"),
+        )
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    )
+    regs: dict = {}
+    for r in merged:
+        regs.setdefault(r["event_type"], {})[int(r["j"])] = int(r["rho"])
+    re = {t: hll_estimate(d) for t, d in regs.items()}
+    assert re == {r["event_type"]: r["approx_users"] for r in rows}
+
+
+def test_hll_datasketches_builtins_stay_exercised(spark):
+    """The Spark 4 datasketches built-ins (hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate) remain the engine-specific
+    alternative to the portable kernel: same day-sketch → union
+    shape, estimate within the same 5% band of exact, and
+    order-independent under repartition."""
+    ev = _events(spark)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert re == {r["event_type"]: r["approx_users"] for r in rows}
+
+    def builtin(df):
+        daily = df.groupBy(
+            "event_type", F.to_date("ts").alias("d")
+        ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+        return {
+            r["event_type"]: r["u"]
+            for r in daily.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("u")
+            )
+            .collect()
+        }
+
+    est = builtin(ev)
+    for t, n in exact.items():
+        assert abs(est[t] - n) / n <= 0.05, (t, est[t], n)
+    assert builtin(ev.repartition(13)) == est
+
+
+def test_hll_estimate_raw_branch():
+    """No fixture SF reaches the raw harmonic branch (all
+    cardinalities sit in linear counting at m=1024): exercise it in
+    pure Python — 20k synthetic distincts must leave too few zero
+    registers for LC and still estimate within ~3 std errors."""
+    import hashlib
+
+    from pdf_etl_ocr_inference_spark.operators.sketch import (
+        HLL_M,
+        HLL_P,
+        hll_estimate,
+    )
+
+    wb = 48 - HLL_P
+    regs: dict = {}
+    n = 20_000
+    for i in range(n):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        j = h & (HLL_M - 1)
+        w = h >> HLL_P
+        rho = (wb + 1) - w.bit_length() if w > 0 else wb + 1
+        regs[j] = max(regs.get(j, 0), rho)
+    est = hll_estimate(regs)
+    # branch check: raw estimate must exceed the 2.5m LC cutoff
+    assert est > 2.5 * HLL_M
+    assert abs(est - n) / n <= 0.10, est
