@@ -536,11 +536,18 @@ def fresh_manifest_summary(path: str):
     return doc
 
 
-_MANIFEST_DOC_CACHE: dict = {}  # path -> (probe, doc, nbytes); LRU
+# path -> (inventory-file (size, mtime_ns), doc, nbytes); LRU.  Keyed
+# by the MANIFEST FILE's stat fingerprint, not the directory probe:
+# the doc's freshness can flip per call (any data mutation moves the
+# probe) but the doc's CONTENT only changes when the file is
+# re-stamped — so a stale doc is decided from the cached copy too,
+# never re-parsed per call.
+_MANIFEST_DOC_CACHE: dict = {}
 _MANIFEST_DOC_BUDGET_BYTES: int = 64 << 20
 # Contract counter (tests/test_manifest.py): full-inventory JSON
 # parses.  The staleness machinery must parse the O(files) doc at
-# most ONCE per (path, probe) — including docs past the cache budget.
+# most ONCE per inventory-file VERSION — including docs past the
+# cache budget, and including docs whose stored probe is stale.
 MANIFEST_DOC_PARSES: int = 0
 
 
@@ -548,38 +555,45 @@ def fresh_manifest_doc(path: str):
     """The inventory manifest iff its stored probe matches the
     directory's CURRENT probe — else ``None`` (callers fall through
     to the live listing, conservative).  Warm cost: O(dirs) stats +
-    a dict hit; the JSON parse happens once per (path, probe) —
-    ENFORCED, not best-effort: a doc past the LRU byte budget evicts
-    every colder entry and still occupies a single slot (r10; the r9
-    shape silently declined to cache it, so at ~10⁶ files every
-    slow-path caller re-parsed ~100 MB of JSON per query — the exact
-    cost the summary fast path exists to avoid).  Memory stays
-    bounded by ONE inventory (~100 B/file), the same order as the
-    live stat map every consumer of this doc materializes anyway."""
+    one stat of the manifest file + a dict hit; the JSON parse
+    happens once per inventory-file version — ENFORCED, not
+    best-effort (r10): a doc past the LRU byte budget evicts every
+    colder entry and still occupies a single slot (the r9 shape
+    silently declined to cache it, so at ~10⁶ files every slow-path
+    caller re-parsed ~100 MB of JSON per query — the exact cost the
+    summary fast path exists to avoid), and a STALE doc is decided
+    from the cached copy, never re-read.  Memory stays bounded by
+    ONE inventory per path (~100 B/file), the same order as the live
+    stat map every consumer of this doc materializes anyway."""
+    import os as _os
+
     global MANIFEST_DOC_PARSES
     try:
         probe = _dir_probe(path)
+        ist = _os.stat(_os.path.join(_manifest_dir(path), "inventory.json"))
     except OSError:
         return None
+    inv_fp = (ist.st_size, ist.st_mtime_ns)
     hit = _MANIFEST_DOC_CACHE.get(path)
-    if hit is not None and hit[0] == probe:
+    if hit is not None and hit[0] == inv_fp:
         _MANIFEST_DOC_CACHE[path] = _MANIFEST_DOC_CACHE.pop(path)
-        return hit[1]
-    _MANIFEST_DOC_CACHE.pop(path, None)
-    doc = _read_manifest_doc(path, "inventory")
-    if doc is None:
-        return None
-    MANIFEST_DOC_PARSES += 1
+        doc = hit[1]
+    else:
+        _MANIFEST_DOC_CACHE.pop(path, None)
+        doc = _read_manifest_doc(path, "inventory")
+        if doc is None:
+            return None
+        MANIFEST_DOC_PARSES += 1
+        nbytes = sum(len(f) + 64 for f in doc["files"])
+        while (
+            _MANIFEST_DOC_CACHE
+            and sum(e[2] for e in _MANIFEST_DOC_CACHE.values()) + nbytes
+            > _MANIFEST_DOC_BUDGET_BYTES
+        ):
+            _MANIFEST_DOC_CACHE.pop(next(iter(_MANIFEST_DOC_CACHE)))
+        _MANIFEST_DOC_CACHE[path] = (inv_fp, doc, nbytes)
     if doc.get("format") != 1 or doc.get("probe") != probe:
         return None
-    nbytes = sum(len(f) + 64 for f in doc["files"])
-    while (
-        _MANIFEST_DOC_CACHE
-        and sum(e[2] for e in _MANIFEST_DOC_CACHE.values()) + nbytes
-        > _MANIFEST_DOC_BUDGET_BYTES
-    ):
-        _MANIFEST_DOC_CACHE.pop(next(iter(_MANIFEST_DOC_CACHE)))
-    _MANIFEST_DOC_CACHE[path] = (probe, doc, nbytes)
     return doc
 
 

@@ -202,6 +202,12 @@ _OUT_SCHEMA = T.StructType(
 # codebooks — the ADC scan and exact re-rank run on cached arrays
 # ------------------------------------------------------------------
 
+# rows per PQ serving shard when n_shards is derived: bounds the
+# per-worker pin (codes + float64 vectors ≈ 70 MB at d=64) — much
+# larger than the graph target because an ADC scan is a vectorized
+# numpy pass, not a sequential insert loop
+_PQ_SHARD_TARGET_ROWS = 65536
+
 
 def build_pq_serving_index(
     spark: SparkSession,
@@ -211,18 +217,34 @@ def build_pq_serving_index(
     rotation: list | None = None,
     id_col: str = "vec_id",
     embedding_col: str = "embedding",
-    n_shards: int = 8,
+    n_shards: int | None = 8,
 ) -> str:
     """Materialize the PQ serving layout: (vec_id, embedding,
     pq_codes) partitioned by shard = id % n_shards, with the
     codebooks/rotation persisted in the index meta — the worker-side
     cache pins codes + vectors as dense numpy matrices and the
     codebooks once per process.  ``embedding`` is kept for the exact
-    re-rank (the scan itself reads only the 32×-smaller codes)."""
+    re-rank (the scan itself reads only the 32×-smaller codes).
+
+    ``n_shards=None`` derives the count from the corpus size at
+    ``_PQ_SHARD_TARGET_ROWS`` rows per shard (the graph_ann
+    derivation doctrine applied to the PIN: a fixed count at 10⁹
+    rows would pin ~100M-row matrices per worker).  Unlike the NSW/
+    HNSW graphs, sharding here is RESULT-NEUTRAL — the ADC scan +
+    exact re-rank merge per-shard top-k exactly — so the explicit
+    default stays for the serving-matrix entries."""
     import json
     import os
 
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        derive_n_shards,
+    )
     from pdf_etl_ocr_inference_spark.operators.pq import pq_encode
+
+    if n_shards is None:
+        n_shards = derive_n_shards(
+            corpus.count(), target=_PQ_SHARD_TARGET_ROWS
+        )
 
     encoded = pq_encode(
         corpus.select(

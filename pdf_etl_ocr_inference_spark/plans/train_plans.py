@@ -1591,12 +1591,18 @@ _ATTR_CHUNK_W = 20
 
 
 def _chunk_attrition_oracle() -> str:
-    """Full replay of the chunk-attrition lineage: the shared
-    cluster-quality ranking (dedup_plans._cc_quality_ranked_sql — the
-    near-dedup drop set is its rk > 1 rows) + the span family's
-    tokenize→grams→dup→islands chain + the op24 token-window math,
-    classified per chunk and rolled up per (source, lang)."""
+    """Full replay of the chunk-attrition lineage, spliced from ITS
+    COMPONENTS' shared fragments: dedup_plans._cc_quality_ranked_sql
+    (the near-dedup drop set is its rk > 1 rows) + the span family's
+    _SPAN_TOKS/_SPAN_OCC/_SPAN_DUP/_SPAN_ISLANDS chain (the
+    dedup_span_intervals oracle verbatim) + the op24 token-window
+    math — so a change to either component rule propagates here by
+    construction."""
     from pdf_etl_ocr_inference_spark.plans.dedup_plans import (
+        _SPAN_DUP,
+        _SPAN_ISLANDS,
+        _SPAN_OCC,
+        _SPAN_TOKS,
         _cc_quality_ranked_sql,
     )
 
@@ -1604,38 +1610,16 @@ def _chunk_attrition_oracle() -> str:
     return f"""
     WITH RECURSIVE {_cc_quality_ranked_sql()}, drop_ AS (
       SELECT doc_id FROM ranked WHERE rk > 1
-    ), toks AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t
-      FROM documents
-    ), occ AS (
-      SELECT doc_id, i AS pos, ARRAY_TO_STRING(t[i+1:i+6], ' ') AS gram
-      FROM toks, UNNEST(RANGE(0, GREATEST(LEN(t) - 5, 0))) AS r(i)
-    ), dup AS (
-      SELECT gram FROM occ GROUP BY gram
-      HAVING COUNT(DISTINCT doc_id) >= 2
-    ), hits AS (
-      SELECT doc_id, pos, pos + 6 AS e FROM occ JOIN dup USING (gram)
-    ), isl AS (
-      SELECT doc_id, pos, e, CASE WHEN pos > COALESCE(
-        MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        THEN 1 ELSE 0 END AS ni FROM hits
-    ), isl2 AS (
-      SELECT doc_id, pos, e, SUM(ni) OVER (PARTITION BY doc_id
-        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        AS island FROM isl
-    ), iv AS (
-      SELECT doc_id, MIN(pos) AS s, MAX(e) AS e2
-      FROM isl2 GROUP BY doc_id, island
-    ), chunks AS (
+    ), {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_DUP}, {_SPAN_ISLANDS},
+    chunks AS (
       SELECT doc_id, i AS chunk_idx, i * {w} AS cs,
              LEAST(i * {w} + {w}, LEN(t)) AS ce
       FROM toks,
            UNNEST(RANGE(0, CAST(CEIL(LEN(t) / {w}.0) AS BIGINT))) AS r(i)
     ), cov AS (
       SELECT c.doc_id, c.chunk_idx,
-             SUM(GREATEST(LEAST(c.ce, v.e2) - GREATEST(c.cs, v.s), 0))
-               AS covered
+             SUM(GREATEST(LEAST(c.ce, v.span_end)
+                          - GREATEST(c.cs, v.span_start), 0)) AS covered
       FROM chunks c JOIN iv v ON v.doc_id = c.doc_id
       GROUP BY c.doc_id, c.chunk_idx
     ), cls AS (

@@ -333,3 +333,28 @@ def test_oversized_manifest_doc_parsed_once(spark, tmp_path, monkeypatch):
     assert L.MANIFEST_DOC_PARSES == before + 1, (
         "oversized doc re-parsed on a warm call"
     )
+
+    # a STALE doc (probe flipped by a mutation, manifest not yet
+    # re-stamped) must also decide from the cached copy — the parse
+    # count is per inventory-file VERSION, not per call
+    import glob
+    import shutil
+
+    extra = str(tmp_path / "extra")
+    spark.range(5).select(F.col("id")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(extra)
+    part = glob.glob(f"{extra}/part-*.parquet")[0]
+    shutil.move(part, f"{d}/appended.parquet")
+    stale = L.manifest_stat_map(d)  # falls back to the live listing
+    assert "appended.parquet" in {
+        f.rsplit("/", 1)[-1] for f in stale
+    }
+    L.manifest_stat_map(d)
+    assert L.MANIFEST_DOC_PARSES == before + 1, (
+        "stale doc re-parsed per call"
+    )
+    # a re-stamp is a new file version: exactly one more parse
+    L.write_inventory_manifest(d)
+    assert L.manifest_stat_map(d) == L._live_stat_map(d)
+    assert L.MANIFEST_DOC_PARSES == before + 2
