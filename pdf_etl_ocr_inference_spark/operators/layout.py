@@ -136,7 +136,13 @@ def _footer_stats(spark, files: list[str], cols: list[str]):
                 fstat = _os.stat(fpath)
                 md = _pq.read_metadata(fpath)
                 names = md.schema.names
-                idx = {c: names.index(c) for c in want}
+                # a column absent from THIS file's schema (schema
+                # drift, or a marker column the table no longer
+                # carries) gets the same ±inf never-prunes row as
+                # missing footer stats — stats are advisory, a crash
+                # here would make a stale marker column permanently
+                # wedge every stats=None scan of the path
+                idx = {c: names.index(c) for c in want if c in names}
                 lo: dict[str, float] = {}
                 hi: dict[str, float] = {}
                 for rg in range(md.num_row_groups):
@@ -580,11 +586,27 @@ def fresh_manifest_doc(path: str):
         doc = hit[1]
     else:
         _MANIFEST_DOC_CACHE.pop(path, None)
-        doc = _read_manifest_doc(path, "inventory")
-        if doc is None:
-            return None
+        raw = _read_manifest_doc(path, "inventory")
         MANIFEST_DOC_PARSES += 1
-        nbytes = sum(len(f) + 64 for f in doc["files"])
+        # validate BEFORE sizing/caching: a future-format stamp, a
+        # torn write, or valid-JSON corruption without a files map
+        # must read as "no manifest" (conservative live-listing
+        # fallback), never a KeyError on the query path.  The
+        # invalid verdict is cached too (keyed by the same file
+        # fingerprint), so a bad doc is decided once per version.
+        doc = (
+            raw
+            if (
+                raw is not None
+                and raw.get("format") == 1
+                and isinstance(raw.get("files"), dict)
+            )
+            else None
+        )
+        nbytes = (
+            sum(len(f) + 64 for f in doc["files"]) if doc is not None
+            else 64
+        )
         while (
             _MANIFEST_DOC_CACHE
             and sum(e[2] for e in _MANIFEST_DOC_CACHE.values()) + nbytes
@@ -592,7 +614,7 @@ def fresh_manifest_doc(path: str):
         ):
             _MANIFEST_DOC_CACHE.pop(next(iter(_MANIFEST_DOC_CACHE)))
         _MANIFEST_DOC_CACHE[path] = (inv_fp, doc, nbytes)
-    if doc.get("format") != 1 or doc.get("probe") != probe:
+    if doc is None or doc.get("probe") != probe:
         return None
     return doc
 
@@ -680,8 +702,17 @@ def scan_with_skipping(
     from pyspark.sql import functions as F
 
     if stats is None:
+        import os as _os
+
         fast = _manifest_stats_keep(spark, path, ranges)
-        if fast is None:
+        if fast is None and not _os.access(path, _os.W_OK):
+            # READ-ONLY dataset (shared mount, foreign table): the
+            # persisted-sidecar machinery writes into the directory,
+            # so fall back to the pre-r10 read-only shape — a fresh
+            # footer pass + the conservative reconciliation below.
+            # (Pruning still works; only the warm reuse is lost.)
+            stats = collect_file_stats(spark, path, list(ranges))
+        elif fast is None:
             marker = _read_manifest_doc(path, "stats") or {}
             cols = sorted(set(marker.get("cols", [])) | set(ranges))
             stats = load_or_refresh_file_stats(spark, path, cols)
@@ -692,8 +723,9 @@ def scan_with_skipping(
                 empty = spark.read.parquet(path).limit(0)
                 return empty, 0, total
             return spark.read.parquet(*files), len(files), total
-        # refresh lost its stamp race (directory changed mid-build):
-        # reconcile the just-built stats DF the conservative way
+        # refresh lost its stamp race (directory changed mid-build) or
+        # the dataset is read-only: reconcile the just-built stats DF
+        # the conservative way
     keep_expr = None
     for c, (lo, hi) in ranges.items():
         e = (

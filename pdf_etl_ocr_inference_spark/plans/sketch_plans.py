@@ -243,6 +243,7 @@ def _hll_union_oracle() -> str:
           SELECT event_type, CAST(ts AS DATE) AS d,
                  {hll_registers_sql("user_id")}
           FROM '{sf_dir}/events.parquet'
+          WHERE user_id IS NOT NULL
         ), daily AS (
           SELECT event_type, d, j, MAX(rho) AS r
           FROM reg GROUP BY event_type, d, j
@@ -303,6 +304,11 @@ def sketch_hll_union(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = _t(spark, sf, "events")
+    # NULL ids are skipped, matching countDistinct and the replaced
+    # datasketches built-ins (md5_u48(NULL) is NULL — unfiltered it
+    # would fold into a NULL register index and crash the driver
+    # fold; code-review r10)
+    ev = ev.filter(F.col("user_id").isNotNull())
     h = md5_u48(F.col("user_id"))
     daily = ev.select(
         "event_type",

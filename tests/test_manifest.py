@@ -358,3 +358,63 @@ def test_oversized_manifest_doc_parsed_once(spark, tmp_path, monkeypatch):
     L.write_inventory_manifest(d)
     assert L.manifest_stat_map(d) == L._live_stat_map(d)
     assert L.MANIFEST_DOC_PARSES == before + 2
+
+
+def test_readonly_dataset_scan_never_writes(spark, tmp_path, monkeypatch):
+    """A dataset the engine cannot write to (shared/foreign mount)
+    still gets a pruned stats=None scan — the pre-r10 read-only
+    footer pass — and the scan leaves NO sidecar/manifest behind.
+    (os.access is monkeypatched: the suite runs as root, which
+    bypasses mode bits.)"""
+    import os as _os
+
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write_ranged(spark, 1000, d, parts=4)
+    real_access = _os.access
+    monkeypatch.setattr(
+        _os, "access",
+        lambda p, m, **k: False if str(p) == d else real_access(p, m, **k),
+    )
+    df, n_read, n_total = L.scan_with_skipping(
+        spark, d, {"id": (0.0, 10.0)}
+    )
+    assert n_total == 4 and 0 < n_read < 4
+    assert df.filter(F.col("id") <= 10).count() == 11
+    assert not _os.path.isdir(f"{d}/_stats")
+    assert not _os.path.isdir(f"{d}/_manifest")
+
+
+def test_malformed_manifest_falls_back_conservatively(spark, tmp_path):
+    """A future-format stamp or valid-JSON corruption must read as
+    'no manifest' (live-listing fallback), never a KeyError on the
+    query path — and the invalid verdict is cached per file version
+    (one parse, not one per call)."""
+    import json
+    import os as _os
+
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write_ranged(spark, 100, d, parts=2)
+    L.write_inventory_manifest(d)
+    mdir = L._manifest_dir(d)
+    live = L._live_stat_map(d)
+
+    for bad in ({"format": 2, "probe": [], "files": {}}, {"oops": 1}):
+        with open(f"{mdir}/inventory.json", "w") as f:
+            json.dump(bad, f)
+        L._MANIFEST_DOC_CACHE.pop(d, None)
+        before = L.MANIFEST_DOC_PARSES
+        assert L.fresh_manifest_doc(d) is None
+        assert L.manifest_stat_map(d) == live
+        assert L.fresh_manifest_doc(d) is None
+        assert L.MANIFEST_DOC_PARSES == before + 1, (
+            "invalid doc re-parsed per call"
+        )
+
+    # healing: a re-stamp restores the fast path
+    L.write_inventory_manifest(d)
+    assert L.fresh_manifest_doc(d) is not None
+    _os.stat(mdir)  # mdir still present, sanity

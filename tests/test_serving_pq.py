@@ -141,3 +141,47 @@ def test_pq_refresh_invalidates(spark, tmp_path):
     assert 8 not in {r["vec_id"] for r in after}
     # retry re-delivery is a no-op
     assert refresh_pq_serving_index(spark, path, changes, version=1) == []
+
+
+def test_pq_serving_derived_shards(spark, tmp_path, monkeypatch):
+    """n_shards=None derives the shard count from the corpus at the
+    PIN-size target (graph_ann doctrine; sharding is result-neutral
+    here), records it in meta, and the served answer equals the
+    explicit-shard build's exactly."""
+    import json
+
+    from pdf_etl_ocr_inference_spark.operators import serving as S
+    from pdf_etl_ocr_inference_spark.operators.graph_ann import (
+        derive_n_shards,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    books = train_pq_codebooks(emb, "embedding", "vec_id", m=8, k=16)
+    monkeypatch.setattr(S, "_PQ_SHARD_TARGET_ROWS", 100)
+    pd_ = str(tmp_path / "pq_derived")
+    build_pq_serving_index(spark, emb, pd_, books, n_shards=None)
+    meta = json.load(open(f"{pd_}/_pqserve_meta.json"))
+    assert meta["n_shards"] == derive_n_shards(n, target=100) > 1
+    shards = {
+        r["shard"]
+        for r in spark.read.parquet(pd_).select("shard").collect()
+    }
+    assert shards == set(range(meta["n_shards"]))
+
+    pe = str(tmp_path / "pq_explicit")
+    build_pq_serving_index(spark, emb, pe, books, n_shards=4)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+
+    def top(path):
+        return [
+            (r["vec_id"], round(r["score"], 6))
+            for r in serve_topk(
+                spark, path, [(0, qvec)], k=5, kind="pq"
+            ).collect()
+        ]
+
+    assert top(pd_) == top(pe)
