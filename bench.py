@@ -1548,7 +1548,9 @@ def manifest_stats_scan_scale(spark) -> dict:
         finally:
             L._live_stat_map = real_live
         warm_reads = L.DRIVER_SIDECAR_READS - reads_before
-        stats_df = spark.read.parquet(f"{path}/_stats")
+        stats_df = spark.read.parquet(
+            L._stats_phys_dir(path) or f"{path}/_stats"
+        )
         legacy = med(
             lambda: L.scan_with_skipping(spark, path, box, stats=stats_df)[
                 0

@@ -182,9 +182,12 @@ def load_or_refresh_file_stats(
     changed column set forces a full rebuild.
 
     Returns the up-to-date stats as a DataFrame.  Publication is
-    atomic (tmp + os.replace of the whole sidecar dir), and readers
-    of a mid-refresh or torn sidecar are safe regardless: the
-    scan-side reconciliation treats uncovered files conservatively.
+    swap-by-pointer (tmp + os.replace into a fresh ``_stats/v_*``
+    subdir, then the ``stats_dir`` pointer doc flips — see
+    :func:`_publish_stats_version`), so concurrent refreshes never
+    delete chunks a reader is mid-read on; readers of a torn publish
+    are safe regardless: the scan-side reconciliation treats
+    uncovered files conservatively.
 
     Coverage is reconciled by the ``(fsize, fmtime_ns)`` stat
     fingerprint recorded per row, not by filename: a data file
@@ -199,13 +202,9 @@ def load_or_refresh_file_stats(
     reconciliation, catching the in-place byte-edit class the probe
     cannot — THE healing API for that class.
     """
-    import os as _os
-    import shutil as _shutil
-    import uuid as _uuid
-
     from pyspark.sql import functions as F
 
-    side_dir = f"{path}/_stats"
+    phys = _stats_phys_dir(path)
     # Manifest fast path (r9): when the stats marker records the SAME
     # inventory digest as the probe-verified manifest and the column
     # set matches, the sidecar provably covers exactly the live files
@@ -219,16 +218,16 @@ def load_or_refresh_file_stats(
         verify == "probe"
         and marker is not None
         and set(marker.get("cols", [])) == set(cols)
-        and _os.path.isdir(side_dir)
+        and phys is not None
     ):
         doc = fresh_manifest_summary(path)  # constant-size check
         if doc is not None and doc["digest"] == marker.get("digest"):
-            return spark.read.parquet(side_dir)
+            return spark.read.parquet(phys)
     live = _live_stat_map(path)
     current = sorted(live)
     have = None
-    if _os.path.isdir(side_dir):
-        have = spark.read.parquet(side_dir)
+    if phys is not None:
+        have = spark.read.parquet(phys)
         if "fsize" not in have.columns:
             have = None  # pre-fingerprint sidecar format: full rebuild
         else:
@@ -259,22 +258,22 @@ def load_or_refresh_file_stats(
         )
     else:
         merged = _footer_stats(spark, current, cols)
-    tmp = f"{path}/_stats_tmp_{_uuid.uuid4().hex[:8]}"
     # chunked sidecar (r8): ~1024 covered files per chunk parquet —
     # a single coalesce(1) chunk at 10⁶ files would be one giant
     # file that ONE executor-pin task must parse; bounded chunks
-    # parallelize both the pinned probes and their first parse
+    # parallelize both the pinned probes and their first parse.
+    # Publication is swap-by-pointer (r11): the chunk set lands in a
+    # fresh version subdir and the stats_dir pointer flips — a
+    # concurrent query's executor probe keeps reading the superseded
+    # chunks it listed (GC'd only after the grace period), closing
+    # the rmtree-under-reader race the query-path rebuild opened.
     n_chunks = max(1, (len(current) + 1023) // 1024)
-    merged.repartition(n_chunks, "file").write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    _shutil.rmtree(side_dir, ignore_errors=True)
-    _os.replace(tmp, side_dir)
-    # stamp AFTER the replace above (it bumps the directory mtime the
-    # probe records); the data-file inventory itself is unchanged by
-    # the hidden sidecar write, so `live` is still the right map
+    new_dir = _publish_stats_version(path, merged, n_chunks)
+    # stamp AFTER the publish above; the data-file inventory itself
+    # is unchanged by the hidden sidecar write, so `live` is still
+    # the right map
     _stamp_stats_manifest(path, live, cols)
-    return spark.read.parquet(side_dir)
+    return spark.read.parquet(new_dir)
 
 
 def _stamp_stats_manifest(path: str, live: dict, cols) -> None:
@@ -288,6 +287,122 @@ def _stamp_stats_manifest(path: str, live: dict, cols) -> None:
         _write_manifest_doc(
             path, "stats", {"digest": doc["digest"], "cols": sorted(cols)}
         )
+
+
+# Grace period before a superseded stats-version directory is
+# garbage-collected: an in-flight query that resolved the previous
+# pointer (or whose executor probe listed the previous chunks) must
+# be able to finish reading them.  Monkeypatch to 0 in tests to
+# exercise the GC itself.
+_STATS_GC_GRACE_S: float = 300.0
+
+
+def _stats_phys_dir(path: str):
+    """The directory that PHYSICALLY holds the current stats-sidecar
+    chunk parquets, or ``None`` when no sidecar exists.  Since r11
+    each publish lands in a fresh ``_stats/v_{nonce}`` subdirectory
+    and flips the ``stats_dir`` pointer doc — swap-by-pointer, so a
+    refresh never deletes chunks a concurrent query's executor probe
+    is mid-read on (the r10 query-path rmtree race; superseded
+    versions are GC'd after :data:`_STATS_GC_GRACE_S`).  Resolution
+    order: pointer doc → legacy flat chunks directly under
+    ``_stats`` (pre-r11 layout) → newest orphan ``v_*`` dir (pointer
+    write crashed mid-publish; newest is the most complete)."""
+    import os as _os
+
+    side = f"{path}/_stats"
+    if not _os.path.isdir(side):
+        return None
+    ptr = _read_manifest_doc(path, "stats_dir")
+    if isinstance(ptr, dict):
+        d = ptr.get("dir")
+        if (
+            isinstance(d, str)
+            and d.startswith("v_")
+            and "/" not in d
+            and _os.path.isdir(f"{side}/{d}")
+        ):
+            return f"{side}/{d}"
+    try:
+        with _os.scandir(side) as it:
+            entries = list(it)
+    except OSError:
+        return None
+    if any(e.name.endswith(".parquet") for e in entries):
+        return side  # legacy flat layout
+    vs = [e for e in entries if e.is_dir() and e.name.startswith("v_")]
+    if vs:
+        newest = max(vs, key=lambda e: e.stat().st_mtime_ns)
+        return f"{side}/{newest.name}"
+    return None
+
+
+def _publish_stats_version(path: str, merged, n_chunks: int) -> str:
+    """Write ``merged`` as a NEW ``_stats/v_{nonce}`` chunk set, flip
+    the ``stats_dir`` pointer to it, and GC superseded versions past
+    the grace period.  Never touches the previously-current chunks
+    inside the grace window — the swap is a pointer write, so
+    concurrent readers (driver ``spark.read.parquet`` and the
+    executor-pinned chunk probes, which hold chunk paths by name)
+    keep a consistent snapshot.  Returns the new version dir."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+    import uuid as _uuid
+
+    side_dir = f"{path}/_stats"
+    _os.makedirs(side_dir, exist_ok=True)
+    prev = _stats_phys_dir(path)
+    vname = f"v_{_uuid.uuid4().hex[:8]}"
+    tmp = f"{side_dir}/.tmp_{vname}"
+    merged.repartition(n_chunks, "file").write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    _os.replace(tmp, f"{side_dir}/{vname}")
+    _write_manifest_doc(path, "stats_dir", {"dir": vname})
+    # Re-stamp the SUPERSEDED generation's mtime so the GC grace
+    # counts from supersession, not creation — a version that was
+    # current a second ago may still be mid-read, however old its
+    # files are.  (For a pre-r11 flat sidecar, ``prev`` is side_dir
+    # itself: touch its plain files instead.)
+    if prev is not None and prev != f"{side_dir}/{vname}":
+        targets = [prev]
+        if prev == side_dir:
+            try:
+                with _os.scandir(side_dir) as it:
+                    targets = [
+                        e.path for e in it if e.is_file()
+                    ]
+            except OSError:
+                targets = []
+        for t in targets:
+            try:
+                _os.utime(t)
+            except OSError:
+                pass
+    now = _time.time()
+    stale_dirs, stale_files = [], []
+    try:
+        with _os.scandir(side_dir) as it:
+            for e in it:
+                if e.name == vname:
+                    continue
+                if now - e.stat().st_mtime <= _STATS_GC_GRACE_S:
+                    continue
+                if e.is_dir() and e.name.startswith(("v_", ".tmp_")):
+                    stale_dirs.append(e.name)
+                elif e.is_file():  # pre-r11 flat chunks + _SUCCESS
+                    stale_files.append(e.name)
+    except OSError:
+        pass
+    for name in stale_dirs:
+        _shutil.rmtree(f"{side_dir}/{name}", ignore_errors=True)
+    for name in stale_files:
+        try:
+            _os.unlink(f"{side_dir}/{name}")
+        except OSError:
+            pass
+    return f"{side_dir}/{vname}"
 
 
 def _live_stat_map(path: str) -> dict:
@@ -550,6 +665,12 @@ def fresh_manifest_summary(path: str):
 # never re-parsed per call.
 _MANIFEST_DOC_CACHE: dict = {}
 _MANIFEST_DOC_BUDGET_BYTES: int = 64 << 20
+# Running byte total of the cache (r11, advice): the eviction loop
+# used to re-sum the whole dict per popped entry — O(entries) per
+# pop, O(entries²) when a large doc evicts many.  Self-healing: an
+# external ``.clear()`` (tests do this) is detected by the
+# empty-dict reset at the top of fresh_manifest_doc.
+_MANIFEST_DOC_CACHE_BYTES: int = 0
 # Contract counter (tests/test_manifest.py): full-inventory JSON
 # parses.  The staleness machinery must parse the O(files) doc at
 # most ONCE per inventory-file VERSION — including docs past the
@@ -573,7 +694,9 @@ def fresh_manifest_doc(path: str):
     stat map every consumer of this doc materializes anyway."""
     import os as _os
 
-    global MANIFEST_DOC_PARSES
+    global MANIFEST_DOC_PARSES, _MANIFEST_DOC_CACHE_BYTES
+    if not _MANIFEST_DOC_CACHE:
+        _MANIFEST_DOC_CACHE_BYTES = 0  # heal external .clear()
     try:
         probe = _dir_probe(path)
         ist = _os.stat(_os.path.join(_manifest_dir(path), "inventory.json"))
@@ -585,7 +708,9 @@ def fresh_manifest_doc(path: str):
         _MANIFEST_DOC_CACHE[path] = _MANIFEST_DOC_CACHE.pop(path)
         doc = hit[1]
     else:
-        _MANIFEST_DOC_CACHE.pop(path, None)
+        old = _MANIFEST_DOC_CACHE.pop(path, None)
+        if old is not None:
+            _MANIFEST_DOC_CACHE_BYTES -= old[2]
         raw = _read_manifest_doc(path, "inventory")
         MANIFEST_DOC_PARSES += 1
         # validate BEFORE sizing/caching: a future-format stamp, a
@@ -609,11 +734,13 @@ def fresh_manifest_doc(path: str):
         )
         while (
             _MANIFEST_DOC_CACHE
-            and sum(e[2] for e in _MANIFEST_DOC_CACHE.values()) + nbytes
+            and _MANIFEST_DOC_CACHE_BYTES + nbytes
             > _MANIFEST_DOC_BUDGET_BYTES
         ):
-            _MANIFEST_DOC_CACHE.pop(next(iter(_MANIFEST_DOC_CACHE)))
+            ev = _MANIFEST_DOC_CACHE.pop(next(iter(_MANIFEST_DOC_CACHE)))
+            _MANIFEST_DOC_CACHE_BYTES -= ev[2]
         _MANIFEST_DOC_CACHE[path] = (inv_fp, doc, nbytes)
+        _MANIFEST_DOC_CACHE_BYTES += nbytes
     if doc is None or doc.get("probe") != probe:
         return None
     return doc
@@ -651,8 +778,11 @@ def _manifest_stats_keep(spark, path: str, ranges: dict):
         or not set(ranges) <= set(marker.get("cols", []))
     ):
         return None
+    phys = _stats_phys_dir(path)
+    if phys is None:
+        return None
     keep = _stats_hits_executor_pinned(
-        spark, f"{path}/_stats", f"manifest:{doc['digest']}", ranges
+        spark, phys, f"manifest:{doc['digest']}", ranges
     )
     if keep is None:
         # marker outlived its sidecar parquet (deletions inside the
@@ -664,7 +794,7 @@ def _manifest_stats_keep(spark, path: str, ranges: dict):
 
 def scan_with_skipping(
     spark, path: str, ranges: dict[str, tuple[float, float]],
-    stats=None,
+    stats=None, read_only: bool = False,
 ):
     """Data-skipping scan: read ONLY the files whose per-file min/max
     ranges overlap every ``col: (lo, hi)`` predicate, then re-apply the
@@ -705,18 +835,32 @@ def scan_with_skipping(
         import os as _os
 
         fast = _manifest_stats_keep(spark, path, ranges)
-        if fast is None and not _os.access(path, _os.W_OK):
+        if fast is None and (
+            read_only or not _os.access(path, _os.W_OK)
+        ):
             # READ-ONLY dataset (shared mount, foreign table): the
             # persisted-sidecar machinery writes into the directory,
             # so fall back to the pre-r10 read-only shape — a fresh
             # footer pass + the conservative reconciliation below.
             # (Pruning still works; only the warm reuse is lost.)
+            # ``read_only=True`` is the caller's explicit contract
+            # for foreign datasets: os.access(W_OK) is bypassed by
+            # root (mode bits don't apply; only EROFS mounts return
+            # False), so the flag — not the probe — is what protects
+            # a mode-protected directory when running privileged.
             stats = collect_file_stats(spark, path, list(ranges))
         elif fast is None:
-            marker = _read_manifest_doc(path, "stats") or {}
-            cols = sorted(set(marker.get("cols", [])) | set(ranges))
-            stats = load_or_refresh_file_stats(spark, path, cols)
-            fast = _manifest_stats_keep(spark, path, ranges)
+            try:
+                marker = _read_manifest_doc(path, "stats") or {}
+                cols = sorted(set(marker.get("cols", [])) | set(ranges))
+                stats = load_or_refresh_file_stats(spark, path, cols)
+                fast = _manifest_stats_keep(spark, path, ranges)
+            except OSError:
+                # the W_OK probe lied (e.g. root on an EROFS bind
+                # mount reports writable until the first write):
+                # degrade to the read-only shape instead of failing
+                # the query on a sidecar it never needed
+                stats = collect_file_stats(spark, path, list(ranges))
         if fast is not None:
             files, total = fast
             if not files:
@@ -1601,7 +1745,7 @@ def cached_stats_rows(spark, meta: dict):
         return hit[1]
     _SIDECAR_CACHE.pop(key, None)  # stale fingerprint
     stats = load_or_refresh_file_stats(spark, key, meta["cols"])
-    side_dir = f"{key}/_stats"
+    side_dir = _stats_phys_dir(key) or f"{key}/_stats"
     est = sum(
         e.stat().st_size
         for e in _os.scandir(side_dir)
@@ -1867,7 +2011,8 @@ def _stats_keep_executor_pinned(spark, meta: dict, ranges: dict):
     driver-pinned path's rule."""
     rng = {c: (float(lo), float(hi)) for c, (lo, hi) in ranges.items()}
     fp = _inventory_fp(meta)
-    chunks = _sidecar_chunks(f"{meta['layout_path']}/_stats")
+    phys = _stats_phys_dir(meta["layout_path"])
+    chunks = _sidecar_chunks(phys) if phys is not None else []
     if not chunks:
         return set(), set()
 

@@ -128,11 +128,26 @@ def dup_span_intervals(
     n: int = 6,
     min_docs: int = 2,
     max_doc_freq: int | None = None,
+    policy: str = "symmetric",
 ) -> DataFrame:
     """Maximal merged per-doc intervals covered by cross-doc duplicated
     n-grams: (id, span_start, span_end) with token positions
     [span_start, span_end).  Overlapping AND touching occurrences merge
-    (touching spans are one duplicated region at resolution n)."""
+    (touching spans are one duplicated region at resolution n).
+
+    ``policy`` picks which occurrences count as hits:
+
+    - ``"symmetric"`` (default): EVERY occurrence of a duplicated
+      gram, first copy included — the aggressive variant.
+    - ``"keepfirst"``: only REPEAT occurrences — the canonical copy
+      (the gram's minimum doc id; a total, deterministic order) is
+      exempt, so one occurrence of every duplicated passage survives
+      in place — the standard substring-dedup practice (Lee et al.
+      2022).  Same plan shape: the gram window already computes the
+      min, the exemption is one more filter clause.
+    """
+    if policy not in ("symmetric", "keepfirst"):
+        raise ValueError(f"unknown span policy: {policy!r}")
     occ = positional_ngrams(df, text_col, id_col, n)
     if min_docs == 2 and max_doc_freq is None:
         # fast path (r8): ">= 2 distinct docs" ⟺ min(id) < max(id)
@@ -149,16 +164,26 @@ def dup_span_intervals(
             occ.withColumn("_mn", F.min("id").over(w))
             .withColumn("_mx", F.max("id").over(w))
             .filter(F.col("_mn") < F.col("_mx"))
-            .select("id", "pos", (F.col("pos") + n).alias("end"))
         )
-        return merge_islands(hits)
+        if policy == "keepfirst":
+            hits = hits.filter(F.col("id") > F.col("_mn"))
+        return merge_islands(
+            hits.select("id", "pos", (F.col("pos") + n).alias("end"))
+        )
     dup = dup_span_stats(
         df, text_col, id_col, n, min_docs, max_doc_freq
     ).select("gram")
-    hits = occ.join(dup, "gram").select(
-        "id", "pos", (F.col("pos") + n).alias("end")
+    hits = occ.join(dup, "gram")
+    if policy == "keepfirst":
+        # min over the joined occurrences == the gram's global min
+        # (every occurrence of a surviving gram is in the join)
+        wg = Window.partitionBy("gram")
+        hits = hits.withColumn("_mn", F.min("id").over(wg)).filter(
+            F.col("id") > F.col("_mn")
+        )
+    return merge_islands(
+        hits.select("id", "pos", (F.col("pos") + n).alias("end"))
     )
-    return merge_islands(hits)
 
 
 def merge_islands(hits: DataFrame) -> DataFrame:
@@ -191,22 +216,30 @@ def scrub_dup_spans(
     n: int = 6,
     min_docs: int = 2,
     max_doc_freq: int | None = None,
+    policy: str = "symmetric",
 ) -> DataFrame:
-    """Remove every duplicated span from every document:
+    """Remove duplicated spans from every document:
     (id, n_kept, n_removed, scrubbed).
 
-    Policy is the aggressive symmetric one — ALL occurrences go,
-    including the "first" — because a global keep-one choice needs a
-    total order over occurrences and real pipelines pair this with
-    doc-level exact dedup anyway (compose: ``exact_dedup`` first, then
-    scrub).  Whitespace is canonicalized (single spaces) as a side
-    effect of tokenize/reassemble."""
+    ``policy="symmetric"`` (default) is the aggressive variant — ALL
+    occurrences go, including the "first" (compose with doc-level
+    exact dedup for a keep-one-copy pipeline).
+    ``policy="keepfirst"`` keeps the canonical occurrence (the gram's
+    minimum doc id — a total, deterministic order) and scrubs only
+    repeats — the standard substring-dedup practice (Lee et al.
+    2022); per doc its removed-token count is <= the symmetric one,
+    and a doc that is first for every gram it contains is unscathed.
+    Whitespace is canonicalized (single spaces) as a side effect of
+    tokenize/reassemble."""
     toks = _tokens(text_col)
     pos_tok = df.select(
         F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
     )
     covered = (
-        dup_span_intervals(df, text_col, id_col, n, min_docs, max_doc_freq)
+        dup_span_intervals(
+            df, text_col, id_col, n, min_docs, max_doc_freq,
+            policy=policy,
+        )
         .select(
             "id",
             F.explode(

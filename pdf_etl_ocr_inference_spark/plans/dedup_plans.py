@@ -703,20 +703,46 @@ _SPAN_DUP = (
     "dup AS (SELECT gram FROM occ GROUP BY gram "
     "HAVING COUNT(DISTINCT doc_id) >= 2)"
 )
-_SPAN_ISLANDS = (
+_SPAN_HITS = (
     "hits AS (SELECT doc_id, pos, pos + 6 AS e FROM occ "
-    "JOIN dup USING (gram)), "
-    "isl AS (SELECT doc_id, pos, e, CASE WHEN pos > COALESCE("
-    "MAX(e) OVER (PARTITION BY doc_id ORDER BY pos "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
-    "THEN 1 ELSE 0 END AS ni FROM hits), "
-    "isl2 AS (SELECT doc_id, pos, e, SUM(ni) OVER ("
-    "PARTITION BY doc_id ORDER BY pos "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island "
-    "FROM isl), "
-    "iv AS (SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end "
-    "FROM isl2 GROUP BY doc_id, island)"
+    "JOIN dup USING (gram))"
 )
+def _span_hits_keepfirst_sql(sfx: str = "") -> str:
+    """keep-first policy (r11, verdict #5): the canonical occurrence
+    — the gram's MIN(doc_id), a total deterministic order — is
+    exempt; only repeats become hits (Lee et al. 2022's standard
+    practice).  ``sfx`` renames the CTEs so a consumer (the
+    attrition ledger) can splice this chain NEXT TO the symmetric
+    one in a single oracle."""
+    return (
+        f"dupk{sfx} AS (SELECT gram, MIN(doc_id) AS first_doc FROM occ "
+        "GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2), "
+        f"hits{sfx} AS (SELECT o.doc_id, o.pos, o.pos + 6 AS e "
+        f"FROM occ o JOIN dupk{sfx} d USING (gram) "
+        "WHERE o.doc_id > d.first_doc)"
+    )
+
+
+def _span_islands_tail_sql(sfx: str = "") -> str:
+    """hits→maximal-merged-intervals island chain, suffix-renamable
+    for side-by-side splicing (produces ``iv{sfx}``)."""
+    return (
+        f"isl{sfx} AS (SELECT doc_id, pos, e, CASE WHEN pos > COALESCE("
+        "MAX(e) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) "
+        f"THEN 1 ELSE 0 END AS ni FROM hits{sfx}), "
+        f"isl2{sfx} AS (SELECT doc_id, pos, e, SUM(ni) OVER ("
+        "PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island "
+        f"FROM isl{sfx}), "
+        f"iv{sfx} AS (SELECT doc_id, MIN(pos) AS span_start, "
+        f"MAX(e) AS span_end FROM isl2{sfx} GROUP BY doc_id, island)"
+    )
+
+
+_SPAN_HITS_KEEPFIRST = _span_hits_keepfirst_sql()
+_SPAN_ISLANDS_TAIL = _span_islands_tail_sql()
+_SPAN_ISLANDS = f"{_SPAN_HITS}, {_SPAN_ISLANDS_TAIL}"
 
 
 @register(
@@ -758,9 +784,7 @@ def dedup_span_intervals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_span_scrub",
-    f"WITH {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_DUP}, {_SPAN_ISLANDS}, "
+_SPAN_SCRUB_TAIL = (
     "pos AS (SELECT doc_id, i AS pos, t[i+1] AS tok "
     "FROM toks, UNNEST(RANGE(0, LEN(t))) AS r(i)), "
     "cov AS (SELECT doc_id, UNNEST(RANGE(span_start, span_end)) AS pos "
@@ -771,16 +795,27 @@ def dedup_span_intervals(spark: SparkSession, sf: str) -> DataFrame:
     "agg AS (SELECT doc_id, COUNT(*) AS n_kept, "
     "STRING_AGG(tok, ' ' ORDER BY pos) AS scrubbed "
     "FROM kept GROUP BY doc_id), "
-    "tot AS (SELECT doc_id, LEN(t) AS n_total FROM toks) "
+    "tot AS (SELECT doc_id, LEN(t) AS n_total FROM toks)"
+)
+_SPAN_SCRUB_SELECT = (
     "SELECT t.doc_id AS id, COALESCE(a.n_kept, 0) AS n_kept, "
     "t.n_total - COALESCE(a.n_kept, 0) AS n_removed, "
     "COALESCE(a.scrubbed, '') AS scrubbed "
-    "FROM tot t LEFT JOIN agg a USING (doc_id)",
+    "FROM tot t LEFT JOIN agg a USING (doc_id)"
+)
+
+
+@register(
+    "dedup_span_scrub",
+    f"WITH {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_DUP}, {_SPAN_ISLANDS}, "
+    f"{_SPAN_SCRUB_TAIL} {_SPAN_SCRUB_SELECT}",
     doc="substring-level scrub: drop every token inside a duplicated "
     "interval, reassemble the survivors in order (aggressive "
     "symmetric policy — compose with doc-level exact dedup for a "
-    "keep-one-copy pipeline).  Whitespace canonicalizes to single "
-    "spaces as a side effect of tokenize/reassemble.",
+    "keep-one-copy pipeline, or use dedup_span_scrub_keepfirst to "
+    "retain the canonical occurrence in place).  Whitespace "
+    "canonicalizes to single spaces as a side effect of "
+    "tokenize/reassemble.",
 )
 def dedup_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.span_dedup import (
@@ -789,6 +824,32 @@ def dedup_span_scrub(spark: SparkSession, sf: str) -> DataFrame:
 
     return scrub_dup_spans(
         _t(spark, sf, "documents"), "text", "doc_id", n=6, min_docs=2
+    )
+
+
+@register(
+    "dedup_span_scrub_keepfirst",
+    f"WITH {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_HITS_KEEPFIRST}, "
+    f"{_SPAN_ISLANDS_TAIL}, {_SPAN_SCRUB_TAIL} {_SPAN_SCRUB_SELECT}",
+    doc="substring-level scrub, KEEP-FIRST policy (r11, verdict #5): "
+    "the canonical occurrence of every duplicated passage — the "
+    "gram's minimum doc_id, a total deterministic order — survives "
+    "in place; only repeats are scrubbed (Lee et al. 2022's "
+    "standard substring-dedup practice).  Same one-gram-shuffle "
+    "plan as the symmetric entry: the gram window already computes "
+    "the min, the exemption is one filter clause.  Per doc "
+    "n_removed <= the symmetric entry's, and a doc that is first "
+    "for every gram it contains is byte-identical to its input "
+    "modulo whitespace canonicalization.",
+)
+def dedup_span_scrub_keepfirst(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+        scrub_dup_spans,
+    )
+
+    return scrub_dup_spans(
+        _t(spark, sf, "documents"), "text", "doc_id", n=6, min_docs=2,
+        policy="keepfirst",
     )
 
 

@@ -1604,6 +1604,8 @@ def _chunk_attrition_oracle() -> str:
         _SPAN_OCC,
         _SPAN_TOKS,
         _cc_quality_ranked_sql,
+        _span_hits_keepfirst_sql,
+        _span_islands_tail_sql,
     )
 
     w = _ATTR_CHUNK_W
@@ -1611,16 +1613,28 @@ def _chunk_attrition_oracle() -> str:
     WITH RECURSIVE {_cc_quality_ranked_sql()}, drop_ AS (
       SELECT doc_id FROM ranked WHERE rk > 1
     ), {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_DUP}, {_SPAN_ISLANDS},
+    {_span_hits_keepfirst_sql('_kf')}, {_span_islands_tail_sql('_kf')},
     chunks AS (
+      -- empty/whitespace-only text splits to all-empty tokens:
+      -- exclude such docs or an empty doc ledgers as one 'kept'
+      -- chunk (r11, advice); ARRAY_TO_STRING(t,'') <> '' is the
+      -- engine side's rlike('\S') through the token array
       SELECT doc_id, i AS chunk_idx, i * {w} AS cs,
              LEAST(i * {w} + {w}, LEN(t)) AS ce
       FROM toks,
            UNNEST(RANGE(0, CAST(CEIL(LEN(t) / {w}.0) AS BIGINT))) AS r(i)
+      WHERE ARRAY_TO_STRING(t, '') <> ''
     ), cov AS (
       SELECT c.doc_id, c.chunk_idx,
              SUM(GREATEST(LEAST(c.ce, v.span_end)
                           - GREATEST(c.cs, v.span_start), 0)) AS covered
       FROM chunks c JOIN iv v ON v.doc_id = c.doc_id
+      GROUP BY c.doc_id, c.chunk_idx
+    ), cov_kf AS (
+      SELECT c.doc_id, c.chunk_idx,
+             SUM(GREATEST(LEAST(c.ce, v.span_end)
+                          - GREATEST(c.cs, v.span_start), 0)) AS covered
+      FROM chunks c JOIN iv_kf v ON v.doc_id = c.doc_id
       GROUP BY c.doc_id, c.chunk_idx
     ), cls AS (
       SELECT ch.doc_id,
@@ -1628,9 +1642,15 @@ def _chunk_attrition_oracle() -> str:
                     THEN 'dedup'
                   WHEN COALESCE(cv.covered, 0) >= ch.ce - ch.cs
                     THEN 'scrub'
-                  ELSE 'kept' END AS fate
-      FROM chunks ch LEFT JOIN cov cv
+                  ELSE 'kept' END AS fate,
+             CASE WHEN ch.doc_id NOT IN (SELECT doc_id FROM drop_)
+                   AND COALESCE(ck.covered, 0) >= ch.ce - ch.cs
+                  THEN 1 ELSE 0 END AS kf
+      FROM chunks ch
+      LEFT JOIN cov cv
         ON cv.doc_id = ch.doc_id AND cv.chunk_idx = ch.chunk_idx
+      LEFT JOIN cov_kf ck
+        ON ck.doc_id = ch.doc_id AND ck.chunk_idx = ch.chunk_idx
     )
     SELECT d.source, d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
@@ -1638,6 +1658,7 @@ def _chunk_attrition_oracle() -> str:
              AS BIGINT) AS lost_dedup,
            CAST(SUM(CASE WHEN fate = 'scrub' THEN 1 ELSE 0 END)
              AS BIGINT) AS lost_scrub,
+           CAST(SUM(kf) AS BIGINT) AS lost_scrub_keepfirst,
            CAST(SUM(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END)
              AS BIGINT) AS kept
     FROM cls JOIN documents d USING (doc_id)
@@ -1658,12 +1679,16 @@ def _chunk_attrition_oracle() -> str:
     "lang): the governance view that tells a curation run WHICH "
     "feeds lose the most training chunks and to which mechanism. "
     "Dedup loss takes precedence (a dropped doc's chunks are not "
-    "double-counted as scrubbed). Data-plane shape: chunk ledger is "
-    "a narrow explode (∝ chunks), interval coverage joins on "
-    "doc_id (∝ spans found), the drop set is broadcast (∝ "
-    "duplication), final rollup is one combinable agg on ~100 "
-    "(source, lang) keys. Every stage replays in ONE oracle SQL "
-    "via the shared ranking + span fragments.",
+    "double-counted as scrubbed). lost_scrub_keepfirst (r11) reports "
+    "the same ledger under the keep-first scrub policy — canonical "
+    "occurrences retained, so per group it is <= lost_scrub — "
+    "letting a curation run price the two policies in one rollup. "
+    "Data-plane shape: chunk ledger is a narrow explode (∝ chunks), "
+    "interval coverage joins on doc_id (∝ spans found), the drop "
+    "set is broadcast (∝ duplication), final rollup is one "
+    "combinable agg on ~100 (source, lang) keys. Every stage "
+    "replays in ONE oracle SQL via the shared ranking + span "
+    "fragments.",
 )
 def pipeline_chunk_attrition_by_source(
     spark: SparkSession, sf: str
@@ -1684,11 +1709,21 @@ def pipeline_chunk_attrition_by_source(
         quality_cluster_members(spark, sf)
     ).withColumn("_dropped", F.lit(True))
     iv = dup_span_intervals(docs, "text", "doc_id", n=6, min_docs=2)
+    iv_kf = dup_span_intervals(
+        docs, "text", "doc_id", n=6, min_docs=2, policy="keepfirst"
+    )
     # one row per token-window chunk: [cs, ce) token positions in the
     # SAME \s+ tokenization the span family uses, so interval math
     # and chunk math share one coordinate system
     chs = (
-        docs.select(
+        # empty/whitespace-only text tokenizes to [''] (or ['',''])
+        # in BOTH engines — \s+ split of a token-free string — so
+        # _n > 0 alone would ledger an empty doc as one 'kept' chunk.
+        # Filter on "has any non-whitespace char" (trim() strips only
+        # spaces, not \n\t) — the oracle's ARRAY_TO_STRING(t,'') <> ''
+        # is the same predicate through the token array (r11, advice).
+        docs.filter(F.col("text").rlike(r"\S"))
+        .select(
             "doc_id", "lang", "source",
             token_count("text").alias("_n"),
         )
@@ -1721,15 +1756,35 @@ def pipeline_chunk_attrition_by_source(
         .groupBy("doc_id", "chunk_idx")
         .agg(F.sum("_ov").alias("covered"))
     )
+    cov_kf = (
+        chs.join(iv_kf, chs["doc_id"] == iv_kf["id"])
+        .select("doc_id", "chunk_idx", overlap.alias("_ov"))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.sum("_ov").alias("covered_kf"))
+    )
     fate = F.when(F.col("_dropped"), F.lit("dedup")).when(
         F.coalesce(F.col("covered"), F.lit(0))
         >= F.col("ce") - F.col("cs"),
         F.lit("scrub"),
     ).otherwise(F.lit("kept"))
+    # the keep-first policy column (r11, verdict #6): what the SAME
+    # chunk ledger loses when the scrub retains canonical occurrences
+    # — dedup precedence unchanged (a dropped doc's chunks are not
+    # keepfirst-scrubbed either)
+    kf_lost = F.when(
+        F.coalesce(F.col("_dropped"), F.lit(False)),
+        F.lit(0),
+    ).when(
+        F.coalesce(F.col("covered_kf"), F.lit(0))
+        >= F.col("ce") - F.col("cs"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     return (
         chs.join(cov, ["doc_id", "chunk_idx"], "left")
+        .join(cov_kf, ["doc_id", "chunk_idx"], "left")
         .join(F.broadcast(drop), "doc_id", "left")
         .withColumn("fate", fate)
+        .withColumn("kf", kf_lost)
         .groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
@@ -1739,6 +1794,7 @@ def pipeline_chunk_attrition_by_source(
             F.sum(
                 F.when(F.col("fate") == "scrub", 1).otherwise(0)
             ).alias("lost_scrub"),
+            F.sum("kf").alias("lost_scrub_keepfirst"),
             F.sum(
                 F.when(F.col("fate") == "kept", 1).otherwise(0)
             ).alias("kept"),

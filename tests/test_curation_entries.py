@@ -379,3 +379,81 @@ def test_chunk_attrition_lineage_invariants(spark):
     assert sum(r["lost_scrub"] for r in rows) > 0, (
         "scrub losses vacuous at this SF"
     )
+
+    # keep-first policy column (r11): coverage under keep-first is a
+    # subset of symmetric coverage, so per group the keep-first loss
+    # can never exceed the symmetric one; and the column is not
+    # vacuous (some group loses strictly less under keep-first,
+    # else the policy knob would be untested dead weight)
+    for r in rows:
+        assert r["lost_scrub_keepfirst"] <= r["lost_scrub"], r
+    assert sum(r["lost_scrub_keepfirst"] for r in rows) < sum(
+        r["lost_scrub"] for r in rows
+    )
+
+def test_chunk_attrition_excludes_empty_documents(spark, tmp_path):
+    """r11 (advice): empty/whitespace-only text tokenizes to ['']
+    (size 1) in both engines, so without the trim filter an empty doc
+    would be ledgered as one 'kept' chunk.  Engine and oracle must
+    BOTH attribute 0 chunks to such docs — pinned by full parity on a
+    fixture that contains them."""
+    import math
+
+    import duckdb
+
+    from pdf_etl_ocr_inference_spark.plans.registry import resolve_oracle
+
+    base = _docs(spark)
+    mx = base.agg(F.max("doc_id")).first()[0]
+    tmpl = base.limit(1).collect()[0].asDict()
+    extras = []
+    for i, txt in enumerate(["", "   \n\t  "]):
+        r = dict(tmpl)
+        r["doc_id"] = mx + 1 + i
+        r["text"] = txt
+        r["source"] = "emptysrc"
+        extras.append(tuple(r[f] for f in base.columns))
+    fixture = str(tmp_path / "sf_empty")
+    base.unionByName(
+        spark.createDataFrame(extras, base.schema)
+    ).coalesce(1).write.parquet(f"{fixture}/documents.parquet")
+
+    spec = _SPECS["pipeline_chunk_attrition_by_source"]
+    rows = spec.fn(spark, fixture).collect()
+    assert rows
+    # the empty docs' unique source never appears: 0 chunks ledgered
+    assert all(r["source"] != "emptysrc" for r in rows)
+    # conservation against the python chunk count (empty docs -> 0)
+    def n_chunks(text: str) -> int:
+        n = len([t for t in text.split() if t])
+        return max(1, math.ceil(n / 20)) if n else 0
+
+    docs = spark.read.parquet(f"{fixture}/documents.parquet").collect()
+    assert sum(r["n_chunks"] for r in rows) == sum(
+        n_chunks(d["text"]) for d in docs
+    )
+
+    # full engine/oracle parity on the fixture
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{fixture}/documents.parquet/*.parquet'"
+        )
+        res = con.execute(resolve_oracle(spec.oracle))
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+    finally:
+        con.close()
+    sdf = spec.fn(spark, fixture)
+    assert sorted(sdf.columns) == sorted(duck_cols)
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(
+            tuple(r[i] for i in order) for r in rows
+        )
+
+    assert norm([tuple(r) for r in sdf.collect()], sdf.columns) == norm(
+        duck_rows, duck_cols
+    )

@@ -418,3 +418,154 @@ def test_malformed_manifest_falls_back_conservatively(spark, tmp_path):
     L.write_inventory_manifest(d)
     assert L.fresh_manifest_doc(d) is not None
     _os.stat(mdir)  # mdir still present, sanity
+
+def test_stats_refresh_is_swap_by_pointer(spark, tmp_path, monkeypatch):
+    """r11 (advice): a stats refresh must never delete the chunk set
+    a concurrent query's executor probe is mid-read on.  Publication
+    lands in a fresh ``_stats/v_*`` subdir and flips the stats_dir
+    pointer; the superseded generation survives the grace window (so
+    chunk paths resolved before the flip stay readable) and is GC'd
+    only by a later publish once the grace has passed."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write_ranged(spark, 1000, d, parts=4)
+    L.load_or_refresh_file_stats(spark, d, ["id"])
+    gen1 = L._stats_phys_dir(d)
+    assert gen1 is not None and "/_stats/v_" in gen1
+    gen1_chunks = L._sidecar_chunks(gen1)
+    assert gen1_chunks
+
+    # mutate the dataset -> the next load refreshes and re-publishes
+    extra = str(tmp_path / "extra")
+    spark.range(2000, 2100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(extra)
+    part = glob.glob(f"{extra}/part-*.parquet")[0]
+    shutil.move(part, f"{d}/appended.parquet")
+    L.load_or_refresh_file_stats(spark, d, ["id"])
+    gen2 = L._stats_phys_dir(d)
+    assert gen2 is not None and gen2 != gen1
+
+    # THE RACE FIX: the superseded generation's chunks are intact —
+    # a reader that listed them before the flip can still read them
+    for c in gen1_chunks:
+        assert pq.read_table(c).num_rows > 0
+
+    # and the refreshed scan answers from the new generation
+    df, n_read, n_total = L.scan_with_skipping(
+        spark, d, {"id": (2000.0, 2049.0)}
+    )
+    assert n_read < n_total
+    assert df.filter(F.col("id") <= 2049).count() == 50
+
+    # grace elapsed (simulated): the NEXT publish collects gen1+gen2
+    monkeypatch.setattr(L, "_STATS_GC_GRACE_S", -1.0)
+    part2 = glob.glob(f"{extra}/part-*.parquet")
+    spark.range(3000, 3010).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(extra)
+    part2 = glob.glob(f"{extra}/part-*.parquet")[0]
+    shutil.move(part2, f"{d}/appended2.parquet")
+    L.load_or_refresh_file_stats(spark, d, ["id"])
+    gen3 = L._stats_phys_dir(d)
+    assert gen3 not in (gen1, gen2)
+    import os as _os
+
+    assert not _os.path.isdir(gen1) and not _os.path.isdir(gen2)
+
+
+def test_stats_legacy_flat_sidecar_still_resolves(spark, tmp_path):
+    """Pre-r11 sidecars kept chunk parquets directly under _stats;
+    the resolver must serve them (and a refresh migrates them into a
+    versioned subdir without losing coverage)."""
+    import os as _os
+    import shutil
+
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write_ranged(spark, 1000, d, parts=4)
+    L.load_or_refresh_file_stats(spark, d, ["id"])
+    ver = L._stats_phys_dir(d)
+    # manufacture the legacy layout: chunks flat under _stats, no
+    # pointer doc
+    side = f"{d}/_stats"
+    for c in L._sidecar_chunks(ver):
+        shutil.move(c, f"{side}/{_os.path.basename(c)}")
+    shutil.rmtree(ver)
+    _os.unlink(f"{L._manifest_dir(d)}/stats_dir.json")
+    assert L._stats_phys_dir(d) == side
+    got = L.load_or_refresh_file_stats(spark, d, ["id"])
+    files = {r["file"] for r in got.select("file").distinct().collect()}
+    assert files == set(L._live_stat_map(d))
+
+
+def test_scan_read_only_flag_never_writes(spark, tmp_path):
+    """read_only=True is the caller contract for foreign datasets:
+    root bypasses mode bits (os.access W_OK lies), so the flag alone
+    must prevent any sidecar/manifest write on a WRITABLE dir."""
+    import os as _os
+
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write_ranged(spark, 1000, d, parts=4)
+    df, n_read, n_total = L.scan_with_skipping(
+        spark, d, {"id": (0.0, 10.0)}, read_only=True
+    )
+    assert n_total == 4 and 0 < n_read < 4
+    assert df.filter(F.col("id") <= 10).count() == 11
+    assert not _os.path.isdir(f"{d}/_stats")
+    assert not _os.path.isdir(f"{d}/_manifest")
+
+
+def test_scan_survives_refresh_oserror(spark, tmp_path, monkeypatch):
+    """When the W_OK probe lies (root on an EROFS mount reports
+    writable until the first write fails), the refresh's OSError must
+    degrade the scan to the read-only footer pass — correct rows, no
+    query failure."""
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write_ranged(spark, 1000, d, parts=4)
+    monkeypatch.setattr(
+        L,
+        "load_or_refresh_file_stats",
+        lambda *a, **k: (_ for _ in ()).throw(OSError(30, "EROFS")),
+    )
+    df, n_read, n_total = L.scan_with_skipping(
+        spark, d, {"id": (0.0, 10.0)}
+    )
+    assert n_total == 4 and 0 < n_read < 4
+    assert df.filter(F.col("id") <= 10).count() == 11
+
+
+def test_manifest_doc_cache_byte_counter_consistent(spark, tmp_path):
+    """r11 (advice): eviction bookkeeping is a running counter, not a
+    per-pop re-sum — it must always equal the true sum over entries."""
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    L._MANIFEST_DOC_CACHE.clear()
+    for i in range(3):
+        d = str(tmp_path / f"tbl{i}")
+        _write(spark, 50, d)
+        L.write_inventory_manifest(d)
+        assert L.fresh_manifest_doc(d) is not None
+        assert L.fresh_manifest_doc(d) is not None  # warm hit
+    assert L._MANIFEST_DOC_CACHE_BYTES == sum(
+        e[2] for e in L._MANIFEST_DOC_CACHE.values()
+    )
+    # re-stamp one path: the old entry's bytes must be released
+    d0 = str(tmp_path / "tbl0")
+    _write(spark, 80, d0)
+    L.write_inventory_manifest(d0)
+    assert L.fresh_manifest_doc(d0) is not None
+    assert L._MANIFEST_DOC_CACHE_BYTES == sum(
+        e[2] for e in L._MANIFEST_DOC_CACHE.values()
+    )

@@ -143,3 +143,119 @@ def test_max_doc_freq_cap_drops_hot_grams(spark):
         df, "text", "doc_id", n=6, max_doc_freq=3
     ).count()
     assert capped < uncapped
+
+def _brute_keepfirst(n=6):
+    """Ground truth for the keep-first policy: an occurrence is a hit
+    only when its doc_id exceeds the gram's minimum doc_id (the
+    canonical copy is exempt)."""
+    occ = []
+    toks = {i: t.split() for i, t in DOCS}
+    for i, tk in toks.items():
+        for p in range(len(tk) - n + 1):
+            occ.append((i, p, " ".join(tk[p : p + n])))
+    by_gram = {}
+    for i, p, g in occ:
+        by_gram.setdefault(g, []).append((i, p))
+    first = {
+        g: min(i for i, _ in o)
+        for g, o in by_gram.items()
+        if len({i for i, _ in o}) >= 2
+    }
+    ivs = {}
+    for i, p, g in occ:
+        if g in first and i > first[g]:
+            ivs.setdefault(i, []).append((p, p + n))
+    merged = {}
+    for i, spans in ivs.items():
+        spans.sort()
+        out = []
+        for s, e in spans:
+            if out and s <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], e))
+            else:
+                out.append((s, e))
+        merged[i] = out
+    scrubbed = {}
+    for i, tk in toks.items():
+        cov = set(
+            itertools.chain.from_iterable(
+                range(s, e) for s, e in merged.get(i, [])
+            )
+        )
+        kept = [t for p, t in enumerate(tk) if p not in cov]
+        scrubbed[i] = (len(kept), len(tk) - len(kept), " ".join(kept))
+    return merged, scrubbed
+
+
+def test_keepfirst_intervals_match_brute(spark, docs_df):
+    merged, _ = _brute_keepfirst()
+    rows = dup_span_intervals(
+        docs_df, "text", "doc_id", n=6, policy="keepfirst"
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    got = {i: sorted(v) for i, v in got.items()}
+    assert got == {i: v for i, v in merged.items() if v}
+    # doc 0 (min id of the boilerplate pair) must carry NO interval
+    assert 0 not in got
+
+
+def test_keepfirst_scrub_matches_brute_and_conserves(spark, docs_df):
+    _, kf = _brute_keepfirst()
+    _, _, sym = _brute()
+    rows = scrub_dup_spans(
+        docs_df, "text", "doc_id", n=6, policy="keepfirst"
+    ).collect()
+    got = {
+        r["id"]: (r["n_kept"], r["n_removed"], r["scrubbed"])
+        for r in rows
+    }
+    assert got == kf
+    # conservation: keep-first never removes more than symmetric,
+    # and the corpus-min doc (first for every gram it has) is
+    # unscathed modulo whitespace canonicalization
+    for i in got:
+        assert got[i][1] <= sym[i][1]
+    assert got[0][1] == 0
+    assert got[0][2] == " ".join(DOCS[0][1].split())
+    # the policy is not vacuous on this fixture: the repeat copies
+    # (docs 1 and 3) still lose their duplicated spans
+    assert got[1][1] > 0 and got[3][1] > 0
+    # doc 2 hosts the canonical copy of the 2/3-shared run but also
+    # REPEATS it internally — keep-first exempts the whole min doc
+    # for that gram family, symmetric scrubs it: strict inequality
+    assert got[2][1] < sym[2][1]
+
+
+def test_keepfirst_generic_path_matches_fast_path(spark, docs_df):
+    """min_docs=2 takes the window fast path; max_doc_freq forces the
+    generic join path — both must implement the same keep-first
+    exemption."""
+    fast = sorted(
+        map(
+            tuple,
+            dup_span_intervals(
+                docs_df, "text", "doc_id", n=6, policy="keepfirst"
+            ).collect(),
+        )
+    )
+    generic = sorted(
+        map(
+            tuple,
+            dup_span_intervals(
+                docs_df, "text", "doc_id", n=6,
+                policy="keepfirst", max_doc_freq=10**6,
+            ).collect(),
+        )
+    )
+    assert fast == generic
+
+
+def test_unknown_policy_raises(spark, docs_df):
+    with pytest.raises(ValueError):
+        dup_span_intervals(
+            docs_df, "text", "doc_id", n=6, policy="keep-one"
+        )
