@@ -757,6 +757,21 @@ def manifest_stat_map(path: str) -> dict:
     return {f: (int(sz), int(mt)) for f, (sz, mt) in doc["files"].items()}
 
 
+# (path, inventory digest, canonical range box) -> (keep list,
+# n_files, nbytes); byte-budgeted LRU.  The keep verdict is a pure
+# function of (live files' footer stats, box), and the digest pins
+# the live files + fresh fingerprints — any append/delete/replace
+# re-stamps a new digest, so a stale hit is impossible through the
+# engine's own APIs (the op96_result_cache fingerprint doctrine).
+# Closes r10 verdict #2: the warm fast path paid a fixed
+# executor-probe mapInPandas job PER QUERY even for a repeat
+# (digest, box); at sf0.1 file counts that fixed task was the whole
+# +0.14 s on op70d/op70f.  Repeat boxes now skip the job entirely.
+_STATS_KEEP_CACHE: dict = {}
+_STATS_KEEP_BUDGET_BYTES: int = 32 << 20
+_STATS_KEEP_CACHE_BYTES: int = 0  # running total (advice-r11 pattern)
+
+
 def _manifest_stats_keep(spark, path: str, ranges: dict):
     """``(sorted keep files, n_files)`` via the warm fast path, or
     ``None`` when it cannot engage: manifest summary stale, stats
@@ -766,7 +781,8 @@ def _manifest_stats_keep(spark, path: str, ranges: dict):
     the live files with fresh fingerprints and a row for every
     queried column — so no listing runs, no reconciliation rows move,
     and the driver collects only the passing (file, col) rows
-    (:func:`_stats_hits_executor_pinned`)."""
+    (:func:`_stats_hits_executor_pinned`); a repeat (digest, box)
+    answers from the driver keep-verdict cache without any job."""
     doc = fresh_manifest_summary(path)  # constant-size: never the
     # O(files) file map — the fast path must stay flat in file count
     if doc is None:
@@ -778,6 +794,14 @@ def _manifest_stats_keep(spark, path: str, ranges: dict):
         or not set(ranges) <= set(marker.get("cols", []))
     ):
         return None
+    box = tuple(
+        sorted((c, float(lo), float(hi)) for c, (lo, hi) in ranges.items())
+    )
+    key = (path, doc["digest"], box)
+    hit = _STATS_KEEP_CACHE.get(key)
+    if hit is not None:
+        _STATS_KEEP_CACHE[key] = _STATS_KEEP_CACHE.pop(key)  # LRU touch
+        return list(hit[0]), hit[1]
     phys = _stats_phys_dir(path)
     if phys is None:
         return None
@@ -789,7 +813,21 @@ def _manifest_stats_keep(spark, path: str, ranges: dict):
         # ``_``-prefixed dir don't bump the root probe) — fall through
         # to the slow path's loud read, never a silent full keep
         return None
-    return sorted(keep), int(doc["n_files"])
+    global _STATS_KEEP_CACHE_BYTES
+    if not _STATS_KEEP_CACHE:
+        _STATS_KEEP_CACHE_BYTES = 0  # heal external .clear()
+    files = sorted(keep)
+    nbytes = sum(len(f) + 16 for f in files) + 256
+    while (
+        _STATS_KEEP_CACHE
+        and _STATS_KEEP_CACHE_BYTES + nbytes > _STATS_KEEP_BUDGET_BYTES
+    ):
+        ev = _STATS_KEEP_CACHE.pop(next(iter(_STATS_KEEP_CACHE)))
+        _STATS_KEEP_CACHE_BYTES -= ev[2]
+    if nbytes <= _STATS_KEEP_BUDGET_BYTES:
+        _STATS_KEEP_CACHE[key] = (tuple(files), int(doc["n_files"]), nbytes)
+        _STATS_KEEP_CACHE_BYTES += nbytes
+    return files, int(doc["n_files"])
 
 
 def scan_with_skipping(

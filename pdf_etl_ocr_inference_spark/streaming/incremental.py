@@ -207,6 +207,7 @@ def run_available_now(
     streaming_df: DataFrame,
     output_mode: str = "complete",
     timeout_s: int = 120,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """OP-46: run a streaming plan to completion on currently-available
     data (``trigger(availableNow=True)``) into a memory sink; return
@@ -214,19 +215,45 @@ def run_available_now(
 
     ``complete`` mode emits every window regardless of watermark
     position — the right semantics for a catch-up batch refresh.
+
+    ``checkpoint_dir`` overrides the checkpoint location (bench
+    attribution uses it to A/B the checkpoint/state-store
+    filesystem).  When unset, the run-to-completion checkpoint +
+    state store go on tmpfs (``/dev/shm``) when present, falling
+    back to the engine-managed /tmp temp dir: this checkpoint is
+    DISCARDED at the end of the call (one-shot catch-up into a
+    memory sink — recovery durability buys nothing), and /tmp IO is
+    the headline set's most contention-sensitive surface (r10
+    verdict #1: op45 2.06× on byte-unchanged code under fs
+    contention; the r11 attribution block measured the shm variant
+    23% faster even at its calm baseline).  Incremental-ingestion
+    checkpoints that must SURVIVE across calls (the *_stream_sync
+    at-least-once watermarks) pass their own durable directory and
+    are untouched by this default.
     """
+    import os
+    import shutil
+
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
+    tmp_ckpt = None
+    if checkpoint_dir is None and os.path.isdir("/dev/shm"):
+        tmp_ckpt = f"/dev/shm/spark_graft_ckpt/{name}"
+        checkpoint_dir = tmp_ckpt
+    writer = (
         streaming_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     try:
         q.awaitTermination(timeout_s)
     finally:
         if q.isActive:
             q.stop()
+        if tmp_ckpt is not None:
+            shutil.rmtree(tmp_ckpt, ignore_errors=True)
     spark = streaming_df.sparkSession
     return spark.table(name)

@@ -29,3 +29,8 @@ def test_ann_recall_floors_gate_sf(spark):
     assert recalls["hnsw"] >= recalls["nsw"] - 0.2, recalls
     # residual quantization + 3-cell probe must hold the PQ floor
     assert recalls["ivfpq"] >= 0.6, recalls
+    # MLlib BRP-LSH (euclidean, vs exact euclidean top-5): the one
+    # rows-only ANN entry — this floor is its only quality gate
+    # (r10 verdict #4), so a seed/MLlib drift fails here, not
+    # silently in a report
+    assert recalls["mllib_brp"] >= 0.6, recalls

@@ -569,3 +569,57 @@ def test_manifest_doc_cache_byte_counter_consistent(spark, tmp_path):
     assert L._MANIFEST_DOC_CACHE_BYTES == sum(
         e[2] for e in L._MANIFEST_DOC_CACHE.values()
     )
+
+def test_warm_keep_verdict_cached_per_digest_and_box(
+    spark, tmp_path, monkeypatch
+):
+    """r11 (verdict #2): a REPEAT (manifest digest, range box) must
+    answer from the driver keep-verdict cache — no executor probe job
+    at all — while any data mutation (digest flip) forces a fresh
+    probe.  Also pins the running byte counter."""
+    import glob
+    import shutil
+
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write_ranged(spark, 1000, d, parts=4)
+    L.load_or_refresh_file_stats(spark, d, ["id"])
+    L._STATS_KEEP_CACHE.clear()
+
+    calls = {"n": 0}
+    real = L._stats_hits_executor_pinned
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(L, "_stats_hits_executor_pinned", counting)
+    box = {"id": (0.0, 10.0)}
+    df1, r1, t1 = L.scan_with_skipping(spark, d, box)
+    assert calls["n"] == 1 and 0 < r1 < t1
+    df2, r2, t2 = L.scan_with_skipping(spark, d, box)
+    assert (r2, t2) == (r1, t1)
+    assert calls["n"] == 1, "repeat (digest, box) must skip the probe"
+    assert df2.filter(F.col("id") <= 10).count() == 11
+    # a different box probes once, then caches too
+    L.scan_with_skipping(spark, d, {"id": (500.0, 510.0)})
+    L.scan_with_skipping(spark, d, {"id": (500.0, 510.0)})
+    assert calls["n"] == 2
+    assert L._STATS_KEEP_CACHE_BYTES == sum(
+        e[2] for e in L._STATS_KEEP_CACHE.values()
+    )
+
+    # mutation: append a file -> digest flips -> fresh probe, fresh
+    # verdict that INCLUDES the new file's rows
+    extra = str(tmp_path / "extra")
+    spark.range(5, 8).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(extra)
+    part = glob.glob(f"{extra}/part-*.parquet")[0]
+    shutil.move(part, f"{d}/appended.parquet")
+    before = calls["n"]
+    df3, r3, t3 = L.scan_with_skipping(spark, d, box)
+    assert t3 == t1 + 1
+    assert df3.filter(F.col("id") <= 10).count() == 14  # 11 + 3 new
+    assert calls["n"] > before, "digest flip must re-probe"
