@@ -949,9 +949,27 @@ def train_stratified_fixed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "pipeline_span_clean_corpus",
-    f"""
+def _span_clean_oracle(policy: str = "symmetric") -> str:
+    """The span-clean pipeline oracle, parameterized by the scrub
+    policy: ``symmetric`` hits every occurrence of a duplicated
+    gram; ``keepfirst`` exempts the canonical occurrence (the
+    gram's MIN(doc_id) — the same rule dedup_span_scrub_keepfirst
+    oracles, applied here to the post-exact-dedup frontier)."""
+    hits = (
+        """dup AS (
+      SELECT gram FROM occ GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT doc_id, pos, pos + 6 AS e FROM occ JOIN dup USING (gram))"""
+        if policy == "symmetric"
+        else """dup AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM occ GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT o.doc_id, o.pos, o.pos + 6 AS e
+      FROM occ o JOIN dup d USING (gram) WHERE o.doc_id > d.first_doc)"""
+    )
+    return f"""
     WITH q AS (
       SELECT doc_id, text FROM documents WHERE {_QUALITY_SQL} >= 0.5),
     surv AS (
@@ -963,11 +981,7 @@ def train_stratified_fixed(spark: SparkSession, sf: str) -> DataFrame:
     occ AS (
       SELECT doc_id, i AS pos, ARRAY_TO_STRING(t[i+1:i+6], ' ') AS gram
       FROM toks, UNNEST(RANGE(0, GREATEST(LEN(t) - 5, 0))) AS r(i)),
-    dup AS (
-      SELECT gram FROM occ GROUP BY gram
-      HAVING COUNT(DISTINCT doc_id) >= 2),
-    hits AS (
-      SELECT doc_id, pos, pos + 6 AS e FROM occ JOIN dup USING (gram)),
+    {hits},
     isl AS (
       SELECT doc_id, pos, e, CASE WHEN pos > COALESCE(
         MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
@@ -997,20 +1011,12 @@ def train_stratified_fixed(spark: SparkSession, sf: str) -> DataFrame:
              AS seq_id,
            COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
     FROM pos GROUP BY shard, seq_id
-    """,
-    doc="corpus prep with SUBSTRING-level dedup composed in: quality "
-    "filter -> exact doc dedup -> duplicated-span interval detection "
-    "(Lee et al. 2022 at 6-gram resolution) -> drop docs left under "
-    "30 tokens after scrubbing -> sequence packing over the SCRUBBED "
-    "token counts. The deduped frontier is STAGED once (three "
-    "downstream branches re-derived it otherwise — 6 document scans "
-    "in the physical plan; staging cut the sf0.1 wall ~27%), then "
-    "the rest runs lazily. The packing budget sees post-scrub "
-    "lengths, so boilerplate passages stop inflating the token "
-    "ledger. Every stage replayed in the oracle SQL — the "
-    "composition stays value-checked end to end.",
-)
-def pipeline_span_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """
+
+
+def _span_clean_corpus(
+    spark: SparkSession, sf: str, policy: str
+) -> DataFrame:
     from pdf_etl_ocr_inference_spark.functions.text import quality_score
     from pdf_etl_ocr_inference_spark.operators.dedup import exact_dedup
     from pdf_etl_ocr_inference_spark.operators.span_dedup import (
@@ -1036,7 +1042,9 @@ def pipeline_span_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     d.write.mode("overwrite").parquet(_stage)
     d = spark.read.parquet(_stage)
     cov = (
-        dup_span_intervals(d, "text", "doc_id", n=6, min_docs=2)
+        dup_span_intervals(
+            d, "text", "doc_id", n=6, min_docs=2, policy=policy
+        )
         .groupBy("id")
         .agg(F.sum(F.col("span_end") - F.col("span_start")).alias("n_cov"))
     )
@@ -1070,6 +1078,46 @@ def pipeline_span_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tokens").alias("seq_tokens"),
         )
     )
+
+
+@register(
+    "pipeline_span_clean_corpus",
+    _span_clean_oracle("symmetric"),
+    doc="corpus prep with SUBSTRING-level dedup composed in: quality "
+    "filter -> exact doc dedup -> duplicated-span interval detection "
+    "(Lee et al. 2022 at 6-gram resolution) -> drop docs left under "
+    "30 tokens after scrubbing -> sequence packing over the SCRUBBED "
+    "token counts. The deduped frontier is STAGED once (three "
+    "downstream branches re-derived it otherwise — 6 document scans "
+    "in the physical plan; staging cut the sf0.1 wall ~27%), then "
+    "the rest runs lazily. The packing budget sees post-scrub "
+    "lengths, so boilerplate passages stop inflating the token "
+    "ledger. Every stage replayed in the oracle SQL — the "
+    "composition stays value-checked end to end.",
+)
+def pipeline_span_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    return _span_clean_corpus(spark, sf, "symmetric")
+
+
+@register(
+    "pipeline_span_clean_corpus_keepfirst",
+    _span_clean_oracle("keepfirst"),
+    doc="the span-clean corpus-prep pipeline under the KEEP-FIRST "
+    "scrub policy (r11): after quality filter + exact doc dedup, "
+    "duplicated-span intervals exempt the canonical occurrence "
+    "(MIN doc_id per gram over the deduped frontier) and only "
+    "repeats are scrubbed before the <30-token drop and sequence "
+    "packing — the policy a trainer picks when boilerplate should "
+    "survive EXACTLY once in the corpus rather than vanish "
+    "(Lee et al. 2022's standard). Same staged-frontier plan and "
+    "packing math as the symmetric entry; per doc the scrubbed "
+    "token count is <= the symmetric entry's, so packed sequences "
+    "carry >= tokens.",
+)
+def pipeline_span_clean_corpus_keepfirst(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    return _span_clean_corpus(spark, sf, "keepfirst")
 
 
 @register(

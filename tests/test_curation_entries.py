@@ -457,3 +457,21 @@ def test_chunk_attrition_excludes_empty_documents(spark, tmp_path):
     assert norm([tuple(r) for r in sdf.collect()], sdf.columns) == norm(
         duck_rows, duck_cols
     )
+
+def test_span_clean_keepfirst_packs_at_least_symmetric_tokens(spark):
+    """pipeline_span_clean_corpus_keepfirst (r11): keep-first scrubs
+    a subset of what symmetric scrubs, so after the <30-token drop
+    the surviving doc set is a superset and the packed token ledger
+    can only grow."""
+    sym = _SPECS["pipeline_span_clean_corpus"].fn(spark, SF).collect()
+    kf = _SPECS["pipeline_span_clean_corpus_keepfirst"].fn(
+        spark, SF
+    ).collect()
+    assert sum(r["seq_tokens"] for r in kf) >= sum(
+        r["seq_tokens"] for r in sym
+    )
+    assert sum(r["n_docs"] for r in kf) >= sum(r["n_docs"] for r in sym)
+    # non-vacuous on the fixture: the policies genuinely differ
+    assert sum(r["seq_tokens"] for r in kf) > sum(
+        r["seq_tokens"] for r in sym
+    )
