@@ -297,6 +297,33 @@ def _stamp_stats_manifest(path: str, live: dict, cols) -> None:
 _STATS_GC_GRACE_S: float = 300.0
 
 
+def _newest_mtime(root: str) -> float:
+    """Newest mtime of ``root`` or anything under it — the liveness
+    signal for an in-flight Spark write directory (task files keep
+    landing in nested ``_temporary/`` subdirs while the top dir's
+    mtime stays frozen at creation)."""
+    import os as _os
+
+    newest = 0.0
+    try:
+        newest = _os.stat(root).st_mtime
+        for dirpath, _dirnames, filenames in _os.walk(root):
+            try:
+                newest = max(newest, _os.stat(dirpath).st_mtime)
+            except OSError:
+                continue
+            for f in filenames:
+                try:
+                    newest = max(
+                        newest, _os.stat(f"{dirpath}/{f}").st_mtime
+                    )
+                except OSError:
+                    continue
+    except OSError:
+        pass
+    return newest
+
+
 def _stats_phys_dir(path: str):
     """The directory that PHYSICALLY holds the current stats-sidecar
     chunk parquets, or ``None`` when no sidecar exists.  Since r11
@@ -389,8 +416,21 @@ def _publish_stats_version(path: str, merged, n_chunks: int) -> str:
                     continue
                 if now - e.stat().st_mtime <= _STATS_GC_GRACE_S:
                     continue
-                if e.is_dir() and e.name.startswith(("v_", ".tmp_")):
+                if e.is_dir() and e.name.startswith("v_"):
                     stale_dirs.append(e.name)
+                elif e.is_dir() and e.name.startswith(".tmp_"):
+                    # a CONCURRENT refresher's in-flight write: the
+                    # tmp dir's own mtime freezes at creation while
+                    # Spark streams task files into nested
+                    # _temporary/ subdirs — judge staleness by the
+                    # NEWEST mtime anywhere inside, or B's GC would
+                    # rmtree A's >grace-long write mid-flight
+                    # (review-r11)
+                    if (
+                        now - _newest_mtime(f"{side_dir}/{e.name}")
+                        > _STATS_GC_GRACE_S
+                    ):
+                        stale_dirs.append(e.name)
                 elif e.is_file():  # pre-r11 flat chunks + _SUCCESS
                     stale_files.append(e.name)
     except OSError:
@@ -818,15 +858,20 @@ def _manifest_stats_keep(spark, path: str, ranges: dict):
         _STATS_KEEP_CACHE_BYTES = 0  # heal external .clear()
     files = sorted(keep)
     nbytes = sum(len(f) + 16 for f in files) + 256
+    if nbytes > _STATS_KEEP_BUDGET_BYTES:
+        # an over-budget verdict is served one-shot, NOT cached — and
+        # must not evict everyone else first (review-r11: a broad box
+        # keeping ~10⁶ files would wipe the cache and then skip the
+        # insert, re-opening the per-query probe for every other box)
+        return files, int(doc["n_files"])
     while (
         _STATS_KEEP_CACHE
         and _STATS_KEEP_CACHE_BYTES + nbytes > _STATS_KEEP_BUDGET_BYTES
     ):
         ev = _STATS_KEEP_CACHE.pop(next(iter(_STATS_KEEP_CACHE)))
         _STATS_KEEP_CACHE_BYTES -= ev[2]
-    if nbytes <= _STATS_KEEP_BUDGET_BYTES:
-        _STATS_KEEP_CACHE[key] = (tuple(files), int(doc["n_files"]), nbytes)
-        _STATS_KEEP_CACHE_BYTES += nbytes
+    _STATS_KEEP_CACHE[key] = (tuple(files), int(doc["n_files"]), nbytes)
+    _STATS_KEEP_CACHE_BYTES += nbytes
     return files, int(doc["n_files"])
 
 
@@ -888,16 +933,29 @@ def scan_with_skipping(
             # a mode-protected directory when running privileged.
             stats = collect_file_stats(spark, path, list(ranges))
         elif fast is None:
+            # the refresh's first write may fail driver-side
+            # (makedirs/os.replace → OSError) or JVM-side (the Spark
+            # parquet write → Py4JError / PySparkException) — the
+            # W_OK probe lies for root on an EROFS bind mount, which
+            # reports writable until the first actual write
+            try:
+                from py4j.protocol import Py4JError as _WriteErr2
+            except ImportError:  # pragma: no cover
+                _WriteErr2 = OSError
+            try:
+                from pyspark.errors import (
+                    PySparkException as _WriteErr3,
+                )
+            except ImportError:  # pragma: no cover
+                _WriteErr3 = OSError
             try:
                 marker = _read_manifest_doc(path, "stats") or {}
                 cols = sorted(set(marker.get("cols", [])) | set(ranges))
                 stats = load_or_refresh_file_stats(spark, path, cols)
                 fast = _manifest_stats_keep(spark, path, ranges)
-            except OSError:
-                # the W_OK probe lied (e.g. root on an EROFS bind
-                # mount reports writable until the first write):
-                # degrade to the read-only shape instead of failing
-                # the query on a sidecar it never needed
+            except (OSError, _WriteErr2, _WriteErr3):
+                # degrade to the read-only footer-pass shape instead
+                # of failing the query on a sidecar it never needed
                 stats = collect_file_stats(spark, path, list(ranges))
         if fast is not None:
             files, total = fast

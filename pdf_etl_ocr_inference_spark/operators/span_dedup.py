@@ -186,6 +186,40 @@ def dup_span_intervals(
     )
 
 
+def dup_span_intervals_both(
+    df: DataFrame, text_col: str, id_col: str, n: int = 6
+) -> tuple[DataFrame, DataFrame]:
+    """``(symmetric intervals, keep-first intervals)`` from ONE
+    positional-ngram pass and ONE gram shuffle (review-r11: a
+    consumer needing both policies — the attrition ledger — was
+    calling :func:`dup_span_intervals` twice, doubling the corpus
+    explode and the gram exchange, the entry's dominant stages).
+    The gram window already computes the per-gram min, so the
+    keep-first hit set is the symmetric one minus a filter; the hit
+    frame is persisted so both island merges read one computed copy
+    (hits ∝ duplicated occurrences — the result-sized frame, not the
+    corpus)."""
+    occ = positional_ngrams(df, text_col, id_col, n)
+    w = Window.partitionBy("gram")
+    hits = (
+        occ.withColumn("_mn", F.min("id").over(w))
+        .withColumn("_mx", F.max("id").over(w))
+        .filter(F.col("_mn") < F.col("_mx"))
+        .select(
+            "id",
+            "pos",
+            (F.col("pos") + n).alias("end"),
+            (F.col("id") > F.col("_mn")).alias("_repeat"),
+        )
+        .persist()
+    )
+    iv_sym = merge_islands(hits.select("id", "pos", "end"))
+    iv_kf = merge_islands(
+        hits.filter(F.col("_repeat")).select("id", "pos", "end")
+    )
+    return iv_sym, iv_kf
+
+
 def merge_islands(hits: DataFrame) -> DataFrame:
     """Classic interval-island merge over (id, pos, end) hit rows:
     per-id running-max-end window, new island when a hit starts past

@@ -953,21 +953,24 @@ def _span_clean_oracle(policy: str = "symmetric") -> str:
     """The span-clean pipeline oracle, parameterized by the scrub
     policy: ``symmetric`` hits every occurrence of a duplicated
     gram; ``keepfirst`` exempts the canonical occurrence (the
-    gram's MIN(doc_id) — the same rule dedup_span_scrub_keepfirst
-    oracles, applied here to the post-exact-dedup frontier)."""
+    gram's MIN(doc_id)).  The occ/dup/hits/island CTEs are SPLICED
+    from the span family's shared fragments (dedup_plans) — only the
+    upstream frontier (quality filter + exact dedup) and the
+    downstream packing are local — so a change to either policy's
+    hit rule propagates here by construction (review-r11: the
+    keepfirst rule briefly existed in two hand-maintained copies)."""
+    from pdf_etl_ocr_inference_spark.plans.dedup_plans import (
+        _SPAN_DUP,
+        _SPAN_HITS,
+        _SPAN_OCC,
+        _span_hits_keepfirst_sql,
+        _span_islands_tail_sql,
+    )
+
     hits = (
-        """dup AS (
-      SELECT gram FROM occ GROUP BY gram
-      HAVING COUNT(DISTINCT doc_id) >= 2),
-    hits AS (
-      SELECT doc_id, pos, pos + 6 AS e FROM occ JOIN dup USING (gram))"""
+        f"{_SPAN_DUP}, {_SPAN_HITS}"
         if policy == "symmetric"
-        else """dup AS (
-      SELECT gram, MIN(doc_id) AS first_doc FROM occ GROUP BY gram
-      HAVING COUNT(DISTINCT doc_id) >= 2),
-    hits AS (
-      SELECT o.doc_id, o.pos, o.pos + 6 AS e
-      FROM occ o JOIN dup d USING (gram) WHERE o.doc_id > d.first_doc)"""
+        else _span_hits_keepfirst_sql()
     )
     return f"""
     WITH q AS (
@@ -978,24 +981,12 @@ def _span_clean_oracle(policy: str = "symmetric") -> str:
     d AS (SELECT q.doc_id, q.text FROM q JOIN surv USING (doc_id)),
     toks AS (
       SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS t FROM d),
-    occ AS (
-      SELECT doc_id, i AS pos, ARRAY_TO_STRING(t[i+1:i+6], ' ') AS gram
-      FROM toks, UNNEST(RANGE(0, GREATEST(LEN(t) - 5, 0))) AS r(i)),
+    {_SPAN_OCC},
     {hits},
-    isl AS (
-      SELECT doc_id, pos, e, CASE WHEN pos > COALESCE(
-        MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        THEN 1 ELSE 0 END AS ni FROM hits),
-    isl2 AS (
-      SELECT doc_id, pos, e, SUM(ni) OVER (PARTITION BY doc_id
-        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        AS island FROM isl),
-    iv AS (
-      SELECT doc_id, MIN(pos) AS s, MAX(e) AS e2
-      FROM isl2 GROUP BY doc_id, island),
+    {_span_islands_tail_sql()},
     cov AS (
-      SELECT doc_id, SUM(e2 - s) AS n_cov FROM iv GROUP BY doc_id),
+      SELECT doc_id, SUM(span_end - span_start) AS n_cov
+      FROM iv GROUP BY doc_id),
     kept AS (
       SELECT t.doc_id, LEN(t.t) - COALESCE(c.n_cov, 0) AS n_tokens
       FROM toks t LEFT JOIN cov c USING (doc_id)),
@@ -1742,7 +1733,7 @@ def pipeline_chunk_attrition_by_source(
     spark: SparkSession, sf: str
 ) -> DataFrame:
     from pdf_etl_ocr_inference_spark.operators.span_dedup import (
-        dup_span_intervals,
+        dup_span_intervals_both,
     )
     from pdf_etl_ocr_inference_spark.plans.dedup_plans import (
         quality_cluster_members,
@@ -1756,10 +1747,10 @@ def pipeline_chunk_attrition_by_source(
     drop = quality_collapse_drop(
         quality_cluster_members(spark, sf)
     ).withColumn("_dropped", F.lit(True))
-    iv = dup_span_intervals(docs, "text", "doc_id", n=6, min_docs=2)
-    iv_kf = dup_span_intervals(
-        docs, "text", "doc_id", n=6, min_docs=2, policy="keepfirst"
-    )
+    # ONE ngram pass + ONE gram shuffle feed both policies'
+    # interval sets (review-r11: two dup_span_intervals calls ran
+    # the corpus explode twice)
+    iv, iv_kf = dup_span_intervals_both(docs, "text", "doc_id", n=6)
     # one row per token-window chunk: [cs, ce) token positions in the
     # SAME \s+ tokenization the span family uses, so interval math
     # and chunk math share one coordinate system

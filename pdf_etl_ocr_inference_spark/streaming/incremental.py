@@ -247,13 +247,19 @@ def run_available_now(
     )
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
+    q = None
     try:
+        q = writer.start()
         q.awaitTermination(timeout_s)
     finally:
-        if q.isActive:
-            q.stop()
-        if tmp_ckpt is not None:
-            shutil.rmtree(tmp_ckpt, ignore_errors=True)
+        # rmtree must run even when start() raises or stop() throws
+        # (review-r11: a leaked tmpfs checkpoint is RAM held until
+        # reboot) — sequence the two teardowns independently
+        try:
+            if q is not None and q.isActive:
+                q.stop()
+        finally:
+            if tmp_ckpt is not None:
+                shutil.rmtree(tmp_ckpt, ignore_errors=True)
     spark = streaming_df.sparkSession
     return spark.table(name)

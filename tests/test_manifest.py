@@ -466,7 +466,6 @@ def test_stats_refresh_is_swap_by_pointer(spark, tmp_path, monkeypatch):
 
     # grace elapsed (simulated): the NEXT publish collects gen1+gen2
     monkeypatch.setattr(L, "_STATS_GC_GRACE_S", -1.0)
-    part2 = glob.glob(f"{extra}/part-*.parquet")
     spark.range(3000, 3010).select(
         F.col("id"), (F.col("id") * 2).alias("v")
     ).coalesce(1).write.mode("overwrite").parquet(extra)
@@ -623,3 +622,71 @@ def test_warm_keep_verdict_cached_per_digest_and_box(
     assert t3 == t1 + 1
     assert df3.filter(F.col("id") <= 10).count() == 14  # 11 + 3 new
     assert calls["n"] > before, "digest flip must re-probe"
+
+def test_oversized_keep_verdict_served_oneshot_without_eviction(
+    spark, tmp_path, monkeypatch
+):
+    """review-r11: a keep verdict past the cache budget must be
+    served one-shot WITHOUT first evicting every other cached
+    verdict (the old loop drained the dict, then skipped the
+    insert)."""
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write_ranged(spark, 1000, d, parts=4)
+    L.load_or_refresh_file_stats(spark, d, ["id"])
+    L._STATS_KEEP_CACHE.clear()
+    df, r1, t1 = L.scan_with_skipping(spark, d, {"id": (0.0, 10.0)})
+    assert len(L._STATS_KEEP_CACHE) == 1
+    cached_key = next(iter(L._STATS_KEEP_CACHE))
+    # every verdict is now oversized: served correctly, not cached,
+    # and the existing entry SURVIVES
+    monkeypatch.setattr(L, "_STATS_KEEP_BUDGET_BYTES", 1)
+    df2, r2, t2 = L.scan_with_skipping(spark, d, {"id": (900.0, 950.0)})
+    assert df2.filter(
+        (F.col("id") >= 900) & (F.col("id") <= 950)
+    ).count() == 51
+    assert list(L._STATS_KEEP_CACHE) == [cached_key]
+
+
+def test_gc_spares_inflight_tmp_write(spark, tmp_path, monkeypatch):
+    """review-r11: a concurrent refresher's in-flight .tmp_ dir has a
+    frozen top-level mtime while Spark streams task files into nested
+    _temporary/ subdirs — GC must judge liveness by the NEWEST mtime
+    inside, sparing the live write and collecting the truly dead."""
+    import glob
+    import os as _os
+    import shutil
+
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write_ranged(spark, 1000, d, parts=4)
+    L.load_or_refresh_file_stats(spark, d, ["id"])
+    side = f"{d}/_stats"
+
+    # live write: top dir OLD, nested task file FRESH
+    live = f"{side}/.tmp_live"
+    _os.makedirs(f"{live}/_temporary/0")
+    with open(f"{live}/_temporary/0/task-part-0", "w") as f:
+        f.write("x")
+    _os.utime(live, (0, 0))
+    # dead write: everything ancient
+    dead = f"{side}/.tmp_dead"
+    _os.makedirs(f"{dead}/_temporary")
+    with open(f"{dead}/_temporary/task-part-0", "w") as f:
+        f.write("x")
+    for p in (f"{dead}/_temporary/task-part-0", f"{dead}/_temporary", dead):
+        _os.utime(p, (0, 0))
+
+    # trigger a publish (mutation -> refresh) with the normal grace
+    extra = str(tmp_path / "extra")
+    spark.range(5000, 5010).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(extra)
+    part = glob.glob(f"{extra}/part-*.parquet")[0]
+    shutil.move(part, f"{d}/appended.parquet")
+    L.load_or_refresh_file_stats(spark, d, ["id"])
+
+    assert _os.path.isdir(live), "live in-flight write was GC'd"
+    assert not _os.path.isdir(dead), "dead tmp dir survived GC"
