@@ -606,14 +606,17 @@ def load_reference_parallel(spark) -> float:
     return round(min(run(), run()), 3)
 
 
-# Pinned baseline for load_reference_parallel (r11): single-core
-# kernel cost measured warm = 0.19 s; + one 32-task mapInPandas
-# dispatch ≈ 0.3 s ⇒ idle wave ≈ 0.5 s.  Provisional until a
-# calm-host wave measurement confirms (the r11 build session never
-# saw 1-min loadavg < 1; best observed wave so far recorded in
-# STATUS) — the NORMALIZER being approximately-calibrated is fine:
-# its job is round-over-round ratios, which divide the constant out.
-LOAD_REF_PARALLEL_BASELINE_S = 0.50
+# Pinned baseline for load_reference_parallel (r11): the wave is
+# memory-BANDWIDTH-bound by design (32 concurrent 8 MB-array
+# kernels saturate the socket even when idle — that shared-resource
+# sensitivity is what makes it see co-tenant contention the JVM
+# burst misses), so its idle value is NOT 32× ALU math (0.19 s
+# kernel + dispatch ≈ 0.5) but the bandwidth-saturated wave.  Best
+# observed across the r11 session: 1.421 s at single-normalizer
+# 1.5× — pinned at that floor; a truly idle host may read slightly
+# below 1.0, and round-over-round RATIOS (the quantity to quote)
+# divide the constant out either way.
+LOAD_REF_PARALLEL_BASELINE_S = 1.42
 
 
 def op45_attribution(spark) -> dict:

@@ -1657,7 +1657,8 @@ def _chunk_attrition_oracle() -> str:
       -- empty/whitespace-only text splits to all-empty tokens:
       -- exclude such docs or an empty doc ledgers as one 'kept'
       -- chunk (r11, advice); ARRAY_TO_STRING(t,'') <> '' is the
-      -- engine side's rlike('\S') through the token array
+      -- engine side's has-non-whitespace rlike through the token
+      -- array
       SELECT doc_id, i AS chunk_idx, i * {w} AS cs,
              LEAST(i * {w} + {w}, LEN(t)) AS ce
       FROM toks,
