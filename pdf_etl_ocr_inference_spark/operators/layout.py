@@ -184,7 +184,7 @@ def load_or_refresh_file_stats(
     Returns the up-to-date stats as a DataFrame.  Publication is
     swap-by-pointer (tmp + os.replace into a fresh ``_stats/v_*``
     subdir, then the ``stats_dir`` pointer doc flips — see
-    :func:`_publish_stats_version`), so concurrent refreshes never
+    :func:`_publish_sidecar_version`), so concurrent refreshes never
     delete chunks a reader is mid-read on; readers of a torn publish
     are safe regardless: the scan-side reconciliation treats
     uncovered files conservatively.
@@ -268,7 +268,7 @@ def load_or_refresh_file_stats(
     # chunks it listed (GC'd only after the grace period), closing
     # the rmtree-under-reader race the query-path rebuild opened.
     n_chunks = max(1, (len(current) + 1023) // 1024)
-    new_dir = _publish_stats_version(path, merged, n_chunks)
+    new_dir = _publish_sidecar_version(path, "_stats", merged, n_chunks)
     # stamp AFTER the publish above; the data-file inventory itself
     # is unchanged by the hidden sidecar write, so `live` is still
     # the right map
@@ -324,23 +324,25 @@ def _newest_mtime(root: str) -> float:
     return newest
 
 
-def _stats_phys_dir(path: str):
-    """The directory that PHYSICALLY holds the current stats-sidecar
-    chunk parquets, or ``None`` when no sidecar exists.  Since r11
-    each publish lands in a fresh ``_stats/v_{nonce}`` subdirectory
-    and flips the ``stats_dir`` pointer doc — swap-by-pointer, so a
-    refresh never deletes chunks a concurrent query's executor probe
-    is mid-read on (the r10 query-path rmtree race; superseded
-    versions are GC'd after :data:`_STATS_GC_GRACE_S`).  Resolution
-    order: pointer doc → legacy flat chunks directly under
-    ``_stats`` (pre-r11 layout) → newest orphan ``v_*`` dir (pointer
-    write crashed mid-publish; newest is the most complete)."""
+def _sidecar_phys_dir(path: str, side_name: str):
+    """The directory that PHYSICALLY holds the current chunk
+    parquets of the ``side_name`` sidecar (``"_stats"`` or
+    ``"_bloom_{col}"``), or ``None`` when none exists.  Since r11
+    each publish lands in a fresh ``{side_name}/v_{nonce}``
+    subdirectory and flips the ``{side}_dir`` pointer doc —
+    swap-by-pointer, so a refresh never deletes chunks a concurrent
+    query's executor probe is mid-read on (the r10 query-path
+    rmtree race; superseded versions are GC'd after
+    :data:`_STATS_GC_GRACE_S`).  Resolution order: pointer doc →
+    legacy flat chunks directly under the sidecar dir (pre-r11
+    layout) → newest orphan ``v_*`` dir (pointer write crashed
+    mid-publish; newest is the most complete)."""
     import os as _os
 
-    side = f"{path}/_stats"
+    side = f"{path}/{side_name}"
     if not _os.path.isdir(side):
         return None
-    ptr = _read_manifest_doc(path, "stats_dir")
+    ptr = _read_manifest_doc(path, f"{side_name[1:]}_dir")
     if isinstance(ptr, dict):
         d = ptr.get("dir")
         if (
@@ -364,29 +366,38 @@ def _stats_phys_dir(path: str):
     return None
 
 
-def _publish_stats_version(path: str, merged, n_chunks: int) -> str:
-    """Write ``merged`` as a NEW ``_stats/v_{nonce}`` chunk set, flip
-    the ``stats_dir`` pointer to it, and GC superseded versions past
-    the grace period.  Never touches the previously-current chunks
-    inside the grace window — the swap is a pointer write, so
-    concurrent readers (driver ``spark.read.parquet`` and the
-    executor-pinned chunk probes, which hold chunk paths by name)
-    keep a consistent snapshot.  Returns the new version dir."""
+def _stats_phys_dir(path: str):
+    return _sidecar_phys_dir(path, "_stats")
+
+
+def _publish_sidecar_version(
+    path: str, side_name: str, merged, n_chunks: int
+) -> str:
+    """Write ``merged`` as a NEW ``{side_name}/v_{nonce}`` chunk
+    set, flip the ``{side}_dir`` pointer to it, and GC superseded
+    versions past the grace period.  Never touches the
+    previously-current chunks inside the grace window — the swap is
+    a pointer write, so concurrent readers (driver
+    ``spark.read.parquet`` and the executor-pinned chunk probes,
+    which hold chunk paths by name) keep a consistent snapshot.
+    Shared by the stats and Bloom sidecars (r11: Bloom rebuilds used
+    Spark's delete-then-write overwrite — the same reader race the
+    stats refresh had).  Returns the new version dir."""
     import os as _os
     import shutil as _shutil
     import time as _time
     import uuid as _uuid
 
-    side_dir = f"{path}/_stats"
+    side_dir = f"{path}/{side_name}"
     _os.makedirs(side_dir, exist_ok=True)
-    prev = _stats_phys_dir(path)
+    prev = _sidecar_phys_dir(path, side_name)
     vname = f"v_{_uuid.uuid4().hex[:8]}"
     tmp = f"{side_dir}/.tmp_{vname}"
     merged.repartition(n_chunks, "file").write.mode(
         "overwrite"
     ).parquet(tmp)
     _os.replace(tmp, f"{side_dir}/{vname}")
-    _write_manifest_doc(path, "stats_dir", {"dir": vname})
+    _write_manifest_doc(path, f"{side_name[1:]}_dir", {"dir": vname})
     # Re-stamp the SUPERSEDED generation's mtime so the GC grace
     # counts from supersession, not creation — a version that was
     # current a second ago may still be mid-read, however old its
@@ -1098,14 +1109,17 @@ def build_file_bloom(
         schema="file string, m long, k long, bits binary, "
         "fsize long, fmtime_ns long",
     )
-    out_path = f"{path}/_bloom_{col}"
     # ~256 bit arrays per chunk (they are MBs each at 1% fpp on big
     # files): bounds per-chunk parse cost for the executor pins; one
-    # chunk at local fixture sizes, many at 10⁶ files
+    # chunk at local fixture sizes, many at 10⁶ files.  Publication
+    # is swap-by-pointer (r11, shared with the stats sidecar): a
+    # REBUILD over a live table must not delete the chunk files a
+    # concurrent point-lookup's executor probe resolved — Spark's
+    # overwrite mode is delete-then-write, exactly that race.
     n_chunks = max(1, (len(files) + 255) // 256)
-    sidecar.repartition(n_chunks, "file").write.mode(
-        "overwrite"
-    ).parquet(out_path)
+    out_path = _publish_sidecar_version(
+        path, f"_bloom_{col}", sidecar, n_chunks
+    )
     # stamp manifest + bloom marker ONLY IF the directory still
     # matches the snapshot this sidecar was built from — a mid-build
     # append would otherwise be digest-blessed with no Bloom row and
@@ -1161,12 +1175,13 @@ def scan_point_lookup(
     probe_vals = sorted(set(int(v) for v in values))
     doc = fresh_manifest_summary(path)  # constant-size: never the
     # O(files) file map — the fast path must stay flat in file count
-    if doc is not None:
+    bloom_phys = _sidecar_phys_dir(path, f"_bloom_{col}")
+    if doc is not None and bloom_phys is not None:
         marker = _read_manifest_doc(path, f"bloom_{col}")
         if marker is not None and marker.get("digest") == doc["digest"]:
             hits = _bloom_hits_executor_pinned(
                 spark,
-                f"{path}/_bloom_{col}",
+                bloom_phys,
                 f"manifest:{doc['digest']}",
                 probe_vals,
             )
@@ -1183,7 +1198,7 @@ def scan_point_lookup(
                     F.col(col).isin(probe_vals)
                 )
                 return df, len(files), total
-    side_df = spark.read.parquet(f"{path}/_bloom_{col}")
+    side_df = spark.read.parquet(bloom_phys or f"{path}/_bloom_{col}")
     has_fp = "fsize" in side_df.columns
     if not has_fp:  # legacy sidecar format: no reconciliation columns
         side_df = side_df.withColumn(
@@ -1892,7 +1907,10 @@ def cached_bloom_rows(spark, meta: dict, col: str):
         _BLOOM_CACHE[key] = _BLOOM_CACHE.pop(key)
         return hit[1]
     _BLOOM_CACHE.pop(key, None)  # stale fingerprint
-    side_dir = f"{meta['layout_path']}/_bloom_{col}"
+    side_dir = (
+        _sidecar_phys_dir(meta["layout_path"], f"_bloom_{col}")
+        or f"{meta['layout_path']}/_bloom_{col}"
+    )
     est = sum(
         e.stat().st_size
         for e in _os.scandir(side_dir)
@@ -2225,9 +2243,12 @@ def _bloom_keep_executor_pinned(spark, meta: dict, col: str, values: list):
     same shape as :func:`_stats_keep_executor_pinned`; the probe
     indexes the PACKED bit arrays ((byte >> (7 - pos%8)) & 1, numpy
     packbits bit order) so no per-query unpack of m-bit arrays."""
+    phys = _sidecar_phys_dir(meta["layout_path"], f"_bloom_{col}")
+    if phys is None:
+        return set(), set()
     out = _bloom_chunk_probe(
         spark,
-        f"{meta['layout_path']}/_bloom_{col}",
+        phys,
         _inventory_fp(meta),
         values,
         hits_only=False,

@@ -185,7 +185,8 @@ def test_point_lookup_vanished_sidecar_fails_loud(spark, tmp_path):
     L.build_file_bloom(spark, d, "id")
     L.scan_point_lookup(spark, d, "id", [7])  # prime
 
-    for f in glob.glob(f"{d}/_bloom_id/*.parquet"):
+    phys = L._sidecar_phys_dir(d, "_bloom_id")
+    for f in glob.glob(f"{phys}/*.parquet"):
         _os.remove(f)
     # the probe still verifies (sidecar dirs are hidden from it)
     assert L.fresh_manifest_summary(d) is not None
@@ -690,3 +691,40 @@ def test_gc_spares_inflight_tmp_write(spark, tmp_path, monkeypatch):
 
     assert _os.path.isdir(live), "live in-flight write was GC'd"
     assert not _os.path.isdir(dead), "dead tmp dir survived GC"
+
+def test_bloom_rebuild_is_swap_by_pointer(spark, tmp_path, monkeypatch):
+    """r11: a Bloom REBUILD over a live table must not delete the
+    chunk files a concurrent point-lookup's executor probe resolved
+    (Spark's overwrite mode is delete-then-write) — same
+    swap-by-pointer publication as the stats sidecar."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write(spark, 1000, d, parts=4)
+    L.build_file_bloom(spark, d, "id")
+    gen1 = L._sidecar_phys_dir(d, "_bloom_id")
+    assert gen1 is not None and "/_bloom_id/v_" in gen1
+    gen1_chunks = L._sidecar_chunks(gen1)
+    assert gen1_chunks
+
+    # rebuild (e.g. after fpp retune): old generation must survive
+    L.build_file_bloom(spark, d, "id", fpp=0.001)
+    gen2 = L._sidecar_phys_dir(d, "_bloom_id")
+    assert gen2 is not None and gen2 != gen1
+    for c in gen1_chunks:
+        assert pq.read_table(c).num_rows > 0
+
+    # and the lookup still answers from the new generation
+    df, n_read, n_total = L.scan_point_lookup(spark, d, "id", [7])
+    assert n_total == 4 and [r["id"] for r in df.collect()] == [7]
+
+    # grace elapsed: the NEXT publish collects the old generations
+    monkeypatch.setattr(L, "_STATS_GC_GRACE_S", -1.0)
+    L.build_file_bloom(spark, d, "id")
+    gen3 = L._sidecar_phys_dir(d, "_bloom_id")
+    assert gen3 not in (gen1, gen2)
+    assert not _os.path.isdir(gen1) and not _os.path.isdir(gen2)
