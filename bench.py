@@ -117,6 +117,69 @@ def ann_recall(spark, sf_dir: str, specs=None) -> dict[str, float]:
     return out
 
 
+def filtered_ann_recall(
+    spark, sf_dir: str, mods=(2, 7, 29, 97)
+) -> dict[str, float]:
+    """Selectivity sweep for metadata-filtered IVF search (r11
+    verdict #1): recall@5 of the pre-filter + probe-widening path vs
+    the exact FILTERED ground truth, at predicates from ~50% down to
+    ~1% selectivity (tenant = id mod m).  The claim under test:
+    recall HOLDS as the predicate tightens, because the probe set
+    widens (shortest cell prefix with ≥ k·4 filtered survivors,
+    floored at 4) instead of starving.  Imported by pytest, which
+    asserts floors."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        ivf_assign_quantized,
+        ivf_centroids_quantized,
+        topk_ivf_quantized_prefiltered,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    train = emb.filter(F.col("vec_id") % 4 == 0)
+    centroids = ivf_centroids_quantized(train, "embedding")
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    assigned = ivf_assign_quantized(corpus, "embedding", centroids)
+    from pdf_etl_ocr_inference_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    out = {}
+    for mod in mods:
+        pred = F.col("vec_id") % mod == 1
+        got = {
+            r["vec_id"]
+            for r in topk_ivf_quantized_prefiltered(
+                assigned.filter(pred), "embedding", qvec, centroids,
+                k=5, n_probe_min=4, oversample=4,
+            ).collect()
+        }
+        exact = {
+            r["vec_id"]
+            for r in corpus.filter(pred)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                cosine_similarity("embedding", "q_embedding").alias(
+                    "_raw"
+                ),
+            )
+            .orderBy(F.desc("_raw"), "vec_id")
+            .limit(5)
+            .collect()
+        }
+        out[f"mod{mod}"] = round(len(got & exact) / max(len(exact), 1), 3)
+    return out
+
+
 def probe_speedup(spark) -> dict:
     """Brute-force cosine top-k vs the optimizer's LSH bucket probe on
     a deterministic 1M×64 synthetic corpus — the corpus size where the
@@ -1803,6 +1866,11 @@ def sf_scaling_sweep(spark) -> dict:
         # already-swept shapes (minhash pair set, pagerank edge build)
         "text_novelty_rate",
         "pipeline_curated_mix",
+        # r12 (r11 verdict #6): the keep-first span-clean pipeline —
+        # oracled in r11 but unbenched; one sweep row proves the
+        # one-extra-filter-clause claim vs pipeline_span_clean_corpus
+        # at scale and guards the shared fragments against plan drift
+        "pipeline_span_clean_corpus_keepfirst",
     ]
     sfs = ["sf0.001", "sf0.01", "sf0.1"]
     out: dict = {}
@@ -1986,6 +2054,12 @@ def main() -> None:
 
     recalls = ann_recall(spark, SF_DIR, specs)
     print(f"# ann recall@5 vs exact: {recalls}", file=sys.stderr)
+    filt_recalls = filtered_ann_recall(spark, SF_DIR)
+    print(
+        f"# filtered-ivf recall@5 vs exact filtered (selectivity "
+        f"sweep, pre-filter + probe widening): {filt_recalls}",
+        file=sys.stderr,
+    )
     probe = probe_speedup(spark)
     print(f"# ann probe vs brute @1M: {probe}", file=sys.stderr)
     dattr = dedup_family_attribution(spark)
@@ -2084,6 +2158,10 @@ def main() -> None:
                 "ocr_stub_speedup_vs_extrapolated_serial": ocr_speedup,
                 "ocr_efficiency_vs_wave_bound": ocr_eff_vs_bound,
                 "ann_recall_at_5": recalls,
+                # metadata-filtered IVF vs exact FILTERED ground
+                # truth across selectivities (~50% → ~1%): the
+                # probe-widening claim, measured
+                "ann_filtered_recall_at_5": filt_recalls,
                 # fixed-work CPU reference vs the pinned idle-host
                 # constant: ≈1.0 idle, >1 loaded — divide headline
                 # drift by this before calling it a regression

@@ -335,8 +335,13 @@ def _sidecar_phys_dir(path: str, side_name: str):
     rmtree race; superseded versions are GC'd after
     :data:`_STATS_GC_GRACE_S`).  Resolution order: pointer doc →
     legacy flat chunks directly under the sidecar dir (pre-r11
-    layout) → newest orphan ``v_*`` dir (pointer write crashed
-    mid-publish; newest is the most complete)."""
+    layout) → orphan ``v_*`` dirs (pointer doc missing/unreadable):
+    prefer a dir WITHOUT a ``.superseded`` marker — publication
+    re-stamps the old generation's mtime at supersession (for GC
+    grace), which makes the OLD dir mtime-newest, so mtime alone
+    would resolve the stale generation (r11 advisory); the marker
+    identifies it.  Among markerless candidates (or, failing that,
+    all), newest mtime wins."""
     import os as _os
 
     side = f"{path}/{side_name}"
@@ -361,7 +366,13 @@ def _sidecar_phys_dir(path: str, side_name: str):
         return side  # legacy flat layout
     vs = [e for e in entries if e.is_dir() and e.name.startswith("v_")]
     if vs:
-        newest = max(vs, key=lambda e: e.stat().st_mtime_ns)
+        live = [
+            e
+            for e in vs
+            if not _os.path.exists(f"{side}/{e.name}/.superseded")
+        ]
+        pool = live or vs
+        newest = max(pool, key=lambda e: e.stat().st_mtime_ns)
         return f"{side}/{newest.name}"
     return None
 
@@ -402,7 +413,13 @@ def _publish_sidecar_version(
     # counts from supersession, not creation — a version that was
     # current a second ago may still be mid-read, however old its
     # files are.  (For a pre-r11 flat sidecar, ``prev`` is side_dir
-    # itself: touch its plain files instead.)
+    # itself: touch its plain files instead.)  Also drop a
+    # ``.superseded`` marker INSIDE the old v_ dir (r11 advisory):
+    # the utime makes the superseded dir mtime-NEWER than the
+    # current one, so the pointer-lost fallback must not order by
+    # mtime alone — the marker is what distinguishes "old generation
+    # we re-stamped" from "newest generation whose pointer write
+    # crashed".
     if prev is not None and prev != f"{side_dir}/{vname}":
         targets = [prev]
         if prev == side_dir:
@@ -413,6 +430,12 @@ def _publish_sidecar_version(
                     ]
             except OSError:
                 targets = []
+        else:
+            try:
+                with open(f"{prev}/.superseded", "w") as f:
+                    f.write(vname)
+            except OSError:
+                pass
         for t in targets:
             try:
                 _os.utime(t)

@@ -533,10 +533,11 @@ def refresh_ivfpq_serving_index(
     )
 
 
-def _ivfpq_answer(state, qu, cell_centroid, k, rerank, excl):
+def _ivfpq_answer(state, qu, cell_centroid, k, rerank, excl, pred=None):
     """Residual ADC + exact re-rank within one pinned cell: the LUT
     target is ``q − c_cell`` (IVFADC), everything else mirrors
-    ``_pq_answer``."""
+    ``_pq_answer`` — including the predicate's PRE-filter rerank
+    widening (the ADC LUT is computed once; only the window grows)."""
     import numpy as np
 
     ids, emb, codes, books = state
@@ -549,31 +550,41 @@ def _ivfpq_answer(state, qu, cell_centroid, k, rerank, excl):
     for j in range(m):
         lut = ((books[j] - qr[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
         adc += lut[codes[:, j]]
-    order = np.lexsort((ids, adc))[: max(rerank, k + len(excl))]
-    scores = emb[order] @ qu
-    rows = [
-        (int(ids[i]), float(s))
-        for i, s in zip(order, scores)
-        if int(ids[i]) not in excl
-    ]
+    window = max(rerank, k + len(excl))
+    full = np.lexsort((ids, adc))
+    while True:
+        order = full[:window]
+        scores = emb[order] @ qu
+        rows = [
+            (int(ids[i]), float(s))
+            for i, s in zip(order, scores)
+            if int(ids[i]) not in excl
+            and (pred is None or pred(int(ids[i])))
+        ]
+        if len(rows) >= k or window >= len(ids):
+            break
+        window = min(window * 2, len(ids))
     rows.sort(key=lambda t: (-t[1], t[0]))
     return rows[:k]
 
 
-def _ivf_answer(state, qu, k, excl):
-    """Exact cosine top-k within one pinned cell."""
+def _ivf_answer(state, qu, k, excl, pred=None):
+    """Exact cosine top-k within one pinned cell (the predicate needs
+    no widening here — the whole cell is scanned exactly)."""
     ids, m = state
     if len(ids) == 0:
         return []
     scores = m @ qu
     rows = [
-        (int(i), float(s)) for i, s in zip(ids, scores) if int(i) not in excl
+        (int(i), float(s))
+        for i, s in zip(ids, scores)
+        if int(i) not in excl and (pred is None or pred(int(i)))
     ]
     rows.sort(key=lambda t: (-t[1], t[0]))
     return rows[:k]
 
 
-def _pq_answer(state, qu, k, rerank, excl):
+def _pq_answer(state, qu, k, rerank, excl, pred=None):
     """ADC scan + exact re-rank on pinned arrays, deterministic ties
     by (distance, id) like ``operators.pq.topk_pq``."""
     import numpy as np
@@ -590,14 +601,20 @@ def _pq_answer(state, qu, k, rerank, excl):
     for j in range(m):
         lut = ((books[j] - qr[j * sub : (j + 1) * sub]) ** 2).sum(axis=1)
         adc += lut[codes[:, j]]
-    order = np.lexsort((ids, adc))[: max(rerank, k + len(excl))]
-    cand = order
-    scores = emb[cand] @ qu
-    rows = [
-        (int(ids[i]), float(s))
-        for i, s in zip(cand, scores)
-        if int(ids[i]) not in excl
-    ]
+    window = max(rerank, k + len(excl))
+    full = np.lexsort((ids, adc))
+    while True:
+        cand = full[:window]
+        scores = emb[cand] @ qu
+        rows = [
+            (int(ids[i]), float(s))
+            for i, s in zip(cand, scores)
+            if int(ids[i]) not in excl
+            and (pred is None or pred(int(ids[i])))
+        ]
+        if len(rows) >= k or window >= len(ids):
+            break
+        window = min(window * 2, len(ids))
     rows.sort(key=lambda t: (-t[1], t[0]))
     return rows[:k]
 
@@ -612,6 +629,7 @@ def serve_topk(
     kind: str = "nsw",
     rerank: int = 50,
     n_probe: int = 2,
+    predicate=None,
 ) -> DataFrame:
     """Top-k for a BATCH of (qid, vector) queries against the pinned
     sharded index (``kind``: ``nsw``/``hnsw`` graph walk, ``pq`` ADC
@@ -620,6 +638,18 @@ def serve_topk(
     task answers every query from its cached state (IVF tasks run
     only for probed cells); global per-qid merge.  Output
     ``(qid, vec_id, score)`` — ``score`` is exact cosine.
+
+    ``predicate`` (``Callable[[int], bool]``, optional) is a metadata
+    filter resolved to id level by the caller (tenant = id mod T, a
+    broadcast membership sketch, …) with PRE-filter semantics — it
+    restricts the CANDIDATE FETCH, never post-filters a finished
+    top-k (ref serving: the vector-search API's ``filters`` arg; the
+    ocr:166-172 notebook passes none): graph kinds widen the layer-0
+    beam (ef doubling, in-task) until k survivors pass; PQ kinds
+    widen the ADC re-rank window the same way; IVF kinds widen the
+    PROBE — still-starved queries double their probed-cell prefix,
+    one extra job per doubling over only the newly probed cells, so
+    a tight filter reads more cells instead of starving.
 
     The query list is bounded control data (an online request batch),
     shipped in the task closure — there is deliberately no corpus-
@@ -663,6 +693,15 @@ def serve_topk(
     cents_np = None
     if kind in ("ivf", "ivfpq"):
         cents_np = np.asarray(meta["centroids"], dtype="float64")
+        if predicate is not None:
+            # filtered cell kinds take the multi-round widening path:
+            # each round probes only the NEW cells of still-starved
+            # queries, so the no-filter fast path below stays a
+            # single job
+            return _serve_cells_prefiltered(
+                spark, path, version, kind, qnorm, cents_np,
+                k, rerank, excl, predicate, n_probe,
+            )
         for qid, qv in qnorm:
             dots = cents_np @ np.asarray(qv, dtype="float64")
             top = sorted(
@@ -689,16 +728,34 @@ def serve_topk(
                     qu = np.asarray(qv, dtype="float64")
                     if kind == "nsw":
                         mat, adj, ids_sorted = state
-                        near = _greedy_search(mat, adj, ids_sorted, qu, ef)
-                        local = []
-                        for _, i in near:
-                            if i in excl:
-                                continue
-                            local.append((qid, i, float(np.dot(qu, mat[i]))))
+                        eff = ef
+                        while True:
+                            near = _greedy_search(
+                                mat, adj, ids_sorted, qu, eff
+                            )
+                            local = []
+                            for _, i in near:
+                                if i in excl or (
+                                    predicate is not None
+                                    and not predicate(i)
+                                ):
+                                    continue
+                                local.append(
+                                    (qid, i, float(np.dot(qu, mat[i])))
+                                )
+                            if (
+                                predicate is None
+                                or len(local) >= k
+                                or eff >= len(ids_sorted)
+                            ):
+                                break
+                            eff = min(eff * 2, len(ids_sorted))
                         local.sort(key=lambda t: (-t[2], t[1]))
                         rows.extend(local[:k])
                     elif kind == "pq":
-                        got = _pq_answer(state, qu, k, rerank, excl)
+                        got = _pq_answer(
+                            state, qu, k, rerank, excl, pred=predicate
+                        )
                         rows.extend((qid, i, s) for i, s in got)
                     elif kind == "ivf":
                         if sh not in probes.get(qid, ()):
@@ -715,7 +772,8 @@ def serve_topk(
                     else:
                         mat, layered, levels, ids_sorted = state
                         got = _hnsw_walk(
-                            mat, layered, levels, ids_sorted, qu, k, ef, excl
+                            mat, layered, levels, ids_sorted, qu, k, ef,
+                            excl, pred=predicate,
                         )
                         rows.extend((qid, i, s) for i, s in got)
             yield pd.DataFrame(rows, columns=["qid", "vec_id", "score"])
@@ -743,6 +801,98 @@ def serve_topk(
         .filter(F.col("_rn") <= k)
         .select("qid", "vec_id", F.round("score", 4).alias("score"))
     )
+
+
+def _serve_cells_prefiltered(
+    spark, path, version, kind, qnorm, cents_np,
+    k, rerank, excl, predicate, n_probe,
+):
+    """Multi-round probe widening for filtered IVF/IVFPQ serving:
+    round 1 probes each query's ``n_probe`` nearest cells with the
+    predicate applied IN-CELL (pre-filter); any query with fewer
+    than k survivors doubles its probed-cell prefix and the next
+    round dispatches tasks ONLY for the newly probed cells.  At most
+    ``log2(n_cells)`` extra jobs, each smaller than the first — a
+    tight filter reads more cells instead of starving, and the
+    result is deterministic (cell ranking by (-dot, cell), exact
+    per-cell answers, per-qid (-score, id) merge)."""
+    import numpy as np
+
+    n_cells = len(cents_np)
+    qids = [qid for qid, _ in qnorm]
+    rank_by_q: dict[int, list[int]] = {}
+    for qid, qv in qnorm:
+        dots = cents_np @ np.asarray(qv, dtype="float64")
+        rank_by_q[qid] = sorted(
+            range(n_cells), key=lambda ci: (-dots[ci], ci)
+        )
+    probed: dict[int, set] = {qid: set() for qid in qids}
+    acc: dict[int, list] = {qid: [] for qid in qids}
+    cur = {qid: max(min(n_probe, n_cells), 1) for qid in qids}
+
+    while True:
+        round_probes = {}
+        for qid in qids:
+            new = [
+                c
+                for c in rank_by_q[qid][: cur[qid]]
+                if c not in probed[qid]
+            ]
+            if new:
+                round_probes[qid] = set(new)
+        if not round_probes:
+            break
+        cells = sorted(set().union(*round_probes.values()))
+
+        def _answer(batches, _cells=cells, _rp=round_probes):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for idx in pdf["shard"]:
+                    sh = _cells[int(idx)]
+                    state = _load_shard(path, sh, version, kind)
+                    for qid, qv in qnorm:
+                        if sh not in _rp.get(qid, ()):
+                            continue
+                        qu = np.asarray(qv, dtype="float64")
+                        if kind == "ivf":
+                            got = _ivf_answer(
+                                state, qu, k, excl, pred=predicate
+                            )
+                        else:
+                            got = _ivfpq_answer(
+                                state, qu, cents_np[sh], k, rerank,
+                                excl, pred=predicate,
+                            )
+                        rows.extend((qid, i, s) for i, s in got)
+                yield pd.DataFrame(
+                    rows, columns=["qid", "vec_id", "score"]
+                )
+
+        n_tasks = max(len(cells), 1)
+        shards = spark.range(0, len(cells), 1, n_tasks).select(
+            F.col("id").cast("int").alias("shard")
+        )
+        for r in shards.mapInPandas(_answer, _OUT_SCHEMA).collect():
+            acc[int(r["qid"])].append((int(r["vec_id"]), float(r["score"])))
+        for qid, cs in round_probes.items():
+            probed[qid].update(cs)
+        starved = [
+            qid
+            for qid in qids
+            if len(acc[qid]) < k and cur[qid] < n_cells
+        ]
+        if not starved:
+            break
+        for qid in starved:
+            cur[qid] = min(cur[qid] * 2, n_cells)
+
+    final = []
+    for qid in qids:
+        best = sorted(acc[qid], key=lambda t: (-t[1], t[0]))[:k]
+        final.extend((qid, i, round(s, 4)) for i, s in best)
+    return spark.createDataFrame(final, _OUT_SCHEMA)
 
 
 def serving_refresh_fn(path: str, kind: str):
@@ -777,9 +927,13 @@ def serving_refresh_fn(path: str, kind: str):
     return fn
 
 
-def _hnsw_walk(mat, layered, levels, ids_sorted, qu, k, ef, excl):
+def _hnsw_walk(mat, layered, levels, ids_sorted, qu, k, ef, excl, pred=None):
     """Layered descent + layer-0 beam on pre-parsed state (the cached
-    twin of ``hnsw._search_shard``, which parses pandas rows)."""
+    twin of ``hnsw._search_shard``, which parses pandas rows).  With a
+    ``pred``icate the layer-0 beam WIDENS (ef doubling, up to the
+    shard size) until k survivors pass — filtered-HNSW walks the
+    unfiltered graph (filtering edges would disconnect it) and
+    filters at collection."""
     import numpy as np
 
     from pdf_etl_ocr_inference_spark.operators.graph_ann import (
@@ -794,11 +948,18 @@ def _hnsw_walk(mat, layered, levels, ids_sorted, qu, k, ef, excl):
         near = _greedy_search(mat, layered[lv], ids_sorted, qu, 1, entry=cur)
         if near:
             cur = near[0][1]
-    near = _greedy_search(mat, layered[0], ids_sorted, qu, ef, entry=cur)
-    rows = []
-    for _, i in near:
-        if i in excl:
-            continue
-        rows.append((i, float(np.dot(qu, mat[i]))))
+    eff = ef
+    while True:
+        near = _greedy_search(
+            mat, layered[0], ids_sorted, qu, eff, entry=cur
+        )
+        rows = []
+        for _, i in near:
+            if i in excl or (pred is not None and not pred(i)):
+                continue
+            rows.append((i, float(np.dot(qu, mat[i]))))
+        if len(rows) >= k or eff >= len(ids_sorted):
+            break
+        eff = min(eff * 2, len(ids_sorted))
     rows.sort(key=lambda t: (-t[1], t[0]))
     return rows[:k]

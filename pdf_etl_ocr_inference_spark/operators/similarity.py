@@ -505,6 +505,57 @@ def topk_ivf_quantized(
     return topk_exact(cand, embedding_col, query_vec, k=k, id_col=id_col)
 
 
+def topk_ivf_quantized_prefiltered(
+    assigned_filtered: DataFrame,
+    embedding_col: str,
+    query_vec: list[float],
+    centroids: dict[int, list[int]],
+    k: int = 5,
+    n_probe_min: int = 4,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Metadata-filtered IVF top-k with PRE-filter semantics
+    (ref serving: the vector-search API's ``filters`` arg — the
+    notebook at ocr:166-172 never passes one, but the API supports
+    it): ``assigned_filtered`` is the cell assignment RESTRICTED to
+    the predicate's survivors (apply the predicate to the index scan
+    — Catalyst pushes it into the parquet read — never post-filter
+    an unfiltered top-k).
+
+    Deterministic probe widening: cells are ranked by the exact
+    integer query dot (driver-side Python ints, identical to the
+    oracle SQL's ranking); the probe set is the shortest rank prefix
+    whose cumulative filtered member count reaches ``k·oversample``
+    — all cells when the filter is tighter than that — floored at
+    ``n_probe_min`` (the unfiltered entry's recall-tuned probe
+    count).  Per-cell survivor counts are a tiny aggregate (cell
+    count ~ sqrt(n) — control data at any corpus size), so the
+    collect stays O(cells), not O(survivors)."""
+    qq = [math.floor(float(v) * LSH_Q_SCALE) for v in query_vec]
+    qdot = {
+        lbl: sum(a * b for a, b in zip(qq, c))
+        for lbl, c in centroids.items()
+    }
+    ranked = sorted(centroids, key=lambda lbl: (-qdot[lbl], lbl))
+    counts = {
+        int(r["cell"]): int(r["cnt"])
+        for r in assigned_filtered.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    target = k * oversample
+    cum, p = 0, len(ranked)
+    for rn, lbl in enumerate(ranked, start=1):
+        cum += counts.get(lbl, 0)
+        if cum >= target:
+            p = rn
+            break
+    probe = ranked[: max(p, n_probe_min)]
+    cand = assigned_filtered.filter(F.col("cell").isin(probe))
+    return topk_exact(cand, embedding_col, query_vec, k=k, id_col=id_col)
+
+
 def ivf_assign(
     df: DataFrame,
     embedding_col: str,

@@ -187,7 +187,11 @@ def dup_span_intervals(
 
 
 def dup_span_intervals_both(
-    df: DataFrame, text_col: str, id_col: str, n: int = 6
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 6,
+    stage_tag: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """``(symmetric intervals, keep-first intervals)`` from ONE
     positional-ngram pass and ONE gram shuffle (review-r11: a
@@ -195,10 +199,23 @@ def dup_span_intervals_both(
     calling :func:`dup_span_intervals` twice, doubling the corpus
     explode and the gram exchange, the entry's dominant stages).
     The gram window already computes the per-gram min, so the
-    keep-first hit set is the symmetric one minus a filter; the hit
-    frame is persisted so both island merges read one computed copy
-    (hits ∝ duplicated occurrences — the result-sized frame, not the
-    corpus)."""
+    keep-first hit set is the symmetric one minus a filter.
+
+    Both interval sets are MATERIALIZED to process-scratch parquet
+    INSIDE the call — one short-lived persist of the hit frame
+    (∝ duplicated occurrences, result-sized) feeds the two island
+    merges, then is unpersisted before returning — so no cached plan
+    outlives the call (r11 advisory: the returned-lazy idiom left
+    the persist alive for the whole session, accumulating per bench
+    rep).  ``stage_tag`` keys the staging dirs: callers with a
+    natural key (the attrition entry passes the sf tag) get
+    rep-stable overwritten paths; the default per-call uuid dirs are
+    GC'd with the process scratch root."""
+    import os
+    import uuid
+
+    from pdf_etl_ocr_inference_spark.scratch import scratch_root
+
     occ = positional_ngrams(df, text_col, id_col, n)
     w = Window.partitionBy("gram")
     hits = (
@@ -213,11 +230,22 @@ def dup_span_intervals_both(
         )
         .persist()
     )
-    iv_sym = merge_islands(hits.select("id", "pos", "end"))
-    iv_kf = merge_islands(
-        hits.filter(F.col("_repeat")).select("id", "pos", "end")
+    base = os.path.join(
+        scratch_root(),
+        f"span_iv_{stage_tag or uuid.uuid4().hex[:12]}",
     )
-    return iv_sym, iv_kf
+    sym_p, kf_p = f"{base}_sym", f"{base}_kf"
+    try:
+        merge_islands(hits.select("id", "pos", "end")).write.mode(
+            "overwrite"
+        ).parquet(sym_p)
+        merge_islands(
+            hits.filter(F.col("_repeat")).select("id", "pos", "end")
+        ).write.mode("overwrite").parquet(kf_p)
+    finally:
+        hits.unpersist()
+    spark = df.sparkSession
+    return spark.read.parquet(sym_p), spark.read.parquet(kf_p)
 
 
 def merge_islands(hits: DataFrame) -> DataFrame:

@@ -51,10 +51,17 @@ _META = "_spanindex_meta.json"
 
 
 def _gram_df(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    # ``mn`` (min doc id per gram, r12) rides the same combinable
+    # shuffle as ``df``: MIN folds across versions exactly like SUM
+    # does, so the keep-first probe's canonical owner — the minimum
+    # over ALL docs seen so far — is stable under any fold order
     return (
         positional_ngrams(df, text_col, id_col, n)
         .groupBy("gram")
-        .agg(F.countDistinct("id").alias("df"))
+        .agg(
+            F.countDistinct("id").alias("df"),
+            F.min("id").alias("mn"),
+        )
     )
 
 
@@ -134,6 +141,7 @@ def incremental_span_intervals(
     batch: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    policy: str = "symmetric",
 ) -> DataFrame:
     """Duplicated-span intervals for the BATCH docs, judged against
     corpus ∪ batch: (id, span_start, span_end).
@@ -141,35 +149,74 @@ def incremental_span_intervals(
     The index side is partition-pruned to the batch grams' ``_pb``
     dirs (≤ 64, fewer for small batches) and the batch gram set joins
     in broadcast — the corpus is never re-tokenized and never
-    shuffled; probe cost ∝ batch size + matched index rows."""
+    shuffled; probe cost ∝ batch size + matched index rows.
+
+    ``policy="keepfirst"`` (r11 verdict #3) exempts the CANONICAL
+    occurrence — the gram's minimum doc id over ALL DOCS SEEN SO FAR
+    (the index's folded per-version MINs, min'd with the current
+    batch): a total order that is stable across batches because MIN
+    is fold-order-independent.  When a new batch doc has a SMALLER
+    id than the current canonical owner, the exemption moves to the
+    new doc and the displaced owner is NOT retroactively re-scrubbed
+    (exemption-stickiness): the probe's contract is batch-docs-only
+    output, and back-scrubbing published corpus docs is a
+    compaction-time job — the same trade this module's symmetric
+    path already documents for retroactive duplication.  For the
+    batch itself the result still equals the keep-first full
+    recompute restricted to batch ids (the canonical-owner rule only
+    compares ids, and the folded mn IS the global min)."""
     with open(os.path.join(path, _META)) as f:
         n = json.load(f)["n"]
+    if policy not in ("symmetric", "keepfirst"):
+        raise ValueError(f"unknown policy {policy!r}")
+    idx_raw = spark.read.parquet(path)
+    if policy == "keepfirst" and "mn" not in idx_raw.columns:
+        raise ValueError(
+            "keep-first probe needs the per-gram min-id column; this"
+            " index predates it — rebuild with build_span_gram_index"
+        )
     occ = positional_ngrams(batch, text_col, id_col, n)
     batch_df = occ.groupBy("gram").agg(
-        F.countDistinct("id").alias("_bdf")
+        F.countDistinct("id").alias("_bdf"),
+        F.min("id").alias("_bmn"),
     )
     probe = _with_pb(batch_df)
     pbs = [r["_pb"] for r in probe.select("_pb").distinct().collect()]
+    has_mn = "mn" in idx_raw.columns
     idx = (
-        spark.read.parquet(path)
-        .filter(F.col("_pb").isin(pbs))
+        idx_raw.filter(F.col("_pb").isin(pbs))
         .groupBy("gram")
-        .agg(F.sum("df").alias("_cdf"))
+        .agg(
+            F.sum("df").alias("_cdf"),
+            (
+                F.min("mn") if has_mn else F.lit(None).cast("long")
+            ).alias("_cmn"),
+        )
     )
     totals = idx.join(F.broadcast(probe.drop("_pb")), "gram").select(
-        "gram", (F.col("_cdf") + F.col("_bdf")).alias("_tdf"), "_bdf"
+        "gram",
+        (F.col("_cdf") + F.col("_bdf")).alias("_tdf"),
+        F.least(
+            F.coalesce("_cmn", "_bmn"), F.col("_bmn")
+        ).alias("_tmn"),
     )
     # grams absent from the index count only their batch df
     batch_only = batch_df.join(idx.select("gram"), "gram", "left_anti").select(
-        "gram", F.col("_bdf").alias("_tdf"), "_bdf"
+        "gram",
+        F.col("_bdf").alias("_tdf"),
+        F.col("_bmn").alias("_tmn"),
     )
-    dup = totals.unionByName(batch_only).filter(F.col("_tdf") >= 2).select(
-        "gram"
+    dup = (
+        totals.unionByName(batch_only)
+        .filter(F.col("_tdf") >= 2)
+        .select("gram", "_tmn")
     )
-    hits = occ.join(dup, "gram").select(
-        "id", "pos", (F.col("pos") + n).alias("end")
+    hits = occ.join(dup, "gram")
+    if policy == "keepfirst":
+        hits = hits.filter(F.col("id") > F.col("_tmn"))
+    return merge_islands(
+        hits.select("id", "pos", (F.col("pos") + n).alias("end"))
     )
-    return merge_islands(hits)
 
 
 def span_index_refresh_fn(path: str):

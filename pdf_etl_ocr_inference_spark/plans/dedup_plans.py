@@ -909,6 +909,53 @@ def dedup_span_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_incremental_keepfirst",
+    f"WITH {_SPAN_INC_DOCS}, "
+    + _SPAN_TOKS.replace("FROM documents", "FROM docs2")
+    + f", {_SPAN_OCC}, {_SPAN_HITS_KEEPFIRST}, {_SPAN_ISLANDS_TAIL} "
+    "SELECT doc_id AS id, span_start, span_end FROM iv "
+    "WHERE doc_id % 97 = 3 OR doc_id >= 1000000000",
+    doc="incremental substring dedup under the KEEP-FIRST policy "
+    "(r11 verdict #3): the gram index stores a per-gram MIN doc id "
+    "beside the df count (both fold across versions — MIN is as "
+    "fold-order-independent as SUM), so the probe exempts the "
+    "canonical occurrence = min over ALL DOCS SEEN SO FAR, stable "
+    "across batches.  A new batch doc with a smaller id than the "
+    "current owner takes the exemption; the displaced owner is NOT "
+    "re-scrubbed (exemption-stickiness — batch-docs-only output; "
+    "back-scrub is compaction-time, pinned in "
+    "tests/test_span_index.py).  Oracle: the keep-first FULL "
+    "recompute restricted to batch ids — exact, because the "
+    "canonical rule only compares ids and the folded mn IS the "
+    "global min.",
+)
+def dedup_span_incremental_keepfirst(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.span_index import (
+        build_span_gram_index,
+        incremental_span_intervals,
+    )
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 97 != 3)
+    mirrors = docs.filter(
+        (F.col("doc_id") % 97 == 10)
+        & (F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 6)
+    ).select(
+        (F.lit(1000000000) + F.col("doc_id")).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 97 == 3).unionAll(mirrors)
+    safe = sf.strip("/").replace("/", "_")
+    path = f"{scratch_dir(f'spanidxkf_{safe}')}/index"
+    build_span_gram_index(spark, base, path, n=6)
+    return incremental_span_intervals(
+        spark, path, batch, policy="keepfirst"
+    )
+
+
+@register(
     "dedup_span_stream_sync",
     f"WITH {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_DUP}, {_SPAN_ISLANDS} "
     "SELECT doc_id AS id, span_start, span_end FROM iv "

@@ -231,3 +231,66 @@ def ivf_topk_sql(
         f"JOIN probe ON asg.cell = probe.cell, qv "
         f"ORDER BY ROUND({cos}, 4) DESC, e.vec_id LIMIT {k}"
     )
+
+
+def ivf_topk_filtered_sql(
+    dim: int = 64,
+    k: int = 5,
+    train_mod: int = 4,
+    n_probe_min: int = 4,
+    oversample: int = 4,
+    pred_sql: str = "vec_id % 7 = 3",
+) -> str:
+    """Oracle for ``ann_ivf_topk_filtered`` — metadata-filtered IVF
+    with PRE-filter semantics (filter the candidate fetch, then
+    rank — never post-filter an unfiltered top-k) and deterministic
+    probe widening: rank cells by the exact int64 query dot, take
+    the shortest prefix whose cumulative FILTERED member count
+    reaches ``k·oversample`` (all cells if the filter is tighter
+    than that), floored at ``n_probe_min`` (the recall-tuned base
+    probe count of the unfiltered entry).  Quantizer/assignment CTEs
+    are byte-shared with :func:`ivf_topk_sql`; the widening rule is
+    a cumulative-sum window over cell rank, so both engines pick the
+    identical probe set.  ``pred_sql`` is a predicate over the
+    ``embeddings`` row alias ``e``."""
+    xq = xq_sql()
+    cos = _COS.format(a="e.embedding", b="qv.embedding")
+    target = k * oversample
+    return (
+        f"WITH xq AS (SELECT vec_id, label, {xq} AS q FROM embeddings), "
+        f"tr AS (SELECT * FROM xq WHERE vec_id % {train_mod} = 0), "
+        f"cs AS (SELECT label, i, SUM(q[i + 1]) AS s, COUNT(*) AS n "
+        f"FROM tr CROSS JOIN UNNEST(RANGE(0, {dim})) AS r(i) "
+        f"GROUP BY label, i), "
+        f"cq AS (SELECT label, i, CAST((s*256 - ((s*256 % n + n) % n)) / n "
+        f"AS BIGINT) AS c FROM cs), "
+        f"dots AS (SELECT x.vec_id, c.label AS cell, "
+        f"SUM(x.q[c.i + 1] * c.c) AS d FROM xq x CROSS JOIN cq c "
+        f"WHERE x.vec_id <> 0 GROUP BY x.vec_id, c.label), "
+        f"asg AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
+        f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) "
+        f"AS rn FROM dots) WHERE rn = 1), "
+        # the pre-filter: predicate applied to the ASSIGNMENT rows
+        # (the index), before any ranking
+        f"fasg AS (SELECT a.vec_id, a.cell FROM asg a "
+        f"JOIN embeddings e ON a.vec_id = e.vec_id WHERE e.{pred_sql}), "
+        f"qd AS (SELECT c.label AS cell, SUM(x.q[c.i + 1] * c.c) AS d "
+        f"FROM (SELECT q FROM xq WHERE vec_id = 0) x CROSS JOIN cq c "
+        f"GROUP BY c.label), "
+        f"ranked AS (SELECT cell, ROW_NUMBER() OVER "
+        f"(ORDER BY d DESC, cell) AS rn FROM qd), "
+        f"cum AS (SELECT r.rn, r.cell, SUM(COALESCE(f.cnt, 0)) "
+        f"OVER (ORDER BY r.rn) AS cum FROM ranked r LEFT JOIN "
+        f"(SELECT cell, COUNT(*) AS cnt FROM fasg GROUP BY cell) f "
+        f"USING (cell)), "
+        f"need AS (SELECT COALESCE("
+        f"(SELECT MIN(rn) FROM cum WHERE cum >= {target}), "
+        f"(SELECT MAX(rn) FROM cum)) AS p), "
+        f"probe AS (SELECT cell FROM cum, need "
+        f"WHERE rn <= GREATEST(p, {n_probe_min})), "
+        f"qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+        f"SELECT e.vec_id, ROUND({cos}, 4) AS score "
+        f"FROM embeddings e JOIN fasg USING (vec_id) "
+        f"JOIN probe ON fasg.cell = probe.cell, qv "
+        f"ORDER BY ROUND({cos}, 4) DESC, e.vec_id LIMIT {k}"
+    )

@@ -522,6 +522,93 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "op44d_topk_filtered",
+    "SELECT e.vec_id, "
+    "ROUND(LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS score "
+    "FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, "
+    "(SELECT embedding FROM embeddings WHERE vec_id = 0) q "
+    "WHERE e.vec_id <> 0 AND d.lang = 'en' "
+    "ORDER BY LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id "
+    "LIMIT 5",
+    doc="metadata-filtered top-k with PRE-filter semantics: restrict "
+    "to vectors whose document is lang='en' (semi-join on the id), "
+    "THEN rank — the exact ground truth every filtered-ANN variant "
+    "is recalled against (ref serving: vector-search `filters`, "
+    "supported by the API though the ocr:166-172 notebook passes "
+    "none). The lang filter is pushed into the documents parquet "
+    "scan; at corpus scale the production layout stores metadata "
+    "beside the vector (see ann_ivf_topk_filtered's label-local "
+    "variant) so the filter needs no join at all.",
+)
+def op44d_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    allowed = (
+        _t(spark, sf, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(allowed, "vec_id", "leftsemi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_similarity("embedding", "q_embedding").alias("_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("_raw"), "vec_id")
+        .limit(5)
+        .select("vec_id", F.round("_raw", 4).alias("score"))
+    )
+
+
+@register(
+    "ann_ivf_topk_filtered",
+    lsh_sql.ivf_topk_filtered_sql(
+        dim=64, k=5, train_mod=4, n_probe_min=4, oversample=4,
+        pred_sql="vec_id % 7 = 3",
+    ),
+    doc="metadata-filtered IVF search, filter PUSHED INTO the "
+    "candidate fetch: the predicate (modeled tenant = id mod 7) "
+    "restricts the assignment scan BEFORE ranking, and the probe "
+    "set widens deterministically — shortest cell-rank prefix with "
+    "≥ k·4 filtered survivors, floored at the unfiltered entry's "
+    "4 probes — so a tight filter probes more cells instead of "
+    "returning a starved result. ORACLED like ann_ivf_topk: the "
+    "quantizer, assignment, and cell ranking are exact int64; the "
+    "widening rule is a cumulative count over cell rank, identical "
+    "in both engines; only the op44-proven final cosine is float. "
+    "recall@5 vs the exact filtered ground truth: 1.0/0.6/0.8 at "
+    "sf0.001/0.01/0.1 (floored in tests/test_ann_recall.py).",
+)
+def ann_ivf_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_etl_ocr_inference_spark.operators.similarity import (
+        ivf_assign_quantized,
+        ivf_centroids_quantized,
+        topk_ivf_quantized_prefiltered,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    train = emb.filter(F.col("vec_id") % 4 == 0)
+    centroids = ivf_centroids_quantized(train, "embedding")
+    qvec = [r[0] for r in emb.filter(F.col("vec_id") == 0).select(
+        F.explode("embedding")
+    ).collect()]
+    assigned = ivf_assign_quantized(
+        emb.filter(F.col("vec_id") != 0), "embedding", centroids
+    )
+    filtered = assigned.filter(F.col("vec_id") % 7 == 3)
+    return topk_ivf_quantized_prefiltered(
+        filtered, "embedding", qvec, centroids,
+        k=5, n_probe_min=4, oversample=4,
+    )
+
+
+@register(
     "ann_mllib_brp_lsh",
     None,  # MLlib hash partitions are engine-specific → rows-only
     doc="MLlib BucketedRandomProjectionLSH approxNearestNeighbors "

@@ -1028,8 +1028,14 @@ def _span_clean_corpus(
 
     from pdf_etl_ocr_inference_spark.scratch import scratch_root as _sr
 
+    # per-POLICY stage path (r11 advisory): the two policy entries
+    # share the staged frontier's CONTENT but not its path — a lazy
+    # frame returned by one entry must never read through the other
+    # entry's in-flight overwrite of the same directory
     _tag = _os.path.basename(_os.path.normpath(sf))
-    _stage = _os.path.join(_sr(), f"span_clean_stage_{_tag}")
+    _stage = _os.path.join(
+        _sr(), f"span_clean_stage_{_tag}_{policy}"
+    )
     d.write.mode("overwrite").parquet(_stage)
     d = spark.read.parquet(_stage)
     cov = (
@@ -1751,7 +1757,12 @@ def pipeline_chunk_attrition_by_source(
     # ONE ngram pass + ONE gram shuffle feed both policies'
     # interval sets (review-r11: two dup_span_intervals calls ran
     # the corpus explode twice)
-    iv, iv_kf = dup_span_intervals_both(docs, "text", "doc_id", n=6)
+    import os as _os
+
+    iv, iv_kf = dup_span_intervals_both(
+        docs, "text", "doc_id", n=6,
+        stage_tag=f"attr_{_os.path.basename(_os.path.normpath(sf))}",
+    )
     # one row per token-window chunk: [cs, ce) token positions in the
     # SAME \s+ tokenization the span family uses, so interval math
     # and chunk math share one coordinate system

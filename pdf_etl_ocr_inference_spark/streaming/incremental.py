@@ -203,6 +203,45 @@ def stage_ordered_files_stream(
         os.utime(f"{path}/{f}", (now + i, now + i))
 
 
+# Don't default onto a tmpfs that can't hold a state store: Docker's
+# default /dev/shm is 64 MB and a windowed agg's checkpoint can
+# exceed it mid-batch, failing the micro-batch where the plain /tmp
+# default would have worked.
+_SHM_MIN_FREE_BYTES = 256 * 1024 * 1024
+
+
+def _tmpfs_checkpoint_dir(spark, name: str) -> str | None:
+    """Resolve the run-to-completion checkpoint's tmpfs default, or
+    ``None`` for the engine-managed /tmp default.  tmpfs is used only
+    when ALL of these hold (r11 advisory — each guard is a real
+    failure mode):
+
+    - ``spark.master`` is local: on a cluster, executors don't share
+      the driver's /dev/shm, and a RAM-backed checkpoint on the
+      driver is the wrong durability/locality call anyway;
+    - /dev/shm exists with ≥ ``_SHM_MIN_FREE_BYTES`` free;
+    - a USER-SCOPED ``mkdtemp`` succeeds (0700, collision-free — a
+      fixed shared parent would EACCES for the second user on a
+      multi-tenant host)."""
+    try:
+        master = str(spark.conf.get("spark.master", ""))
+    except Exception:
+        master = ""
+    if not master.startswith("local"):
+        return None
+    if not os.path.isdir("/dev/shm"):
+        return None
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize < _SHM_MIN_FREE_BYTES:
+            return None
+        return tempfile.mkdtemp(
+            prefix=f"spark_graft_ckpt_{name}_", dir="/dev/shm"
+        )
+    except OSError:
+        return None
+
+
 def run_available_now(
     streaming_df: DataFrame,
     output_mode: str = "complete",
@@ -219,8 +258,10 @@ def run_available_now(
     ``checkpoint_dir`` overrides the checkpoint location (bench
     attribution uses it to A/B the checkpoint/state-store
     filesystem).  When unset, the run-to-completion checkpoint +
-    state store go on tmpfs (``/dev/shm``) when present, falling
-    back to the engine-managed /tmp temp dir: this checkpoint is
+    state store go on tmpfs (``/dev/shm``) — LOCAL MASTERS ONLY,
+    via a user-scoped mkdtemp, and only when tmpfs has headroom
+    (see :func:`_tmpfs_checkpoint_dir`) — falling back to the
+    engine-managed /tmp temp dir otherwise: this checkpoint is
     DISCARDED at the end of the call (one-shot catch-up into a
     memory sink — recovery durability buys nothing), and /tmp IO is
     the headline set's most contention-sensitive surface (r10
@@ -231,13 +272,14 @@ def run_available_now(
     at-least-once watermarks) pass their own durable directory and
     are untouched by this default.
     """
-    import os
     import shutil
 
     name = f"mem_{uuid.uuid4().hex[:12]}"
     tmp_ckpt = None
-    if checkpoint_dir is None and os.path.isdir("/dev/shm"):
-        tmp_ckpt = f"/dev/shm/spark_graft_ckpt/{name}"
+    if checkpoint_dir is None:
+        tmp_ckpt = _tmpfs_checkpoint_dir(
+            streaming_df.sparkSession, name
+        )
         checkpoint_dir = tmp_ckpt
     writer = (
         streaming_df.writeStream.format("memory")

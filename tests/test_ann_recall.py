@@ -34,3 +34,78 @@ def test_ann_recall_floors_gate_sf(spark):
     # (r10 verdict #4), so a seed/MLlib drift fails here, not
     # silently in a report
     assert recalls["mllib_brp"] >= 0.6, recalls
+
+
+def test_filtered_ivf_recall_floors_selectivity_sweep(spark):
+    """Metadata-filtered IVF (pre-filter + probe widening): recall
+    vs the exact FILTERED ground truth must hold as the predicate
+    tightens — the widening rule probes more cells for tight
+    filters, so the ~1% filters sit at the TOP of the sweep, not the
+    bottom.  Floors below measured fixture values (sf0.01, rem 1:
+    1.0 / 0.2 / 1.0 / 1.0 for mod 2/7/29/97) with margin; the mod7
+    dip is the documented near-orthogonal-fixture regime (the same
+    query's unfiltered neighbors rank cells differently than its
+    mod-7 survivors do), not a machinery defect — the tight-filter
+    floors are the contract."""
+    recalls = bench.filtered_ann_recall(spark, "/root/testdata/sf0.01")
+    assert recalls["mod2"] >= 0.8, recalls
+    assert recalls["mod7"] >= 0.2, recalls
+    # tight filters: widening must keep these HIGH — the whole point
+    assert recalls["mod29"] >= 0.8, recalls
+    assert recalls["mod97"] >= 0.8, recalls
+    vals = list(recalls.values())
+    assert sum(vals) / len(vals) >= 0.7, recalls
+
+
+def test_filtered_ivf_entry_recall_floor(spark):
+    """The oracled catalog entry (predicate vec_id%7=3) vs its exact
+    filtered ground truth (measured 0.6 at sf0.01)."""
+    from pdf_etl_ocr_inference_spark.plans import all_specs
+
+    specs = all_specs()
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["vec_id"]
+        for r in specs["ann_ivf_topk_filtered"].fn(spark, sf).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    exact = {
+        r[0]
+        for r in con.execute(
+            "SELECT e.vec_id FROM embeddings e, (SELECT embedding "
+            "FROM embeddings WHERE vec_id = 0) q "
+            "WHERE e.vec_id <> 0 AND e.vec_id % 7 = 3 "
+            "ORDER BY LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], "
+            "q.embedding::DOUBLE[]) DESC, e.vec_id LIMIT 5"
+        ).fetchall()
+    }
+    assert len(got & exact) / 5 >= 0.4, (got, exact)
+
+
+def test_filtered_entries_prefilter_semantics(spark):
+    """Both filtered entries return ONLY predicate survivors (the
+    pre-filter contract — a post-filtered top-k would return fewer
+    than k rows or leak non-survivors)."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.plans import all_specs
+
+    specs = all_specs()
+    sf = "/root/testdata/sf0.001"
+    ivf = specs["ann_ivf_topk_filtered"].fn(spark, sf).collect()
+    assert len(ivf) == 5
+    assert all(r["vec_id"] % 7 == 3 for r in ivf)
+    exact = specs["op44d_topk_filtered"].fn(spark, sf).collect()
+    assert len(exact) == 5
+    en = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .collect()
+    }
+    assert all(r["vec_id"] in en for r in exact)

@@ -475,3 +475,25 @@ def test_span_clean_keepfirst_packs_at_least_symmetric_tokens(spark):
     assert sum(r["seq_tokens"] for r in kf) > sum(
         r["seq_tokens"] for r in sym
     )
+
+
+def test_span_intervals_both_leaves_no_persisted_frames(spark):
+    """r11 advisory: dup_span_intervals_both must not leak a cached
+    plan into the session — both interval sets are staged to scratch
+    inside the call and the hit frame is unpersisted before return."""
+    from pdf_etl_ocr_inference_spark.operators.span_dedup import (
+        dup_span_intervals_both,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    iv, iv_kf = dup_span_intervals_both(
+        docs, "text", "doc_id", n=6, stage_tag="leak_test"
+    )
+    # consuming the returned frames must not resurrect the cache
+    n_sym, n_kf = iv.count(), iv_kf.count()
+    assert n_sym >= n_kf  # keep-first intervals are a subset's merge
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before, (before, after)

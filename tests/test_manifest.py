@@ -728,3 +728,44 @@ def test_bloom_rebuild_is_swap_by_pointer(spark, tmp_path, monkeypatch):
     gen3 = L._sidecar_phys_dir(d, "_bloom_id")
     assert gen3 not in (gen1, gen2)
     assert not _os.path.isdir(gen1) and not _os.path.isdir(gen2)
+
+
+def test_pointer_lost_fallback_prefers_unsuperseded_generation(
+    spark, tmp_path
+):
+    """r11 advisory: publication re-stamps the SUPERSEDED dir's
+    mtime (for GC grace), making it mtime-newest — so when the
+    pointer doc is lost, the fallback must resolve by the
+    ``.superseded`` marker, not mtime, or it serves the stale
+    generation by design."""
+    import glob
+    import os as _os
+    import shutil
+
+    import pdf_etl_ocr_inference_spark.operators.layout as L
+
+    d = str(tmp_path / "tbl")
+    _write_ranged(spark, 1000, d, parts=4)
+    L.load_or_refresh_file_stats(spark, d, ["id"])
+    gen1 = L._stats_phys_dir(d)
+
+    extra = str(tmp_path / "extra")
+    spark.range(2000, 2100).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(extra)
+    part = glob.glob(f"{extra}/part-*.parquet")[0]
+    shutil.move(part, f"{d}/appended.parquet")
+    L.load_or_refresh_file_stats(spark, d, ["id"])
+    gen2 = L._stats_phys_dir(d)
+    assert gen2 != gen1
+
+    # the superseded generation is marked, and (by the utime grace
+    # re-stamp) mtime-NEWER than the current one — the exact
+    # condition that fooled the pre-fix fallback
+    assert _os.path.exists(f"{gen1}/.superseded")
+    assert not _os.path.exists(f"{gen2}/.superseded")
+    assert _os.stat(gen1).st_mtime_ns >= _os.stat(gen2).st_mtime_ns
+
+    # lose the pointer doc -> resolver must still pick gen2
+    _os.unlink(f"{d}/_manifest/stats_dir.json")
+    assert L._stats_phys_dir(d) == gen2

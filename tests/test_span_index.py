@@ -123,3 +123,104 @@ def test_refresh_crash_between_append_and_meta_heals(spark, tmp_path):
         incremental_span_intervals(spark, path, _docs(spark, BATCH2))
     )
     assert healed == clean
+
+
+def test_keepfirst_probe_equals_full_recompute(spark, tmp_path):
+    """keepfirst probe ≡ keep-first full recompute restricted to
+    batch ids: canonical occurrences (gram's global min doc id) are
+    exempt, repeats emit intervals."""
+    path = str(tmp_path / "idxkf")
+    build_span_gram_index(spark, _docs(spark, CORPUS), path, n=6)
+    got = _ivals(
+        incremental_span_intervals(
+            spark, path, _docs(spark, BATCH1), policy="keepfirst"
+        )
+    )
+    full = _ivals(
+        dup_span_intervals(
+            _docs(spark, CORPUS + BATCH1), "text", "doc_id", n=6,
+            policy="keepfirst",
+        ).filter(F.col("id") >= 100)
+    )
+    assert got == full
+    ids = {i for i, _, _ in got}
+    # 100 repeats corpus doc 0's boilerplate -> scrubbed; 101 is the
+    # canonical owner of the new run -> EXEMPT; 102 repeats it
+    assert 100 in ids and 102 in ids
+    assert 101 not in ids and 103 not in ids
+
+
+def test_keepfirst_canonical_stable_across_batches(spark, tmp_path):
+    """r11 verdict #3's semantic wrinkle, pinned: the canonical owner
+    is the min doc id over ALL DOCS SEEN SO FAR.  A new batch doc
+    with a SMALLER id than the current owner takes the exemption
+    (and the displaced owner is NOT re-emitted — batch-docs-only
+    output, exemption-stickiness); a later batch doc with an id
+    between the two is still scrubbed against the NEW canonical."""
+    path = str(tmp_path / "idxstab")
+    # corpus owner of the boilerplate run is doc 50
+    corpus = [(50, f"aa bb cc {BOILER} dd ee")]
+    build_span_gram_index(spark, _docs(spark, corpus), path, n=6)
+
+    # batch A: doc 10 < 50 re-introduces the run -> 10 becomes the
+    # global min => EXEMPT, and nothing else is emitted (the
+    # displaced owner 50 is a corpus doc, not a batch doc)
+    batch_a = [(10, f"xx {BOILER} yy")]
+    got_a = _ivals(
+        incremental_span_intervals(
+            spark, path, _docs(spark, batch_a), policy="keepfirst"
+        )
+    )
+    assert got_a == []
+
+    # fold batch A, then batch B: doc 30 sits BETWEEN the displaced
+    # owner (50) and the new canonical (10) -> must be scrubbed,
+    # proving the canonical moved to 10 and stayed there
+    refresh_span_gram_index(spark, path, _docs(spark, batch_a), 1)
+    batch_b = [(30, f"pp {BOILER} qq")]
+    got_b = _ivals(
+        incremental_span_intervals(
+            spark, path, _docs(spark, batch_b), policy="keepfirst"
+        )
+    )
+    assert len(got_b) == 1 and got_b[0][0] == 30
+
+    # symmetric policy on the same probe still scrubs everything
+    got_sym = _ivals(
+        incremental_span_intervals(
+            spark, path, _docs(spark, batch_b), policy="symmetric"
+        )
+    )
+    assert got_sym == got_b
+
+
+def test_keepfirst_legacy_index_without_mn_fails_loud(spark, tmp_path):
+    """An index built before the mn column exists must refuse a
+    keep-first probe (rebuild required), not silently mis-exempt."""
+    import pytest
+
+    path = str(tmp_path / "idxleg")
+    build_span_gram_index(spark, _docs(spark, CORPUS), path, n=6)
+    # simulate the pre-r12 layout: strip the mn column in place
+    legacy = spark.read.parquet(path).drop("mn")
+    import json
+    import os
+
+    with open(os.path.join(path, "_spanindex_meta.json")) as f:
+        meta = json.load(f)
+    legacy.write.mode("overwrite").parquet(str(tmp_path / "legacy"))
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.copytree(str(tmp_path / "legacy"), path)
+    with open(os.path.join(path, "_spanindex_meta.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="rebuild"):
+        incremental_span_intervals(
+            spark, path, _docs(spark, BATCH1), policy="keepfirst"
+        )
+    # the symmetric probe still works on the legacy layout
+    got = incremental_span_intervals(
+        spark, path, _docs(spark, BATCH1), policy="symmetric"
+    )
+    assert got.count() > 0

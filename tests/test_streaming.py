@@ -211,3 +211,56 @@ def test_left_outer_null_completion_waits_for_watermark(spark, stream_dir):
     q.awaitTermination(120)
     rows = {(r["lk"], r["rk"]) for r in spark.table(name).collect() if r["lk"] > 0}
     assert rows == {(1, 1), (2, None)}
+
+
+class _FakeConf:
+    def __init__(self, master):
+        self._m = master
+
+    def get(self, key, default=None):
+        return self._m if key == "spark.master" else default
+
+
+class _FakeSpark:
+    def __init__(self, master):
+        self.conf = _FakeConf(master)
+
+
+def test_tmpfs_checkpoint_local_masters_only(tmp_path, monkeypatch):
+    """r11 verdict #2 / advisory: the run-to-completion checkpoint
+    defaults to /dev/shm ONLY on a local master, via a user-scoped
+    mkdtemp, with a free-space floor — a cluster master, a missing
+    or full tmpfs, or an mkdtemp failure (multi-tenant EACCES) all
+    fall back to the engine-managed /tmp default (None)."""
+    import pdf_etl_ocr_inference_spark.streaming.incremental as inc
+
+    # cluster masters: never tmpfs, regardless of /dev/shm state
+    for master in ("spark://host:7077", "yarn", "k8s://https://api"):
+        assert inc._tmpfs_checkpoint_dir(_FakeSpark(master), "x") is None
+
+    if not __import__("os").path.isdir("/dev/shm"):
+        return  # remaining arms need a real tmpfs
+
+    # local master on a healthy tmpfs: a private 0700 dir under shm
+    got = inc._tmpfs_checkpoint_dir(_FakeSpark("local[32]"), "x")
+    assert got is not None and got.startswith("/dev/shm/")
+    import os as _os
+
+    assert _os.stat(got).st_mode & 0o777 == 0o700
+    _os.rmdir(got)
+
+    # low free space: fall back
+    class _St:
+        f_bavail = 1
+        f_frsize = 4096
+
+    monkeypatch.setattr(inc.os, "statvfs", lambda p: _St())
+    assert inc._tmpfs_checkpoint_dir(_FakeSpark("local[4]"), "x") is None
+    monkeypatch.undo()
+
+    # mkdtemp failure (another user's same-named parent): fall back
+    def _boom(*a, **k):
+        raise OSError(13, "Permission denied")
+
+    monkeypatch.setattr(inc.tempfile, "mkdtemp", _boom)
+    assert inc._tmpfs_checkpoint_dir(_FakeSpark("local[4]"), "x") is None
