@@ -1021,6 +1021,79 @@ def dedup_span_stream_sync(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_stream_sync_keepfirst",
+    f"WITH {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_HITS_KEEPFIRST}, "
+    f"{_SPAN_ISLANDS_TAIL} "
+    "SELECT doc_id AS id, span_start, span_end FROM iv "
+    "WHERE doc_id % 97 = 5",
+    doc="the stream-synced span index probed under the KEEP-FIRST "
+    "policy (r12 — completes the policy matrix: batch/incremental/"
+    "stream-synced × symmetric/keep-first): same change-feed fold "
+    "as dedup_span_stream_sync (v0 base insert, v1 first-arrivals "
+    "commit, availableNow sync with checkpoint + version "
+    "watermark), then the next batch probes with the canonical "
+    "min-id exemption.  The per-gram mn folds through "
+    "refresh_span_gram_index exactly like the df sum, so the "
+    "canonical owner the probe sees is the min over base ∪ v1 ∪ "
+    "probe batch — the oracle is the keep-first full recompute "
+    "restricted to the probe batch, which proves the FOLD carried "
+    "v1's mins in (a sync that dropped them would mis-exempt).",
+)
+def dedup_span_stream_sync_keepfirst(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from pdf_etl_ocr_inference_spark.operators.span_index import (
+        build_span_gram_index,
+        incremental_span_intervals,
+        span_index_refresh_fn,
+    )
+    from pdf_etl_ocr_inference_spark.optimizer import sync_index_from_feed
+    from pdf_etl_ocr_inference_spark.scratch import scratch_dir
+    from pdf_etl_ocr_inference_spark.streaming.changefeed import (
+        commit_changes,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    base = docs.filter(
+        (F.col("doc_id") % 97 != 3) & (F.col("doc_id") % 97 != 5)
+    )
+    batch1 = docs.filter(F.col("doc_id") % 97 == 3)
+    batch2 = docs.filter(F.col("doc_id") % 97 == 5)
+
+    safe = sf.strip("/").replace("/", "_")
+    scratch = scratch_dir(f"spansynckf_{safe}")
+    feed = f"{scratch}/feed"
+    commit_changes(
+        base.withColumn("_change_type", F.lit("insert")), feed, 0
+    )
+    commit_changes(
+        batch1.withColumn("_change_type", F.lit("insert")), feed, 1
+    )
+    path = f"{scratch}/index"
+    build_span_gram_index(spark, base, path, n=6)  # v0 state
+    change_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_change_type", T.StringType()),
+        ]
+    )
+    sync_index_from_feed(
+        spark,
+        feed,
+        f"spanidxkf/{safe}",
+        change_schema,
+        checkpoint_dir=f"{scratch}/ckpt",
+        refresh_fn=span_index_refresh_fn(path),
+    )
+    return incremental_span_intervals(
+        spark, path, batch2, policy="keepfirst"
+    )
+
+
+@register(
     "dedup_corpus_report",
     f"WITH {_SPAN_TOKS}, {_SPAN_OCC}, {_SPAN_DUP}, {_SPAN_ISLANDS}, "
     "cov AS (SELECT CAST(SUM(span_end - span_start) AS BIGINT) AS covered FROM iv), "

@@ -82,6 +82,23 @@ def test_refresh_equals_rebuild(spark, tmp_path):
     assert got_inc == got_full
     # BATCH2 duplicates BATCH1's run — visible only via the refresh
     assert any(i == 200 for i, _, _ in got_inc)
+    # the per-gram MIN folds like the df sum (r12): refreshed index
+    # stores mn per (gram, version), and the probe's folded min must
+    # equal the rebuilt index's — assert via the keep-first probe
+    got_inc_kf = _ivals(
+        incremental_span_intervals(
+            spark, p_inc, _docs(spark, BATCH2), policy="keepfirst"
+        )
+    )
+    got_full_kf = _ivals(
+        incremental_span_intervals(
+            spark, p_full, _docs(spark, BATCH2), policy="keepfirst"
+        )
+    )
+    assert got_inc_kf == got_full_kf
+    # 200 > 101 (BATCH1's canonical owner of the run) -> scrubbed
+    # under keep-first too
+    assert any(i == 200 for i, _, _ in got_inc_kf)
 
 
 def test_refresh_version_idempotent(spark, tmp_path):
