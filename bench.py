@@ -144,7 +144,19 @@ def filtered_ann_recall(
         for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
     corpus = emb.filter(F.col("vec_id") != 0)
-    assigned = ivf_assign_quantized(corpus, "embedding", centroids)
+    # stage the UNFILTERED assignment once: the four mods then filter
+    # a staged scan instead of re-quantizing per mod (the staged
+    # layout is what the production index stores anyway)
+    import os as _os
+
+    from pdf_etl_ocr_inference_spark.scratch import scratch_root
+
+    _tag = _os.path.basename(sf_dir.rstrip("/"))
+    _stage = _os.path.join(scratch_root(), f"ivf_sweep_asg_{_tag}")
+    ivf_assign_quantized(corpus, "embedding", centroids).write.mode(
+        "overwrite"
+    ).parquet(_stage)
+    assigned = spark.read.parquet(_stage)
     from pdf_etl_ocr_inference_spark.functions.vector import (
         cosine_similarity,
     )
@@ -160,6 +172,7 @@ def filtered_ann_recall(
             for r in topk_ivf_quantized_prefiltered(
                 assigned.filter(pred), "embedding", qvec, centroids,
                 k=5, n_probe_min=4, oversample=4,
+                stage_tag=f"sweep_{_tag}_m{mod}",
             ).collect()
         }
         exact = {

@@ -891,8 +891,13 @@ def _serve_cells_prefiltered(
     final = []
     for qid in qids:
         best = sorted(acc[qid], key=lambda t: (-t[1], t[0]))[:k]
-        final.extend((qid, i, round(s, 4)) for i, s in best)
-    return spark.createDataFrame(final, _OUT_SCHEMA)
+        final.extend((qid, i, s) for i, s in best)
+    # F.round (HALF_UP), not Python round (half-even): the same
+    # (query, vector) pair must report the same score with and
+    # without a predicate (review-r12)
+    return spark.createDataFrame(final, _OUT_SCHEMA).select(
+        "qid", "vec_id", F.round("score", 4).alias("score")
+    )
 
 
 def serving_refresh_fn(path: str, kind: str):
@@ -958,7 +963,10 @@ def _hnsw_walk(mat, layered, levels, ids_sorted, qu, k, ef, excl, pred=None):
             if i in excl or (pred is not None and not pred(i)):
                 continue
             rows.append((i, float(np.dot(qu, mat[i]))))
-        if len(rows) >= k or eff >= len(ids_sorted):
+        # pred=None must walk exactly once — the pre-predicate
+        # behavior (review-r12: a thin beam on a degenerate shard
+        # would otherwise re-walk and could return different rows)
+        if pred is None or len(rows) >= k or eff >= len(ids_sorted):
             break
         eff = min(eff * 2, len(ids_sorted))
     rows.sort(key=lambda t: (-t[1], t[0]))

@@ -514,6 +514,7 @@ def topk_ivf_quantized_prefiltered(
     n_probe_min: int = 4,
     oversample: int = 4,
     id_col: str = "vec_id",
+    stage_tag: str | None = None,
 ) -> DataFrame:
     """Metadata-filtered IVF top-k with PRE-filter semantics
     (ref serving: the vector-search API's ``filters`` arg — the
@@ -529,18 +530,40 @@ def topk_ivf_quantized_prefiltered(
     whose cumulative filtered member count reaches ``k·oversample``
     — all cells when the filter is tighter than that — floored at
     ``n_probe_min`` (the unfiltered entry's recall-tuned probe
-    count).  Per-cell survivor counts are a tiny aggregate (cell
-    count ~ sqrt(n) — control data at any corpus size), so the
-    collect stays O(cells), not O(survivors)."""
+    count).
+
+    The filtered assignment is STAGED to process scratch once,
+    partitioned by cell (review-r12: the counts aggregate and the
+    candidate fetch otherwise each re-execute the full
+    quantize-and-assign plan — two O(survivors × centroids) passes
+    for one query); the counts job and the probe fetch both read the
+    staged copy, and the fetch prunes to the probed cells'
+    partitions — the same layout the production index stores
+    (``ivf_assign``'s 100 TB note).  ``stage_tag`` keys the dir
+    (rep-stable for callers with a natural key); the default
+    per-call uuid dirs are GC'd with the process scratch root."""
+    import os
+    import uuid
+
+    from pdf_etl_ocr_inference_spark.scratch import scratch_root
+
     qq = [math.floor(float(v) * LSH_Q_SCALE) for v in query_vec]
     qdot = {
         lbl: sum(a * b for a, b in zip(qq, c))
         for lbl, c in centroids.items()
     }
     ranked = sorted(centroids, key=lambda lbl: (-qdot[lbl], lbl))
+    stage = os.path.join(
+        scratch_root(),
+        f"ivf_filt_{stage_tag or uuid.uuid4().hex[:12]}",
+    )
+    assigned_filtered.write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(stage)
+    staged = assigned_filtered.sparkSession.read.parquet(stage)
     counts = {
         int(r["cell"]): int(r["cnt"])
-        for r in assigned_filtered.groupBy("cell")
+        for r in staged.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
@@ -552,7 +575,7 @@ def topk_ivf_quantized_prefiltered(
             p = rn
             break
     probe = ranked[: max(p, n_probe_min)]
-    cand = assigned_filtered.filter(F.col("cell").isin(probe))
+    cand = staged.filter(F.col("cell").isin(probe))
     return topk_exact(cand, embedding_col, query_vec, k=k, id_col=id_col)
 
 

@@ -117,6 +117,20 @@ def refresh_span_gram_index(
         meta = json.load(f)
     if version <= meta["last_version"]:
         return
+    # refuse to fold into a pre-mn index (review-r12): appending
+    # batches WITH the mn column to an index whose base rows lack it
+    # makes a mixed-schema dataset where the keep-first guard flips
+    # on which footer the reader samples — and where it passes, the
+    # base generation's mins read as NULL and the probe mis-exempts.
+    # Loud rebuild beats nondeterministic drift (the same doctrine
+    # as the insert-only contract below).
+    if "mn" not in spark.read.parquet(path).columns:
+        raise ValueError(
+            "span gram index predates the per-gram min-id column:"
+            " folding would create a mixed-schema index whose"
+            " keep-first probes mis-exempt — rebuild with"
+            " build_span_gram_index first"
+        )
     # clear any partial/orphaned copy of THIS version from a crashed
     # previous attempt before re-appending
     vdir = os.path.join(path, f"v={version}")

@@ -602,9 +602,11 @@ def ann_ivf_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
         emb.filter(F.col("vec_id") != 0), "embedding", centroids
     )
     filtered = assigned.filter(F.col("vec_id") % 7 == 3)
+    safe = sf.strip("/").replace("/", "_")
     return topk_ivf_quantized_prefiltered(
         filtered, "embedding", qvec, centroids,
         k=5, n_probe_min=4, oversample=4,
+        stage_tag=f"entry_{safe}",
     )
 
 

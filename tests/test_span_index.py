@@ -236,6 +236,13 @@ def test_keepfirst_legacy_index_without_mn_fails_loud(spark, tmp_path):
         incremental_span_intervals(
             spark, path, _docs(spark, BATCH1), policy="keepfirst"
         )
+    # a REFRESH must refuse too (review-r12): folding an mn-bearing
+    # batch into the legacy layout would create a mixed-schema index
+    # whose keep-first guard flips on footer sampling order
+    with pytest.raises(ValueError, match="rebuild"):
+        refresh_span_gram_index(
+            spark, path, _docs(spark, BATCH1), version=1
+        )
     # the symmetric probe still works on the legacy layout
     got = incremental_span_intervals(
         spark, path, _docs(spark, BATCH1), policy="symmetric"
