@@ -780,10 +780,28 @@ def connected_components(
     pairs = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).filter(F.col("src") != F.col("dst"))
+    # Symmetrize by EXPLODING each pair into both directions rather
+    # than a union of two selects (r12 perf pass): a union's branches
+    # each re-evaluate the `pairs` subtree — for the quality-collapse
+    # callers that subtree is the whole MinHash verify pipeline, run
+    # twice for one edge list.  The explode reads it once.
     sym = truncate_lineage(
-        pairs.unionByName(
-            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"),
+                        F.col("dst").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"),
+                        F.col("src").alias("dst"),
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .distinct()
     )
     labels = truncate_lineage(
         sym.select(F.col("src").alias("node"))

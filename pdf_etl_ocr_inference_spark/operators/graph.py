@@ -52,7 +52,21 @@ def pagerank(
         truncate_lineage,
     )
 
-    nodes = (
+    # Materialize the LOOP-INVARIANT frames once (r12 perf pass,
+    # guide §5 caching / §1.2 "don't compute things you throw away"):
+    # `edges`, `nodes` and `deg` are referenced in EVERY iteration
+    # (contribs join, dangling anti-join, rank re-attach), and Spark
+    # re-computes a referenced frame's whole subtree per use — for
+    # the catalog caller that subtree is exact-dedup + the positional
+    # 6-gram explode + the gram-bucket pair generation, re-run ~4×
+    # per iteration (the r11 pagerank attribution read "full 6.8 s /
+    # edges 0.3 s": the gap was exactly this recompute).  One
+    # checkpoint pass each bounds the loop body to the joins it
+    # actually performs; ranks were already truncated per round.
+    edges = truncate_lineage(
+        edges.select(F.col(src).alias(src), F.col(dst).alias(dst))
+    )
+    nodes = truncate_lineage(
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
         .distinct()
@@ -60,7 +74,9 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_score", F.lit(0.0))
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_outd"))
+    deg = truncate_lineage(
+        edges.groupBy(src).agg(F.count(F.lit(1)).alias("_outd"))
+    )
     ranks = nodes.withColumn("_r", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iterations):
@@ -115,10 +131,22 @@ def triangle_count(
     edge y->z.
 
     Returns one row: (n_triangles, n_edges, n_nodes)."""
-    und = pairs.select(
-        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    from pdf_etl_ocr_inference_spark.operators.layout import (
+        truncate_lineage,
     )
-    deg = (
+
+    # Materialize the edge list and the oriented DAG once (r12 perf
+    # pass — pagerank's loop-invariant treatment applied to a DAG of
+    # reuses): `und` feeds four subtrees (both degree-count sides,
+    # the orientation join, the edge-count stat) and `oriented`
+    # three (both wedge sides, the closing semi-join), and Spark
+    # re-computes a referenced frame's whole subtree per use — for
+    # the catalog caller that subtree is the positional-6-gram
+    # explode + gram-bucket pair generation, re-run ~7× per query.
+    und = truncate_lineage(
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    )
+    deg = truncate_lineage(
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
@@ -140,10 +168,14 @@ def triangle_count(
     swap = (F.col("db") < F.col("da")) | (
         (F.col("db") == F.col("da")) & (F.col("b") < F.col("a"))
     )
-    oriented = e.select(
-        F.when(swap, F.col("b")).otherwise(F.col("a")).alias("src"),
-        F.when(swap, F.col("a")).otherwise(F.col("b")).alias("dst"),
-        F.when(swap, F.col("da")).otherwise(F.col("db")).alias("ddst"),
+    oriented = truncate_lineage(
+        e.select(
+            F.when(swap, F.col("b")).otherwise(F.col("a")).alias("src"),
+            F.when(swap, F.col("a")).otherwise(F.col("b")).alias("dst"),
+            F.when(swap, F.col("da")).otherwise(F.col("db")).alias(
+                "ddst"
+            ),
+        )
     )
     o1 = oriented.select(
         "src", F.col("dst").alias("v"), F.col("ddst").alias("dv")

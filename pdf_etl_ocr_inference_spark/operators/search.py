@@ -47,23 +47,42 @@ def bm25_scores(
 ) -> DataFrame:
     """Raw BM25 scores for every doc matching >= 1 query term:
     (id, _score).  Building block for ``bm25_topk`` and hybrid
-    fusion; no ranking or rounding applied."""
+    fusion; no ranking or rounding applied.
+
+    Shape (r12 perf pass — guide §2.3/§2.4): doc length rides the
+    postings rows (``dl`` is a constant within a doc, so grouping by
+    ``(id, dl, term)`` is the same grouping as ``(id, term)``) and
+    per-term document frequency is a window over the aggregated
+    postings.  The r11 shape kept ``dl`` as its own corpus-sized
+    frame and joined it back into the (tiny) matching-postings set —
+    a corpus-wide exchange (Catalyst chose to BROADCAST the per-doc
+    length table, which at 100 TB is a driver-killing plan) — and
+    computed df by re-deriving the whole tf subtree a second time
+    (4 corpus tokenize passes in the physical plan).  Now: one
+    corpus pass for (N, avgdl) — a combinable 1-row agg — and one
+    corpus pass for the postings; everything after the term filter
+    is proportional to matching postings, never the corpus."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     docs = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
-    dl = docs.select("id", F.size("_toks").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("_toks")).alias("avgdl"),
     )
     tf = (
-        docs.select("id", F.explode("_toks").alias("term"))
+        docs.select(
+            "id", F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
         .filter(F.col("term").isin(query_terms))
-        .groupBy("id", "term")
+        .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
     scored = (
-        tf.join(F.broadcast(dfq), "term")
-        .join(dl, "id")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(stats))
         .select(
             "id",

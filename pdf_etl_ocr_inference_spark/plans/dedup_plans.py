@@ -1285,16 +1285,21 @@ def quality_collapse_drop(members: DataFrame) -> DataFrame:
     definition of the drop set, shared by ``pipeline_curated_mix``
     and ``pipeline_chunk_attrition_by_source`` so the survivor rule
     cannot drift between the curation pipelines."""
-    best = members.groupBy("cluster_id").agg(
-        (
-            -F.max(
-                F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))
-            )["nid"]
-        ).alias("survivor_id")
+    # r12 perf pass: the argmax is a WINDOW max over the cluster
+    # partition instead of a groupBy + join-back — the join's two
+    # references each re-evaluated the `members` subtree (a docs
+    # scan + the label join) where the window reads it once, and
+    # one cluster_id exchange replaces the agg exchange + join.
+    from pyspark.sql import Window
+
+    surv = (
+        -F.max(
+            F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))
+        ).over(Window.partitionBy("cluster_id"))["nid"]
     )
     return (
-        members.join(best, "cluster_id")
-        .filter(F.col("doc_id") != F.col("survivor_id"))
+        members.withColumn("_surv", surv)
+        .filter(F.col("doc_id") != F.col("_surv"))
         .select("doc_id")
     )
 

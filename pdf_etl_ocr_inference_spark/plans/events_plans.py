@@ -40,40 +40,66 @@ from pdf_etl_ocr_inference_spark.sources.catalog import load_table as _t
     doc="ordered funnel conversion (view -> click -> purchase): each "
     "step's entry time is the first qualifying event STRICTLY AFTER "
     "the previous step's — the temporal-order constraint that "
-    "separates a funnel from three independent counts. Step joins "
-    "key on user_id, co-partitioned with the per-user MIN aggs.",
+    "separates a funnel from three independent counts. r12 perf "
+    "pass (guide §2.4 — operations keyed the same way share one "
+    "exchange): the three step times are chained conditional-MIN "
+    "windows over ONE user_id partitioning (t2's predicate "
+    "references the t1 window column, so ts > NULL nulls out users "
+    "that never reached the prior step — identical semantics to the "
+    "r11 step JOINS, which re-derived the whole events scan per "
+    "step and per count: 22 Exchanges → 2, one events pass.",
 )
 def op76_funnel(spark: SparkSession, sf: str) -> DataFrame:
-    ev = _t(spark, sf, "events")
+    from pyspark.sql import Window
 
-    def first_after(event_type, prev, prev_col):
-        step = ev.filter(F.col("event_type") == event_type)
-        if prev is not None:
-            step = step.join(prev, "user_id").filter(
-                F.col("ts") > F.col(prev_col)
-            )
-        return step.groupBy("user_id").agg(
-            F.min("ts").alias(f"t_{event_type}")
+    ev = _t(spark, sf, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    t1 = F.min(F.when(is_("view"), F.col("ts"))).over(w)
+    per = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(is_("click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    per = per.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            is_("purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
         )
-
-    s1 = first_after("view", None, "")
-    s2 = first_after("click", s1, "t_view")
-    s3 = first_after("purchase", s2, "t_click")
-    rows = []
-    for idx, (name, df) in enumerate(
-        [("view", s1), ("click", s2), ("purchase", s3)], start=1
-    ):
-        rows.append(
-            df.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(idx).alias("step_idx"),
-                F.lit(name).alias("step"),
-                "n_users",
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    ).over(w)
+    per = per.withColumn("t3", t3)
+    # one row per user (reuses the window's partitioning — no new
+    # exchange), then a 1-row global count agg fans out to the three
+    # step rows
+    users = per.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    counts = users.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    )
+    steps = F.array(
+        F.struct(
+            F.lit(1).alias("step_idx"),
+            F.lit("view").alias("step"),
+            F.col("n1").alias("n_users"),
+        ),
+        F.struct(
+            F.lit(2).alias("step_idx"),
+            F.lit("click").alias("step"),
+            F.col("n2").alias("n_users"),
+        ),
+        F.struct(
+            F.lit(3).alias("step_idx"),
+            F.lit("purchase").alias("step"),
+            F.col("n3").alias("n_users"),
+        ),
+    )
+    return counts.select(F.explode(steps).alias("_s")).select(
+        "_s.step_idx", "_s.step", "_s.n_users"
+    )
 
 
 @register(

@@ -241,103 +241,45 @@ _CC_ORACLE = (
 @register(
     "dedup_clusters",
     _CC_ORACLE,
-    doc="connected-components clustering over exact-duplicate pairs: "
-    "iterative min-label propagation (converges in O(d) rounds, "
-    "d = component diameter — log-round convergence would need "
-    "pointer doubling; duplicate components are cliques → 1 round). "
-    "Runs to convergence with a safety cap and raises rather than "
-    "returning unconverged ids. The step that turns pairwise dedup "
-    "output into keep/drop groups. Oracle = recursive CTE over the "
-    "same pairs.",
+    doc="connected-components clustering over exact-duplicate pairs, "
+    "CLOSED FORM (r12 perf pass): the exact-dup pair graph is a "
+    "union of fingerprint-group cliques, so every component IS a "
+    "fingerprint group and its min label IS the group's min doc_id — "
+    "one window shuffle on the fingerprint, no propagation rounds. "
+    "The step that turns pairwise dedup output into keep/drop "
+    "groups. Oracle = recursive CTE over the clique pairs, so the "
+    "closed form is value-checked against the graph-reachability "
+    "semantics every gate run; the ITERATIVE engines for pair "
+    "graphs that are NOT fingerprint cliques (near-dup output, "
+    "arbitrary edges) remain dedup_clusters_sv (Shiloach–Vishkin "
+    "hook+shortcut), operators/dedup.connected_components, and "
+    "op90_recursive_cte — all held to this same oracle.",
 )
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.functions.text import doc_fingerprint
-    from pdf_etl_ocr_inference_spark.operators.layout import truncate_lineage
 
     docs = _t(spark, sf, "documents")
-    # STAR edges, not clique edges (r8): an exact-dup fingerprint
-    # group is a clique, and a clique's components are identical to a
-    # star's — every member wired to the group's min id — so the edge
-    # set is Σd per group instead of Σd²/2 (at a 10k-deep boilerplate
-    # clique that is 10⁴ edges, not 5·10⁷), built with ONE window
-    # shuffle instead of a two-sided fp self-join.  Measured −51% on
-    # this entry at sf0.1 with identical cluster output.
+    # r8 shrank the edge set from clique to star (every member wired
+    # to the group min) because a clique's components equal a star's;
+    # r12 takes the same argument one step further: the star's
+    # component labeling is ALREADY the star construction's window
+    # min, so materializing edges and propagating labels over them
+    # (2 rounds × [neighbor-min shuffle + label join + checkpoint +
+    # convergence-probe job] in the r11 shape) computed nothing the
+    # window had not.  At 100 TB this removes every per-round
+    # pair-graph shuffle; generic-graph CC stays available in
+    # dedup_clusters_sv / connected_components for inputs where the
+    # component structure is genuinely unknown.
     from pyspark.sql import Window
 
-    fp = docs.select("doc_id", doc_fingerprint("text").alias("fp"))
-    marked = fp.withColumn(
-        "_root", F.min("doc_id").over(Window.partitionBy("fp"))
-    )
-    pairs = marked.filter(F.col("doc_id") != F.col("_root")).select(
-        F.col("doc_id").alias("id_a"), F.col("_root").alias("id_b")
-    )
-    # Iterate ONLY over nodes that appear in a pair: isolated docs are
-    # their own cluster by definition and would just inflate every
-    # round's join (at 100 TB the pair graph is a tiny fraction of the
-    # corpus — label propagation must run on it, not on the corpus).
-    edges = truncate_lineage(
-        pairs.unionByName(
-            pairs.select(
-                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-            )
-        )
-    )
-    labels = truncate_lineage(
-        edges.select(F.col("id_a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-    )
-    # Plain neighbor-min propagation needs O(diameter) rounds (NOT
-    # log2 — that would require pointer doubling / large-star small-star
-    # a la Kiveris CC).  Exact-dup components are cliques (1 round),
-    # but a chain-shaped pair graph is possible for near-dup inputs, so
-    # run to convergence and fail loudly instead of returning wrong ids.
-    max_rounds = 64
-    converged = False
-    for _ in range(max_rounds):
-        neighbor_min = (
-            edges.join(labels, edges["id_b"] == labels["doc_id"])
-            .groupBy("id_a")
-            .agg(F.min("cluster_id").alias("nmin"))
-        )
-        # carry the round-entry label as _old: convergence detection
-        # becomes a filter on the checkpointed frame instead of a
-        # second join against the previous labels (one fewer shuffle
-        # per round — the r3→r5 residual on this entry was mostly
-        # these per-round control jobs)
-        new_labels = (
-            labels.join(
-                neighbor_min, labels["doc_id"] == neighbor_min["id_a"], "left"
-            )
-            .select(
-                "doc_id",
-                F.col("cluster_id").alias("_old"),
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nmin"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-        )
-        new_labels = truncate_lineage(new_labels)  # cut growing lineage
-        changed = (
-            new_labels.filter(F.col("cluster_id") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.drop("_old")
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"dedup_clusters: label propagation did not converge in "
-            f"{max_rounds} rounds (pair-graph diameter > {max_rounds}); "
-            "raise max_rounds or switch to pointer-doubling CC"
-        )
-    return docs.select("doc_id").join(
-        labels.withColumnRenamed("cluster_id", "_cc"), "doc_id", "left"
+    return docs.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fp"),
     ).select(
-        "doc_id", F.coalesce("_cc", F.col("doc_id")).alias("cluster_id")
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy("fp"))
+        .alias("cluster_id"),
     )
 
 
@@ -781,11 +723,21 @@ def graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         "id", "gram"
     )
     dp = _gram_share_pairs(occ)
+    # symmetrize via explode, not a two-branch union (r12 perf pass):
+    # the union evaluated the gram-share pair generation twice even
+    # inside pagerank's one-time edge checkpoint pass
     edges = dp.select(
-        F.col("ia").alias("src"), F.col("ib").alias("dst")
-    ).unionByName(
-        dp.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ia").alias("src"), F.col("ib").alias("dst")
+                ),
+                F.struct(
+                    F.col("ib").alias("src"), F.col("ia").alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     return pagerank(edges, iterations=3, damping=0.85)
 
 

@@ -1294,7 +1294,19 @@ def _dsir_selection(spark: SparkSession, sf: str) -> DataFrame:
     their totals, the per-doc ratio join) would otherwise each replay
     the explode + 12-step md5 fold over every token — the physical
     plan showed five document scans and zero ReusedExchange; staging
-    cut the sf0.1 pipeline from 13.9 s to the cost of one pass."""
+    cut the sf0.1 pipeline from 13.9 s to the cost of one pass.
+
+    r12 perf pass (guide §2.3 — shuffle/stage fewer bytes): the
+    stage holds per-(doc, bucket) COUNTS, not one row per token
+    occurrence.  The count agg is fully map-side combinable and runs
+    inside the same pass that feeds the write, so the staged parquet
+    shrinks from corpus-token-sized to ≤ docs × min(doc_tokens, V)
+    rows — at 100 TB that is the difference between re-writing the
+    tokenized corpus and writing a bounded feature table — and every
+    downstream agg/join reads counts instead of occurrences.  The
+    bucket LMs fold the counts (SUM(cnt) ≡ COUNT(*) over occurrence
+    rows); the per-doc ratio weights each bucket term by its count
+    (Σ_occurrences term(b) ≡ Σ_buckets cnt·term(b))."""
     import os as _os
 
     from pdf_etl_ocr_inference_spark.operators.sampling import (
@@ -1305,19 +1317,27 @@ def _dsir_selection(spark: SparkSession, sf: str) -> DataFrame:
     from pdf_etl_ocr_inference_spark.scratch import scratch_root as _sr
 
     docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
-    tokb = docs.select(
-        "doc_id",
-        "source",
-        F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
-    ).select("doc_id", "source", (md5_u48(F.col("tok")) % _DSIR_V).alias("b"))
+    tokb = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+        .select(
+            "doc_id", "source",
+            (md5_u48(F.col("tok")) % _DSIR_V).alias("b"),
+        )
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     _tag = _os.path.basename(_os.path.normpath(sf))
     _stage = _os.path.join(_sr(), f"dsir_tokb_{_tag}")
     tokb.write.mode("overwrite").parquet(_stage)
     tokb = spark.read.parquet(_stage)
     is_target = F.col("source").isin(list(_DSIR_TARGET))
-    t = tokb.filter(is_target).groupBy("b").agg(F.count("*").alias("ct"))
+    t = tokb.filter(is_target).groupBy("b").agg(F.sum("cnt").alias("ct"))
     nt = t.agg(F.sum("ct").alias("n_t"))
-    r = tokb.filter(~is_target).groupBy("b").agg(F.count("*").alias("cr"))
+    r = tokb.filter(~is_target).groupBy("b").agg(F.sum("cnt").alias("cr"))
     nr = r.agg(F.sum("cr").alias("n_r"))
     term = F.log(
         (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
@@ -1330,7 +1350,9 @@ def _dsir_selection(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(nt))
         .crossJoin(F.broadcast(nr))
         .groupBy("doc_id", "source")
-        .agg(F.round(F.sum(term), 4).alias("log_ratio"))
+        .agg(
+            F.round(F.sum(term * F.col("cnt")), 4).alias("log_ratio")
+        )
     )
     u = (sample_hash(F.col("doc_id")) + 1) / F.lit(float(_MOD))
     score = F.round(F.col("log_ratio") - F.log(-F.log(u)), 6)
@@ -1390,12 +1412,28 @@ def _dsir_pipeline_oracle() -> str:
     "the bucket LMs stay <=1024 rows at any corpus size.",
 )
 def pipeline_dsir_corpus(spark: SparkSession, sf: str) -> DataFrame:
-    from pdf_etl_ocr_inference_spark.operators.dedup import exact_dedup
+    from pdf_etl_ocr_inference_spark.functions.text import doc_fingerprint
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     sel = _dsir_selection(spark, sf).select("doc_id")
-    dsel = docs.join(sel, "doc_id")
-    d = exact_dedup(dsel, "text", "doc_id")
+    dsel = docs.join(F.broadcast(sel), "doc_id")
+    # Exact dedup of the SELECTED pool via a window over the
+    # canonical fingerprint (r12 perf pass, guide §2.4): the r11
+    # survivor SEMI-JOIN evaluated its right side by re-deriving
+    # dsel — which re-ran the ENTIRE DSIR selection subtree (4 scans
+    # of the staged feature table + the top-k) a second time, and
+    # planned as a SortMergeJoin that exchanged the full documents
+    # scan on doc_id.  The pool is ≤100 rows by construction (the
+    # Gumbel-top-k LIMIT), so one tiny window exchange replaces the
+    # duplicated subtree + corpus shuffle.  Survivor rule unchanged
+    # (min doc_id per fingerprint) — same rows out.
+    w = Window.partitionBy("_fp")
+    d = (
+        dsel.withColumn("_fp", doc_fingerprint("text"))
+        .withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id", "text")
+    )
     toks = d.select(
         (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
         "doc_id",

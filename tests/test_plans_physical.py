@@ -294,3 +294,66 @@ def test_span_clean_pipeline_stages_shared_frontier(spark):
         "post-staging plan must read the staged frontier, "
         f"not documents directly: {doc_scans}"
     )
+
+
+def test_bm25_no_corpus_length_join(spark):
+    """r12 perf pass: doc length rides the postings rows and df is a
+    window over the aggregated postings — the plan must carry NO join
+    against a corpus-sized per-doc-length frame (the r11 shape
+    BROADCAST the whole dl table, a driver-killing plan at 100 TB)
+    and at most two scans of the documents table (corpus stats +
+    postings)."""
+    df = _SPECS["text_bm25_topk"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert "SortMergeJoin" not in plan
+    doc_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln or "Location: InMemoryFileIndex" in ln
+    ]
+    n_doc = sum("documents" in ln for ln in doc_scans)
+    assert n_doc <= 2 * 2, plan  # each scan prints a node + Location
+    # exactly one broadcast side remains: the 1-row (N, avgdl) stats
+    # (each node prints once in the tree and once in the detail list)
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_funnel_single_events_pass(spark):
+    """r12 perf pass: the funnel's three step times are chained
+    conditional-MIN windows over ONE user_id partitioning — one
+    events scan, one user_id exchange, no step joins."""
+    df = _SPECS["op76_funnel"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    ev_scans = sum(
+        1
+        for ln in plan.splitlines()
+        if "Location: InMemoryFileIndex" in ln and "events" in ln
+    )
+    assert ev_scans == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_dedup_clusters_closed_form_single_shuffle(spark):
+    """r12 perf pass: exact-dup CC is the fingerprint-window closed
+    form — one window exchange, no iterative propagation joins, no
+    localCheckpoint scans."""
+    df = _SPECS["dedup_clusters"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "ExistingRDD" not in plan, plan  # no checkpointed rounds
+
+
+def test_dsir_pipeline_selection_not_duplicated(spark):
+    """r12 perf pass: the DSIR pipeline's exact dedup of the selected
+    pool is a window over the ≤100-row pool, so the selection subtree
+    (TakeOrderedAndProject over the staged feature table) appears
+    exactly ONCE — the r11 survivor semi-join re-derived it a second
+    time and exchanged the full documents scan."""
+    df = _SPECS["pipeline_dsir_corpus"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    # once in the tree + once in the operator-detail list
+    assert plan.count("TakeOrderedAndProject") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
