@@ -508,3 +508,38 @@ def test_span_intervals_both_leaves_no_persisted_frames(spark):
     assert cov(iv) >= cov(iv_kf)
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert after == before, (before, after)
+
+
+def test_span_clean_window_dedup_matches_semi_join(spark):
+    """r12 perf pass: the span-clean staged frontier dedups via a
+    fingerprint WINDOW (one scan, one text shuffle) — its survivor
+    set must equal exact_dedup's semi-join rule exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pdf_etl_ocr_inference_spark.functions.text import (
+        doc_fingerprint,
+        quality_score,
+    )
+    from pdf_etl_ocr_inference_spark.operators.dedup import exact_dedup
+
+    from .conftest import SF0001
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    q = docs.filter(quality_score("text") >= 0.5)
+    w = Window.partitionBy("_fp")
+    win = (
+        q.withColumn("_fp", doc_fingerprint("text"))
+        .withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+    )
+    a = {r["doc_id"] for r in win.select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in exact_dedup(q, "text", "doc_id")
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and len(a) > 0
