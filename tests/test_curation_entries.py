@@ -488,7 +488,17 @@ def test_span_intervals_both_leaves_no_persisted_frames(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").select(
         "doc_id", "text"
     )
-    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    # Compare persisted-RDD ID SETS, not counts (review-r12): the
+    # shared-session ContextCleaner asynchronously unpersists frames
+    # whose driver references earlier tests dropped, so an absolute
+    # count can legitimately DECREASE mid-test; the leak invariant is
+    # "this call leaves no NEW persisted RDD behind".
+    def _ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = _ids()
     iv, iv_kf = dup_span_intervals_both(
         docs, "text", "doc_id", n=6, stage_tag="leak_test"
     )
@@ -506,8 +516,8 @@ def test_span_intervals_both_leaves_no_persisted_frames(spark):
         or 0
     )
     assert cov(iv) >= cov(iv_kf)
-    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert after == before, (before, after)
+    leaked = _ids() - before
+    assert not leaked, leaked
 
 
 def test_span_clean_window_dedup_matches_semi_join(spark):
