@@ -477,30 +477,37 @@ def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
     "  HAVING SUM(l_quantity) > 250) "
     "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice "
     "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
-    doc="TPC-H Q18 large-volume customer. The HAVING subquery is one "
-    "groupBy over lineitem; its tiny survivor set broadcasts back as "
-    "a semi-join filter, so lineitem shuffles on l_orderkey once.",
+    doc="TPC-H Q18 large-volume customer. ONE lineitem aggregation "
+    "(r13, guide §2.4): the final group key set contains o_orderkey — "
+    "the orders primary key — so the per-group SUM(l_quantity) equals "
+    "the per-order sum the HAVING subquery computes; one combinable "
+    "groupBy supplies both the >250 filter and sum_qty, and only the "
+    "tiny qualifying-order aggregate joins the dimensions.",
     tags=("bench",),
 )
 def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    # r13 perf pass: the pre-r13 plan scanned lineitem twice — once
+    # for the HAVING aggregate and once to re-join + re-aggregate the
+    # same per-order sum after the orders semi-join.  Since the final
+    # GROUP BY includes o_orderkey (the orders PK) and every lineitem
+    # row of a qualifying order survives the semi-join, sum_qty IS
+    # the HAVING aggregate's value: reuse it and never touch lineitem
+    # again.  Oracle SQL unchanged; rows/hash identical by the PK
+    # argument above (gate-verified ×3 SFs).
     big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sq"))
-        .filter(F.col("sq") > 250)
-        .select("l_orderkey")
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
     )
-    orders = _t(spark, sf, "orders").join(
-        F.broadcast(big.withColumnRenamed("l_orderkey", "o_orderkey")),
-        "o_orderkey",
-        "left_semi",
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
         .select(
