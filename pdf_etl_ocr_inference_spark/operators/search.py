@@ -51,22 +51,41 @@ def bm25_scores(
 
     Shape (r12 perf pass — guide §2.3/§2.4): doc length rides the
     postings rows (``dl`` is a constant within a doc, so grouping by
-    ``(id, dl, term)`` is the same grouping as ``(id, term)``) and
-    per-term document frequency is a window over the aggregated
-    postings.  The r11 shape kept ``dl`` as its own corpus-sized
-    frame and joined it back into the (tiny) matching-postings set —
-    a corpus-wide exchange (Catalyst chose to BROADCAST the per-doc
-    length table, which at 100 TB is a driver-killing plan) — and
-    computed df by re-deriving the whole tf subtree a second time
-    (4 corpus tokenize passes in the physical plan).  Now: one
-    corpus pass for (N, avgdl) — a combinable 1-row agg — and one
-    corpus pass for the postings; everything after the term filter
-    is proportional to matching postings, never the corpus."""
+    ``(id, dl, term)`` is the same grouping as ``(id, term)``).  The
+    r11 shape kept ``dl`` as its own corpus-sized frame and joined it
+    back into the (tiny) matching-postings set — a corpus-wide
+    exchange (Catalyst chose to BROADCAST the per-doc length table,
+    which at 100 TB is a driver-killing plan) — and computed df by
+    re-deriving the whole tf subtree a second time (4 corpus tokenize
+    passes in the physical plan).  Now: one corpus pass for
+    (N, avgdl) — a combinable 1-row agg — and one corpus pass for the
+    postings; everything after the term filter is proportional to
+    matching postings, never the corpus.
+
+    Per-term document frequency (r13, ADVICE-r12): one conditional
+    ``array_contains`` count per query term RIDES THE STATS PASS —
+    the same combinable 1-row aggregate that already computes
+    (N, avgdl) — and reaches the postings through the existing 1-row
+    broadcast as a term→df map literal lookup.  df(t) = #docs whose
+    token array contains t ≡ #distinct (id, t) postings groups, the
+    value the r12 window computed.  The r12 window form —
+    ``count() over partitionBy(term)`` — routed EVERY posting row of
+    a term into a single window partition, so one stop-word query
+    term made one task buffer (and spill) the whole posting list at
+    100 TB; this shape has no per-term partition anywhere — df is
+    map-side-combined into one row — and adds zero exchanges, zero
+    extra passes, zero joins."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     docs = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size("_toks")).alias("avgdl"),
+        *[
+            F.sum(
+                F.array_contains("_toks", t).cast("long")
+            ).alias(f"_df{i}")
+            for i, t in enumerate(query_terms)
+        ],
     )
     tf = (
         docs.select(
@@ -77,13 +96,17 @@ def bm25_scores(
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    from pyspark.sql import Window
+    from itertools import chain as _chain
 
-    scored = (
-        tf.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    df_map = F.create_map(
+        *_chain.from_iterable(
+            (F.lit(t), F.col(f"_df{i}"))
+            for i, t in enumerate(query_terms)
         )
-        .crossJoin(F.broadcast(stats))
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(stats))
+        .withColumn("df", df_map[F.col("term")])
         .select(
             "id",
             (

@@ -150,20 +150,30 @@ def dup_span_intervals(
         raise ValueError(f"unknown span policy: {policy!r}")
     occ = positional_ngrams(df, text_col, id_col, n)
     if min_docs == 2 and max_doc_freq is None:
-        # fast path (r8): ">= 2 distinct docs" ⟺ min(id) < max(id)
-        # computed as a WINDOW over the gram partition — ONE ngram
-        # pass and ONE gram shuffle.  The r7 shape grouped grams then
-        # joined the dup set back against a SECOND ngram pass (the
-        # occurrence stream isn't cached), paying the corpus explode
-        # twice and the gram exchange twice; measured −40% on
-        # dedup_span_intervals at sf0.1, identical spans.  WindowExec
-        # buffers one gram group at a time and spills, so a hot gram
-        # costs what its join bucket cost before.
-        w = Window.partitionBy("gram")
-        hits = (
-            occ.withColumn("_mn", F.min("id").over(w))
-            .withColumn("_mx", F.max("id").over(w))
+        # fast path: ">= 2 distinct docs" ⟺ min(id) < max(id), ONE
+        # ngram pass and ONE gram shuffle (r8).  r13 (verdict-r12 #6,
+        # guide §2.3): the shuffle is now a map-side-COMBINABLE
+        # aggregate carrying the (id, pos) occurrence structs as
+        # payload — each map task ships every duplicated gram's
+        # STRING once (plus ~12 B per occurrence) where the r8 window
+        # shipped the ~n-token string on EVERY occurrence row; unique
+        # grams are dropped before the explode re-expands
+        # occurrences, so post-shuffle work is ∝ duplicated mass.
+        # Same hit set by construction.  A pathological gram buffers
+        # its occurrence list in one aggregation buffer — the same
+        # single-group cost the window paid, with the same
+        # sort-fallback/spill escape.
+        g = (
+            occ.groupBy("gram")
+            .agg(
+                F.min("id").alias("_mn"),
+                F.max("id").alias("_mx"),
+                F.collect_list(F.struct("id", "pos")).alias("_occ"),
+            )
             .filter(F.col("_mn") < F.col("_mx"))
+        )
+        hits = g.select(F.explode("_occ").alias("_o"), "_mn").select(
+            F.col("_o.id").alias("id"), F.col("_o.pos").alias("pos"), "_mn"
         )
         if policy == "keepfirst":
             hits = hits.filter(F.col("id") > F.col("_mn"))
@@ -217,16 +227,23 @@ def dup_span_intervals_both(
     from pdf_etl_ocr_inference_spark.scratch import scratch_root
 
     occ = positional_ngrams(df, text_col, id_col, n)
-    w = Window.partitionBy("gram")
+    # same combinable-aggregate hit derivation as the
+    # dup_span_intervals fast path (r13, guide §2.3): the gram string
+    # ships once per map partition, occurrences ride as structs
     hits = (
-        occ.withColumn("_mn", F.min("id").over(w))
-        .withColumn("_mx", F.max("id").over(w))
+        occ.groupBy("gram")
+        .agg(
+            F.min("id").alias("_mn"),
+            F.max("id").alias("_mx"),
+            F.collect_list(F.struct("id", "pos")).alias("_occ"),
+        )
         .filter(F.col("_mn") < F.col("_mx"))
+        .select(F.explode("_occ").alias("_o"), "_mn")
         .select(
-            "id",
-            "pos",
-            (F.col("pos") + n).alias("end"),
-            (F.col("id") > F.col("_mn")).alias("_repeat"),
+            F.col("_o.id").alias("id"),
+            F.col("_o.pos").alias("pos"),
+            (F.col("_o.pos") + n).alias("end"),
+            (F.col("_o.id") > F.col("_mn")).alias("_repeat"),
         )
         .persist()
     )

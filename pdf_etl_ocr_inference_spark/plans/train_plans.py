@@ -1018,20 +1018,21 @@ def _span_clean_corpus(
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     q = docs.filter(quality_score("text") >= 0.5)
-    # Exact dedup of the quality-filtered frontier via a fingerprint
-    # WINDOW (r12 perf pass): the survivor semi-join evaluated `q`
-    # twice (two documents scans, quality_score computed twice) and
-    # at 100 TB — where the survivor key set cannot broadcast — would
-    # ALSO shuffle the text by doc_id for the join; the window is one
-    # scan and one text shuffle on the fingerprint.  Same survivor
-    # rule (min doc_id per fingerprint), set-equality asserted in
-    # tests; measured 1.27 → 1.02 s on the staged write at sf0.1.
-    w = Window.partitionBy("_fp")
+    # Exact dedup of the quality-filtered frontier via a COMBINABLE
+    # aggregate (r13, ADVICE-r12): one scan, one fingerprint-keyed
+    # shuffle with map-side partial aggregation — each map task ships
+    # at most ONE (doc_id, text) candidate per fingerprint, and no
+    # task ever buffers a whole clique.  The r12 window form shuffled
+    # every member's FULL TEXT into one window partition per clique —
+    # a single hot task under the 10k-deep boilerplate cliques the r8
+    # comments call out.  Survivor rule unchanged (min doc_id per
+    # fingerprint; min_by ties are impossible — doc_id is unique),
+    # set-equality asserted in tests.
     d = (
         q.withColumn("_fp", doc_fingerprint("text"))
-        .withColumn("_keep", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("_keep"))
-        .select("doc_id", "text")
+        .groupBy("_fp")
+        .agg(F.min_by(F.struct("doc_id", "text"), "doc_id").alias("_s"))
+        .select(F.col("_s.doc_id").alias("doc_id"), F.col("_s.text").alias("text"))
     )
     # Stage the deduped frontier once: three downstream branches
     # (gram-occurrence explode, dup-gram agg probe, token-count join)

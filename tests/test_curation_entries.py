@@ -521,10 +521,11 @@ def test_span_intervals_both_leaves_no_persisted_frames(spark):
 
 
 def test_span_clean_window_dedup_matches_semi_join(spark):
-    """r12 perf pass: the span-clean staged frontier dedups via a
-    fingerprint WINDOW (one scan, one text shuffle) — its survivor
-    set must equal exact_dedup's semi-join rule exactly."""
-    from pyspark.sql import Window
+    """r13 perf pass (ADVICE-r12): the span-clean staged frontier
+    dedups via a map-side-combinable ``min_by`` aggregate (one scan,
+    one combinable fingerprint shuffle, no per-clique window
+    buffering) — its survivor set must equal exact_dedup's semi-join
+    rule exactly."""
     from pyspark.sql import functions as F
 
     from pdf_etl_ocr_inference_spark.functions.text import (
@@ -539,13 +540,13 @@ def test_span_clean_window_dedup_matches_semi_join(spark):
         "doc_id", "text"
     )
     q = docs.filter(quality_score("text") >= 0.5)
-    w = Window.partitionBy("_fp")
-    win = (
+    agg = (
         q.withColumn("_fp", doc_fingerprint("text"))
-        .withColumn("_keep", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("_keep"))
+        .groupBy("_fp")
+        .agg(F.min_by(F.struct("doc_id", "text"), "doc_id").alias("_s"))
+        .select(F.col("_s.doc_id").alias("doc_id"))
     )
-    a = {r["doc_id"] for r in win.select("doc_id").collect()}
+    a = {r["doc_id"] for r in agg.select("doc_id").collect()}
     b = {
         r["doc_id"]
         for r in exact_dedup(q, "text", "doc_id")

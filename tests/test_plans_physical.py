@@ -297,12 +297,18 @@ def test_span_clean_pipeline_stages_shared_frontier(spark):
 
 
 def test_bm25_no_corpus_length_join(spark):
-    """r12 perf pass: doc length rides the postings rows and df is a
-    window over the aggregated postings — the plan must carry NO join
+    """r12/r13 perf passes: doc length rides the postings rows and
+    per-term df RIDES THE STATS PASS (one conditional array_contains
+    count per query term in the same combinable 1-row aggregate that
+    computes N/avgdl, attached to postings through the existing 1-row
+    broadcast as a map-literal lookup).  The plan must carry NO join
     against a corpus-sized per-doc-length frame (the r11 shape
-    BROADCAST the whole dl table, a driver-killing plan at 100 TB)
-    and at most two scans of the documents table (corpus stats +
-    postings)."""
+    BROADCAST the whole dl table, a driver-killing plan at 100 TB),
+    no per-term Window partition (the r12 df shape — a one-task
+    hotspot for stop-word terms), and at most two scans of the
+    documents table (corpus stats + postings)."""
+    import re
+
     df = _SPECS["text_bm25_topk"].fn(spark, SF0001)
     plan = _explain(spark, df)
     assert "SortMergeJoin" not in plan
@@ -313,10 +319,17 @@ def test_bm25_no_corpus_length_join(spark):
     ]
     n_doc = sum("documents" in ln for ln in doc_scans)
     assert n_doc <= 2 * 2, plan  # each scan prints a node + Location
-    # exactly one broadcast side remains: the 1-row (N, avgdl) stats
-    # (each node prints once in the tree and once in the detail list)
-    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
-    assert "BroadcastHashJoin" not in plan, plan
+    # parsed operator ids (not raw substring counts — explain prints
+    # each node in the tree AND the detail list): the ONLY broadcast
+    # side is the 1-row stats (BNLJ cross join); no hash join, no
+    # window over the postings
+    bhj = set(re.findall(r"^\((\d+)\) BroadcastHashJoin", plan, re.M))
+    bnlj = set(
+        re.findall(r"^\((\d+)\) BroadcastNestedLoopJoin", plan, re.M)
+    )
+    assert len(bhj) == 0, plan
+    assert len(bnlj) == 1, plan
+    assert not re.search(r"^\(\d+\) Window", plan, re.M), plan
 
 
 def test_funnel_single_events_pass(spark):
@@ -357,3 +370,47 @@ def test_dsir_pipeline_selection_not_duplicated(spark):
     # once in the tree + once in the operator-detail list
     assert plan.count("TakeOrderedAndProject") == 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def _distinct_exchange_nodes(plan: str) -> int:
+    """Count DISTINCT Exchange/BroadcastExchange operator ids from the
+    formatted plan's numbered nodes (ADVICE-r12: raw substring counts
+    double-count the tree + detail sections and drift with the
+    formatter)."""
+    import re
+
+    return len(
+        set(
+            re.findall(
+                r"^\((\d+)\) (?:Exchange|BroadcastExchange)", plan, re.M
+            )
+        )
+    )
+
+
+def test_triangles_exchange_ceiling(spark):
+    """r12 cut graph_triangles from 221 to ~18 raw Exchange mentions
+    (lineage truncation of the und/deg/oriented frames); pin the
+    ceiling so a later round cannot silently re-inflate the recompute
+    tree.  Measured r13: 9 distinct exchange nodes."""
+    df = _SPECS["graph_triangles"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert _distinct_exchange_nodes(plan) <= 12, plan
+
+
+def test_span_clean_exchange_ceiling(spark):
+    """pipeline_span_clean_corpus reads its staged frontier and runs
+    one gram aggregation + the island/packing windows — 5 distinct
+    exchange nodes at r13; pin the ceiling (verdict-r12 #7)."""
+    df = _SPECS["pipeline_span_clean_corpus"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert _distinct_exchange_nodes(plan) <= 7, plan
+
+
+def test_minhash_exchange_ceiling(spark):
+    """r13 cut dedup_minhash_lsh to 7 distinct exchange nodes (the
+    grouped clique collapse replaced the window + survivor-map joins,
+    and verify/expansion share one join pair); pin the ceiling."""
+    df = _SPECS["dedup_minhash_lsh"].fn(spark, SF0001)
+    plan = _explain(spark, df)
+    assert _distinct_exchange_nodes(plan) <= 9, plan
