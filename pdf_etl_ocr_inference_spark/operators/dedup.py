@@ -289,59 +289,158 @@ def minhash_lsh_candidates(
     )
 
 
+def shingle_clique_groups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Collapse exact-duplicate shingle sets to one GROUP row each.
+
+    Jaccard is a pure function of a document's (distinct) shingle
+    set, so documents with identical sets are interchangeable for
+    near-dedup.  Groups by a 128-bit set fingerprint (md5 of the
+    sorted set joined on ``\\x1f`` — injective on sets, same
+    collision budget as ``exact_dedup``'s md5).
+
+    Returns the lazily-persisted frame
+    ``(_fp, _s struct(<id>, shingles), _ids array<id>)`` — one row
+    per DISTINCT shingle set: ``_s`` is the min-id survivor with its
+    shingle set, ``_ids`` the sorted member ids.  This is the
+    pre-banding collapse that keeps LSH candidate volume linear
+    under mass duplication (d identical docs → one banded row,
+    not d).
+
+    Shape (r13 perf pass, guide §2.3/§2.4 — replaces the r8–r12
+    ``min() over (partition by _fp)`` window): the grouping is a
+    map-side-COMBINABLE aggregate (``min_by`` keeps one candidate
+    struct per fingerprint per map task; ``collect_list`` ships ids
+    only), so a 10k-deep boilerplate clique ships each map task's
+    one survivor candidate instead of routing 10k full shingle
+    arrays into a single window partition — and the persisted frame
+    holds shingles for DISTINCT sets only, not every row.  The one
+    pass feeds every downstream branch (signature build, both verify
+    sides, both expansion sides, intra-clique pairs) as a cache
+    read; MEMORY_AND_DISK, so at 100 TB the blocks spill instead of
+    OOM.
+    """
+    sh_expr = F.array_sort(
+        F.array_distinct(word_ngrams(text_col, shingle_n))
+    )
+    return (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), sh_expr.alias("shingles"))
+        .withColumn("_fp", F.md5(F.concat_ws("\x1f", F.col("shingles"))))
+        .groupBy("_fp")
+        .agg(
+            F.min_by(
+                F.struct(F.col(id_col), F.col("shingles")), F.col(id_col)
+            ).alias("_s"),
+            F.sort_array(F.collect_list(id_col)).alias("_ids"),
+        )
+        .persist()
+    )
+
+
 def shingle_cliques(
     df: DataFrame,
     text_col: str,
     id_col: str,
     shingle_n: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
-    """Collapse exact-duplicate shingle sets to one representative.
-
-    Jaccard is a pure function of a document's (distinct) shingle
-    set, so documents with identical sets are interchangeable for
-    near-dedup.  Groups by a 128-bit set fingerprint (md5 of the
-    sorted set joined on ``\\x1f`` — injective on sets, same
-    collision budget as ``exact_dedup``'s md5) with the min id as
-    survivor.
-
-    Returns ``(reps, smap)``: ``reps(id, shingles)`` one row per
-    DISTINCT shingle set (the survivor's), and the CHECKPOINTED
-    survivor map ``smap(id, _fp, _keep)`` covering every input row.
-    This is the pre-banding collapse that keeps LSH candidate volume
-    linear under mass duplication (d identical docs → one banded
-    row, not d).
-    """
-    from pyspark.sql import Window
-
-    sh_expr = F.array_sort(
-        F.array_distinct(word_ngrams(text_col, shingle_n))
+    """Row-level view of :func:`shingle_clique_groups`:
+    ``(reps, smap)`` — ``reps(id, shingles)`` one row per DISTINCT
+    shingle set (the survivor's), ``smap(id, _fp, _keep)`` covering
+    every input row.  Kept for callers that want the survivor map
+    shape; the near-dedup pipeline consumes the group frame
+    directly."""
+    grp = shingle_clique_groups(df, text_col, id_col, shingle_n)
+    reps = grp.select(
+        F.col(f"_s.{id_col}").alias(id_col), F.col("_s.shingles").alias("shingles")
     )
-    # The survivor map and the rep shingle sets feed MANY downstream
-    # branches (signature build, both verify sides, both expansion
-    # sides, the intra-clique pairs), and Spark re-computes a
-    # branch's whole subtree per reference — which would re-run the
-    # expensive shingle pass once per branch.  So: ONE pass computes
-    # (id, shingles, fingerprint, survivor) and lazily persists it
-    # (in-memory columnar, so narrow consumers prune columns on
-    # read; MEMORY_AND_DISK, so at 100 TB the blocks spill instead
-    # of OOM).  The shingle pass runs exactly once; every branch is
-    # a cache read.  The window's one wide exchange carries the
-    # shingle arrays — the price of materializing once, cheaper than
-    # the ~5 recomputed corpus scans it replaces.
-    marked = (
-        ensure_min_parallelism(df)
-        .select(F.col(id_col), sh_expr.alias("shingles"))
-        .withColumn("_fp", F.md5(F.concat_ws("\x1f", F.col("shingles"))))
-        .withColumn(
-            "_keep", F.min(id_col).over(Window.partitionBy("_fp"))
-        )
-        .persist()
-    )
-    smap = marked.select(F.col(id_col), "_fp", "_keep")
-    reps = marked.filter(F.col(id_col) == F.col("_keep")).select(
-        F.col(id_col), "shingles"
+    smap = grp.select(
+        F.explode("_ids").alias(id_col),
+        "_fp",
+        F.col(f"_s.{id_col}").alias("_keep"),
     )
     return reps, smap
+
+
+def minhash_rep_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    bucket_cap: int | None = None,
+    hash_family: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """The near-dedup pipeline UP TO clique expansion: returns
+    ``(grp, vrep)`` — the persisted clique-group frame
+    (:func:`shingle_clique_groups`) and the VERIFIED representative-
+    level pairs ``(id_a, id_b, _ids_a, _ids_b, jaccard)`` with
+    ``id_a < id_b`` (both are clique survivors; member arrays ride
+    along so callers expand without another join).  Consumers that
+    need per-member output expand through ``minhash_dedup_pairs``;
+    consumers that aggregate over CLIQUE-INVARIANT structure
+    (connected components, cluster collapse) should work on this
+    frame instead — d-deep duplicate cliques contribute ONE node,
+    not d, to whatever runs next."""
+    if num_hashes % num_bands:
+        raise ValueError("num_bands must divide num_hashes")
+    grp = shingle_clique_groups(df, text_col, id_col, shingle_n)
+    reps = grp.select(
+        F.col(f"_s.{id_col}").alias(id_col),
+        F.col("_s.shingles").alias("shingles"),
+    )
+
+    # signatures over representative shingle sets (shingles computed
+    # once — the pre-collapse path re-ran word_ngrams inside
+    # minhash_signatures)
+    exploded = reps.select(F.col(id_col), F.explode("shingles").alias("_sh"))
+    hs = seeded_hashes("_sh", num_hashes, hash_family)
+    per_doc = exploded.groupBy(id_col).agg(
+        *[F.min(h).alias(f"_h{i}") for i, h in enumerate(hs)]
+    )
+    sigs = per_doc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+    cands = minhash_lsh_candidates(
+        sigs,
+        id_col,
+        num_bands,
+        rows_per_band=num_hashes // num_bands,
+        bucket_cap=bucket_cap,
+        hash_family=hash_family,
+    )
+    # verify attaches each side's shingle set AND member-id array in
+    # one join per side (one row per distinct set), so downstream
+    # expansion needs no further joins
+    ga = grp.select(
+        F.col(f"_s.{id_col}").alias("id_a"),
+        F.col("_s.shingles").alias("sh_a"),
+        F.col("_ids").alias("_ids_a"),
+    )
+    gb = grp.select(
+        F.col(f"_s.{id_col}").alias("id_b"),
+        F.col("_s.shingles").alias("sh_b"),
+        F.col("_ids").alias("_ids_b"),
+    )
+    vrep = (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "_ids_a", "_ids_b", "jaccard")
+    )
+    return grp, vrep
 
 
 def minhash_dedup_pairs(
@@ -377,77 +476,40 @@ def minhash_dedup_pairs(
     threshold.  ``bucket_cap`` additionally bounds adversarial
     buckets among DISTINCT sets (logged truncation).
     """
-    if num_hashes % num_bands:
-        raise ValueError("num_bands must divide num_hashes")
-    reps, smap = shingle_cliques(df, text_col, id_col, shingle_n)
-
-    # signatures over representative shingle sets (shingles computed
-    # once — the pre-collapse path re-ran word_ngrams inside
-    # minhash_signatures)
-    exploded = reps.select(F.col(id_col), F.explode("shingles").alias("_sh"))
-    hs = seeded_hashes("_sh", num_hashes, hash_family)
-    per_doc = exploded.groupBy(id_col).agg(
-        *[F.min(h).alias(f"_h{i}") for i, h in enumerate(hs)]
-    )
-    sigs = per_doc.select(
-        F.col(id_col),
-        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
-    )
-    cands = minhash_lsh_candidates(
-        sigs,
+    grp, vrep = minhash_rep_pairs(
+        df,
+        text_col,
         id_col,
-        num_bands,
-        rows_per_band=num_hashes // num_bands,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_n=shingle_n,
+        jaccard_threshold=jaccard_threshold,
         bucket_cap=bucket_cap,
         hash_family=hash_family,
     )
-    sa = reps.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    sb = reps.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
-    )
-    verified = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-
-    # re-expand through the survivor map: (member x of clique(id_a),
-    # member y of clique(id_b)) for inter-clique pairs, all internal
-    # pairs at jaccard 1.0 for cliques of size > 1
-    ka = smap.select(F.col("_keep").alias("id_a"), F.col(id_col).alias("_xa"))
-    kb = smap.select(F.col("_keep").alias("id_b"), F.col(id_col).alias("_xb"))
+    # inter-clique expansion by chained explodes over the member
+    # arrays already riding the verified pairs — (member x of
+    # clique(id_a), member y of clique(id_b)) — output-sized work,
+    # no further joins (r13; the r12 shape joined two member-exploded
+    # projections of a survivor map per side)
     inter = (
-        verified.join(ka, "id_a")
-        .join(kb, "id_b")
+        vrep
+        .select(F.explode("_ids_a").alias("_xa"), "_ids_b", "jaccard")
+        .select("_xa", F.explode("_ids_b").alias("_xb"), "jaccard")
         .select(
             F.least("_xa", "_xb").alias("id_a"),
             F.greatest("_xa", "_xb").alias("id_b"),
             "jaccard",
         )
     )
-    ia = smap.select("_fp", F.col(id_col).alias("_xa"))
-    # the greater pair member is never the clique survivor (the min
-    # id), so the right side only needs NON-survivor rows — empty on
-    # a duplicate-free corpus, which AQE short-circuits to nothing
-    ib = smap.filter(F.col(id_col) != F.col("_keep")).select(
-        "_fp", F.col(id_col).alias("_xb")
-    )
-    intra = (
-        ia.join(ib, "_fp")
-        .filter(F.col("_xa") < F.col("_xb"))
-        .select(
-            F.col("_xa").alias("id_a"),
-            F.col("_xb").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
+    cl = grp.filter(F.size("_ids") >= 2).select("_ids")
+    with_a = cl.select("_ids", F.posexplode("_ids").alias("_i", "id_a"))
+    intra = with_a.select(
+        "id_a",
+        F.explode(
+            F.slice("_ids", F.col("_i") + 2, F.size("_ids"))
+        ).alias("id_b"),
+        F.lit(1.0).alias("jaccard"),
     )
     if jaccard_threshold > 1.0:
         return inter  # degenerate threshold: even exact dups fail it
@@ -609,20 +671,27 @@ def hamming_near_pairs(
     # width=64 (num_blocks=1): 2^64-1 overflows a long literal; the
     # all-bits mask in signed-64 arithmetic is -1
     mask = (1 << width) - 1 if width < 64 else -1
-    from pyspark.sql import Window
-
     vals = fps.select(F.col(id_col), F.col(hash_col).alias("_fpv"))
-    # persist the (id, value, survivor) map: it feeds five downstream
-    # branches (block join, both expansion sides, both intra sides)
-    # and each reference would otherwise re-run the upstream
-    # fingerprint computation (a 64-agg shuffle for SimHash, a
-    # pandas-UDF pass for dHash).  Fixed-width columns per row; lazy
-    # persist (no extra jobs), MEMORY_AND_DISK.
-    w = Window.partitionBy("_fpv")
-    marked = vals.withColumn("_keep", F.min(id_col).over(w)).persist()
-    groups = marked.filter(F.col(id_col) == F.col("_keep")).select(
-        "_fpv", "_keep"
+    # persist the per-DISTINCT-fingerprint group frame: it feeds five
+    # downstream branches (block join, both expansion sides, the
+    # intra pairs) and each reference would otherwise re-run the
+    # upstream fingerprint computation (a 64-agg shuffle for SimHash,
+    # a pandas-UDF pass for dHash).  r13 (guide §2.3/§2.4): the
+    # grouping is a map-side-COMBINABLE aggregate (one partial row
+    # per fingerprint value per map task) instead of the r12
+    # ``min() over (partition by _fpv)`` window that routed every
+    # member row of a mass-duplicated fingerprint into one window
+    # partition; the member ids ride as a sorted array so expansion
+    # needs no survivor-map joins.  Lazy persist, MEMORY_AND_DISK.
+    grp = (
+        vals.groupBy("_fpv")
+        .agg(
+            F.min(id_col).alias("_keep"),
+            F.sort_array(F.collect_list(id_col)).alias("_mids"),
+        )
+        .persist()
     )
+    groups = grp.select("_fpv", "_keep")
     blocked = groups.select(
         "_fpv",
         "_keep",
@@ -689,36 +758,38 @@ def hamming_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    # expansion sides derive from `marked` too, so they share the one
-    # exchange instead of recomputing the fingerprints per branch
-    ma = marked.select(
-        F.col("_fpv").alias("fp_a"), F.col(id_col).alias("_xa")
+    # expansion reads the member ARRAYS off the group frame (one join
+    # row per distinct fingerprint, chained explodes produce exactly
+    # the member pairs — output-sized work); intra pairs need no join
+    # at all — the bucket-pair chained-explode shape over the sorted
+    # member list
+    ma = grp.select(
+        F.col("_fpv").alias("fp_a"), F.col("_mids").alias("_ids_a")
     )
-    mb = marked.select(
-        F.col("_fpv").alias("fp_b"), F.col(id_col).alias("_xb")
+    mb = grp.select(
+        F.col("_fpv").alias("fp_b"), F.col("_mids").alias("_ids_b")
     )
     inter = (
         value_pairs.join(ma, "fp_a")
         .join(mb, "fp_b")
+        .select(F.explode("_ids_a").alias("_xa"), "_ids_b", "hamming")
+        .select("_xa", F.explode("_ids_b").alias("_xb"), "hamming")
         .select(
             F.least("_xa", "_xb").alias("id_a"),
             F.greatest("_xa", "_xb").alias("id_b"),
             "hamming",
         )
     )
-    ia = marked.select("_fpv", F.col(id_col).alias("_xa"))
-    # greater member is never the survivor — see shingle_cliques' twin
-    ib = marked.filter(F.col(id_col) != F.col("_keep")).select(
-        "_fpv", F.col(id_col).alias("_xb")
+    cl = grp.filter(F.size("_mids") >= 2).select("_mids")
+    intra_a = cl.select(
+        "_mids", F.posexplode("_mids").alias("_i", "id_a")
     )
-    intra = (
-        ia.join(ib, "_fpv")
-        .filter(F.col("_xa") < F.col("_xb"))
-        .select(
-            F.col("_xa").alias("id_a"),
-            F.col("_xb").alias("id_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
+    intra = intra_a.select(
+        "id_a",
+        F.explode(
+            F.slice("_mids", F.col("_i") + 2, F.size("_mids"))
+        ).alias("id_b"),
+        F.lit(0).cast("int").alias("hamming"),
     )
     return inter.unionByName(intra)
 
@@ -840,6 +911,18 @@ def connected_components(
                 F.coalesce(F.col("_pcomp"), F.col("component")),
             ).alias("component"),
         )
+        # r13 NEGATIVE RESULT (verdict-r12 #4, measured then
+        # reverted): fusing the convergence probe into the round
+        # materialization (persist + full changed-count agg instead
+        # of eager checkpoint + limit(1) probe) was implemented and
+        # MEASURED: under AQE the persist-materializing aggregate
+        # spawns MORE driver job round-trips than the checkpoint
+        # (22 → 24 jobs on the 2-round test graph) and
+        # dedup_clusters_sv read flat-to-worse (1.06 → 1.10 s min),
+        # because each non-truncated round also re-optimizes a
+        # growing logical plan.  The checkpoint+probe shape stays;
+        # the CC input itself shrank instead (rep-graph lift in
+        # quality_cluster_members).
         shortcut = truncate_lineage(shortcut)
         changed = (
             shortcut.filter(F.col("component") != F.col("_old"))

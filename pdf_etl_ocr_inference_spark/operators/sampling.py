@@ -137,8 +137,16 @@ def temperature_mix(
     long as thresholds sit away from integers — verify per corpus
     (both catalog entries do, ≥0.08 at all three SFs).
     """
+    # r13 (guide §5): the quota branch and the ranked branch both
+    # reference the input — Spark re-evaluates the whole upstream
+    # subtree per reference, and for pipeline_curated_mix that
+    # subtree is the entire dedup pipeline (minhash pairs → CC →
+    # argmax collapse → anti-join).  Persist the narrow (id, group)
+    # projection once (lazy, MEMORY_AND_DISK, two fixed-width-ish
+    # columns) so both branches are cache reads.
+    base = df.select(id_col, group_col).persist()
     quotas = (
-        df.groupBy(group_col)
+        base.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("w", F.pow(F.col("n"), F.lit(alpha)))
     )
@@ -154,7 +162,7 @@ def temperature_mix(
         F.md5(F.col(id_col).cast("string"))
     )
     return (
-        df.select(id_col, group_col)
+        base
         .withColumn("rk", F.row_number().over(rk))
         .join(F.broadcast(quotas), group_col)
         .filter(F.col("rk") <= F.col("quota"))

@@ -1218,14 +1218,39 @@ def quality_cluster_members(spark: SparkSession, sf: str) -> DataFrame:
     """(cluster_id, doc_id, q) for every near-dup cluster member —
     the shared Spark first stage of ``dedup_cluster_best_quality``
     and ``pipeline_curated_mix`` (mirrors ``_cc_quality_ranked_sql``
-    through ``ranked``'s inputs)."""
+    through ``ranked``'s inputs).
+
+    r13 (guide §1.2 — the algorithm): connected components run on
+    the REPRESENTATIVE pair graph (one node per distinct shingle
+    set) and the labels lift to members through the clique groups,
+    instead of running CC over the clique-EXPANDED pair set.  The
+    results are identical by construction:
+
+    - expanded components are rep components with each clique's
+      members attached (every member connects to its clique's rep
+      through the expansion's intra/inter pairs, and cliques are
+      complete subgraphs);
+    - the expanded component label is its min doc_id; a clique's min
+      member IS its rep (min id), so min over the expanded component
+      = min rep id = the rep-graph component label;
+    - a ≥2-member clique with NO verified rep pair was its own
+      expanded component labeled by its rep — reproduced by the
+      ``coalesce(component, rep)`` + size filter below.
+
+    At 100 TB this keeps every CC round's shuffle proportional to
+    DISTINCT near-dup sets instead of raw duplicated mass (d-deep
+    boilerplate cliques contribute one node, not d nodes and d²/2
+    edges); value-equality is pinned by the oracle (the recursive
+    CTE still replays the EXPANDED pair reachability) and by
+    ``test_rep_graph_cc_matches_expanded_cc``."""
     from pdf_etl_ocr_inference_spark.functions.text import quality_score
     from pdf_etl_ocr_inference_spark.operators.dedup import (
         connected_components,
+        minhash_rep_pairs,
     )
 
     docs = _t(spark, sf, "documents")
-    pairs = minhash_dedup_pairs(
+    grp, vrep = minhash_rep_pairs(
         docs,
         "text",
         "doc_id",
@@ -1234,10 +1259,25 @@ def quality_cluster_members(spark: SparkSession, sf: str) -> DataFrame:
         jaccard_threshold=0.5,
         hash_family="md5",
     )
-    labels, _ = connected_components(pairs.select("id_a", "id_b"))
-    q = docs.select(F.col("doc_id"), quality_score("text").alias("q"))
-    return labels.join(q, labels["node"] == q["doc_id"]).select(
-        F.col("component").alias("cluster_id"), "doc_id", "q"
+    rep_labels, _ = connected_components(vrep.select("id_a", "id_b"))
+    cliques = grp.select(
+        F.col("_s.doc_id").alias("_rep"),
+        "_ids",
+        F.size("_ids").alias("_n"),
+    )
+    labels = (
+        cliques.join(
+            rep_labels.withColumnRenamed("node", "_rep"), "_rep", "left"
+        )
+        .filter(F.col("component").isNotNull() | (F.col("_n") >= 2))
+        .select(
+            F.explode("_ids").alias("doc_id"),
+            F.coalesce("component", F.col("_rep")).alias("cluster_id"),
+        )
+    )
+    q = docs.select(F.col("doc_id").alias("_qid"), quality_score("text").alias("q"))
+    return labels.join(q, labels["doc_id"] == q["_qid"]).select(
+        "cluster_id", "doc_id", "q"
     )
 
 

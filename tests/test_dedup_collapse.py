@@ -158,3 +158,34 @@ def test_minhash_bucket_cap_logged(spark, caplog):
         n = out.count()
     assert any("bucket_cap" in r.message for r in caplog.records)
     assert n == 10  # C(5,2) pairs survive the cap (deduped over bands)
+
+
+def test_rep_graph_cc_matches_expanded_cc(spark):
+    """r13: quality_cluster_members runs connected components on the
+    REPRESENTATIVE pair graph and lifts labels through the clique
+    groups — its (doc_id, cluster_id) mapping must equal CC over the
+    clique-EXPANDED pair set (the pre-r13 shape and still the
+    oracle's reachability semantics)."""
+    from pdf_etl_ocr_inference_spark.operators.dedup import (
+        connected_components,
+    )
+    from pdf_etl_ocr_inference_spark.plans.dedup_plans import (
+        quality_cluster_members,
+    )
+
+    from .conftest import SF0001
+
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in quality_cluster_members(spark, SF0001)
+        .select("doc_id", "cluster_id")
+        .collect()
+    }
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    pairs = minhash_dedup_pairs(
+        docs, "text", "doc_id", num_hashes=32, num_bands=8,
+        jaccard_threshold=0.5, hash_family="md5",
+    )
+    labels, _ = connected_components(pairs.select("id_a", "id_b"))
+    want = {(r["node"], r["component"]) for r in labels.collect()}
+    assert got == want and len(got) > 0
