@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pdf_etl_ocr_inference_spark.plans.registry import register
 from pdf_etl_ocr_inference_spark.sources.catalog import TABLES
 from pdf_etl_ocr_inference_spark.streaming.incremental import (
+    derived_state_partitions,
     run_available_now,
     stream_events_raw,
     stream_events_sliding,
@@ -32,14 +33,19 @@ from pdf_etl_ocr_inference_spark.streaming.stateful import user_running_totals
     "triggered sync, engine-native).",
 )
 def op45_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    path = f"{sf}/events.parquet"
     streaming = stream_events_tumbling(
         spark,
-        f"{sf}/events.parquet",
+        path,
         TABLES["events"],
         window="10 minutes",
         watermark="30 minutes",
     )
-    return run_available_now(streaming, output_mode="complete")
+    return run_available_now(
+        streaming,
+        output_mode="complete",
+        state_partitions=derived_state_partitions(path),
+    )
 
 
 @register(
@@ -55,14 +61,19 @@ def op45_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     "exactly the expansion Spark's window() generator performs.",
 )
 def op45b_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    path = f"{sf}/events.parquet"
     streaming = stream_events_sliding(
         spark,
-        f"{sf}/events.parquet",
+        path,
         TABLES["events"],
         window="20 minutes",
         slide="10 minutes",
     )
-    return run_available_now(streaming, output_mode="complete")
+    return run_available_now(
+        streaming,
+        output_mode="complete",
+        state_partitions=derived_state_partitions(path),
+    )
 
 
 @register(
@@ -75,9 +86,14 @@ def op45b_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
     "verifies. O(1) state per key.",
 )
 def op55_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
-    stream = stream_events_raw(spark, f"{sf}/events.parquet", TABLES["events"])
+    path = f"{sf}/events.parquet"
+    stream = stream_events_raw(spark, path, TABLES["events"])
     totals = user_running_totals(stream)
-    out = run_available_now(totals, output_mode="update")
+    out = run_available_now(
+        totals,
+        output_mode="update",
+        state_partitions=derived_state_partitions(path),
+    )
     # one emitted row per (user, micro-batch); the LAST emission per
     # user is the caught-up state.  n_events is strictly monotone per
     # user across emissions (each micro-batch a user appears in adds

