@@ -1,10 +1,10 @@
 #!/usr/bin/env python
 """Capture ``explain("formatted")`` for headline queries into
-``plans/r12/<query>_<tag>.txt`` — the optimization round's plan-shape
-evidence (Exchange count, join strategy, PushedFilters/ReadSchema,
-BatchEvalPython/ArrowEvalPython nodes).
+``plans/<round>/<query>_<tag>.txt`` — the optimization round's
+plan-shape evidence (Exchange count, join strategy,
+PushedFilters/ReadSchema, BatchEvalPython/ArrowEvalPython nodes).
 
-    python tools/capture_plans.py --tag before [-k substring] [names...]
+    python tools/capture_plans.py --tag before [--round r13] [-k substring] [names...]
 
 Notes: entries whose fn() runs eager work (staging writes, iterative
 convergence, streaming run-to-completion) pay that work here; the
@@ -30,6 +30,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="before")
+    ap.add_argument("--round", default="r13", dest="round_dir")
     ap.add_argument("-k", default=None)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -44,7 +45,7 @@ def main() -> None:
     names = args.names or list(bench.BENCH_QUERIES)
     if args.k:
         names = [n for n in names if args.k in n]
-    outdir = os.path.join(REPO, "plans", "r12")
+    outdir = os.path.join(REPO, "plans", args.round_dir)
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         t0 = time.perf_counter()

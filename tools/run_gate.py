@@ -143,7 +143,7 @@ def _run_one_sf(spark, entry, sf: str, k: str) -> tuple:
     qs, oracles = entry.queries(), entry.oracle_sql()
     matched, rows_only, fails = 0, 0, []
     for name, fn in sorted(qs.items()):
-        if k and k not in name:
+        if k and not any(s and s in name for s in k.split(",")):
             continue
         t0 = time.perf_counter()
         why = ""
@@ -183,7 +183,10 @@ _ALL_SFS = [
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("-k", default="", help="only queries containing this")
+    ap.add_argument(
+        "-k", default="",
+        help="only queries containing this (comma = any-of)",
+    )
     ap.add_argument(
         "--all-sfs",
         action="store_true",
