@@ -1971,7 +1971,7 @@ def build_scaled_dir(spark, mult: int = _SCALED_MULT) -> str:
     out = os.path.join(scratch_root(), f"scaled{mult}x_{tag}")
     stride = 100_000_000
     rep = SF.explode(
-        SF.sequence(SF.lit(0), SF.lit(mult - 1))
+        SF.sequence(SF.lit(0), SF.lit(mult - 1)).cast("array<long>")
     ).alias("_rep")
 
     docs = load_table(spark, SF_DIR, "documents")
